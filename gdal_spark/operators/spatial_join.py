@@ -1,0 +1,233 @@
+"""Point-in-polygon spatial join — the engine's flagship operator.
+
+Reference semantics: OGRLayer::Intersection / FilterGeometry staged test
+(gdal/ogr/ogrsf_frmts/generic/ogrlayer.cpp:2016-2146 and :1344-1450):
+envelope reject first, then exact point-in-ring ray casting
+(gdal/ogr/ogrlinearring.cpp:471-533). The reference runs a single-threaded
+nested loop; here the same semantics distribute two ways:
+
+- **broadcast path** (small polygon side): polygons are collected once,
+  wrapped in a PreparedPolygons batch-PIP structure (the prepared-geometry
+  analog, ogrlayer.cpp:1445-1446), broadcast to every executor, and probed
+  per Arrow batch via mapInPandas. No shuffle at all — at 10^12 rows this
+  is a pure narrow map stage, so skewed point distributions cost nothing.
+
+- **shuffle path** (large polygon side): both sides get WebMercator cell
+  keys at ``cell_zoom`` (points: 1 cell; polygons: exploded over bbox-covered
+  cells — pure column `sequence`/`explode`, no UDF), equi-join on
+  (tx, ty) — Catalyst shuffle-hash/sort-merge with AQE skew splitting —
+  then the exact ray-cast test filters candidate pairs per Arrow batch.
+  Each point owns exactly one cell so no pair dedup is needed.
+
+Join modes: "inner" (all matching pairs — layer-algebra Intersection
+emission), "left" (all pairs + unmatched points with null polygon),
+"left_first" (OGR SQL LEFT JOIN first-match-only semantics,
+ogr_gensql.cpp:1283-1314 — lowest polygon id wins, made deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _extend_schema(schema: T.StructType, *fields: tuple[str, T.DataType]) -> T.StructType:
+    """Copy-extend a StructType (StructType.add mutates in place, which would
+    corrupt the source DataFrame's cached schema)."""
+    return T.StructType(list(schema.fields)
+                        + [T.StructField(n, t, True) for n, t in fields])
+
+from gdal_spark.functions import tiles
+from gdal_spark.functions.geometry import PreparedPolygons, decode_polygons
+
+DEFAULT_BROADCAST_MAX_POLYGONS = 100_000
+
+
+def _prepared_from_rows(rows) -> PreparedPolygons:
+    return PreparedPolygons(ids=[r[0] for r in rows], wkbs=[bytes(r[1]) for r in rows])
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    poly_id: str = "cell_id",
+    poly_wkb: str = "wkb",
+    lon: str = "lon",
+    lat: str = "lat",
+    how: str = "inner",
+    strategy: str = "auto",
+    cell_zoom: int = 6,
+    broadcast_max_polygons: int = DEFAULT_BROADCAST_MAX_POLYGONS,
+) -> DataFrame:
+    """Join ``points`` to the polygons containing them.
+
+    Returns the point columns plus ``poly_id`` (null for unmatched points in
+    left modes). Polygon attribute columns can be re-attached afterwards with
+    a broadcast equi-join on ``poly_id``.
+    """
+    if how not in ("inner", "left", "left_first"):
+        raise ValueError(f"unsupported how={how!r}")
+    if strategy == "auto":
+        # cheap metadata-or-count probe; polygon side is usually tiny
+        n_poly = polygons.count()
+        strategy = "broadcast" if n_poly <= broadcast_max_polygons else "shuffle"
+    if strategy == "broadcast":
+        return _broadcast_pip(points, polygons, poly_id, poly_wkb, lon, lat, how)
+    if strategy == "shuffle":
+        return _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom)
+    raise ValueError(f"unsupported strategy={strategy!r}")
+
+
+# ---------------------------------------------------------------------------
+# broadcast path
+# ---------------------------------------------------------------------------
+
+def _broadcast_pip(points, polygons, poly_id, poly_wkb, lon, lat, how) -> DataFrame:
+    spark = points.sparkSession
+    rows = polygons.select(poly_id, poly_wkb).collect()
+    bc = spark.sparkContext.broadcast(
+        [(r[0], bytes(r[1])) for r in rows]
+    )
+    pt_schema = points.schema
+    out_schema = _extend_schema(pt_schema, (poly_id, T.LongType()))
+    first_only = how == "left_first"
+    emit_unmatched = how in ("left", "left_first")
+    lon_i = pt_schema.fieldNames().index(lon)
+    lat_i = pt_schema.fieldNames().index(lat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prep = _prepared_from_rows(bc.value)  # built once per python worker task
+        for pdf in batches:
+            px = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
+            py = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
+            pi, gi = prep.contains_batch(px, py)
+            ids = prep.ids[gi].astype(np.int64)
+            if first_only and len(pi):
+                # lowest polygon id per point = OGR first-match determinized
+                order = np.lexsort((ids, pi))
+                pi, ids = pi[order], ids[order]
+                keep = np.ones(len(pi), dtype=bool)
+                keep[1:] = pi[1:] != pi[:-1]
+                pi, ids = pi[keep], ids[keep]
+            out = pdf.iloc[pi].copy()
+            out[poly_id] = ids
+            if emit_unmatched:
+                unmatched = np.setdiff1d(np.arange(len(pdf)), pi, assume_unique=False)
+                if len(unmatched):
+                    miss = pdf.iloc[unmatched].copy()
+                    miss[poly_id] = pd.array([None] * len(miss), dtype="Int64")
+                    out = pd.concat([out, miss], ignore_index=True)
+            yield out
+
+    return points.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# shuffle path
+# ---------------------------------------------------------------------------
+
+def polygon_cover_cells(polygons: DataFrame, poly_wkb: str, cell_zoom: int,
+                        xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax") -> DataFrame:
+    """Explode each polygon over all (tx, ty) cells its bbox covers —
+    pure column sequence/explode (the gdaltindex-style manifest,
+    gdal/apps/gdaltindex.c:311)."""
+    cols = polygons.columns
+    if not all(c in cols for c in (xmin, ymin, xmax, ymax)):
+        polygons = with_envelope(polygons, poly_wkb)
+    tx_lo = tiles.tile_x(F.col(xmin), cell_zoom)
+    tx_hi = tiles.tile_x(F.col(xmax), cell_zoom)
+    ty_lo = tiles.tile_y(F.col(ymin), cell_zoom)
+    ty_hi = tiles.tile_y(F.col(ymax), cell_zoom)
+    return (
+        polygons.withColumn("_tx", F.explode(F.sequence(tx_lo, tx_hi)))
+        .withColumn("_ty", F.explode(F.sequence(ty_lo, ty_hi)))
+    )
+
+
+def with_envelope(polygons: DataFrame, poly_wkb: str = "wkb",
+                  prefix: str = "") -> DataFrame:
+    """Attach (xmin, ymin, xmax, ymax) envelope columns computed from WKB in
+    one Arrow pass (OGRGeometry::getEnvelope analog)."""
+    schema = _extend_schema(
+        polygons.schema,
+        (prefix + "xmin", T.DoubleType()), (prefix + "ymin", T.DoubleType()),
+        (prefix + "xmax", T.DoubleType()), (prefix + "ymax", T.DoubleType()))
+    wkb_i = polygons.schema.fieldNames().index(poly_wkb)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mins_x = np.empty(len(pdf)); mins_y = np.empty(len(pdf))
+            maxs_x = np.empty(len(pdf)); maxs_y = np.empty(len(pdf))
+            for i, wkb in enumerate(pdf.iloc[:, wkb_i]):
+                xs, ys = [], []
+                for rings in decode_polygons(bytes(wkb)):
+                    for r in rings:
+                        xs.append(r[:, 0]); ys.append(r[:, 1])
+                ax = np.concatenate(xs); ay = np.concatenate(ys)
+                mins_x[i] = ax.min(); mins_y[i] = ay.min()
+                maxs_x[i] = ax.max(); maxs_y[i] = ay.max()
+            out = pdf.copy()
+            out[prefix + "xmin"] = mins_x; out[prefix + "ymin"] = mins_y
+            out[prefix + "xmax"] = maxs_x; out[prefix + "ymax"] = maxs_y
+            yield out
+
+    return polygons.mapInPandas(run, schema=schema)
+
+
+def _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom) -> DataFrame:
+    pt_cols = points.columns
+    pts = (
+        points.withColumn("_tx", tiles.tile_x(F.col(lon), cell_zoom))
+        .withColumn("_ty", tiles.tile_y(F.col(lat), cell_zoom))
+    )
+    polys = polygon_cover_cells(
+        polygons.select(poly_id, poly_wkb), poly_wkb, cell_zoom
+    ).select(F.col(poly_id).alias("_pid"), F.col(poly_wkb).alias("_wkb"), "_tx", "_ty")
+
+    paired = pts.join(polys, on=["_tx", "_ty"], how="inner")
+
+    # exact ray-cast filter over candidate pairs, grouped by polygon within
+    # each Arrow batch so each unique geometry is prepared once per batch
+    schema = _extend_schema(pts.schema, ("_pid", T.LongType()), ("_inside", T.BooleanType()))
+    in_names = paired.columns
+    lon_i = in_names.index(lon); lat_i = in_names.index(lat)
+    pid_i = in_names.index("_pid"); wkb_i = in_names.index("_wkb")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
+            py = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
+            wkbs = pdf.iloc[:, wkb_i]
+            pids = pdf.iloc[:, pid_i].to_numpy()
+            inside = np.zeros(len(pdf), dtype=bool)
+            # group rows by polygon id (same id => same wkb)
+            order = np.argsort(pids, kind="stable")
+            sorted_pids = pids[order]
+            starts = np.flatnonzero(np.r_[True, sorted_pids[1:] != sorted_pids[:-1]])
+            bounds = np.r_[starts, len(sorted_pids)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                idx = order[s:e]
+                prep = PreparedPolygons(ids=[0], wkbs=[bytes(wkbs.iloc[idx[0]])])
+                hit, _ = prep.contains_batch(px[idx], py[idx])
+                inside[idx[hit]] = True
+            out = pdf.drop(columns=[pdf.columns[wkb_i]])
+            out["_inside"] = inside
+            yield out
+
+    tested = paired.mapInPandas(run, schema=schema)
+    matched = tested.filter(F.col("_inside")).select(*pt_cols, F.col("_pid").alias(poly_id))
+
+    if how == "inner":
+        return matched
+    if how == "left_first":
+        from pyspark.sql import Window
+        w = Window.partitionBy(*pt_cols).orderBy(F.col(poly_id))
+        matched = (matched.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    unmatched = points.join(matched.select(*pt_cols), on=pt_cols, how="left_anti")
+    return matched.unionByName(unmatched.withColumn(poly_id, F.lit(None).cast("long")))

@@ -8,8 +8,25 @@ then sized to cluster cores, AQE re-plans at runtime).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip the gdal_spark package so executors can import it — the local-mode
+    equivalent of shipping via ``spark-submit --py-files gdal_spark.zip``."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "gdal_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join("gdal_spark", os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    return out
 
 
 def get_spark(
@@ -46,4 +63,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(_package_zip())
     return spark
