@@ -1,0 +1,128 @@
+"""Raster model / checksum / stats / pyramid tests.
+
+Golden strategy mirrors autotest (SURVEY.md §5): deterministic synthetic
+rasters, driver-side numpy twins as ground truth, exact equality for
+integer paths.
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster import checksum as CK
+from gdal_spark.raster import model as M
+from gdal_spark.raster import pyramid as PY
+from gdal_spark.raster import stats as ST
+
+
+# lambda (pickled by value) — executors can't import the tests package
+formula = lambda X, Y: (X * 31 + Y * 17) % 251  # noqa: E731
+
+
+@pytest.fixture(scope="module")
+def meta():
+    return M.RasterMeta("t", width=300, height=200, gt=(100.0, 0.5, 0.0, 80.0, 0.0, -0.5))
+
+
+@pytest.fixture(scope="module")
+def arr(meta):
+    X, Y = np.meshgrid(np.arange(meta.width), np.arange(meta.height))
+    return formula(X, Y).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def tiles(spark, meta):
+    return M.synthetic_raster(spark, meta, formula).cache()
+
+
+def test_roundtrip(spark, meta, arr, tiles):
+    # synthetic_raster and from_array produce the identical raster
+    got = M.to_array(tiles, meta)
+    np.testing.assert_array_equal(got, arr)
+    got2 = M.to_array(M.from_array(spark, arr, meta), meta)
+    np.testing.assert_array_equal(got2, arr)
+
+
+def test_geotransform_roundtrip(meta):
+    x, y = meta.pixel_to_geo(10.5, 20.25)
+    px, py = meta.geo_to_pixel(x, y)
+    assert px == pytest.approx(10.5) and py == pytest.approx(20.25)
+
+
+def test_checksum_matches_reference_twin(spark, meta, arr, tiles):
+    want = CK.py_checksum(arr)
+    rows = CK.checksum(tiles, meta).collect()
+    assert len(rows) == 1
+    assert rows[0]["checksum"] == want
+    # partitioning independence: different block size, same checksum
+    meta64 = M.RasterMeta("t", meta.width, meta.height, meta.gt, block=64)
+    t64 = M.from_array(spark, arr, meta64)
+    assert CK.checksum(t64, meta64).collect()[0]["checksum"] == want
+
+
+def test_checksum_float_nan_rule(spark):
+    a = np.array([[1.4, 2.6], [np.nan, -3.7]], dtype=np.float64)
+    m = M.RasterMeta("f", 2, 2, dtype="float64")
+    got = CK.checksum(M.from_array(spark, a, m), m).collect()[0]["checksum"]
+    # reference conversion: +0.5 floor → 1, 3, NaN→-2147483648, floor(-3.2)=-4
+    vals = [1, 3, -2147483648, -4]
+    want = 0
+    for k, v in enumerate(vals):
+        r = v - int(v / CK.PRIMES[k % 11]) * int(CK.PRIMES[k % 11])  # C trunc %
+        want = (want + r) & 0xFFFF
+    assert got == want
+
+
+def test_stats(spark, meta, arr, tiles):
+    r = ST.compute_statistics(tiles, meta).collect()[0]
+    v = arr.astype(np.float64)
+    assert r["n"] == arr.size
+    assert r["min"] == v.min() and r["max"] == v.max()
+    assert r["mean"] == pytest.approx(v.mean(), rel=1e-12)
+    assert r["stddev"] == pytest.approx(v.std(), rel=1e-9)
+
+
+def test_stats_nodata(spark):
+    a = np.array([[0, 5], [0, 7]], dtype=np.uint8)
+    m = M.RasterMeta("nd", 2, 2, nodata=0)
+    r = ST.compute_statistics(M.from_array(spark, a, m), m).collect()[0]
+    assert r["n"] == 2 and r["min"] == 5 and r["max"] == 7 and r["mean"] == 6
+
+
+def test_histogram(spark, meta, arr, tiles):
+    rows = ST.histogram(tiles, meta, 0.0, 256.0, 16).collect()
+    got = {r["bucket"]: r["count"] for r in rows}
+    want_counts, _ = np.histogram(arr, bins=16, range=(0, 256))
+    want = {i: int(c) for i, c in enumerate(want_counts) if c}
+    assert got == want
+
+
+def test_pyramid_average_exact(spark, meta, arr, tiles):
+    out, out_meta = PY.overview_level(tiles, meta, "t_ov1")
+    got = M.to_array(out, out_meta)
+    assert out_meta.width == 150 and out_meta.height == 100
+    # reference rounding: (sum + 2) // 4 per full 2x2 box
+    s = arr[0::2, 0::2].astype(np.int64) + arr[1::2, 1::2] \
+        + arr[0::2, 1::2] + arr[1::2, 0::2]
+    want = ((s + 2) // 4).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+    # geotransform scaled
+    assert out_meta.gt[1] == meta.gt[1] * 2
+
+
+def test_pyramid_odd_edges(spark):
+    a = (np.arange(25, dtype=np.uint8).reshape(5, 5) * 7) % 256
+    m = M.RasterMeta("odd", 5, 5)
+    out, om = PY.overview_level(M.from_array(spark, a, m), m, "odd_ov")
+    got = M.to_array(out, om)
+    assert om.width == 3 and om.height == 3
+    # bottom-right corner: single pixel box
+    assert got[2, 2] == a[4, 4]
+    # right edge: 2x1 box with (sum + 1) // 2
+    assert got[0, 2] == (int(a[0, 4]) + int(a[1, 4]) + 1) // 2
+
+
+def test_pyramid_chain(spark, meta, tiles):
+    levels = PY.build_pyramid(tiles, meta, 3)
+    assert [m.width for _, m in levels] == [150, 75, 38]
+    n = levels[-1][0].count()
+    assert n == 1  # 38x25 fits one block
