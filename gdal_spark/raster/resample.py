@@ -1,0 +1,305 @@
+"""Distributed warp / resample with the reference kernel weight formulas.
+
+Reference: GDALWarpKernel (gdal/alg/gdalwarpkernel.cpp). Weight functions
+re-implemented exactly:
+
+- bilinear  ``1-|x|, |x|<=1``                       (gdalwarpkernel.cpp:2313)
+- cubic     Catmull-Rom a=-0.5 piecewise            (:2351-2370)
+- cubicspline B-spline (B,C)=(1,0)                  (:2336+)
+- lanczos   r=3 ``sin(πx)sin(πx/3)/(π²x²/3)``       (:2274-2288)
+
+Sampling geometry (GWKResampleNoMasksT, :3055-3140): for dst pixel center
+transformed to source coords, ``iSrc = floor(src - 0.5)``,
+``delta = src - 0.5 - iSrc``; taps i ∈ [1-r, r] weighted
+``w((i - delta) * scale)`` with scale = dst/src density clamped to ≤1 and
+radius expanded ``ceil(r/scale)`` when downsampling (:944-949); result
+normalized by the (axis-separable) sum of in-bounds weights; integer
+outputs round half-up and clamp (GWKRoundValueT/GWKClampValueT :1156-1196).
+Nearest uses ``trunc(src + 1e-10)`` (GWKCheckAndComputeSrcOffsets :3844).
+Average resampling boxes over the dst pixel's source footprint and takes
+the mean (GWKAverageOrMode :4522).
+
+Spark shape (the ChunkAndWarpImage analog, gdalwarpoperation.cpp:534-536 —
+but chunks are Spark partitions instead of a 64 MB recursion): dst block
+keys → per-block source window via a coarse transform lattice (the
+ApproxTransformer trick, gdaltransformer.cpp:2625-3010) → explode to
+overlapping src block keys → shuffle join with src blocks → groupBy dst
+block → numpy gather kernel. Zero per-row Python; one shuffle keyed by
+dst block.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.raster.model import TILE_SCHEMA, RasterMeta
+
+# ---------------------------------------------------------------------------
+# weight kernels (exact reference formulas)
+# ---------------------------------------------------------------------------
+
+
+def w_bilinear(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(ax <= 1.0, 1.0 - ax, 0.0)
+
+
+def w_cubic(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    x2 = x * x
+    r = np.where(ax <= 1.0, x2 * (1.5 * ax - 2.5) + 1.0,
+                 x2 * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0)
+    return np.where(ax <= 2.0, r, 0.0)
+
+
+def w_bspline(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    inner = (3.0 * ax ** 3 - 6.0 * ax ** 2 + 4.0) / 6.0
+    outer = ((2.0 - ax) ** 3) / 6.0
+    return np.where(ax < 1.0, inner, np.where(ax < 2.0, outer, 0.0))
+
+
+def w_lanczos(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pix = math.pi * x
+        r = np.sin(pix) * np.sin(pix / 3.0) / (pix * pix / 3.0)
+    return np.where(x == 0.0, 1.0, np.where(ax <= 3.0, r, 0.0))
+
+
+KERNELS: dict[str, tuple[Callable, int]] = {
+    "bilinear": (w_bilinear, 1),
+    "cubic": (w_cubic, 2),
+    "cubicspline": (w_bspline, 2),
+    "lanczos": (w_lanczos, 3),
+}
+
+
+def _round_cast(val: np.ndarray, dtype: str, nodata_mask=None, nodata=0.0):
+    out = val
+    kind = np.dtype(dtype).kind
+    if kind in "ui":
+        info = np.iinfo(dtype)
+        out = np.clip(np.floor(val + 0.5), info.min, info.max)
+    if nodata_mask is not None:
+        out = np.where(nodata_mask, nodata, out)
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# numpy gather over a source window
+# ---------------------------------------------------------------------------
+
+def resample_grid(src: np.ndarray, ox: int, oy: int, src_w: int, src_h: int,
+                  sx: np.ndarray, sy: np.ndarray, method: str,
+                  xscale: float = 1.0, yscale: float = 1.0,
+                  nodata: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Sample ``src`` (a window of the global raster whose top-left global
+    pixel is (ox, oy); global size (src_w, src_h)) at fractional source
+    coords (sx, sy). Returns (float64 values, invalid_mask)."""
+    if method == "nearest":
+        ix = np.trunc(sx + 1e-10).astype(np.int64)
+        iy = np.trunc(sy + 1e-10).astype(np.int64)
+        invalid = (sx < 0) | (sy < 0) | (ix >= src_w) | (iy >= src_h)
+        ixc = np.clip(ix - ox, 0, src.shape[1] - 1)
+        iyc = np.clip(iy - oy, 0, src.shape[0] - 1)
+        return src[iyc, ixc].astype(np.float64), invalid
+
+    kern, radius = KERNELS[method]
+    xscale = min(xscale, 1.0)
+    yscale = min(yscale, 1.0)
+    rx = int(math.ceil(radius / xscale)) if xscale < 1.0 else radius
+    ry = int(math.ceil(radius / yscale)) if yscale < 1.0 else radius
+
+    isx = np.floor(sx - 0.5).astype(np.int64)
+    isy = np.floor(sy - 0.5).astype(np.int64)
+    dx = sx - 0.5 - isx
+    dy = sy - 0.5 - isy
+    acc = np.zeros(sx.shape, dtype=np.float64)
+    wacc = np.zeros(sx.shape, dtype=np.float64)
+    srcf = src.astype(np.float64)
+    for j in range(1 - ry, ry + 1):
+        wy = kern((j - dy) * yscale)
+        gy = isy + j
+        vy = (gy >= 0) & (gy <= src_h - 1)
+        gyc = np.clip(gy - oy, 0, src.shape[0] - 1)
+        for i in range(1 - rx, rx + 1):
+            wx = kern((i - dx) * xscale)
+            gx = isx + i
+            vx = (gx >= 0) & (gx <= src_w - 1)
+            gxc = np.clip(gx - ox, 0, src.shape[1] - 1)
+            w = np.where(vx & vy, wx * wy, 0.0)
+            acc += w * srcf[gyc, gxc]
+            wacc += w
+    invalid = wacc == 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        val = acc / wacc
+    return np.where(invalid, nodata, val), invalid
+
+
+def average_grid(src: np.ndarray, ox: int, oy: int, src_w: int, src_h: int,
+                 sx0: np.ndarray, sy0: np.ndarray,
+                 sx1: np.ndarray, sy1: np.ndarray,
+                 nodata: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """GRA_Average: mean of source pixels in the dst pixel's footprint box
+    [sx0, sx1) × [sy0, sy1) (GWKAverageOrMode :4522 index rules)."""
+    xmin = np.maximum(np.floor(sx0 + 1e-10).astype(np.int64), 0)
+    xmax = np.minimum(np.ceil(sx1 - 1e-10).astype(np.int64), src_w)
+    ymin = np.maximum(np.floor(sy0 + 1e-10).astype(np.int64), 0)
+    ymax = np.minimum(np.ceil(sy1 - 1e-10).astype(np.int64), src_h)
+    # integral image over the local window for O(1) box sums
+    local = src.astype(np.float64)
+    ii = np.zeros((local.shape[0] + 1, local.shape[1] + 1))
+    ii[1:, 1:] = local.cumsum(0).cumsum(1)
+    lx0 = np.clip(xmin - ox, 0, local.shape[1])
+    lx1 = np.clip(xmax - ox, 0, local.shape[1])
+    ly0 = np.clip(ymin - oy, 0, local.shape[0])
+    ly1 = np.clip(ymax - oy, 0, local.shape[0])
+    cnt = (lx1 - lx0) * (ly1 - ly0)
+    tot = ii[ly1, lx1] - ii[ly0, lx1] - ii[ly1, lx0] + ii[ly0, lx0]
+    invalid = cnt <= 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        val = tot / cnt
+    return np.where(invalid, nodata, val), invalid
+
+
+# ---------------------------------------------------------------------------
+# distributed warp
+# ---------------------------------------------------------------------------
+
+def affine_src_from_dst(src_meta: RasterMeta, dst_meta: RasterMeta):
+    """Default transform chain dst px → geo → src px (the
+    GDALGenImgProjTransformer composition, gdaltransformer.cpp:974, with
+    identical SRS)."""
+    def f(px, py):
+        x, y = dst_meta.pixel_to_geo(px, py)
+        return src_meta.geo_to_pixel(x, y)
+    return f
+
+
+def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
+         method: str = "bilinear",
+         src_from_dst: Callable | None = None,
+         scale: tuple[float, float] | None = None,
+         lattice: int = 8) -> DataFrame:
+    """Warp ``src_tiles`` onto ``dst_meta``'s grid. ``src_from_dst`` maps
+    arrays of dst pixel coords → src pixel coords (default: affine via the
+    two geotransforms); it must be picklable and numpy-vectorized.
+
+    ``scale``: (xscale, yscale) dst/src pixel-density ratio used by the
+    kernel (GDAL dfXScale, :906). Defaults to the exact geotransform ratio
+    for affine warps — global and partition-independent — and to a
+    per-block lattice estimate for custom transforms.
+    """
+    if src_from_dst is None:
+        src_from_dst = affine_src_from_dst(src_meta, dst_meta)
+        if scale is None:
+            scale = (abs(src_meta.gt[1] / dst_meta.gt[1]),
+                     abs(src_meta.gt[5] / dst_meta.gt[5]))
+    if method not in KERNELS and method not in ("nearest", "average"):
+        raise ValueError(f"unsupported method {method!r}")
+    radius = 0 if method in ("nearest", "average") else KERNELS[method][1]
+    block = dst_meta.block
+    sblock = src_meta.block
+    sW, sH = src_meta.width, src_meta.height
+    dW, dH = dst_meta.width, dst_meta.height
+    nbx, nby = dst_meta.n_block_x, dst_meta.n_block_y
+    snbx, snby = src_meta.n_block_x, src_meta.n_block_y
+    dtype, out_id = dst_meta.dtype, dst_meta.raster_id
+    nodata = dst_meta.nodata if dst_meta.nodata is not None else 0.0
+
+    spark = src_tiles.sparkSession
+    keys = spark.range(nbx * nby).select(
+        (F.col("id") % nbx).cast("int").alias("dbx"),
+        (F.col("id") / nbx).cast("int").alias("dby"))
+
+    win_schema = T.StructType([
+        T.StructField("dbx", T.IntegerType()), T.StructField("dby", T.IntegerType()),
+        T.StructField("sx0", T.DoubleType()), T.StructField("sy0", T.DoubleType()),
+        T.StructField("sx1", T.DoubleType()), T.StructField("sy1", T.DoubleType()),
+    ])
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ComputeSourceWindow analog (gdalwarpoperation.cpp:102): transform a
+        # coarse lattice of the dst block, take the bbox, pad by the kernel
+        # radius at the local scale + safety (the 21×21-sample trick of
+        # GDALSuggestedWarpOutput2, gdaltransformer.cpp:340)
+        for pdf in batches:
+            rows = []
+            for dbx, dby in zip(pdf["dbx"], pdf["dby"]):
+                w = min(block, dW - dbx * block)
+                h = min(block, dH - dby * block)
+                lx = np.linspace(dbx * block, dbx * block + w, lattice)
+                ly = np.linspace(dby * block, dby * block + h, lattice)
+                LX, LY = np.meshgrid(lx, ly)
+                sx, sy = src_from_dst(LX + 0.0, LY + 0.0)
+                span_x = max((sx.max() - sx.min()) / max(w, 1), 1e-9)
+                span_y = max((sy.max() - sy.min()) / max(h, 1), 1e-9)
+                pad_x = (radius + 1) * max(span_x, 1.0) + 2
+                pad_y = (radius + 1) * max(span_y, 1.0) + 2
+                rows.append((int(dbx), int(dby),
+                             float(sx.min() - pad_x), float(sy.min() - pad_y),
+                             float(sx.max() + pad_x), float(sy.max() + pad_y)))
+            yield pd.DataFrame(rows, columns=["dbx", "dby", "sx0", "sy0",
+                                              "sx1", "sy1"])
+
+    wins = keys.mapInPandas(windows, schema=win_schema)
+    sb_lo_x = F.greatest(F.floor(F.col("sx0") / sblock), F.lit(0)).cast("int")
+    sb_hi_x = F.least(F.floor(F.col("sx1") / sblock), F.lit(snbx - 1)).cast("int")
+    sb_lo_y = F.greatest(F.floor(F.col("sy0") / sblock), F.lit(0)).cast("int")
+    sb_hi_y = F.least(F.floor(F.col("sy1") / sblock), F.lit(snby - 1)).cast("int")
+    pairs = (wins.filter((sb_lo_x <= sb_hi_x) & (sb_lo_y <= sb_hi_y))
+             .withColumn("bx", F.explode(F.sequence(sb_lo_x, sb_hi_x)))
+             .withColumn("by", F.explode(F.sequence(sb_lo_y, sb_hi_y))))
+    joined = pairs.join(src_tiles, on=["bx", "by"], how="inner")
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dbx, dby, band = int(key[0]), int(key[1]), int(key[2])
+        w = min(block, dW - dbx * block)
+        h = min(block, dH - dby * block)
+        # mosaic the source window (clamped to raster bounds)
+        sx0 = max(int(pdf["sx0"].iloc[0] // sblock) * sblock, 0)
+        sy0 = max(int(pdf["sy0"].iloc[0] // sblock) * sblock, 0)
+        sx1 = min((int(pdf["sx1"].iloc[0] // sblock) + 1) * sblock, sW)
+        sy1 = min((int(pdf["sy1"].iloc[0] // sblock) + 1) * sblock, sH)
+        buf = np.zeros((sy1 - sy0, sx1 - sx0), dtype=dtype)
+        for r in pdf.itertuples(index=False):
+            sub = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
+            qx, qy = r.bx * sblock - sx0, r.by * sblock - sy0
+            buf[qy:qy + r.h, qx:qx + r.w] = sub
+        DX, DY = np.meshgrid(
+            np.arange(dbx * block, dbx * block + w, dtype=np.float64) + 0.5,
+            np.arange(dby * block, dby * block + h, dtype=np.float64) + 0.5)
+        if method == "average":
+            ex0, ey0 = src_from_dst(DX - 0.5, DY - 0.5)
+            ex1, ey1 = src_from_dst(DX + 0.5, DY + 0.5)
+            val, inv = average_grid(buf, sx0, sy0, sW, sH,
+                                    np.minimum(ex0, ex1), np.minimum(ey0, ey1),
+                                    np.maximum(ex0, ex1), np.maximum(ey0, ey1),
+                                    nodata)
+        else:
+            sx, sy = src_from_dst(DX, DY)
+            if scale is not None:
+                xscale, yscale = min(scale[0], 1.0), min(scale[1], 1.0)
+            else:
+                # per-block dst/src density = GDAL's per-chunk dfXScale (:906)
+                xscale = (sx.max() - sx.min()) / max(w - 1, 1)
+                yscale = (sy.max() - sy.min()) / max(h - 1, 1)
+                xscale = 1.0 if xscale <= 0 else min(1.0, 1.0 / xscale)
+                yscale = 1.0 if yscale <= 0 else min(1.0, 1.0 / yscale)
+            val, inv = resample_grid(buf, sx0, sy0, sW, sH, sx, sy, method,
+                                     xscale, yscale, nodata)
+        out = _round_cast(val, dtype, inv, nodata)
+        return pd.DataFrame([(out_id, band, dbx, dby, w, h, out.tobytes())],
+                            columns=["raster_id", "band", "bx", "by",
+                                     "w", "h", "data"])
+
+    return (joined.groupBy("dbx", "dby", "band")
+            .applyInPandas(gather, schema=TILE_SCHEMA))

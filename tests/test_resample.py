@@ -1,0 +1,203 @@
+"""Warp/resample tests: vectorized gather vs a direct scalar port of
+GWKResampleNoMasksT (gdalwarpkernel.cpp:3055-3140), kernel weight golden
+values, and the distributed warp operator (identity, scale, block
+independence) in autotest/alg/warp.py style."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster import model as M
+from gdal_spark.raster import resample as R
+
+
+# ---------------------------------------------------------------------------
+# kernel weight golden values (hand-computed from the reference formulas)
+# ---------------------------------------------------------------------------
+
+def test_weight_formulas():
+    assert R.w_bilinear(np.array([0.0, 0.5, 1.0, 1.5])).tolist() == [1.0, 0.5, 0.0, 0.0]
+    # cubic Catmull-Rom: w(0)=1, w(1)=0, w(0.5)=0.5625, w(1.5)=-0.0625
+    np.testing.assert_allclose(
+        R.w_cubic(np.array([0.0, 0.5, 1.0, 1.5, 2.0])),
+        [1.0, 0.5625, 0.0, -0.0625, 0.0], atol=1e-15)
+    # B-spline: w(0)=4/6, w(1)=1/6
+    np.testing.assert_allclose(
+        R.w_bspline(np.array([0.0, 1.0, 2.0])), [4 / 6, 1 / 6, 0.0], atol=1e-15)
+    # lanczos: w(0)=1, zeros at integers up to 3
+    lz = R.w_lanczos(np.array([0.0, 1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(lz, [1.0, 0.0, 0.0, 0.0], atol=1e-15)
+    assert R.w_lanczos(np.array([0.5]))[0] == pytest.approx(
+        math.sin(math.pi / 2) * math.sin(math.pi / 6) / (math.pi ** 2 * 0.25 / 3))
+
+
+# ---------------------------------------------------------------------------
+# scalar reference twin
+# ---------------------------------------------------------------------------
+
+def scalar_resample(src, sx, sy, method, xscale=1.0, yscale=1.0):
+    kern, radius = R.KERNELS[method]
+    xscale, yscale = min(xscale, 1.0), min(yscale, 1.0)
+    rx = int(math.ceil(radius / xscale)) if xscale < 1.0 else radius
+    ry = int(math.ceil(radius / yscale)) if yscale < 1.0 else radius
+    H, W = src.shape
+    out = np.zeros(sx.shape)
+    for idx in np.ndindex(sx.shape):
+        X, Y = sx[idx], sy[idx]
+        isx = int(np.floor(X - 0.5)); isy = int(np.floor(Y - 0.5))
+        dx = X - 0.5 - isx; dy = Y - 0.5 - isy
+        imin = 1 - rx
+        if isx + imin < 0:
+            imin = -isx
+        imax = rx
+        if isx + imax >= W - 1:
+            imax = W - 1 - isx
+        jmin = 1 - ry
+        if isy + jmin < 0:
+            jmin = -isy
+        jmax = ry
+        if isy + jmax >= H - 1:
+            jmax = H - 1 - isy
+        acc = 0.0; wh = 0.0; wv = 0.0
+        for i in range(imin, imax + 1):
+            wh += float(kern(np.array([(i - dx) * xscale]))[0])
+        for j in range(jmin, jmax + 1):
+            wy = float(kern(np.array([(j - dy) * yscale]))[0])
+            wv += wy
+            for i in range(imin, imax + 1):
+                wx = float(kern(np.array([(i - dx) * xscale]))[0])
+                acc += wx * wy * src[isy + j, isx + i]
+        out[idx] = acc / (wh * wv)
+    return out
+
+
+RNG_SRC = ((np.arange(20 * 16).reshape(20, 16) * 37) % 211).astype(np.uint8)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "cubic", "cubicspline", "lanczos"])
+def test_resample_grid_matches_scalar(method):
+    rng = np.random.RandomState(7)
+    sx = rng.uniform(3.5, 12.5, size=(6, 5))
+    sy = rng.uniform(3.5, 16.5, size=(6, 5))
+    want = scalar_resample(RNG_SRC.astype(np.float64), sx, sy, method)
+    got, inv = R.resample_grid(RNG_SRC, 0, 0, 16, 20, sx, sy, method)
+    assert not inv.any()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "cubic"])
+def test_resample_downscale_matches_scalar(method):
+    """xscale < 1 expands the kernel radius (gdalwarpkernel.cpp:944-949)."""
+    rng = np.random.RandomState(11)
+    sx = rng.uniform(6.0, 10.0, size=(4, 4))
+    sy = rng.uniform(6.0, 14.0, size=(4, 4))
+    want = scalar_resample(RNG_SRC.astype(np.float64), sx, sy, method, 0.5, 0.25)
+    got, _ = R.resample_grid(RNG_SRC, 0, 0, 16, 20, sx, sy, method, 0.5, 0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_resample_constant_preserved():
+    src = np.full((12, 12), 77, dtype=np.uint8)
+    sx, sy = np.meshgrid(np.linspace(0.2, 11.8, 9), np.linspace(0.2, 11.8, 9))
+    for method in R.KERNELS:
+        got, inv = R.resample_grid(src, 0, 0, 12, 12, sx, sy, method)
+        np.testing.assert_allclose(got[~inv], 77.0, rtol=1e-12)
+
+
+def test_nearest_rule():
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    sx = np.array([[0.0, 0.999, 1.0, 3.9999]])
+    sy = np.array([[0.0, 0.0, 2.0, 3.0]])
+    got, inv = R.resample_grid(src, 0, 0, 4, 4, sx, sy, "nearest")
+    assert got.tolist() == [[0.0, 0.0, 9.0, 15.0]]
+    assert not inv.any()
+    # negative coords are invalid (GWKCheckAndComputeSrcOffsets :3838)
+    got, inv = R.resample_grid(src, 0, 0, 4, 4,
+                               np.array([[-0.2]]), np.array([[1.0]]), "nearest")
+    assert inv.all()
+
+
+def test_average_box():
+    src = np.arange(16, dtype=np.float64).reshape(4, 4)
+    val, inv = R.average_grid(src, 0, 0, 4, 4,
+                              np.array([[0.0]]), np.array([[0.0]]),
+                              np.array([[2.0]]), np.array([[2.0]]))
+    assert val[0, 0] == pytest.approx((0 + 1 + 4 + 5) / 4)
+
+
+# ---------------------------------------------------------------------------
+# distributed warp operator
+# ---------------------------------------------------------------------------
+
+SRC_META = M.RasterMeta("src", 100, 80, gt=(500.0, 2.0, 0.0, 900.0, 0.0, -2.0),
+                        block=32)
+SRC_ARR = ((np.arange(80 * 100).reshape(80, 100) * 53) % 229).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def src_tiles(spark):
+    return M.from_array(spark, SRC_ARR, SRC_META).cache()
+
+
+def test_warp_identity(spark, src_tiles):
+    dst_meta = M.RasterMeta("dst", 100, 80, gt=SRC_META.gt, block=32)
+    for method in ("nearest", "bilinear"):
+        got = M.to_array(R.warp(src_tiles, SRC_META, dst_meta, method), dst_meta)
+        np.testing.assert_array_equal(got, SRC_ARR)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "cubic", "lanczos"])
+def test_warp_upscale_2x_matches_direct(spark, src_tiles, method):
+    """2x upscale over a sub-extent, distributed vs one direct numpy call."""
+    dst_meta = M.RasterMeta("up", 120, 100,
+                            gt=(520.0, 1.0, 0.0, 880.0, 0.0, -1.0), block=48)
+    got = M.to_array(R.warp(src_tiles, SRC_META, dst_meta, method), dst_meta)
+    DX, DY = np.meshgrid(np.arange(120) + 0.5, np.arange(100) + 0.5)
+    f = R.affine_src_from_dst(SRC_META, dst_meta)
+    sx, sy = f(DX, DY)
+    val, inv = R.resample_grid(SRC_ARR, 0, 0, 100, 80, sx, sy, method)
+    want = R._round_cast(val, "uint8", inv, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_warp_downscale_average(spark, src_tiles):
+    dst_meta = M.RasterMeta("down", 25, 20,
+                            gt=(500.0, 8.0, 0.0, 900.0, 0.0, -8.0), block=16)
+    got = M.to_array(R.warp(src_tiles, SRC_META, dst_meta, "average"), dst_meta)
+    # each dst pixel = mean of a 4x4 src box
+    want = SRC_ARR.reshape(20, 4, 25, 4).mean(axis=(1, 3))
+    np.testing.assert_array_equal(got, np.floor(want + 0.5).astype(np.uint8))
+
+
+def test_warp_block_independence(spark):
+    """Identical output for different src/dst block sizes."""
+    dst_meta_a = M.RasterMeta("d", 60, 50, gt=(510.0, 1.7, 0.0, 890.0, 0.0, -1.7),
+                              block=64)
+    dst_meta_b = M.RasterMeta("d", 60, 50, gt=(510.0, 1.7, 0.0, 890.0, 0.0, -1.7),
+                              block=17)
+    src_b_meta = M.RasterMeta("src", 100, 80, gt=SRC_META.gt, block=53)
+    a = M.to_array(R.warp(M.from_array(spark, SRC_ARR, SRC_META), SRC_META,
+                          dst_meta_a, "cubic"), dst_meta_a)
+    b = M.to_array(R.warp(M.from_array(spark, SRC_ARR, src_b_meta), src_b_meta,
+                          dst_meta_b, "cubic"), dst_meta_b)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_warp_reprojection_style_transform(spark, src_tiles):
+    """Non-affine picklable transform (curvilinear), autotest-tolerance
+    check: warp forward then back, interior maxdiff small."""
+    dst_meta = M.RasterMeta("curvy", 100, 80, gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+                            block=32)
+
+    def curvy(px, py):  # mild sinusoidal distortion, pickled by value
+        return px + 2.0 * np.sin(py / 15.0), py + 1.5 * np.cos(px / 20.0)
+
+    got = M.to_array(R.warp(src_tiles, SRC_META, dst_meta, "bilinear",
+                            src_from_dst=curvy, scale=(1.0, 1.0)), dst_meta)
+    DX, DY = np.meshgrid(np.arange(100) + 0.5, np.arange(80) + 0.5)
+    sx, sy = curvy(DX, DY)
+    val, inv = R.resample_grid(SRC_ARR, 0, 0, 100, 80, sx, sy, "bilinear")
+    want = R._round_cast(val, "uint8", inv, 0)
+    # interior must match exactly; edge blocks may differ only in invalid px
+    np.testing.assert_array_equal(got[5:-5, 5:-5], want[5:-5, 5:-5])
