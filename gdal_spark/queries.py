@@ -548,6 +548,199 @@ FROM g GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# raster operators over the documents-derived point layer
+# ---------------------------------------------------------------------------
+
+from gdal_spark.raster import checksum as CK  # noqa: E402
+from gdal_spark.raster import model as RM  # noqa: E402
+from gdal_spark.raster import polygonize as PZ  # noqa: E402
+from gdal_spark.raster import pyramid as PY  # noqa: E402
+from gdal_spark.raster import rasterize as RZ  # noqa: E402
+from gdal_spark.raster import resample as RS  # noqa: E402
+from gdal_spark.raster import stats as RST  # noqa: E402
+
+DOC_META = RM.RasterMeta("docs", 720, 340,
+                         gt=(-180.0, 0.5, 0.0, 85.0, 0.0, -0.5),
+                         dtype="uint8", nodata=0)
+
+# pixel derivation twin (identical expression text on both engines)
+_PIX_SQL = f"""
+pxr AS (SELECT doc_id, CAST(floor((lon + 180.0) / 0.5) AS BIGINT) AS px,
+               CAST(floor((lat - 85.0) / (-0.5)) AS BIGINT) AS py
+        FROM pts),
+pix AS (SELECT px, py, (max(doc_id) % 199) + 1 AS burn
+        FROM pxr WHERE px >= 0 AND px < 720 AND py >= 0 AND py < 340
+        GROUP BY px, py)
+"""
+
+
+def _doc_pixels(spark, sf_dir):
+    pts = doc_points(spark, sf_dir).withColumn(
+        "burn", (F.col("doc_id") % 199 + 1).cast("double"))
+    return RZ.rasterize_points(pts, DOC_META, burn="burn", order="doc_id")
+
+
+def _doc_tiles(spark, sf_dir):
+    return RZ.pixels_to_blocks(_doc_pixels(spark, sf_dir), DOC_META)
+
+
+def q_rasterize(spark, sf_dir):
+    """Point burn (GDALdllImagePoint, last-wins feature order) + per-block
+    summary — zero-UDF pixel assignment."""
+    px = _doc_pixels(spark, sf_dir)
+    return (px.groupBy((F.floor(F.col("px") / 256)).cast("int").alias("bx"),
+                       (F.floor(F.col("py") / 256)).cast("int").alias("by"))
+            .agg(F.count(F.lit(1)).alias("n_burned"),
+                 F.sum("burn_val").cast("double").alias("sum_burn")))
+
+
+ORACLE_RASTERIZE = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT CAST(px // 256 AS INTEGER) AS bx, CAST(py // 256 AS INTEGER) AS by,
+       count(*) AS n_burned, CAST(sum(burn) AS DOUBLE) AS sum_burn
+FROM pix GROUP BY 1, 2
+"""
+
+
+def q_raster_checksum(spark, sf_dir):
+    """Bit-exact distributed GDALChecksumImage of the burned raster
+    (gdal/alg/gdalchecksum.cpp:122-159)."""
+    return CK.checksum(_doc_tiles(spark, sf_dir), DOC_META)
+
+
+_PRIMES_SQL = "([7,11,13,17,19,23,29,31,37,41,43])[CAST((py * 720 + px) % 11 AS INTEGER) + 1]"
+
+ORACLE_RASTER_CHECKSUM = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT 'docs' AS raster_id, 0 AS band,
+       CAST(((sum(burn % {_PRIMES_SQL}) % 65536) + 65536) % 65536 AS INTEGER)
+         AS checksum
+FROM pix
+"""
+
+
+def q_raster_stats(spark, sf_dir):
+    """ComputeStatistics with nodata skip (gdalrasterband.cpp:3752)."""
+    s = RST.compute_statistics(_doc_tiles(spark, sf_dir), DOC_META)
+    return s.select("raster_id", "band", "n", "min", "max",
+                    F.round("mean", 6).alias("mean"),
+                    F.round("stddev", 6).alias("stddev"))
+
+
+ORACLE_RASTER_STATS = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT 'docs' AS raster_id, 0 AS band, count(*) AS n,
+       CAST(min(burn) AS DOUBLE) AS min, CAST(max(burn) AS DOUBLE) AS max,
+       round(sum(CAST(burn AS DOUBLE)) / count(*), 6) AS mean,
+       round(sqrt(sum(CAST(burn AS DOUBLE) * burn) / count(*)
+                  - (sum(CAST(burn AS DOUBLE)) / count(*))
+                    * (sum(CAST(burn AS DOUBLE)) / count(*))), 6) AS stddev
+FROM pix
+"""
+
+
+def q_raster_histogram(spark, sf_dir):
+    """GetHistogram fixed buckets (gdalrasterband.cpp:2848)."""
+    return RST.histogram(_doc_tiles(spark, sf_dir), DOC_META, 0.0, 200.0, 20)
+
+
+ORACLE_RASTER_HISTOGRAM = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT 'docs' AS raster_id, 0 AS band,
+       CAST(floor(burn / 10.0) AS INTEGER) AS bucket, count(*) AS count
+FROM pix GROUP BY 1, 2, 3
+"""
+
+
+def q_pyramid_avg(spark, sf_dir):
+    """One overview level, reference integer rounding (overview.cpp:379):
+    per-block nonzero count + sum of the /2 raster."""
+    tiles = _doc_tiles(spark, sf_dir)
+    ov, ov_meta = PY.overview_level(tiles, DOC_META, "docs_ov1")
+    return (RST.block_summary(ov, ov_meta)
+            .filter(F.col("n_nonzero") > 0)
+            .select("bx", "by", "n_nonzero", "sum_vals"))
+
+
+ORACLE_PYRAMID_AVG = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL},
+par AS (SELECT px // 2 AS ppx, py // 2 AS ppy,
+               (sum(burn) + 2) // 4 AS v
+        FROM pix GROUP BY 1, 2),
+nz AS (SELECT * FROM par WHERE v > 0)
+SELECT CAST(ppx // 256 AS INTEGER) AS bx, CAST(ppy // 256 AS INTEGER) AS by,
+       count(*) AS n_nonzero, CAST(sum(v) AS DOUBLE) AS sum_vals
+FROM nz GROUP BY 1, 2
+"""
+
+
+WARP_DST = RM.RasterMeta("wb", 128, 128,
+                         gt=(-74.25, 0.25, 0.0, 41.0, 0.0, -0.25),
+                         dtype="uint8", nodata=0)
+
+
+def q_warp_bilinear(spark, sf_dir):
+    """Distributed gdalwarp, bilinear kernel (gdalwarpkernel.cpp:2313),
+    2x upscale over the NYC cluster window; nonzero output pixels."""
+    out = RS.warp(_doc_tiles(spark, sf_dir), DOC_META, WARP_DST, "bilinear")
+    return RM.nonzero_pixels(out, WARP_DST)
+
+
+ORACLE_WARP_BILINEAR = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL},
+dst AS (SELECT dx, dy,
+          ((-74.25 + (dx + 0.5) * 0.25) + 180.0) / 0.5 AS sxf,
+          ((41.0 - (dy + 0.5) * 0.25) - 85.0) / (-0.5) AS syf
+        FROM (SELECT unnest(generate_series(0, 127)) AS dx),
+             (SELECT unnest(generate_series(0, 127)) AS dy)),
+frac AS (SELECT dx, dy,
+           CAST(floor(sxf - 0.5) AS BIGINT) AS isx, sxf - 0.5 - floor(sxf - 0.5) AS fx,
+           CAST(floor(syf - 0.5) AS BIGINT) AS isy, syf - 0.5 - floor(syf - 0.5) AS fy
+         FROM dst),
+gv AS (SELECT f.dx, f.dy, f.fx, f.fy,
+         coalesce(p00.burn, 0) AS v00, coalesce(p10.burn, 0) AS v10,
+         coalesce(p01.burn, 0) AS v01, coalesce(p11.burn, 0) AS v11
+       FROM frac f
+       LEFT JOIN pix p00 ON p00.px = f.isx AND p00.py = f.isy
+       LEFT JOIN pix p10 ON p10.px = f.isx + 1 AND p10.py = f.isy
+       LEFT JOIN pix p01 ON p01.px = f.isx AND p01.py = f.isy + 1
+       LEFT JOIN pix p11 ON p11.px = f.isx + 1 AND p11.py = f.isy + 1),
+res AS (SELECT dx, dy,
+          CAST(floor((1 - fx) * (1 - fy) * v00 + fx * (1 - fy) * v10
+                     + (1 - fx) * fy * v01 + fx * fy * v11 + 0.5) AS BIGINT) AS v
+        FROM gv)
+SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res WHERE v > 0
+"""
+
+
+def q_polygonize_rects(spark, sf_dir):
+    """Scanline rasterize of the admin-grid polygons + distributed
+    polygonize (2-phase CC): each rectangle must come back as exactly one
+    region with exact pixel extents."""
+    meta = RM.RasterMeta("rects", 1440, 680,
+                         gt=(-180.0, 0.25, 0.0, 85.0, 0.0, -0.25),
+                         dtype="uint16", block=64)
+    grid = PG.admin_grid(spark, nx=36, ny=17, lat_min=-85.0, lat_max=85.0)
+    geoms = grid.select(F.col("cell_id").alias("geom_id"), "wkb",
+                        (F.col("cell_id") + 1).cast("double").alias("burn"))
+    tiles = RZ.rasterize(geoms, meta)
+    return PZ.polygonize(tiles, meta).select(
+        "value", "n_pixels", "pxmin", "pymin", "pxmax", "pymax")
+
+
+ORACLE_POLYGONIZE_RECTS = """
+SELECT CAST(j * 36 + i + 1 AS DOUBLE) AS value,
+       CAST(1600 AS BIGINT) AS n_pixels,
+       CAST(40 * i AS BIGINT) AS pxmin,
+       CAST(680 - 40 * (j + 1) AS BIGINT) AS pymin,
+       CAST(40 * i + 39 AS BIGINT) AS pxmax,
+       CAST(680 - 40 * j - 1 AS BIGINT) AS pymax
+FROM (SELECT unnest(generate_series(0, 35)) AS i),
+     (SELECT unnest(generate_series(0, 16)) AS j)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -577,4 +770,12 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN),
     "event_window": (q_event_window, ORACLE_EVENT_WINDOW),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    # raster operators
+    "rasterize": (q_rasterize, ORACLE_RASTERIZE),
+    "raster_checksum": (q_raster_checksum, ORACLE_RASTER_CHECKSUM),
+    "raster_stats": (q_raster_stats, ORACLE_RASTER_STATS),
+    "raster_histogram": (q_raster_histogram, ORACLE_RASTER_HISTOGRAM),
+    "pyramid_avg": (q_pyramid_avg, ORACLE_PYRAMID_AVG),
+    "warp_bilinear": (q_warp_bilinear, ORACLE_WARP_BILINEAR),
+    "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
 }

@@ -144,6 +144,30 @@ def from_array(spark: SparkSession, arr: np.ndarray, meta: RasterMeta,
     return spark.createDataFrame(rows, TILE_SCHEMA)
 
 
+def nonzero_pixels(tiles: DataFrame, meta: RasterMeta, band: int = 0) -> DataFrame:
+    """Sparse pixel rows (px, py, val:double) of all non-zero pixels —
+    the inverse of a point scatter, used to compare rasters relationally."""
+    dtype, block = meta.dtype, meta.block
+    schema = T.StructType([
+        T.StructField("px", T.LongType()), T.StructField("py", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
+                ys, xs = np.nonzero(arr)
+                outs.append(pd.DataFrame({
+                    "px": xs + r.bx * block, "py": ys + r.by * block,
+                    "val": arr[ys, xs].astype(np.float64)}))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"px": [], "py": [], "val": []})
+
+    return tiles.filter(F.col("band") == band).mapInPandas(run, schema=schema)
+
+
 def to_array(df: DataFrame, meta: RasterMeta, band: int = 0,
              fill: float = 0) -> np.ndarray:
     """Collect block rows into one array (tests / small outputs only)."""

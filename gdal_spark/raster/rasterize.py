@@ -188,6 +188,53 @@ def _geom_mask(wkb_bytes: bytes, g, inv_px, inv_py, y0, y1, x0, x1) -> np.ndarra
     return fill_polygon_mask(rings, y0, y1, x0, x1)
 
 
+def rasterize_points(points: DataFrame, meta: RasterMeta,
+                     lon: str = "lon", lat: str = "lat",
+                     burn: str = "burn", order: str | None = None) -> DataFrame:
+    """Zero-UDF point burn: pixel rows (px, py, burn_val).
+
+    GDALdllImagePoint semantics (containing pixel = floor) as pure column
+    math; overlapping points resolve last-wins in ``order`` (the reference
+    burns features in layer order — gdalrasterize.cpp:560 loop) via a
+    max_by aggregate. Entirely JVM-side: at 10^12 points this is one
+    shuffle keyed by pixel.
+    """
+    g = meta.gt
+    px = F.floor((F.col(lon) - F.lit(g[0])) / F.lit(g[1])).cast("long")
+    py = F.floor((F.col(lat) - F.lit(g[3])) / F.lit(g[5])).cast("long")
+    df = (points.withColumn("px", px).withColumn("py", py)
+          .filter((F.col("px") >= 0) & (F.col("px") < meta.width)
+                  & (F.col("py") >= 0) & (F.col("py") < meta.height)))
+    winner = (F.max_by(F.col(burn), F.col(order)) if order
+              else F.max(F.col(burn)))
+    return df.groupBy("px", "py").agg(winner.alias("burn_val"))
+
+
+def pixels_to_blocks(pixels: DataFrame, meta: RasterMeta,
+                     val: str = "burn_val") -> DataFrame:
+    """Scatter sparse pixel rows into dense block rows (absent pixels = 0).
+    One groupBy(block) + numpy scatter per block."""
+    block, dtype = meta.block, meta.dtype
+    width, height, rid = meta.width, meta.height, meta.raster_id
+    keyed = (pixels
+             .withColumn("bx", F.floor(F.col("px") / block).cast("int"))
+             .withColumn("by", F.floor(F.col("py") / block).cast("int")))
+
+    def scatter(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bx, by = int(key[0]), int(key[1])
+        w = min(block, width - bx * block)
+        h = min(block, height - by * block)
+        arr = np.zeros((h, w), dtype=dtype)
+        lx = pdf["px"].to_numpy() - bx * block
+        ly = pdf["py"].to_numpy() - by * block
+        arr[ly, lx] = pdf[val].to_numpy()
+        return pd.DataFrame([(rid, 0, bx, by, w, h, arr.tobytes())],
+                            columns=["raster_id", "band", "bx", "by",
+                                     "w", "h", "data"])
+
+    return keyed.groupBy("bx", "by").applyInPandas(scatter, schema=TILE_SCHEMA)
+
+
 def _with_envelope_px(geoms: DataFrame, wkb: str, g) -> DataFrame:
     """Attach pixel-space envelope columns in one Arrow pass."""
     schema = T.StructType(list(geoms.schema.fields) + [

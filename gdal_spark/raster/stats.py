@@ -104,3 +104,24 @@ def histogram(tiles: DataFrame, meta: RasterMeta, lo: float, hi: float,
     return (tiles.mapInPandas(run, schema=schema)
             .groupBy("raster_id", "band", "bucket")
             .agg(F.sum("cnt").alias("count")))
+
+
+def block_summary(tiles: DataFrame, meta: RasterMeta) -> DataFrame:
+    """(bx, by, n_nonzero, sum_vals) per block — compact comparable shape
+    for burned/derived rasters (gdalinfo -stats style per-block report)."""
+    dtype = meta.dtype
+    schema = T.StructType([
+        T.StructField("bx", T.IntegerType()), T.StructField("by", T.IntegerType()),
+        T.StructField("n_nonzero", T.LongType()),
+        T.StructField("sum_vals", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r, arr in _iter_blocks(pdf, dtype):
+                v = arr.astype(np.float64)
+                rows.append((r.bx, r.by, int((v != 0).sum()), float(v.sum())))
+            yield pd.DataFrame(rows, columns=["bx", "by", "n_nonzero", "sum_vals"])
+
+    return tiles.mapInPandas(run, schema=schema)
