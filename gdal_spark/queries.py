@@ -741,6 +741,80 @@ FROM (SELECT unnest(generate_series(0, 35)) AS i),
 
 
 # ---------------------------------------------------------------------------
+# gridding (gdal_grid) over the documents-derived points
+# ---------------------------------------------------------------------------
+
+from gdal_spark.operators import gridding as GR  # noqa: E402
+
+GRID_META = RM.RasterMeta("grid", 72, 34, gt=(-180.0, 5.0, 0.0, 85.0, 0.0, -5.0),
+                          dtype="float64")
+GRID_RADIUS = 6.0
+
+_GRID_PTS = "SELECT doc_id, lon, lat, CAST(doc_id % 97 AS DOUBLE) AS z FROM pts"
+_GRID_NODES = """
+nodes AS (SELECT px, py, -180.0 + (px + 0.5) * 5.0 AS nx,
+                 85.0 + (py + 0.5) * (-5.0) AS ny
+          FROM (SELECT unnest(generate_series(0, 71)) AS px),
+               (SELECT unnest(generate_series(0, 33)) AS py)),
+pr AS (SELECT px, py, doc_id, z,
+              (lon - nx) * (lon - nx) + (lat - ny) * (lat - ny) AS d2
+       FROM nodes CROSS JOIN p
+       WHERE (lon - nx) * (lon - nx) + (lat - ny) * (lat - ny) <= 36.0)
+"""
+
+
+def _grid_points(spark, sf_dir):
+    return doc_points(spark, sf_dir).select(
+        F.col("doc_id").alias("pid"), F.col("lon").alias("x"),
+        F.col("lat").alias("y"), (F.col("doc_id") % 97).cast("double").alias("z"))
+
+
+def q_grid_invdist(spark, sf_dir):
+    """gdal_grid invdist (power=2) — cell-partitioned, zero-UDF IDW."""
+    out = GR.grid_invdist(_grid_points(spark, sf_dir), GRID_META, GRID_RADIUS)
+    return out.select("px", "py", F.round("val", 6).alias("val"))
+
+
+ORACLE_GRID_INVDIST = f"""
+WITH pts AS ({POINTS_SQL}), p AS ({_GRID_PTS}), {_GRID_NODES}
+SELECT px, py,
+  round(CASE WHEN max(CASE WHEN d2 < 0.0000000000001 THEN z END) IS NOT NULL
+             THEN max(CASE WHEN d2 < 0.0000000000001 THEN z END)
+        ELSE sum(CASE WHEN d2 >= 0.0000000000001 THEN z / d2 ELSE 0 END)
+             / sum(CASE WHEN d2 >= 0.0000000000001 THEN 1.0 / d2 ELSE 0 END)
+        END, 6) AS val
+FROM pr GROUP BY px, py
+"""
+
+
+def q_grid_nearest(spark, sf_dir):
+    """gdal_grid nearest (gdalgrid.cpp:461), doc_id tiebreak."""
+    return GR.grid_nearest(_grid_points(spark, sf_dir), GRID_META, GRID_RADIUS)
+
+
+ORACLE_GRID_NEAREST = f"""
+WITH pts AS ({POINTS_SQL}), p AS ({_GRID_PTS}), {_GRID_NODES},
+r AS (SELECT px, py, z,
+             row_number() OVER (PARTITION BY px, py ORDER BY d2, doc_id) AS rn
+      FROM pr)
+SELECT px, py, z AS val FROM r WHERE rn = 1
+"""
+
+
+def q_grid_avgdist(spark, sf_dir):
+    """Data metric: average node→point distance (gdal_alg.h:358-368)."""
+    out = GR.grid_metric(_grid_points(spark, sf_dir), GRID_META, GRID_RADIUS,
+                         "average_distance")
+    return out.select("px", "py", F.round("val", 6).alias("val"))
+
+
+ORACLE_GRID_AVGDIST = f"""
+WITH pts AS ({POINTS_SQL}), p AS ({_GRID_PTS}), {_GRID_NODES}
+SELECT px, py, round(avg(sqrt(d2)), 6) AS val FROM pr GROUP BY px, py
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -778,4 +852,7 @@ QUERIES: dict[str, tuple] = {
     "pyramid_avg": (q_pyramid_avg, ORACLE_PYRAMID_AVG),
     "warp_bilinear": (q_warp_bilinear, ORACLE_WARP_BILINEAR),
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
+    "grid_invdist": (q_grid_invdist, ORACLE_GRID_INVDIST),
+    "grid_nearest": (q_grid_nearest, ORACLE_GRID_NEAREST),
+    "grid_avgdist": (q_grid_avgdist, ORACLE_GRID_AVGDIST),
 }
