@@ -299,7 +299,9 @@ def _polygonize_full(tiles: DataFrame, meta: RasterMeta, band: int = 0,
                                 F.col("comp").alias("cc")).alias("y"),
                      on="comp", how="left")
                .select("node", F.coalesce("cc", "comp").alias("comp")))
-        new = new.cache()
+        # truncate lineage each round — iterated joins otherwise compound
+        # the logical plan exponentially
+        new = new.localCheckpoint(eager=True)
         changed = (new.alias("n").join(lab.alias("o"), on="node")
                    .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
         lab = new

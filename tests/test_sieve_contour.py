@@ -1,0 +1,101 @@
+"""Sieve (small-region merge) and contour-segment tests."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster import contour as CT
+from gdal_spark.raster import model as M
+from gdal_spark.raster import sieve as SV
+
+
+def test_sieve_islands_absorbed(spark):
+    """Small islands in a sea merge into the sea; big island stays."""
+    arr = np.zeros((40, 40), dtype=np.uint8)
+    arr[5:7, 5:7] = 1        # 4 px island  < threshold
+    arr[20, 30] = 2          # 1 px island  < threshold
+    arr[25:35, 5:15] = 3     # 100 px island >= threshold
+    meta = M.RasterMeta("s", 40, 40, block=16)
+    out = SV.sieve(M.from_array(spark, arr, meta), meta, threshold=10)
+    got = M.to_array(out, meta)
+    want = arr.copy()
+    want[5:7, 5:7] = 0
+    want[20, 30] = 0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sieve_block_independence(spark):
+    rng = np.random.RandomState(5)
+    arr = (rng.rand(30, 48) > 0.5).astype(np.uint8)
+    outs = []
+    for block in (48, 16):
+        meta = M.RasterMeta("s", 48, 30, block=block)
+        out = SV.sieve(M.from_array(spark, arr, meta), meta, threshold=4)
+        outs.append(M.to_array(out, meta))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    # merging can isolate single pixels into NEW small regions (the
+    # reference's one-pass sieve has the same property), but the count of
+    # small regions must drop sharply
+    from gdal_spark.raster.polygonize import label_block
+
+    def n_small(a):
+        lab, n = label_block(a)
+        sizes = np.bincount(lab[lab >= 0], minlength=n)
+        return int(((sizes > 0) & (sizes < 4)).sum())
+
+    assert n_small(outs[0]) < n_small(arr) / 5
+
+
+def test_sieve_chained_small_regions(spark):
+    """A strip of adjacent small regions must collapse (multi-round)."""
+    arr = np.zeros((8, 20), dtype=np.uint8)
+    arr[3:5, 2:4] = 1   # 4px
+    arr[3:5, 4:6] = 2   # 4px adjacent to 1
+    meta = M.RasterMeta("s", 20, 8, block=8)
+    out = SV.sieve(M.from_array(spark, arr, meta), meta, threshold=5)
+    got = M.to_array(out, meta)
+    np.testing.assert_array_equal(got, np.zeros_like(arr))
+
+
+# ---------------------------------------------------------------------------
+# contour
+# ---------------------------------------------------------------------------
+
+def test_contour_linear_ramp(spark):
+    """z = x → iso-line x at the interpolated pixel-center position."""
+    X, Y = np.meshgrid(np.arange(30, dtype=np.float64), np.arange(20))
+    arr = X.copy()
+    meta = M.RasterMeta("c", 30, 20, dtype="float64", block=8)
+    segs = CT.contour_segments(M.from_array(spark, arr, meta), meta, [10.25])
+    rows = segs.collect()
+    assert rows
+    # all segments are vertical at pixel-x where value crosses 10.25:
+    # nodes at centers x+0.5 carry value x → crossing at x = 10.75
+    for r in rows:
+        assert r["x0"] == pytest.approx(10.75)
+        assert r["x1"] == pytest.approx(10.75)
+    # one segment per cell row (19 cell rows)
+    assert len(rows) == 19
+
+
+def test_contour_block_independence(spark):
+    rng = np.random.RandomState(9)
+    arr = rng.rand(25, 40) * 100
+    levels = [25.0, 50.0, 75.0]
+    sets = []
+    for block in (40, 8):
+        meta = M.RasterMeta("c", 40, 25, dtype="float64", block=block)
+        segs = CT.contour_segments(M.from_array(spark, arr, meta), meta, levels)
+        sets.append({tuple(np.round([r["level"], r["x0"], r["y0"],
+                                     r["x1"], r["y1"]], 9))
+                     for r in segs.collect()})
+    assert sets[0] == sets[1]
+    assert len(sets[0]) > 50
+
+
+def test_contour_geo_coords(spark):
+    X, _ = np.meshgrid(np.arange(10, dtype=np.float64), np.arange(6))
+    meta = M.RasterMeta("c", 10, 6, gt=(100.0, 2.0, 0.0, 50.0, 0.0, -2.0),
+                        dtype="float64", block=8)
+    segs = CT.contour_segments(M.from_array(spark, X, meta), meta, [4.5]).collect()
+    for r in segs:
+        assert r["x0"] == pytest.approx(100.0 + 5.0 * 2.0)  # px 5.0 → geo 110
