@@ -1,0 +1,144 @@
+"""OGR SQL dialect semantic shims over Spark SQL.
+
+The engine's query surface is Spark SQL (a superset of the reference's
+swq dialect, SURVEY.md §3.1); these helpers reproduce the reference
+semantics the autotest fixtures actually assert:
+
+- **case-insensitive string comparison** for ``=``, ``<>``, ``IN``,
+  ``LIKE`` (gdal/ogr/swq_op_general.cpp:42-100 — tolower both sides;
+  ``<, >, <=, >=`` stay case-sensitive, gdal/ogr/ogr_sql.dox:263,320).
+- **SUBSTR** 1-based with negative offset-from-end (ogr_sql.dox:141-155).
+- **special fields** (gdal/ogr/ogr_p.h:110-115, semantics
+  ogr_sql.dox:485-550): ``FID``, ``OGR_GEOMETRY`` (type name),
+  ``OGR_GEOM_WKT``, ``OGR_GEOM_AREA`` — computed from the WKB column via
+  Arrow-batched pandas UDFs.
+- **first-match LEFT JOIN** (ogr_gensql.cpp:1283-1314): each left row
+  keeps only the first matching right row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import geometry as G
+
+
+def ci_eq(a: Column, b: Column) -> Column:
+    """Case-insensitive string equality (swq '=' on strings)."""
+    return F.lower(a) == F.lower(b)
+
+
+def ci_ne(a: Column, b: Column) -> Column:
+    return F.lower(a) != F.lower(b)
+
+
+def ci_in(col: Column, values: list[str]) -> Column:
+    return F.lower(col).isin([v.lower() for v in values])
+
+
+def ci_like(col: Column, pattern: str, escape: str | None = None) -> Column:
+    """Case-insensitive LIKE with optional ESCAPE (swq_op_general.cpp:42)."""
+    pat = F.lit(pattern.lower())
+    return (F.lower(col).like(pattern.lower(), escape)
+            if escape else F.lower(col).like(pattern.lower()))
+
+
+def ogr_substr(col: Column, start: int, length: int | None = None) -> Column:
+    """SUBSTR(s, start[, len]): 1-based; negative start counts from the end
+    (ogr_sql.dox:141-155) — Spark's substring has identical semantics."""
+    if length is None:
+        return F.substring(col, start, 2147483647)
+    return F.substring(col, start, length)
+
+
+# ---------------------------------------------------------------------------
+# special fields (WKB-derived, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+_TYPE_NAMES = {G.WKB_POINT: "POINT", G.WKB_LINESTRING: "LINESTRING",
+               G.WKB_POLYGON: "POLYGON", G.WKB_MULTIPOINT: "MULTIPOINT",
+               G.WKB_MULTILINESTRING: "MULTILINESTRING",
+               G.WKB_MULTIPOLYGON: "MULTIPOLYGON"}
+
+
+def _geom_area_fn(wkb: pd.Series) -> pd.Series:
+    out = np.zeros(len(wkb))
+    for i, b in enumerate(wkb):
+        if b is None:
+            continue
+        bb = bytes(b)
+        gtype = bb[1] if bb[0] == 1 else bb[4]
+        if gtype in (G.WKB_POLYGON, G.WKB_MULTIPOLYGON):
+            out[i] = G.polygon_area(bb)
+    return pd.Series(out)
+
+
+def _geometry_fn(wkb: pd.Series) -> pd.Series:
+    out = []
+    for b in wkb:
+        if b is None:
+            out.append(None)
+            continue
+        bb = bytes(b)
+        gtype = bb[1] if bb[0] == 1 else bb[4]
+        out.append(_TYPE_NAMES.get(gtype, f"UNKNOWN_{gtype}"))
+    return pd.Series(out)
+
+
+def _geom_wkt_fn(wkb: pd.Series) -> pd.Series:
+    out = []
+    for b in wkb:
+        if b is None:
+            out.append(None)
+            continue
+        bb = bytes(b)
+        gtype = bb[1] if bb[0] == 1 else bb[4]
+        if gtype == G.WKB_POINT:
+            x, y = G.decode_point(bb)
+            out.append(f"POINT ({x:g} {y:g})")
+        elif gtype == G.WKB_POLYGON:
+            rings = G.decode_polygons(bb)[0]
+            parts = []
+            for r in rings:
+                pts = ",".join(f"{x:g} {y:g}" for x, y in r)
+                parts.append(f"({pts})")
+            out.append("POLYGON (" + ",".join(parts) + ")")
+        else:
+            out.append(None)
+    return pd.Series(out)
+
+
+def ogr_geom_area(col: Column) -> Column:
+    """OGR_GEOM_AREA special field (ogr_sql.dox:540: polygon/multipolygon
+    area, else 0). UDF is built at call time — pandas_udf return-type
+    parsing needs an active SparkSession."""
+    return F.pandas_udf(_geom_area_fn, "double")(col)
+
+
+def ogr_geometry(col: Column) -> Column:
+    """OGR_GEOMETRY special field: geometry type name (ogr_sql.dox:497)."""
+    return F.pandas_udf(_geometry_fn, "string")(col)
+
+
+def ogr_geom_wkt(col: Column) -> Column:
+    """OGR_GEOM_WKT for the Point/Polygon subset (fixture needs)."""
+    return F.pandas_udf(_geom_wkt_fn, "string")(col)
+
+
+# ---------------------------------------------------------------------------
+# join shim
+# ---------------------------------------------------------------------------
+
+def left_join_first(left: DataFrame, right: DataFrame, on,
+                    order_by: list[str]) -> DataFrame:
+    """OGR SQL LEFT JOIN: first matching right row only
+    (ogr_gensql.cpp:1283-1314), determinized by ``order_by`` on the right."""
+    from pyspark.sql import Window
+    key_cols = on if isinstance(on, list) else [on]
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    first = (right.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    return left.join(first, on=on, how="left")

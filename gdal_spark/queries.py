@@ -354,6 +354,72 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# autotest fixture queries (poly.shp / idlink.dbf ports, SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+from gdal_spark.functions import ogr_sql as OS  # noqa: E402
+
+_POLY_VALUES = ", ".join(
+    f"({fid}, {area!r}, {eas}, '{prf}')" for fid, area, eas, prf in PG.POLY_ROWS)
+_IDLINK_VALUES = ", ".join(f"({eas}, '{nm}')" for eas, nm in PG.IDLINK_ROWS)
+# areas of the synthetic fixture geometries (10x10 squares; fid 3 concave
+# notch = 72, fid 7 interior ring = 96) — sources/polygons.py _poly_geom
+_GEOM_AREAS = {fid: (72.0 if fid == 3 else 96.0 if fid == 7 else 100.0)
+               for fid, _a, _e, _p in PG.POLY_ROWS}
+
+
+def q_poly_idlink_join(spark, sf_dir):
+    """ogr_join_test.py analog: poly LEFT JOIN idlink ON eas_id with OGR
+    first-match semantics (ogr_gensql.cpp:1283-1314)."""
+    poly = PG.poly_fixture(spark).select("fid", "eas_id", "prfedea")
+    idl = PG.idlink_fixture(spark)
+    out = OS.left_join_first(poly, idl, on="eas_id", order_by=["name"])
+    return out.select("fid", "eas_id", "prfedea", "name")
+
+
+ORACLE_POLY_IDLINK = f"""
+WITH poly(fid, area, eas_id, prfedea) AS (VALUES {_POLY_VALUES}),
+idlink(eas_id, name) AS (VALUES {_IDLINK_VALUES})
+SELECT p.fid, p.eas_id, p.prfedea, i.name
+FROM poly p LEFT JOIN idlink i ON p.eas_id = i.eas_id
+"""
+
+
+def q_poly_special_fields(spark, sf_dir):
+    """Special fields OGR_GEOMETRY / OGR_GEOM_AREA computed from WKB
+    (ogr_p.h:110-115, ogr_sql.dox:485-550), WHERE OGR_GEOM_AREA filter."""
+    poly = PG.poly_fixture(spark)
+    out = poly.select(
+        "fid",
+        OS.ogr_geometry(F.col("geometry")).alias("ogr_geometry"),
+        F.round(OS.ogr_geom_area(F.col("geometry")), 6).alias("geom_area"))
+    return out.filter(F.col("geom_area") < 100.0)
+
+
+ORACLE_POLY_SPECIAL = f"""
+WITH areas(fid, geom_area) AS (VALUES {", ".join(
+    f"({fid}, {a!r})" for fid, a in _GEOM_AREAS.items())})
+SELECT fid, 'POLYGON' AS ogr_geometry, CAST(geom_area AS DOUBLE) AS geom_area
+FROM areas WHERE geom_area < 100.0
+"""
+
+
+def q_poly_ci_filter(spark, sf_dir):
+    """Case-insensitive string '=' and LIKE (swq_op_general.cpp:42-100)."""
+    poly = PG.poly_fixture(spark)
+    return (poly.filter(OS.ci_like(F.col("prfedea"), "35043_1%"))
+            .select("fid", "prfedea",
+                    OS.ogr_substr(F.col("prfedea"), -2).alias("tail2")))
+
+
+ORACLE_POLY_CI = f"""
+WITH poly(fid, area, eas_id, prfedea) AS (VALUES {_POLY_VALUES})
+SELECT fid, prfedea, substr(prfedea, -2) AS tail2
+FROM poly WHERE lower(prfedea) LIKE '35043_1%'
+"""
+
+
+# ---------------------------------------------------------------------------
 # webtext / training-data operators
 # ---------------------------------------------------------------------------
 
@@ -835,6 +901,9 @@ QUERIES: dict[str, tuple] = {
     "substr_cast": (q_substr_cast, ORACLE_SUBSTR_CAST),
     "union_all": (q_union_all, ORACLE_UNION_ALL),
     "groupby_agg": (q_groupby_agg, ORACLE_GROUPBY_AGG),
+    "poly_idlink_join": (q_poly_idlink_join, ORACLE_POLY_IDLINK),
+    "poly_special_fields": (q_poly_special_fields, ORACLE_POLY_SPECIAL),
+    "poly_ci_filter": (q_poly_ci_filter, ORACLE_POLY_CI),
     # webtext / training-data ops
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_prefix": (q_dedup_prefix, ORACLE_DEDUP_PREFIX),
