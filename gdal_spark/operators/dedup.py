@@ -98,6 +98,27 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text: str = "text",
         F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
 
 
+def winnow_fingerprints(df: DataFrame, text: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): k-gram hashes,
+    per-window minima, distinct minima = the fingerprint set. All column
+    math (md5 → 60-bit int via conv), so oracles reproduce it exactly.
+    Output: (id, fp) exploded fingerprint rows."""
+    from pyspark.sql import Window as W
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text), k)).alias("_i", "_g"))
+    h = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
+    grams = grams.withColumn("_h", h)
+    part = W.partitionBy(id_col)
+    win = part.orderBy("_i").rowsBetween(0, window - 1)
+    grams = (grams.withColumn("_n", F.count(F.lit(1)).over(part))
+             .withColumn("_m", F.min("_h").over(win))
+             .filter(F.col("_i") <= F.greatest(F.col("_n") - window, F.lit(0))))
+    return grams.select(F.col(id_col), F.col("_m").alias("fp")).distinct()
+
+
 def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id",
               shingle_n: int = 2) -> DataFrame:
     """64-bit SimHash per doc from md5 bit-votes of word shingles —
@@ -118,7 +139,8 @@ def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id",
                     b"".join(hashlib.md5(s.encode()).digest()[:8] for s in shingles),
                     dtype=">u8")
                 bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-                votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes
+                # signed! uint64 sums would wrap on negative vote totals
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
                 out[i] = np.bitwise_or.reduce(
                     (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out.astype(np.int64)})

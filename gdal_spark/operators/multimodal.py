@@ -1,0 +1,138 @@
+"""Multimodal (binary-column) pipeline plumbing.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, exactly like the ``html:binary`` column of the pages table
+(BASELINE.json input_hint). The Spark-side plumbing — schema, Arrow batch
+shape, partitioning — is real and tested; the *codec* step is stubbed
+behind ``NotImplementedError`` (no image/audio libraries in this
+container) with a deterministic fake for tests.
+
+Operators:
+- ``byte_features``   — real: vectorized per-blob statistics (length, byte
+  sum, distinct bytes, entropy) via one Arrow pass.
+- ``decode_image``    — stub: raises unless ``fake=True``, in which case a
+  deterministic pseudo-decode (hash-seeded byte grid) exercises the full
+  (blob → H×W array → tile rows) path.
+- ``frame_sample``    — stub codec, real sampling plumbing: picks every
+  k-th "frame" offset from a fake container layout.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def byte_features(df: DataFrame, blob: str = "blob",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, n_bytes, byte_sum, n_distinct, entropy) — vectorized numpy over
+    each Arrow batch; no per-byte Python."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("n_distinct", T.IntegerType()),
+        T.StructField("entropy", T.DoubleType()),
+    ])
+    idx = df.schema.fieldNames().index(blob)
+    id_idx = df.schema.fieldNames().index(id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf.iloc[:, id_idx], pdf.iloc[:, idx]):
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                counts = np.bincount(a, minlength=256)
+                p = counts[counts > 0] / max(len(a), 1)
+                ent = float(-(p * np.log2(p)).sum()) if len(a) else 0.0
+                rows.append((int(did), len(a), int(a.sum(dtype=np.int64)),
+                             int((counts > 0).sum()), round(ent, 6)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(run, schema=schema)
+
+
+IMG_TILE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("h", T.IntegerType()), T.StructField("w", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+])
+
+
+def decode_image(df: DataFrame, blob: str = "blob", id_col: str = "doc_id",
+                 fake: bool = False, size: tuple[int, int] = (16, 16)
+                 ) -> DataFrame:
+    """blob → grayscale pixel grid rows. REAL CODEC NOT AVAILABLE in this
+    container — ``fake=True`` substitutes a deterministic pseudo-decode
+    (first bytes tiled into an H×W uint8 grid) so the downstream plumbing
+    (schema, batch shape, resize/feature ops) is fully exercised."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True for the deterministic test decode")
+    h, w = size
+    idx_blob = df.schema.fieldNames().index(blob)
+    idx_id = df.schema.fieldNames().index(id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf.iloc[:, idx_id], pdf.iloc[:, idx_blob]):
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                grid = np.resize(a, (h, w))  # deterministic tile/repeat
+                rows.append((int(did), h, w, grid.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMG_TILE_SCHEMA])
+
+    return df.mapInPandas(run, schema=IMG_TILE_SCHEMA)
+
+
+def resize_image(imgs: DataFrame, out_size: tuple[int, int]) -> DataFrame:
+    """Nearest-neighbour resize of decoded pixel grids (real numpy op,
+    reusing the raster resample index rule trunc(src + 1e-10))."""
+    oh, ow = out_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(r.h, r.w)
+                sy = np.trunc((np.arange(oh) + 0.5) * r.h / oh + 1e-10).astype(int)
+                sx = np.trunc((np.arange(ow) + 0.5) * r.w / ow + 1e-10).astype(int)
+                out = a[np.clip(sy, 0, r.h - 1)][:, np.clip(sx, 0, r.w - 1)]
+                rows.append((r.doc_id, oh, ow, out.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMG_TILE_SCHEMA])
+
+    return imgs.mapInPandas(run, schema=IMG_TILE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, blob: str = "blob", id_col: str = "doc_id",
+                 every: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Video-style frame sampling plumbing: treat the blob as a sequence of
+    fixed-size fake frames, emit every k-th frame's offset + bytes. A real
+    container parser replaces the layout function only."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+    idx_blob = df.schema.fieldNames().index(blob)
+    idx_id = df.schema.fieldNames().index(id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf.iloc[:, idx_id], pdf.iloc[:, idx_blob]):
+                bb = bytes(b)
+                n_frames = len(bb) // frame_bytes
+                for fno in range(0, n_frames, every):
+                    off = fno * frame_bytes
+                    rows.append((int(did), fno, off, bb[off:off + frame_bytes]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(run, schema=schema)

@@ -548,6 +548,140 @@ WHERE round(coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) >=
 ORACLE_MINHASH = _oracle_minhash()
 
 
+def q_simhash_bands(spark, sf_dir):
+    """64-bit SimHash (md5 bit votes over 2-word shingles), reported as four
+    16-bit bands (Hamming-band dedup key)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = DD.simhash64(docs, shingle_n=2)
+    bands = [F.shiftrightunsigned(F.col("simhash"), 16 * b)
+             .bitwiseAND(F.lit(0xFFFF)).cast("int").alias(f"b{b}")
+             for b in range(4)]
+    return sh.select("doc_id", *bands)
+
+
+def _oracle_simhash() -> str:
+    band_sel = ", ".join(
+        f"CAST(sum(CASE WHEN b >= {16*k} AND b < {16*(k+1)} "
+        f"THEN bit << (b - {16*k}) ELSE 0 END) AS INTEGER) AS b{k}"
+        for k in range(4))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(w) - 1, 0)),
+         i -> array_to_string(w[i:i+1], ' '))) AS g FROM toks),
+e AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE len(g) > 0),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS hv
+      FROM e),
+bits AS (SELECT doc_id, b,
+           sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+           count(*) AS n
+         FROM h, (SELECT unnest(generate_series(0, 63)) AS b) GROUP BY doc_id, b),
+bv AS (SELECT doc_id, b, CASE WHEN ones * 2 > n THEN 1 ELSE 0 END AS bit
+       FROM bits),
+agg AS (SELECT doc_id, {band_sel} FROM bv GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.b0, 0) AS b0, coalesce(a.b1, 0) AS b1,
+       coalesce(a.b2, 0) AS b2, coalesce(a.b3, 0) AS b3
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+ORACLE_SIMHASH = _oracle_simhash()
+
+
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing fingerprints (k=3 word grams, window 4) — rolling-hash
+    document fingerprinting for near-dup detection."""
+    return DD.winnow_fingerprints(load(spark, sf_dir, "documents"),
+                                  k=3, window=4)
+
+
+ORACLE_WINNOW = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(w) - 2, 0)),
+        i -> struct_pack(i := i, gram := array_to_string(w[i:i+2], ' ')))) AS u
+      FROM toks),
+flat AS (SELECT doc_id, u.i AS i,
+           CAST(concat('0x', substr(md5(u.gram), 1, 15)) AS UBIGINT) AS h
+         FROM g),
+win AS (SELECT doc_id, i,
+          min(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+          count(*) OVER (PARTITION BY doc_id) AS n
+        FROM flat)
+SELECT DISTINCT doc_id, CAST(m AS BIGINT) AS fp
+FROM win WHERE i - 1 <= greatest(n - 4, 0)
+"""
+
+
+def q_multimodal_bytes(spark, sf_dir):
+    """Binary-column feature extraction: byte stats over an opaque blob
+    (here utf-8 of text — the html/image/audio stand-in), one Arrow pass."""
+    from gdal_spark.operators import multimodal as MM
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return MM.byte_features(docs, blob="blob")
+
+
+ORACLE_MULTIMODAL = """
+WITH chars AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, length(text)),
+                 i -> ascii(substr(text, i, 1)))) AS c
+               FROM documents),
+cnt AS (SELECT doc_id, c, count(*) AS k FROM chars GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_bytes,
+       CAST(sum(c.c * c.k) AS BIGINT) AS byte_sum,
+       CAST(count(*) AS INTEGER) AS n_distinct,
+       round(-sum((c.k / t.n) * log2(c.k / t.n)), 6) AS entropy
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY t.doc_id, t.n
+"""
+
+
+# deterministic SRP hyperplanes shared by the Spark operator and the oracle
+_PLANES = ANN._hyperplanes(64, 6, seed=42)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate ANN: sign-random-projection bucket join + exact cosine
+    rerank inside the bucket (the LSH scale path)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    return ANN.cosine_topk_lsh(qs, emb, k=5, n_planes=6)
+
+
+def _oracle_ann_lsh() -> str:
+    dots = []
+    for p in range(6):
+        lits = ", ".join(repr(float(x)) for x in _PLANES[p])
+        dots.append(
+            f"list_aggregate(list_transform(generate_series(1, 64), "
+            f"i -> v[i] * ([{lits}])[i]), 'sum')")
+    bucket = " + ".join(
+        f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, d in enumerate(dots))
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket,
+        sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      FROM e),
+d AS (SELECT q.vec_id AS qid, p.vec_id AS vec_id,
+        round(list_aggregate(list_transform(generate_series(1, 64),
+                                            i -> q.v[i] * p.v[i]), 'sum')
+              / (q.nrm * p.nrm), 6) AS sim
+      FROM b q JOIN b p ON q.bucket = p.bucket WHERE q.vec_id < 5),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+        AS rank FROM d)
+SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+ORACLE_ANN_LSH = _oracle_ann_lsh()
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
@@ -910,7 +1044,11 @@ QUERIES: dict[str, tuple] = {
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "lang_quality": (q_lang_quality, ORACLE_LANG_QUALITY),
     "minhash_lsh_jaccard": (q_minhash_lsh_jaccard, ORACLE_MINHASH),
+    "simhash_bands": (q_simhash_bands, ORACLE_SIMHASH),
+    "fingerprint_winnow": (q_fingerprint_winnow, ORACLE_WINNOW),
+    "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN),
+    "ann_lsh_topk": (q_ann_lsh, ORACLE_ANN_LSH),
     "event_window": (q_event_window, ORACLE_EVENT_WINDOW),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     # raster operators
