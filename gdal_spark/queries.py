@@ -941,6 +941,39 @@ FROM (SELECT unnest(generate_series(0, 35)) AS i),
 
 
 # ---------------------------------------------------------------------------
+# north-star end-to-end on the synthesized Common-Crawl-style pages table
+# ---------------------------------------------------------------------------
+
+from gdal_spark.sources import pages as PAGES  # noqa: E402
+
+
+def q_pages_e2e(spark, sf_dir):
+    """The full north-rule pipeline on the input_hint table (url, warc_ts,
+    html, text, lang): byte-identical html→text extraction check, point
+    derivation, broadcast PIP join, z8 tile assignment — one summary row.
+    Deterministic (hash-seeded generator) but not SQL-expressible (xxhash64
+    geocoder), so the driver records the rows-only check; pytest holds the
+    exact invariants (tests/test_pages.py)."""
+    n = 20_000
+    pg = PAGES.pages(spark, n)
+    html_text = F.regexp_extract(F.decode(F.col("html"), "UTF-8"),
+                                 r"<p>(.*)</p>", 1)
+    flags = pg.select((html_text == F.col("text")).cast("long").alias("ok"))
+    n_text_ok = flags.agg(F.sum("ok")).collect()[0][0]
+    pts = PAGES.extract_points(pg)
+    grid = PG.admin_grid(spark, nx=36, ny=17, lat_min=-85.0, lat_max=85.0)
+    joined = SJ.point_in_polygon_join(pts, grid, strategy="broadcast")
+    out = tiles.with_tile_columns(joined, zoom=8)
+    agg = out.groupBy("cell_id", "tx", "ty").agg(F.count(F.lit(1)).alias("n"))
+    return agg.agg(
+        F.lit(n).alias("n_pages"),
+        F.lit(int(n_text_ok)).alias("n_text_byte_identical"),
+        F.sum("n").alias("n_points_joined"),
+        F.countDistinct("cell_id").alias("n_cells"),
+        F.count(F.lit(1)).alias("n_cell_tiles"))
+
+
+# ---------------------------------------------------------------------------
 # gridding (gdal_grid) over the documents-derived points
 # ---------------------------------------------------------------------------
 
@@ -1059,6 +1092,7 @@ QUERIES: dict[str, tuple] = {
     "pyramid_avg": (q_pyramid_avg, ORACLE_PYRAMID_AVG),
     "warp_bilinear": (q_warp_bilinear, ORACLE_WARP_BILINEAR),
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
+    "pages_e2e": (q_pages_e2e, None),
     "grid_invdist": (q_grid_invdist, ORACLE_GRID_INVDIST),
     "grid_nearest": (q_grid_nearest, ORACLE_GRID_NEAREST),
     "grid_avgdist": (q_grid_avgdist, ORACLE_GRID_AVGDIST),
