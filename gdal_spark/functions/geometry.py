@@ -170,6 +170,119 @@ def polygon_envelope(wkb: bytes) -> tuple[float, float, float, float]:
 
 
 # ---------------------------------------------------------------------------
+# Constructive ops (no GEOS: exact numpy/python implementations)
+# ---------------------------------------------------------------------------
+
+def ring_centroid_area(ring: np.ndarray) -> tuple[float, float, float]:
+    """(cx, cy, signed_area) of one ring — shoelace centroid, the formula
+    behind OGRPolygon::Centroid (ogrgeometry.cpp:3985, GEOS-backed there)."""
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cross = x * y1 - x1 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(x.mean()), float(y.mean()), 0.0
+    cx = ((x + x1) * cross).sum() / (6.0 * a)
+    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy), float(a)
+
+
+def polygon_centroid(wkb: bytes) -> tuple[float, float]:
+    """Area-weighted centroid over parts; holes subtract (signed areas)."""
+    num_x = num_y = den = 0.0
+    for rings in decode_polygons(wkb):
+        for k, r in enumerate(rings):
+            rr = r if len(r) and np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+            cx, cy, a = ring_centroid_area(rr)
+            sgn = abs(a) if k == 0 else -abs(a)
+            num_x += cx * sgn
+            num_y += cy * sgn
+            den += sgn
+    if den == 0.0:
+        return math_nan, math_nan
+    return num_x / den, num_y / den
+
+
+math_nan = float("nan")
+
+
+def segmentize(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Densify a linestring/ring so no segment exceeds ``max_len``
+    (OGRGeometry::segmentize, ogrgeometry.cpp:627 — equal subdivision)."""
+    out = [coords[:1]]
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        d = float(np.hypot(*(b - a)))
+        n = max(int(np.ceil(d / max_len)), 1)
+        t = np.arange(1, n + 1)[:, None] / n
+        out.append(a[None, :] + (b - a)[None, :] * t)
+    return np.vstack(out)
+
+
+def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip a (closed or open) ring by a convex CCW
+    clip polygon. Exact for convex clippers; returns an open ring (possibly
+    empty). The engine's polygon∩convex-cell kernel (layer-algebra Clip
+    against tile/grid cells, ogrlayer.cpp:3486 semantics)."""
+    poly = [tuple(p) for p in (subject[:-1] if len(subject) > 1
+                               and np.array_equal(subject[0], subject[-1])
+                               else subject)]
+    cr = clip_ring[:-1] if len(clip_ring) > 1 and \
+        np.array_equal(clip_ring[0], clip_ring[-1]) else clip_ring
+    for i in range(len(cr)):
+        if not poly:
+            return np.empty((0, 2))
+        ax, ay = cr[i]
+        bx, by = cr[(i + 1) % len(cr)]
+        ex, ey = bx - ax, by - ay
+
+        def inside(p):
+            return ex * (p[1] - ay) - ey * (p[0] - ax) >= 0.0
+
+        def isect(p, q):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            denom = ex * dy - ey * dx
+            t = (ex * (ay - p[1]) - ey * (ax - p[0])) / denom
+            return (p[0] + t * dx, p[1] + t * dy)
+
+        out = []
+        for j in range(len(poly)):
+            cur, nxt = poly[j], poly[(j + 1) % len(poly)]
+            ci, ni = inside(cur), inside(nxt)
+            if ci:
+                out.append(cur)
+                if not ni:
+                    out.append(isect(cur, nxt))
+            elif ni:
+                out.append(isect(cur, nxt))
+        poly = out
+    return np.asarray(poly, dtype=np.float64)
+
+
+def polygon_clip_convex(wkb: bytes, clip_ring: np.ndarray) -> bytes | None:
+    """Clip a Polygon/MultiPolygon by one convex CCW ring; holes are clipped
+    ring-wise (even-odd stays valid inside a convex window). Returns WKB or
+    None when the intersection is empty."""
+    parts_out = []
+    for rings in decode_polygons(wkb):
+        clipped = []
+        for k, r in enumerate(rings):
+            c = clip_ring_convex(r, clip_ring)
+            if len(c) >= 3:
+                clipped.append(c)
+            elif k == 0:
+                clipped = []
+                break
+        if clipped:
+            parts_out.append(clipped)
+    if not parts_out:
+        return None
+    if len(parts_out) == 1:
+        return encode_polygon(parts_out[0])
+    return encode_multipolygon(parts_out)
+
+
+# ---------------------------------------------------------------------------
 # Ray-casting point-in-ring / point-in-polygon
 # ---------------------------------------------------------------------------
 
