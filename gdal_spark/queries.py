@@ -941,6 +941,63 @@ FROM (SELECT unnest(generate_series(0, 35)) AS i),
 
 
 # ---------------------------------------------------------------------------
+# layer algebra: polygon ∩ convex grid clipping
+# ---------------------------------------------------------------------------
+
+from gdal_spark.operators import layer_algebra as LA  # noqa: E402
+
+
+def q_clip_layer_area(spark, sf_dir):
+    """Layer-algebra Intersection/Clip emission (ogrlayer.cpp:2016/3486):
+    exact Sutherland–Hodgman pieces of the poly fixture against a convex
+    grid; per-piece areas."""
+    polys = PG.poly_fixture(spark)
+    grid = PG.admin_grid(spark, nx=16, ny=3, lon_min=-2.0, lon_max=202.0,
+                         lat_min=-1.0, lat_max=11.0)
+    pieces = LA.clip_polygons_to_cells(polys, grid)
+    return pieces.select("poly_id", "cell_id",
+                         F.round("piece_area", 6).alias("piece_area"))
+
+
+def _oracle_clip() -> str:
+    # fixture geometry: square [20f, 20f+10]×[0,10]; fid3 minus notch
+    # [20f+3, 20f+10]×[3, 7]; fid7 minus hole [20f+4, 20f+6]×[4, 6]
+    return """
+WITH f AS (SELECT unnest(generate_series(0, 9)) AS fid),
+cells AS (SELECT j * 16 + i AS cell_id,
+                 -2.0 + i * 12.75 AS cx0, -2.0 + (i + 1) * 12.75 AS cx1,
+                 -1.0 + j * 4.0 AS cy0, -1.0 + (j + 1) * 4.0 AS cy1
+          FROM (SELECT unnest(generate_series(0, 15)) AS i),
+               (SELECT unnest(generate_series(0, 2)) AS j)),
+geo AS (SELECT fid, 20.0 * fid AS x0, 20.0 * fid + 10.0 AS x1,
+               0.0 AS y0, 10.0 AS y1,
+               CASE WHEN fid = 3 THEN 20.0 * fid + 3.0
+                    WHEN fid = 7 THEN 20.0 * fid + 4.0 ELSE 0.0 END AS hx0,
+               CASE WHEN fid = 3 THEN 20.0 * fid + 10.0
+                    WHEN fid = 7 THEN 20.0 * fid + 6.0 ELSE 0.0 END AS hx1,
+               CASE WHEN fid = 3 THEN 3.0 WHEN fid = 7 THEN 4.0
+                    ELSE 0.0 END AS hy0,
+               CASE WHEN fid = 3 THEN 7.0 WHEN fid = 7 THEN 6.0
+                    ELSE 0.0 END AS hy1
+        FROM f),
+-- degenerate zero-size "hole" for plain squares (DuckDB least/greatest
+-- skip NULLs, so NULL hole coords would subtract the whole cell)
+ar AS (SELECT fid, cell_id,
+         greatest(0, least(x1, cx1) - greatest(x0, cx0))
+           * greatest(0, least(y1, cy1) - greatest(y0, cy0))
+         - greatest(0, least(hx1, cx1) - greatest(hx0, cx0))
+           * greatest(0, least(hy1, cy1) - greatest(hy0, cy0))
+           AS a
+       FROM geo CROSS JOIN cells)
+SELECT fid AS poly_id, cell_id, round(a, 6) AS piece_area
+FROM ar WHERE a > 0
+"""
+
+
+ORACLE_CLIP_LAYER = _oracle_clip()
+
+
+# ---------------------------------------------------------------------------
 # north-star end-to-end on the synthesized Common-Crawl-style pages table
 # ---------------------------------------------------------------------------
 
@@ -1092,6 +1149,7 @@ QUERIES: dict[str, tuple] = {
     "pyramid_avg": (q_pyramid_avg, ORACLE_PYRAMID_AVG),
     "warp_bilinear": (q_warp_bilinear, ORACLE_WARP_BILINEAR),
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
+    "clip_layer_area": (q_clip_layer_area, ORACLE_CLIP_LAYER),
     "pages_e2e": (q_pages_e2e, None),
     "grid_invdist": (q_grid_invdist, ORACLE_GRID_INVDIST),
     "grid_nearest": (q_grid_nearest, ORACLE_GRID_NEAREST),
