@@ -282,6 +282,61 @@ def polygon_clip_convex(wkb: bytes, clip_ring: np.ndarray) -> bytes | None:
     return encode_multipolygon(parts_out)
 
 
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Convex hull (Andrew monotone chain), CCW closed ring —
+    OGRGeometry::ConvexHull analog (ogrgeometry.cpp:2685, GEOS there)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort is given by np.unique
+
+    def half(seq):
+        out: list = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-1]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.vstack([lower[:-1], upper[:-1]])
+    return np.vstack([hull, hull[:1]])
+
+
+def simplify_dp(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker line simplification — OGRGeometry::Simplify analog
+    (ogrgeometry.cpp:4213; GEOS DP there). Iterative stack, exact
+    point-to-segment distances."""
+    c = np.asarray(coords, dtype=np.float64)
+    n = len(c)
+    if n < 3:
+        return c.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = c[j] - c[i]
+        L2 = float(seg @ seg)
+        rel = c[i + 1:j] - c[i]
+        if L2 == 0.0:
+            d = np.hypot(rel[:, 0], rel[:, 1])
+        else:
+            t = np.clip((rel @ seg) / L2, 0.0, 1.0)
+            proj = np.outer(t, seg)
+            d = np.hypot(*(rel - proj).T)
+        k = int(np.argmax(d))
+        if d[k] > tolerance:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return c[keep]
+
+
 # ---------------------------------------------------------------------------
 # Ray-casting point-in-ring / point-in-polygon
 # ---------------------------------------------------------------------------
@@ -343,25 +398,85 @@ class PreparedPolygons:
     def __len__(self) -> int:
         return len(self.ids)
 
+    def _build_grid(self) -> None:
+        """Uniform spatial index over the polygon bboxes — the distributed
+        analog of the shapefile .qix quadtree access path
+        (gdal/ogr/ogrsf_frmts/shape/ogrshapelayer.cpp:362): each grid cell
+        lists the polygons whose bbox covers it, so a probe point tests
+        only its cell's candidates instead of scanning every bbox (which
+        is memory-bandwidth-bound and kills multi-core scaling)."""
+        ok = ~np.isnan(self.bbox[:, 0])
+        if not ok.any():
+            self._gridded = False
+            return
+        self._gx0 = float(self.bbox[ok, 0].min())
+        self._gy0 = float(self.bbox[ok, 1].min())
+        gx1 = float(self.bbox[ok, 2].max())
+        gy1 = float(self.bbox[ok, 3].max())
+        n = max(int(ok.sum()), 1)
+        # ~2 polygons per cell on average, capped to keep build cheap
+        target = min(max(int(np.sqrt(n / 2.0)) * 2, 1), 512)
+        self._csx = max((gx1 - self._gx0) / target, 1e-12)
+        self._csy = max((gy1 - self._gy0) / target, 1e-12)
+        self._gnx = int(np.floor((gx1 - self._gx0) / self._csx)) + 1
+        self._gny = int(np.floor((gy1 - self._gy0) / self._csy)) + 1
+        cells: dict[int, list[int]] = {}
+        for j in np.nonzero(ok)[0]:
+            xmin, ymin, xmax, ymax = self.bbox[j]
+            cx0 = int((xmin - self._gx0) / self._csx)
+            cx1 = int((xmax - self._gx0) / self._csx)
+            cy0 = int((ymin - self._gy0) / self._csy)
+            cy1 = int((ymax - self._gy0) / self._csy)
+            for cy in range(cy0, cy1 + 1):
+                for cx in range(cx0, cx1 + 1):
+                    cells.setdefault(cy * self._gnx + cx, []).append(int(j))
+        self._cells = {k: np.asarray(v, dtype=np.int64)
+                       for k, v in cells.items()}
+        self._gridded = True
+
     def contains_batch(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """For a batch of points, return (point_idx, polygon_idx) pairs where
         the point is inside the polygon. Staged test mirrors the reference:
-        envelope reject first (ogrlayer.cpp:1344-1383), then exact ray cast.
+        grid-index candidate lookup, envelope reject (ogrlayer.cpp:
+        1344-1383), then exact ray cast.
         """
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
+        if not hasattr(self, "_gridded"):
+            self._build_grid()
         out_pt: list[np.ndarray] = []
         out_poly: list[np.ndarray] = []
-        for j in range(len(self.ids)):
-            xmin, ymin, xmax, ymax = self.bbox[j]
-            cand = np.nonzero((px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax))[0]
-            if cand.size == 0:
+        if not self._gridded:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        # one pass: cell key per point, group points by cell
+        cx = np.floor((px - self._gx0) / self._csx).astype(np.int64)
+        cy = np.floor((py - self._gy0) / self._csy).astype(np.int64)
+        in_grid = (cx >= 0) & (cx < self._gnx) & (cy >= 0) & (cy < self._gny)
+        keys = np.where(in_grid, cy * self._gnx + cx, -1)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        bounds = np.r_[starts, len(sk)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            key = sk[s]
+            if key < 0:
                 continue
-            inside = self._raycast(px[cand], py[cand], j)
-            hit = cand[inside]
-            if hit.size:
-                out_pt.append(hit)
-                out_poly.append(np.full(hit.size, j, dtype=np.int64))
+            cand_polys = self._cells.get(int(key))
+            if cand_polys is None:
+                continue
+            idx = order[s:e]
+            gx, gy = px[idx], py[idx]
+            for j in cand_polys:
+                xmin, ymin, xmax, ymax = self.bbox[j]
+                m = (gx >= xmin) & (gx <= xmax) & (gy >= ymin) & (gy <= ymax)
+                if not m.any():
+                    continue
+                sub = idx[m]
+                inside = self._raycast(px[sub], py[sub], j)
+                hit = sub[inside]
+                if hit.size:
+                    out_pt.append(hit)
+                    out_poly.append(np.full(hit.size, j, dtype=np.int64))
         if not out_pt:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return np.concatenate(out_pt), np.concatenate(out_poly)

@@ -54,6 +54,13 @@ def ogr_substr(col: Column, start: int, length: int | None = None) -> Column:
     return F.substring(col, start, length)
 
 
+def hstore_get_value(col: Column, key: str) -> Column:
+    """HSTORE_GET_VALUE('a=>b,c=>d', 'c') → 'd'
+    (gdal/ogr/swq_op_registrar.cpp:52-59) — str_to_map + element_at,
+    pure column math."""
+    return F.element_at(F.str_to_map(col, F.lit(","), F.lit("=>")), key)
+
+
 # ---------------------------------------------------------------------------
 # special fields (WKB-derived, Arrow-batched)
 # ---------------------------------------------------------------------------

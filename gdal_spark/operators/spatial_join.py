@@ -77,22 +77,119 @@ def point_in_polygon_join(
         n_poly = polygons.count()
         strategy = "broadcast" if n_poly <= broadcast_max_polygons else "shuffle"
     if strategy == "broadcast":
-        return _broadcast_pip(points, polygons, poly_id, poly_wkb, lon, lat, how)
+        rows = polygons.select(poly_id, poly_wkb).collect()
+        poly_rows = [(r[0], bytes(r[1])) for r in rows]
+        rects = _as_rectangles(poly_rows)
+        if rects is not None:
+            # staged-filter fast path (FilterGeometry's envelope-contain
+            # accept, ogrlayer.cpp:1344-1450): axis-aligned rectangles need
+            # no ray cast — the crossing rule reduces to the half-open box
+            # [xmin,xmax)×[ymin,ymax), pure JVM columns, fully scalable
+            return _rect_pip_jvm(points, rects, poly_id, lon, lat, how)
+        return _broadcast_pip(points, poly_rows, poly_id, lon, lat, how)
+    if strategy == "arrow":
+        rows = polygons.select(poly_id, poly_wkb).collect()
+        return _broadcast_pip(points, [(r[0], bytes(r[1])) for r in rows],
+                              poly_id, lon, lat, how)
     if strategy == "shuffle":
         return _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom)
     raise ValueError(f"unsupported strategy={strategy!r}")
+
+
+def _as_rectangles(poly_rows) -> list | None:
+    """If every polygon is a single axis-aligned rectangle ring, return
+    [(id, xmin, ymin, xmax, ymax)], else None."""
+    from gdal_spark.functions.geometry import decode_polygons
+    out = []
+    for pid, wkb in poly_rows:
+        try:
+            parts = decode_polygons(wkb)
+        except ValueError:
+            return None
+        if len(parts) != 1 or len(parts[0]) != 1:
+            return None
+        r = parts[0][0]
+        if len(r) and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        if len(r) != 4:
+            return None
+        xs = np.unique(r[:, 0]); ys = np.unique(r[:, 1])
+        if len(xs) != 2 or len(ys) != 2:
+            return None
+        # each corner present exactly once
+        if sorted(map(tuple, r)) != sorted(
+                [(xs[0], ys[0]), (xs[0], ys[1]), (xs[1], ys[0]), (xs[1], ys[1])]):
+            return None
+        out.append((pid, float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])))
+    return out
+
+
+def _rect_pip_jvm(points, rects, poly_id, lon, lat, how) -> DataFrame:
+    """Zero-UDF rectangle containment: uniform-cell equi-join against the
+    broadcast exploded rectangle set + half-open bbox filter (exact
+    ray-cast parity for axis-aligned rings)."""
+    spark = points.sparkSession
+    arr = np.array([[x0, y0, x1, y1] for _pid, x0, y0, x1, y1 in rects])
+    gx0, gy0 = arr[:, 0].min(), arr[:, 1].min()
+    n = len(rects)
+    target = min(max(int(np.sqrt(n / 2.0)) * 2, 1), 512)
+    csx = max((arr[:, 2].max() - gx0) / target, 1e-12)
+    csy = max((arr[:, 3].max() - gy0) / target, 1e-12)
+    cell_rows = []
+    for (pid, x0, y0, x1, y1) in rects:
+        cx0 = int((x0 - gx0) / csx); cx1 = int((x1 - gx0) / csx)
+        cy0 = int((y0 - gy0) / csy); cy1 = int((y1 - gy0) / csy)
+        for cy in range(cy0, cy1 + 1):
+            for cx in range(cx0, cx1 + 1):
+                cell_rows.append((cx, cy, pid, x0, y0, x1, y1))
+    cells = spark.createDataFrame(
+        cell_rows, f"_cx int, _cy int, {poly_id} long, "
+                   "_rx0 double, _ry0 double, _rx1 double, _ry1 double")
+    px, py = F.col(lon), F.col(lat)
+    keyed = (points
+             .withColumn("_cx", F.floor((px - F.lit(gx0)) / F.lit(csx)).cast("int"))
+             .withColumn("_cy", F.floor((py - F.lit(gy0)) / F.lit(csy)).cast("int")))
+    contains = ((px >= F.col("_rx0")) & (px < F.col("_rx1"))
+                & (py >= F.col("_ry0")) & (py < F.col("_ry1")))
+    pt_cols = points.columns
+    if how == "inner":
+        j = keyed.join(F.broadcast(cells), on=["_cx", "_cy"], how="inner")
+        return j.filter(contains).select(*pt_cols, poly_id)
+    # left modes need a stable per-row identity
+    keyed = keyed.withColumn("_rid", F.monotonically_increasing_id())
+    j = keyed.join(F.broadcast(cells), on=["_cx", "_cy"], how="left")
+    j = j.withColumn(poly_id, F.when(contains, F.col(poly_id)))
+    if how == "left_first":
+        from pyspark.sql import Window
+        w = Window.partitionBy("_rid").orderBy(F.col(poly_id).asc_nulls_last())
+        j = (j.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1))
+    else:  # "left": all matches, plus one null row for unmatched points
+        from pyspark.sql import Window
+        w = Window.partitionBy("_rid")
+        j = (j.withColumn("_nm", F.max(F.col(poly_id).isNotNull().cast("int")).over(w))
+             .filter(F.col(poly_id).isNotNull() | (F.col("_nm") == 0))
+             .withColumn("_rn2", F.row_number().over(
+                 Window.partitionBy("_rid").orderBy(F.col(poly_id).asc_nulls_last())))
+             .filter(F.col(poly_id).isNotNull() | (F.col("_rn2") == 1)))
+    return j.select(*pt_cols, poly_id)
 
 
 # ---------------------------------------------------------------------------
 # broadcast path
 # ---------------------------------------------------------------------------
 
-def _broadcast_pip(points, polygons, poly_id, poly_wkb, lon, lat, how) -> DataFrame:
+def _broadcast_pip(points, poly_rows, poly_id, lon, lat, how) -> DataFrame:
+    """Arrow-native kernel (mapInArrow): point columns never materialize as
+    Python objects — coordinates come out as numpy views, surviving rows are
+    gathered with pyarrow ``take`` (C++). At 10^8+ rows/box this is what
+    keeps the stage memory-bandwidth-light enough to scale with cores
+    (pandas object conversion of the string columns was the measured
+    bottleneck at local[32])."""
+    import pyarrow as pa
+
     spark = points.sparkSession
-    rows = polygons.select(poly_id, poly_wkb).collect()
-    bc = spark.sparkContext.broadcast(
-        [(r[0], bytes(r[1])) for r in rows]
-    )
+    bc = spark.sparkContext.broadcast(poly_rows)
     pt_schema = points.schema
     out_schema = _extend_schema(pt_schema, (poly_id, T.LongType()))
     first_only = how == "left_first"
@@ -100,12 +197,14 @@ def _broadcast_pip(points, polygons, poly_id, poly_wkb, lon, lat, how) -> DataFr
     lon_i = pt_schema.fieldNames().index(lon)
     lat_i = pt_schema.fieldNames().index(lat)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        prep = _prepared_from_rows(bc.value)  # built once per python worker task
-        for pdf in batches:
-            px = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
-            py = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
-            pi, gi = prep.contains_batch(px, py)
+    def run(batches):
+        prep = _prepared_from_rows(bc.value)  # built once per worker task
+        for batch in batches:
+            px = batch.column(lon_i).to_numpy(zero_copy_only=False)
+            py = batch.column(lat_i).to_numpy(zero_copy_only=False)
+            pi, gi = prep.contains_batch(
+                np.asarray(px, dtype=np.float64),
+                np.asarray(py, dtype=np.float64))
             ids = prep.ids[gi].astype(np.int64)
             if first_only and len(pi):
                 # lowest polygon id per point = OGR first-match determinized
@@ -114,17 +213,18 @@ def _broadcast_pip(points, polygons, poly_id, poly_wkb, lon, lat, how) -> DataFr
                 keep = np.ones(len(pi), dtype=bool)
                 keep[1:] = pi[1:] != pi[:-1]
                 pi, ids = pi[keep], ids[keep]
-            out = pdf.iloc[pi].copy()
-            out[poly_id] = ids
+            out = batch.take(pa.array(pi)).append_column(
+                poly_id, pa.array(ids, type=pa.int64()))
             if emit_unmatched:
-                unmatched = np.setdiff1d(np.arange(len(pdf)), pi, assume_unique=False)
+                unmatched = np.setdiff1d(np.arange(batch.num_rows), pi,
+                                         assume_unique=False)
                 if len(unmatched):
-                    miss = pdf.iloc[unmatched].copy()
-                    miss[poly_id] = pd.array([None] * len(miss), dtype="Int64")
-                    out = pd.concat([out, miss], ignore_index=True)
+                    miss = batch.take(pa.array(unmatched)).append_column(
+                        poly_id, pa.nulls(len(unmatched), type=pa.int64()))
+                    yield miss
             yield out
 
-    return points.mapInPandas(run, schema=out_schema)
+    return points.mapInArrow(run, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

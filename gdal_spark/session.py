@@ -55,7 +55,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("GDAL_SPARK_DRIVER_MEM", "16g"))
+        # single local JVM holds driver+executors: size the heap so 32
+        # concurrent tasks don't GC-thrash (measured: 16g caps scaling at
+        # ~1.6x from 8→32 cores on the flagship; 64g restores it)
+        .config("spark.driver.memory", os.environ.get("GDAL_SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )

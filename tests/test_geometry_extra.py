@@ -1,0 +1,77 @@
+"""Convex hull, Douglas-Peucker, hstore, pixel algebra, color relief."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import geometry as G
+from gdal_spark.functions import ogr_sql as OS
+from gdal_spark.raster import algebra as AL
+from gdal_spark.raster import model as M
+
+
+def test_convex_hull():
+    pts = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [2, 2], [1, 3], [3, 1]])
+    hull = G.convex_hull(pts)
+    # hull is the square, closed, CCW
+    assert len(hull) == 5
+    assert G.ring_area(hull) == 16.0
+    _, _, a = G.ring_centroid_area(hull)
+    assert a > 0  # CCW
+
+
+def test_convex_hull_collinear():
+    pts = np.array([[0, 0], [1, 1], [2, 2], [3, 3]])
+    hull = G.convex_hull(pts)
+    assert len(hull) <= 3  # degenerate line
+
+
+def test_simplify_dp():
+    x = np.linspace(0, 10, 101)
+    line = np.column_stack([x, np.zeros_like(x)])
+    line[50, 1] = 2.0  # one spike
+    out = G.simplify_dp(line, 0.5)
+    # keeps endpoints + the spike (and its shoulders where deviation > tol)
+    assert len(out) < 10
+    assert any((p == [5.0, 2.0]).all() for p in out)
+    # tolerance above the spike removes it
+    out2 = G.simplify_dp(line, 3.0)
+    assert len(out2) == 2
+
+
+def test_hstore(spark):
+    df = spark.createDataFrame([("a=>1,b=>two",), ("x=>9",)], "props string")
+    got = df.select(OS.hstore_get_value(F.col("props"), "b").alias("v")).collect()
+    assert [r["v"] for r in got] == ["two", None]
+
+
+def test_map_and_zip_pixels(spark):
+    meta = M.RasterMeta("p", 40, 30, block=16)
+    arr = (np.arange(1200).reshape(30, 40) % 100).astype(np.uint8)
+    tiles = M.from_array(spark, arr, meta)
+    dbl, om = AL.map_pixels(tiles, meta, "dbl", lambda a: a * 2 % 256)
+    np.testing.assert_array_equal(M.to_array(dbl, om), (arr * 2 % 256))
+    summed, om2 = AL.zip_pixels(tiles, dbl, meta, "sum",
+                                lambda a, b: (a.astype(int) + b) % 256)
+    np.testing.assert_array_equal(
+        M.to_array(summed, om2), (arr.astype(int) + arr * 2 % 256) % 256)
+
+
+def test_color_relief(spark):
+    meta = M.RasterMeta("e", 20, 10, dtype="float64", block=8)
+    arr = np.linspace(0, 100, 200).reshape(10, 20)
+    tiles = M.from_array(spark, arr, meta)
+    ramp = [(0.0, 0, 0, 255), (50.0, 0, 255, 0), (100.0, 255, 0, 0)]
+    out, om = AL.color_relief(tiles, meta, "cr", ramp)
+    r = M.to_array(out, om, band=0).astype(float)
+    g = M.to_array(out, om, band=1).astype(float)
+    b = M.to_array(out, om, band=2).astype(float)
+    # elevation 25 → halfway blue→green
+    i, j = np.unravel_index(np.argmin(np.abs(arr - 25.0)), arr.shape)
+    assert b[i, j] == pytest.approx(np.floor(np.interp(arr[i, j], [0, 50, 100],
+                                                       [255, 0, 0]) + 0.5))
+    assert g[i, j] == pytest.approx(np.floor(np.interp(arr[i, j], [0, 50, 100],
+                                                       [0, 255, 0]) + 0.5))
+    # exact ramp points
+    i0 = np.unravel_index(np.argmin(np.abs(arr - 100.0)), arr.shape)
+    assert r[i0] == 255 and g[i0] == 0
