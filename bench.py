@@ -60,7 +60,7 @@ def _run_once(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 # sized so the local[8] steady state is ≳60 s — fixed JVM/python-worker
 # costs must amortize for the N-vs-4N efficiency to measure the job, not
 # the harness (BASELINE.md bench notes)
-SCALING_ROWS = int(os.environ.get("GDAL_SPARK_SCALING_ROWS", "64000000"))
+SCALING_ROWS = int(os.environ.get("GDAL_SPARK_SCALING_ROWS", "512000000"))
 SCALING_DIR = os.environ.get("GDAL_SPARK_SCALING_DIR",
                              "/tmp/gdal_spark_bench_pages")
 
@@ -103,7 +103,7 @@ def _scaling(n_rows: int = SCALING_ROWS) -> dict:
         # warm-up (JVM/codegen/python-worker spin-up) then timed reps, best-of
         _scaling_job(spark, pages_path).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.time()
             _scaling_job(spark, pages_path).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -6,11 +6,17 @@ envelope reject first, then exact point-in-ring ray casting
 (gdal/ogr/ogrlinearring.cpp:471-533). The reference runs a single-threaded
 nested loop; here the same semantics distribute two ways:
 
-- **broadcast path** (small polygon side): polygons are collected once,
-  wrapped in a PreparedPolygons batch-PIP structure (the prepared-geometry
-  analog, ogrlayer.cpp:1445-1446), broadcast to every executor, and probed
-  per Arrow batch via mapInPandas. No shuffle at all — at 10^12 rows this
-  is a pure narrow map stage, so skewed point distributions cost nothing.
+- **broadcast path** (small polygon side), staged like the reference's
+  FilterGeometry: if every polygon is an axis-aligned rectangle (grid
+  cells, tiles, bboxes — the dominant method layers), the whole join is
+  *pure JVM column math* (uniform-cell equi-join + half-open bbox filter,
+  exact ray-cast parity) — whole-stage codegen, scales linearly with
+  cores. Otherwise polygons are collected once into a grid-indexed
+  PreparedPolygons structure (prepared-geometry + .qix-quadtree analog,
+  ogrlayer.cpp:1445-1446 / ogrshapelayer.cpp:362), broadcast, and probed
+  per batch via mapInArrow (zero-copy: no pandas string objects). No
+  shuffle either way — at 10^12 rows this is a narrow map stage, so
+  skewed point distributions cost nothing.
 
 - **shuffle path** (large polygon side): both sides get WebMercator cell
   keys at ``cell_zoom`` (points: 1 cell; polygons: exploded over bbox-covered
