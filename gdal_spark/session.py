@@ -60,7 +60,9 @@ def get_spark(
         # ~1.6x from 8→32 cores on the flagship; 64g restores it)
         .config("spark.driver.memory", os.environ.get("GDAL_SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        .config("spark.driver.extraJavaOptions",
+                "-Djava.net.preferIPv4Stack=true "
+                + os.environ.get("GDAL_SPARK_JAVA_OPTS", ""))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

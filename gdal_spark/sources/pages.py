@@ -93,13 +93,17 @@ def pages(spark: SparkSession, n_rows: int, n_hosts: int | None = None,
 def extract_points(pages_df: DataFrame) -> DataFrame:
     """Derive the point layer (url, lon, lat) from ``text`` — the engine-side
     extraction. Pure column regexp, no UDF. lon/lat are exact: integer
-    microdegrees / 1e6 computed identically to the generator."""
-    lon_e6 = F.regexp_extract("text", r"geo_e6: (-?\d+),(-?\d+)", 1).cast("long")
-    lat_e6 = F.regexp_extract("text", r"geo_e6: (-?\d+),(-?\d+)", 2).cast("long")
+    microdegrees / 1e6 computed identically to the generator.
+
+    One regex pass extracts the "lon,lat" payload, a split finishes the
+    parse — halves the per-row string scanning vs two regexp_extract calls
+    (measurable at 10^8 rows)."""
+    pair = F.regexp_extract("text", r"geo_e6: (-?\d+,-?\d+)", 1)
+    parts = F.split(pair, ",")
     return pages_df.select(
         "url",
-        (lon_e6 / 1e6).alias("lon"),
-        (lat_e6 / 1e6).alias("lat"),
+        (parts.getItem(0).cast("long") / 1e6).alias("lon"),
+        (parts.getItem(1).cast("long") / 1e6).alias("lat"),
     )
 
 
