@@ -143,9 +143,14 @@ def _scaling(n_rows: int = SCALING_ROWS, pairs=((4, 16), (8, 32)),
            "pairs": {}}
     for lo, hi in pairs:
         eff = (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"])             / (hi / lo)
+        ceiling = _cpu_ceiling(lo, hi)
         out["pairs"][f"{lo}->{hi}"] = {
             "scaling_efficiency": round(eff, 3),
-            "cpu_ceiling": _cpu_ceiling(lo, hi),
+            # what a perfectly parallel zero-shared-data job measures on
+            # this box right now (turbo clocking + noisy-neighbor load) —
+            # the meaningful score is eff relative to this ceiling
+            "cpu_ceiling": ceiling,
+            "ceiling_normalized_efficiency": round(eff / ceiling, 3),
         }
     first = f"{pairs[0][0]}->{pairs[0][1]}"
     out["scaling_efficiency"] = out["pairs"][first]["scaling_efficiency"]
