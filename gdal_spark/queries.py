@@ -404,6 +404,36 @@ FROM areas WHERE geom_area < 100.0
 """
 
 
+def q_poly_distinct_where(spark, sf_dir):
+    """ogr_sql_test.py:64-100 ported expectation: SELECT DISTINCT eas_id
+    FROM poly WHERE eas_id < 170 → {168, 169, 166, 158, 165} (order-
+    insensitive here; the reference's DISTINCT preserves first-seen)."""
+    poly = PG.poly_fixture(spark)
+    return poly.filter(F.col("eas_id") < 170).select("eas_id").distinct()
+
+
+ORACLE_POLY_DISTINCT = f"""
+WITH poly(fid, area, eas_id, prfedea) AS (VALUES {_POLY_VALUES})
+SELECT DISTINCT eas_id FROM poly WHERE eas_id < 170
+"""
+
+
+def q_poly_orderby(spark, sf_dir):
+    """ogr_sql_test.py ORDER BY cases (:82-117): multi-key sort with the
+    case-sensitive string collation CreateOrderByIndex uses."""
+    poly = PG.poly_fixture(spark)
+    return (poly.orderBy(F.desc("eas_id"), F.col("prfedea"))
+            .select("fid", "eas_id", "prfedea",
+                    F.round("area", 3).alias("area")))
+
+
+ORACLE_POLY_ORDERBY = f"""
+WITH poly(fid, area, eas_id, prfedea) AS (VALUES {_POLY_VALUES})
+SELECT fid, eas_id, prfedea, round(CAST(area AS DOUBLE), 3) AS area
+FROM poly ORDER BY eas_id DESC, prfedea
+"""
+
+
 def q_poly_ci_filter(spark, sf_dir):
     """Case-insensitive string '=' and LIKE (swq_op_general.cpp:42-100)."""
     poly = PG.poly_fixture(spark)
@@ -1128,6 +1158,8 @@ QUERIES: dict[str, tuple] = {
     "poly_idlink_join": (q_poly_idlink_join, ORACLE_POLY_IDLINK),
     "poly_special_fields": (q_poly_special_fields, ORACLE_POLY_SPECIAL),
     "poly_ci_filter": (q_poly_ci_filter, ORACLE_POLY_CI),
+    "poly_distinct_where": (q_poly_distinct_where, ORACLE_POLY_DISTINCT),
+    "poly_orderby": (q_poly_orderby, ORACLE_POLY_ORDERBY),
     # webtext / training-data ops
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_prefix": (q_dedup_prefix, ORACLE_DEDUP_PREFIX),
