@@ -188,7 +188,8 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
          method: str = "bilinear",
          src_from_dst: Callable | None = None,
          scale: tuple[float, float] | None = None,
-         lattice: int = 8) -> DataFrame:
+         lattice: int = 8,
+         dst_window: tuple[int, int, int, int] | None = None) -> DataFrame:
     """Warp ``src_tiles`` onto ``dst_meta``'s grid. ``src_from_dst`` maps
     arrays of dst pixel coords → src pixel coords (default: affine via the
     two geotransforms); it must be picklable and numpy-vectorized.
@@ -216,9 +217,18 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     nodata = dst_meta.nodata if dst_meta.nodata is not None else 0.0
 
     spark = src_tiles.sparkSession
-    keys = spark.range(nbx * nby).select(
-        (F.col("id") % nbx).cast("int").alias("dbx"),
-        (F.col("id") / nbx).cast("int").alias("dby"))
+    if dst_window is not None:
+        # bound key generation to the blocks covering the area of interest
+        # (a zoom-z world grid is 4^z blocks — enumerate only the extent)
+        wx0, wy0, wx1, wy1 = dst_window
+        nwx = wx1 - wx0 + 1
+        keys = spark.range(nwx * (wy1 - wy0 + 1)).select(
+            (F.col("id") % nwx + wx0).cast("int").alias("dbx"),
+            (F.col("id") / nwx + wy0).cast("int").alias("dby"))
+    else:
+        keys = spark.range(nbx * nby).select(
+            (F.col("id") % nbx).cast("int").alias("dbx"),
+            (F.col("id") / nbx).cast("int").alias("dby"))
 
     win_schema = T.StructType([
         T.StructField("dbx", T.IntegerType()), T.StructField("dby", T.IntegerType()),
