@@ -84,8 +84,18 @@ def resumable_write(df: DataFrame, out_dir: str, keys: list[str],
     n_pending = new_man.count()
     rows = 0
     if n_pending:
-        (pending.write.mode("append").partitionBy(*keys).parquet(
-            os.path.join(out_dir, "data")))
+        # Crash safety: the manifest is written LAST, and the data write uses
+        # dynamic partition overwrite so a retry after a crash between the
+        # two writes REPLACES the orphaned key partitions instead of
+        # appending duplicate rows (exactly-once per key).
+        conf = spark.conf
+        prev_mode = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (pending.write.mode("overwrite").partitionBy(*keys).parquet(
+                os.path.join(out_dir, "data")))
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         rows = new_man.agg(F.sum("n_rows")).collect()[0][0]
         new_man.write.mode("append").parquet(_manifest_dir(out_dir))
     pending.unpersist()

@@ -493,8 +493,8 @@ def q_token_stats(spark, sf_dir):
 
 ORACLE_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS sum_tokens,
-       sum(length(text)) AS sum_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
        max(len(string_split(text, ' '))) AS max_tokens
 FROM documents GROUP BY lang
 """
@@ -772,7 +772,7 @@ WITH g AS (
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """
 

@@ -40,7 +40,9 @@ def _to_int32(arr: np.ndarray) -> np.ndarray:
         out = np.floor(v).astype(np.int64)
         out[bad] = -2147483648
         return out
-    return arr.astype(np.int64)
+    # integer inputs read through GInt32 buffers in the reference —
+    # GDALCopyWords clamps out-of-range values (uint32/int64 > 2^31-1)
+    return np.clip(arr.astype(np.int64), -2147483648, 2147483647)
 
 
 def block_checksum_partial(block: np.ndarray, x0: int, y0: int, width: int) -> int:

@@ -203,7 +203,7 @@ def polygonize(tiles: DataFrame, meta: RasterMeta, band: int = 0,
 def _polygonize_full(tiles: DataFrame, meta: RasterMeta, band: int = 0,
                      max_iters: int = 50):
     dtype, block, nodata = meta.dtype, meta.block, meta.nodata
-    nbx, width = meta.n_block_x, meta.width
+    nbx, width, height = meta.n_block_x, meta.width, meta.height
 
     tiles = tiles.filter(F.col("band") == band)
 
@@ -236,24 +236,29 @@ def _polygonize_full(tiles: DataFrame, meta: RasterMeta, band: int = 0,
                                   int(cnt[lab]),
                                   int(vx0[lab]), int(vy0[lab]),
                                   int(vx1[lab]), int(vy1[lab])))
-                # border pixels → edge rows keyed by the *shared* border
+                # border pixels → edge rows keyed by the *shared* border.
+                # h keys: y*width + x (x < width, never wraps).  v keys use a
+                # width+1 multiplier so the left edge of column 0 (x = -1)
+                # cannot collide with the right edge of column width-1 on the
+                # previous row.  Edges on the raster's outer border are not
+                # emitted — there is no neighbor block to join with.
                 for x in range(r.w):          # top row ↔ block above's bottom
                     lab = labels[0, x]
-                    if lab >= 0:
+                    if lab >= 0 and py0 > 0:
                         erows.append(("h", (py0 - 1) * width + px0 + x,
                                       float(arr[0, x]), int(base + lab)))
                     lab = labels[r.h - 1, x]  # bottom row (its own key)
-                    if lab >= 0:
+                    if lab >= 0 and py0 + r.h < height:
                         erows.append(("h", (py0 + r.h - 1) * width + px0 + x,
                                       float(arr[r.h - 1, x]), int(base + lab)))
                 for y in range(r.h):
                     lab = labels[y, 0]
-                    if lab >= 0:
-                        erows.append(("v", (py0 + y) * width + px0 - 1,
+                    if lab >= 0 and px0 > 0:
+                        erows.append(("v", (py0 + y) * (width + 1) + px0 - 1,
                                       float(arr[y, 0]), int(base + lab)))
                     lab = labels[y, r.w - 1]
-                    if lab >= 0:
-                        erows.append(("v", (py0 + y) * width + px0 + r.w - 1,
+                    if lab >= 0 and px0 + r.w < width:
+                        erows.append(("v", (py0 + y) * (width + 1) + px0 + r.w - 1,
                                       float(arr[y, r.w - 1]), int(base + lab)))
             yield pd.DataFrame(srows, columns=[f.name for f in _SUMMARY]), \
                   pd.DataFrame(erows, columns=[f.name for f in _EDGES])

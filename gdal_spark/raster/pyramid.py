@@ -38,7 +38,13 @@ def downsample2x_average(arr: np.ndarray) -> np.ndarray:
                 sub = arr[dy::2, dx::2].astype(np.int64)
                 acc[:sub.shape[0], :sub.shape[1]] += sub
                 cnt[:sub.shape[0], :sub.shape[1]] += 1
-        return ((acc + cnt // 2) // cnt).astype(arr.dtype)
+        # C truncating division (reference: (nTotal + nCount/2)/nCount
+        # truncates toward zero) — floor division would round signed
+        # negative box sums off-by-one (e.g. int16 DEMs).
+        num = acc + cnt // 2
+        q = num // cnt
+        q += (num < 0) & (num % cnt != 0)
+        return q.astype(arr.dtype)
     acc = np.zeros((oh, ow), dtype=np.float64)
     cnt = np.zeros((oh, ow), dtype=np.int64)
     for dy in (0, 1):

@@ -43,7 +43,7 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
           max_rounds: int = 20) -> DataFrame:
     regions, lab = _polygonize_full(tiles, meta, band)
     dtype, block, nodata = meta.dtype, meta.block, meta.nodata
-    nbx, width = meta.n_block_x, meta.width
+    nbx, width, height = meta.n_block_x, meta.width, meta.height
     tiles_b = tiles.filter(F.col("band") == band)
 
     # ---- adjacency: within-block pairs + cross-block border pairs --------
@@ -73,19 +73,21 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
                 labels, _ = label_block(arr, nodata)
                 base = _node_base(r.bx, r.by, nbx)
                 px0, py0 = r.bx * block, r.by * block
+                # same non-wrapping key scheme as polygonize: v keys use a
+                # width+1 multiplier; outer-border edges are never emitted
                 for x in range(r.w):
-                    if labels[0, x] >= 0:
+                    if labels[0, x] >= 0 and py0 > 0:
                         rows.append(("h", (py0 - 1) * width + px0 + x,
                                      int(base + labels[0, x])))
-                    if labels[r.h - 1, x] >= 0:
+                    if labels[r.h - 1, x] >= 0 and py0 + r.h < height:
                         rows.append(("h", (py0 + r.h - 1) * width + px0 + x,
                                      int(base + labels[r.h - 1, x])))
                 for y in range(r.h):
-                    if labels[y, 0] >= 0:
-                        rows.append(("v", (py0 + y) * width + px0 - 1,
+                    if labels[y, 0] >= 0 and px0 > 0:
+                        rows.append(("v", (py0 + y) * (width + 1) + px0 - 1,
                                      int(base + labels[y, 0])))
-                    if labels[y, r.w - 1] >= 0:
-                        rows.append(("v", (py0 + y) * width + px0 + r.w - 1,
+                    if labels[y, r.w - 1] >= 0 and px0 + r.w < width:
+                        rows.append(("v", (py0 + y) * (width + 1) + px0 + r.w - 1,
                                      int(base + labels[y, r.w - 1])))
             yield pd.DataFrame(rows, columns=["side", "gpos", "node"])
 
@@ -150,32 +152,38 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
         mapping = mapping.localCheckpoint(eager=True)
 
     # ---- relabel pixels ---------------------------------------------------
+    # Distributed relabel: the (node → new value) table is grouped per block
+    # and joined onto the tile rows (region count scales with raster size —
+    # a driver-side collect would OOM at scale; a keyed join does not).
     tgt_val = base_sizes.select(F.col("comp").alias("tgt"),
                                 F.col("value").alias("tval"))
-    final = (mapping.withColumnRenamed("comp", "mcomp")
-             .join(lab.withColumnRenamed("comp", "mcomp"), on="mcomp")
-             .select("node", "tgt")
-             .join(tgt_val, on="tgt")
-             .select("node", "tval"))
-    node_val = {int(r["node"]): float(r["tval"]) for r in final.collect()}
-    bc = tiles.sparkSession.sparkContext.broadcast(node_val)
+    moved = mapping.filter(F.col("comp") != F.col("tgt"))
+    per_block = (moved.join(lab, on="comp")
+                 .join(tgt_val, on="tgt")
+                 .select("node", "tval")
+                 .withColumn("bidx", F.shiftright("node", 24))
+                 .groupBy("bidx")
+                 .agg(F.collect_list(F.struct("node", "tval")).alias("relab")))
+    joined = (cached.withColumn(
+                  "bidx", F.col("by").cast("long") * F.lit(int(nbx)) + F.col("bx"))
+              .join(per_block, on="bidx", how="left"))
 
     def relabel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nv = bc.value
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 arr = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
-                labels, n = label_block(arr, nodata)
-                base = _node_base(r.bx, r.by, nbx)
                 out = arr.copy()
-                for labn in range(n):
-                    v = nv.get(int(base + labn))
-                    if v is not None:
-                        out[labels == labn] = v
+                relab = r.relab
+                if relab is not None and not (isinstance(relab, float)
+                                              and np.isnan(relab)):
+                    labels, _ = label_block(arr, nodata)
+                    base = _node_base(r.bx, r.by, nbx)
+                    for item in relab:
+                        out[labels == int(item["node"] - base)] = item["tval"]
                 rows.append((r.raster_id + "_sieved", r.band, r.bx, r.by,
                              r.w, r.h, out.tobytes()))
             yield pd.DataFrame(rows, columns=["raster_id", "band", "bx", "by",
                                               "w", "h", "data"])
 
-    return cached.mapInPandas(relabel, schema=TILE_SCHEMA)
+    return joined.mapInPandas(relabel, schema=TILE_SCHEMA)

@@ -131,6 +131,33 @@ def test_polygonize_snake_across_blocks(spark):
     assert rows[0]["n_pixels"] == 80 + 4 + 3
 
 
+def test_polygonize_row_seam_no_wrap(spark):
+    """Regression: isolated equal-valued pixels at (width-1, y) and (0, y+1)
+    must NOT merge — the vertical border-edge key previously wrapped around
+    the row end ((y+1)*width-1 == y*width + width-1)."""
+    arr = np.zeros((4, 32), dtype=np.uint8)
+    arr[0, 31] = 9
+    arr[1, 0] = 9
+    meta = M.RasterMeta("wrap", 32, 4, block=16)
+    rows = (PZ.polygonize(M.from_array(spark, arr, meta), meta)
+            .filter("value = 9.0").collect())
+    assert len(rows) == 2
+    assert sorted(r["n_pixels"] for r in rows) == [1, 1]
+
+
+def test_polygonize_block_seam_no_wrap(spark):
+    """Same wrap scenario at an interior block border: pixels at the right
+    edge of block column 1 row y and the left edge of block column 0 row
+    y+1 stay separate."""
+    arr = np.zeros((4, 32), dtype=np.uint8)
+    arr[0, 15] = 9   # right edge of block (0,0)
+    arr[1, 16] = 9   # left edge of block (1,0) — diagonal, not 4-connected
+    meta = M.RasterMeta("wrap2", 32, 4, block=16)
+    rows = (PZ.polygonize(M.from_array(spark, arr, meta), meta)
+            .filter("value = 9.0").collect())
+    assert len(rows) == 2
+
+
 def test_region_geometries_exact(spark):
     arr = np.zeros((20, 30), dtype=np.uint8)
     arr[4:16, 5:25] = 5

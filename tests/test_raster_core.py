@@ -126,3 +126,25 @@ def test_pyramid_chain(spark, meta, tiles):
     assert [m.width for _, m in levels] == [150, 75, 38]
     n = levels[-1][0].count()
     assert n == 1  # 38x25 fits one block
+
+
+def test_pyramid_average_signed_trunc():
+    """C truncating division vs numpy floor: box sum -5 → (-5+2)/4 = 0 in C
+    (trunc toward zero), not -1 (floor)."""
+    arr = np.array([[-1, -1], [-1, -2]], dtype=np.int16)
+    out = PY.downsample2x_average(arr)
+    assert out.dtype == np.int16
+    assert out[0, 0] == 0
+    # positive twin rounds half-up as before
+    arr2 = np.array([[1, 1], [1, 2]], dtype=np.int16)
+    assert PY.downsample2x_average(arr2)[0, 0] == 1
+
+
+def test_checksum_int32_clamp():
+    """uint32/int64 values above 2^31-1 clamp through GInt32 (GDALCopyWords)."""
+    big = np.array([[3_000_000_000]], dtype=np.uint32)
+    assert CK._to_int32(big)[0, 0] == 2147483647
+    neg = np.array([[-3_000_000_000]], dtype=np.int64)
+    assert CK._to_int32(neg)[0, 0] == -2147483648
+    small = np.array([[42]], dtype=np.uint8)
+    assert CK._to_int32(small)[0, 0] == 42

@@ -56,6 +56,22 @@ def test_sieve_chained_small_regions(spark):
     np.testing.assert_array_equal(got, np.zeros_like(arr))
 
 
+def test_sieve_row_seam_no_spurious_adjacency(spark):
+    """Regression: a small region at the end of row y must not be adjacent
+    to a region starting at row y+1 (border-key wraparound). The 2px region
+    at the right edge of row 0 is NOT 4-adjacent to the 9px block at the
+    left edge of rows 1-3 — it must merge into the background, not into it."""
+    arr = np.zeros((6, 32), dtype=np.uint8)
+    arr[0, 30:32] = 5      # 2px small region, touches only background
+    arr[1:4, 0:3] = 7      # 9px region starting at (0,1) — NOT a neighbor
+    meta = M.RasterMeta("seam", 32, 6, block=16)
+    out = SV.sieve(M.from_array(spark, arr, meta), meta, threshold=4)
+    got = M.to_array(out, meta)
+    want = arr.copy()
+    want[0, 30:32] = 0     # merged into background (largest true neighbor)
+    np.testing.assert_array_equal(got, want)
+
+
 # ---------------------------------------------------------------------------
 # contour
 # ---------------------------------------------------------------------------
