@@ -2,13 +2,20 @@
 
 - ``exact_dup_groups``      — hash-groupBy exact dedup (one shuffle on the
   content hash; at 10^12 docs the hash is 32 bytes/row vs full text).
-- ``minhash_signatures``    — MinHash over word shingles. Hash family =
-  md5(salt + shingle) compared lexicographically (strings): deterministic,
-  portable, and exactly reproducible in any SQL engine for oracles —
-  no engine-specific 64-bit hash needed.
+- ``minhash_signatures``    — MinHash over word shingles. Hash family:
+  one md5 per *distinct* shingle folded to a 60-bit integer, then
+  ``sig_j = min((a_j*h + b_j) mod p)`` with p = 2^31-1 — the classic
+  universal-hash family. One cryptographic hash per shingle (not one per
+  shingle per signature), the rest integer column math; deterministic and
+  exactly reproducible in any SQL engine for oracles.
 - ``lsh_candidate_pairs``   — banding: split the signature into bands,
   group by (band index, band key); docs sharing any band become candidate
   pairs. Shuffle is on the band key, so near-dup clusters co-locate.
+  Buckets are capped at ``max_bucket`` members (smallest ids kept,
+  deterministic): one boilerplate band key over 10^6 docs would otherwise
+  self-join into 10^12 pairs — the cap bounds any bucket to
+  max_bucket^2/2 pairs at a measured recall cost, the standard guard for
+  skewed web corpora.
 - ``ngram_jaccard_pairs``   — exact shingle-set Jaccard for candidate pairs
   via explode + distinct + count joins (set semantics).
 - ``simhash64``             — 64-bit SimHash from md5 nibbles of shingles
@@ -41,51 +48,102 @@ def exact_dup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id") 
     )
 
 
-def _minhash_col(shingles, salt: int):
-    return F.array_min(F.transform(
-        shingles, lambda s: F.md5(F.concat(F.lit(f"{salt}:"), s))))
+# universal-hash family sig_j = (A[j]*h + B[j]) mod MINHASH_P over 60-bit
+# shingle hashes; p = 2^31-1 keeps every product < 2^62 (overflow-free in
+# both Spark longs and DuckDB BIGINTs, so oracles reproduce it bit-exactly)
+MINHASH_P = 2147483647
+MINHASH_A = [1093, 2039, 4093, 8191, 16381, 32749, 65521, 131071,
+             262139, 524287, 1048573, 2097143, 4194301, 8388593,
+             16777213, 33554393]
+MINHASH_B = [12345, 54321, 7, 999983, 271828, 314159, 161803, 424242,
+             777777, 123321, 456654, 789987, 135791, 246802, 975310, 864200]
 
 
 def minhash_signatures(df: DataFrame, text: str = "text", id_col: str = "doc_id",
                        n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """(id, sig_0..sig_{n-1}) — min md5-hex over shingles per salt.
+    """(id, sig_0..sig_{n-1}) — universal-hash MinHash over distinct word
+    shingles: h = first 60 bits of md5(shingle), sig_j = min((a_j*h+b_j)
+    mod 2^31-1). One md5 per distinct shingle total; the n_hashes
+    signatures are integer column math over the shared hash array (the
+    intermediate ``_hs`` projection is a separate select so Catalyst does
+    not inline the expensive transform n_hashes times).
     Docs with no shingles (shorter than shingle_n words) get null sigs."""
-    sh = word_shingles(F.col(text), shingle_n)
-    cols = [F.col(id_col)]
-    cols += [_minhash_col(sh, j).alias(f"sig_{j}") for j in range(n_hashes)]
-    return df.select(*cols)
+    sh = F.array_distinct(word_shingles(F.col(text), shingle_n))
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    base = df.select(F.col(id_col), hs.alias("_hs"))
+    p = F.lit(MINHASH_P)
+
+    def sig(j):
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        return F.array_min(F.transform(
+            F.col("_hs"), lambda h: ((h % p) * a + b) % p)).alias(f"sig_{j}")
+
+    return base.select(F.col(id_col), *[sig(j) for j in range(n_hashes)])
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        n_bands: int = 4, rows_per_band: int = 2) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
-    bands = []
-    for b in range(n_bands):
-        key = F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}")
-                                 for r in range(rows_per_band)])
-        bands.append(sigs.select(F.col(id_col).alias("_id"), F.lit(b).alias("_band"),
-                                 key.alias("_key")).filter(F.col("_key") != ""))
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
-    a = allb.select(F.col("_id").alias("id_a"), "_band", "_key")
-    b_ = allb.select(F.col("_id").alias("id_b"), "_band", "_key")
-    return (a.join(b_, on=["_band", "_key"]).filter(F.col("id_a") < F.col("id_b"))
+                        n_bands: int = 4, rows_per_band: int = 2,
+                        max_bucket: int | None = 256) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    ``max_bucket`` caps each (band, key) bucket to its smallest ids before
+    the self-join (row_number over the bucket — linear, not quadratic).
+    Without it a single boilerplate band key over 10^6 docs yields 10^12
+    pairs in one bucket; with it the worst bucket contributes at most
+    max_bucket*(max_bucket-1)/2 pairs. Deterministic: the kept subset
+    depends only on ids, so SQL oracles reproduce it exactly."""
+    from pyspark.sql import Window as W
+    keys = F.array(*[
+        F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}")
+                           for r in range(rows_per_band)])
+        for b in range(n_bands)])
+    # single pass: the signature columns are referenced exactly once (a
+    # per-band union would recompute the signature subtree n_bands times,
+    # and a self-join would double it again)
+    keyed = (sigs.select(F.col(id_col).alias("_id"),
+                         F.posexplode(keys).alias("_band", "_key"))
+             .filter(F.col("_key") != ""))
+    if max_bucket is not None:
+        w = W.partitionBy("_band", "_key").orderBy("_id")
+        keyed = (keyed.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= max_bucket))
+    # pairs are generated bucket-locally (collect_list bounded by
+    # max_bucket) — the exchange from the window is reused by the groupBy
+    buckets = (keyed.groupBy("_band", "_key")
+               .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+               .filter(F.size("_ids") >= 2))
+    return (buckets.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
     """Exact Jaccard over distinct word shingles for the given id pairs.
-    Output: (id_a, id_b, inter, size_a, size_b, jaccard)."""
-    sh = (df.select(F.col(id_col).alias("_id"),
-                    F.explode(F.array_distinct(word_shingles(F.col(text), shingle_n)))
-                    .alias("_sh")))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard).
+
+    Set sizes are pure column math (size of the distinct-shingle array —
+    no explode). Only candidate-pair docs are exploded, and the
+    intersection join is an equi-join that INCLUDES the shingle in the key
+    — joining on ids alone and filtering equality afterwards would build
+    the |A|x|B| cross product of the two shingle sets per pair."""
+    ids = (pairs.select(F.col("id_a").alias("_id"))
+           .unionByName(pairs.select(F.col("id_b").alias("_id"))).distinct())
+    # prune to candidate docs BEFORE shingling (the id semi-join reaches the
+    # scan, so repeated references shingle only the candidates); sizes and
+    # the exploded shingle set both derive from this small projection.
+    # Callers should materialize `pairs` (cache/localCheckpoint) — it is
+    # referenced three times below.
+    sh_arr = F.array_distinct(word_shingles(F.col("_t"), shingle_n))
+    cand = (df.select(F.col(id_col).alias("_id"), F.col(text).alias("_t"))
+            .join(ids, on="_id")
+            .select("_id", sh_arr.alias("_sha")).cache())
+    sizes = cand.select("_id", F.size("_sha").alias("_size"))
+    sh = cand.select("_id", F.explode("_sha").alias("_sh"))
     inter = (pairs.join(sh.withColumnRenamed("_id", "id_a"), on="id_a")
-             .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"),
-                   on="id_b")
-             .filter(F.col("_sh") == F.col("_shb"))
+             .join(sh.withColumnRenamed("_id", "id_b"), on=["id_b", "_sh"])
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     out = (pairs.join(inter, on=["id_a", "id_b"], how="left")
            .na.fill({"inter": 0})

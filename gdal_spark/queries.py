@@ -535,26 +535,45 @@ def q_minhash_lsh_jaccard(spark, sf_dir):
     Jaccard on candidates. Output pairs with jaccard >= 0.1."""
     docs = load(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(docs, n_hashes=8, shingle_n=3)
-    pairs = DD.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2)
+    # eager materialization: the jaccard stage references the candidate
+    # pairs three times (id pruning, intersection, output join); a lazy
+    # cache is not reliably shared between stages launched concurrently
+    # inside one action, so the signature+banding subtree would recompute
+    # per reference. cache+count (not localCheckpoint — its eager RDD
+    # materialization showed pathological multi-minute stalls on repeat
+    # invocations) pins the tiny pair set before the fan-out.
+    pairs = DD.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2).cache()
+    pairs.count()
     jac = DD.ngram_jaccard_pairs(docs, pairs, shingle_n=3)
     return jac.filter(F.col("jaccard") >= 0.1).select(
         "id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
 def _oracle_minhash() -> str:
+    from gdal_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
     sig_cols = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig_{j}"
+        f"list_min(list_transform(hs, h -> ((h % {MINHASH_P}) * {MINHASH_A[j]}"
+        f" + {MINHASH_B[j]}) % {MINHASH_P})) AS sig_{j}"
         for j in range(8))
     band_keys = " UNION ALL ".join(
-        f"SELECT doc_id AS _id, {b} AS _band, sig_{2*b} || '|' || sig_{2*b+1} AS _key FROM sigs"
+        f"SELECT doc_id AS _id, {b} AS _band, "
+        f"CAST(sig_{2*b} AS VARCHAR) || '|' || CAST(sig_{2*b+1} AS VARCHAR) AS _key "
+        f"FROM sigs"
         for b in range(4))
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh_raw AS (SELECT doc_id,
-      list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-                     i -> array_to_string(w[i:i+2], ' ')) AS sh FROM toks),
-sigs AS (SELECT doc_id, {sig_cols} FROM sh_raw WHERE len(sh) > 0),
-bands AS ({band_keys}),
+      list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+hsh AS (SELECT doc_id, list_transform(sh,
+          s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)) AS hs
+       FROM sh_raw WHERE len(sh) > 0),
+sigs AS (SELECT doc_id, {sig_cols} FROM hsh),
+bands_all AS ({band_keys}),
+bands AS (SELECT _id, _band, _key FROM (
+            SELECT _id, _band, _key,
+                   row_number() OVER (PARTITION BY _band, _key ORDER BY _id) AS _rn
+            FROM bands_all) WHERE _rn <= 256),
 pairs AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
           FROM bands a JOIN bands b ON a._band = b._band AND a._key = b._key
           WHERE a._id < b._id),
