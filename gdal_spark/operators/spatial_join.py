@@ -287,6 +287,12 @@ def with_envelope(polygons: DataFrame, poly_wkb: str = "wkb",
 
 def _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom) -> DataFrame:
     pt_cols = points.columns
+    if how != "inner":
+        # left modes need a stable per-row identity: keying the dedup window
+        # and the unmatched anti-join on ALL point columns would (a) shuffle
+        # the full payload (text/html at web scale) and (b) silently merge
+        # duplicate points into one output row
+        points = points.withColumn("_rid", F.monotonically_increasing_id())
     pts = (
         points.withColumn("_tx", tiles.tile_x(F.col(lon), cell_zoom))
         .withColumn("_ty", tiles.tile_y(F.col(lat), cell_zoom))
@@ -326,14 +332,16 @@ def _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom) 
             yield out
 
     tested = paired.mapInPandas(run, schema=schema)
-    matched = tested.filter(F.col("_inside")).select(*pt_cols, F.col("_pid").alias(poly_id))
+    sel = pt_cols if how == "inner" else [*pt_cols, "_rid"]
+    matched = tested.filter(F.col("_inside")).select(*sel, F.col("_pid").alias(poly_id))
 
     if how == "inner":
         return matched
     if how == "left_first":
         from pyspark.sql import Window
-        w = Window.partitionBy(*pt_cols).orderBy(F.col(poly_id))
+        w = Window.partitionBy("_rid").orderBy(F.col(poly_id))
         matched = (matched.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
-    unmatched = points.join(matched.select(*pt_cols), on=pt_cols, how="left_anti")
-    return matched.unionByName(unmatched.withColumn(poly_id, F.lit(None).cast("long")))
+    unmatched = points.join(matched.select("_rid"), on="_rid", how="left_anti")
+    return (matched.drop("_rid").unionByName(
+        unmatched.drop("_rid").withColumn(poly_id, F.lit(None).cast("long"))))

@@ -158,6 +158,30 @@ FROM pts GROUP BY 1, 2, 3
 """
 
 
+def q_pip_shuffle_left(spark, sf_dir):
+    """Shuffle-path PIP join (cell-keyed equi-join + exact ray cast per
+    Arrow batch) in left first-match mode against an eastern-hemisphere
+    grid — western points stay unmatched (null cell_id). Exercises
+    strategy='shuffle' end-to-end (the broadcast path has its own oracles)."""
+    pts = doc_points(spark, sf_dir)
+    grid = PG.admin_grid(spark, nx=18, ny=17, lon_min=0.0, lon_max=180.0,
+                         lat_min=-85.0, lat_max=85.0)
+    joined = SJ.point_in_polygon_join(pts, grid, how="left_first",
+                                      strategy="shuffle", cell_zoom=4)
+    return joined.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"),
+                                         F.min("doc_id").alias("min_doc"))
+
+
+ORACLE_PIP_SHUFFLE_LEFT = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT CASE WHEN lon >= 0
+       THEN CAST(floor(lon / 10.0) + 18 * floor((lat + 85.0) / 10.0) AS BIGINT)
+       ELSE NULL END AS cell_id,
+       count(*) AS n, min(doc_id) AS min_doc
+FROM pts GROUP BY 1
+"""
+
+
 def q_knn_k3(spark, sf_dir):
     pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "pid")
     qs = (doc_points(spark, sf_dir).filter(F.col("doc_id") < 20)
@@ -1161,6 +1185,7 @@ QUERIES: dict[str, tuple] = {
     # geo core
     "tile_assign_z10": (q_tile_assign_z10, ORACLE_TILE_ASSIGN_Z10),
     "pip_admin_grid": (q_pip_admin_grid, ORACLE_PIP_ADMIN_GRID),
+    "pip_shuffle_left": (q_pip_shuffle_left, ORACLE_PIP_SHUFFLE_LEFT),
     "pip_tile_flagship": (q_pip_tile_flagship, ORACLE_PIP_TILE_FLAGSHIP),
     "knn_k3": (q_knn_k3, ORACLE_KNN_K3),
     "tile_pyramid": (q_tile_pyramid, ORACLE_TILE_PYRAMID),

@@ -63,6 +63,28 @@ def test_left_first_match_semantics(spark, strategy):
     assert got == {("a", 2), ("b", None)}
 
 
+@pytest.mark.parametrize("how", ["left", "left_first"])
+def test_shuffle_left_duplicate_points_and_wide_payload(spark, how):
+    """Regression: the shuffle path's left modes previously keyed the dedup
+    window and unmatched anti-join on ALL point columns — merging duplicate
+    points into one row (and shuffling the full payload). Duplicates must
+    survive, payload intact."""
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    polys = spark.createDataFrame([(1, bytearray(G.encode_polygon([sq])))],
+                                  "cell_id long, wkb binary")
+    payload = "x" * 10000
+    pts = spark.createDataFrame(
+        [("dup", 5.0, 5.0, payload), ("dup", 5.0, 5.0, payload),
+         ("out", 50.0, 5.0, payload), ("out", 50.0, 5.0, payload)],
+        "url string, lon double, lat double, body string")
+    out = SJ.point_in_polygon_join(pts, polys, how=how, strategy="shuffle",
+                                   cell_zoom=3).collect()
+    assert len(out) == 4
+    assert sorted((r["url"], r["cell_id"]) for r in out) == \
+        [("dup", 1), ("dup", 1), ("out", None), ("out", None)]
+    assert all(r["body"] == payload for r in out)
+
+
 def test_hole_and_concave_respected_in_join(spark):
     polys = PG.poly_fixture(spark).select(
         F.col("fid").alias("cell_id"), F.col("geometry").alias("wkb"))
