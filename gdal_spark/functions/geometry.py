@@ -282,6 +282,67 @@ def polygon_clip_convex(wkb: bytes, clip_ring: np.ndarray) -> bytes | None:
     return encode_multipolygon(parts_out)
 
 
+def rectilinear_difference(subject_wkb: bytes,
+                           clip_wkbs: list[bytes]) -> tuple[bytes, float] | None:
+    """Exact ``subject − union(clips)`` for rectilinear (axis-aligned)
+    polygons — the difference emission OGRLayer::Union/SymDifference need
+    (ogrlayer.cpp:2282,2626; the reference delegates general boolean ops to
+    GEOS — rectilinear covers the grid/tile method layers this engine
+    targets; non-axis-aligned input raises NotImplementedError).
+
+    Method: snap the arrangement onto the breakpoint grid of all distinct
+    x/y vertex coordinates (every edge lies on a grid line, so coverage of
+    each grid cell is decided exactly by its center point), subtract
+    coverage masks, then trace exact pixel-edge rings per 4-connected
+    component and map ring vertices back through the breakpoints. Returns
+    (wkb Polygon/MultiPolygon with holes, exact area), or None if empty.
+    """
+    def rings_of(wkb):
+        out = []
+        for poly in decode_polygons(wkb):
+            out.extend(poly)
+        return out
+
+    subj_rings = rings_of(subject_wkb)
+    clip_rings: list[np.ndarray] = []
+    for w in clip_wkbs:
+        clip_rings.extend(rings_of(w))
+    for r in subj_rings + clip_rings:
+        d = np.diff(r, axis=0)
+        if not np.all((d[:, 0] == 0) | (d[:, 1] == 0)):
+            raise NotImplementedError(
+                "rectilinear_difference: non-axis-aligned edge")
+    xs = np.unique(np.concatenate([r[:, 0] for r in subj_rings + clip_rings]))
+    ys = np.unique(np.concatenate([r[:, 1] for r in subj_rings + clip_rings]))
+    if len(xs) < 2 or len(ys) < 2:
+        return None
+    CX, CY = np.meshgrid((xs[:-1] + xs[1:]) / 2.0, (ys[:-1] + ys[1:]) / 2.0)
+    flat_x, flat_y = CX.ravel(), CY.ravel()
+    pi, _ = PreparedPolygons([0], [subject_wkb]).contains_batch(flat_x, flat_y)
+    subj = np.zeros(CX.size, dtype=bool)
+    subj[pi] = True
+    clip = np.zeros(CX.size, dtype=bool)
+    if clip_wkbs:
+        pi2, _ = PreparedPolygons(
+            list(range(len(clip_wkbs))), clip_wkbs).contains_batch(flat_x, flat_y)
+        clip[pi2] = True
+    diff = (subj & ~clip).reshape(CX.shape)
+    if not diff.any():
+        return None
+    area = float((diff * (np.diff(ys)[:, None] * np.diff(xs)[None, :])).sum())
+
+    from gdal_spark.raster.polygonize import label_block, trace_rings
+    labels, n = label_block(diff.astype(np.uint8), nodata=0)
+    polys = []
+    for lab in range(n):
+        rings_px = trace_rings(labels == lab)
+        polys.append([np.column_stack((xs[r[:, 0].astype(np.int64)],
+                                       ys[r[:, 1].astype(np.int64)]))
+                      for r in rings_px])
+    wkb = encode_polygon(polys[0]) if len(polys) == 1 else encode_multipolygon(polys)
+    return wkb, area
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Convex hull (Andrew monotone chain), CCW closed ring —
     OGRGeometry::ConvexHull analog (ogrgeometry.cpp:2685, GEOS there)."""

@@ -133,3 +133,117 @@ def clip_polygons_to_cells(polys: DataFrame, cells: DataFrame,
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return env.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# polygon-vs-polygon Union / SymDifference
+# ---------------------------------------------------------------------------
+
+_PIECES_SCHEMA = T.StructType([
+    T.StructField("poly_id", T.LongType(), True),
+    T.StructField("cell_id", T.LongType(), True),
+    T.StructField("piece_wkb", T.BinaryType(), True),
+    T.StructField("piece_area", T.DoubleType(), True),
+])
+
+
+def layer_union(polys: DataFrame, cells: DataFrame,
+                poly_id: str = "fid", poly_wkb: str = "geometry",
+                cell_id: str = "cell_id", cell_wkb: str = "wkb",
+                include_intersection: bool = True) -> DataFrame:
+    """OGRLayer::Union emission (ogrlayer.cpp:2282) for a polygon input
+    layer against a broadcastable polygon method layer:
+
+    - input∩method pieces → (poly_id, cell_id)   [Sutherland–Hodgman]
+    - input − ∪method     → (poly_id, NULL)      [exact rectilinear diff]
+    - method − ∪input     → (NULL, cell_id)      [exact rectilinear diff]
+
+    Difference pieces require axis-aligned geometry (the reference does
+    general concave boolean ops through GEOS; grid/tile method layers —
+    this engine's dominant case — are rectilinear). Distribution: method
+    layer broadcast; the input side is one Arrow map pass for ∩ and A−B;
+    B−A groups the input features overlapping each method cell (bounded by
+    features-per-cell, the same envelope-reject the reference stages).
+
+    With ``include_intersection=False`` this is SymDifference
+    (ogrlayer.cpp:2626).
+    """
+    spark = polys.sparkSession
+    cell_env = []
+    for r in cells.select(cell_id, cell_wkb).collect():
+        w = bytes(r[1])
+        cell_env.append((int(r[0]), w, G.polygon_envelope(w)))
+    bc = spark.sparkContext.broadcast(cell_env)
+
+    env = with_envelope(polys.select(poly_id, poly_wkb), poly_wkb)
+    names = env.schema.fieldNames()
+    i_id, i_wkb = names.index(poly_id), names.index(poly_wkb)
+    i_x0, i_y0 = names.index("xmin"), names.index("ymin")
+    i_x1, i_y1 = names.index("xmax"), names.index("ymax")
+    piece_cols = [f.name for f in _PIECES_SCHEMA]
+
+    def a_minus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cellset = bc.value
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                wkb = bytes(rec[i_wkb])
+                bx0, by0 = rec[i_x0], rec[i_y0]
+                bx1, by1 = rec[i_x1], rec[i_y1]
+                clips = [w for _cid, w, (cx0, cy0, cx1, cy1) in cellset
+                         if not (bx1 < cx0 or cx1 < bx0
+                                 or by1 < cy0 or cy1 < by0)]
+                out = G.rectilinear_difference(wkb, clips)
+                if out is not None:
+                    rows.append((int(rec[i_id]), None, out[0], out[1]))
+            yield pd.DataFrame(rows, columns=piece_cols)
+
+    a_pieces = env.mapInPandas(a_minus, schema=_PIECES_SCHEMA)
+
+    def overlap_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cellset = bc.value
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                wkb = bytes(rec[i_wkb])
+                bx0, by0 = rec[i_x0], rec[i_y0]
+                bx1, by1 = rec[i_x1], rec[i_y1]
+                for cid, _w, (cx0, cy0, cx1, cy1) in cellset:
+                    if not (bx1 < cx0 or cx1 < bx0
+                            or by1 < cy0 or cy1 < by0):
+                        rows.append((cid, wkb))
+            yield pd.DataFrame(rows, columns=["cell_id", "swkb"])
+
+    pairs = env.mapInPandas(overlap_pairs, schema="cell_id long, swkb binary")
+    # every cell gets a group row even with no overlapping input feature
+    all_cells = (spark.createDataFrame([(c,) for c, _, _ in cell_env],
+                                       "cell_id long")
+                 .withColumn("swkb", F.lit(None).cast("binary")))
+    pairs = pairs.unionByName(all_cells)
+
+    geo_cache: dict[int, bytes] = {}
+
+    def b_minus(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if not geo_cache:
+            geo_cache.update({c: w for c, w, _ in bc.value})
+        cid = int(key[0])
+        clips = [bytes(w) for w in pdf["swkb"] if w is not None]
+        out = G.rectilinear_difference(geo_cache[cid], clips)
+        if out is None:
+            return pd.DataFrame(columns=piece_cols)
+        return pd.DataFrame([(None, cid, out[0], out[1])], columns=piece_cols)
+
+    b_pieces = pairs.groupBy("cell_id").applyInPandas(b_minus, schema=_PIECES_SCHEMA)
+
+    out = a_pieces.unionByName(b_pieces)
+    if include_intersection:
+        inter = clip_polygons_to_cells(polys, cells, poly_id, poly_wkb,
+                                       cell_id, cell_wkb)
+        out = inter.unionByName(out)
+    return out
+
+
+def layer_symdifference(polys: DataFrame, cells: DataFrame, **kw) -> DataFrame:
+    """OGRLayer::SymDifference (ogrlayer.cpp:2626): Union minus the
+    intersection family — input−method and method−input pieces only."""
+    return layer_union(polys, cells, include_intersection=False, **kw)

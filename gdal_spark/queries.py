@@ -1070,6 +1070,78 @@ FROM ar WHERE a > 0
 ORACLE_CLIP_LAYER = _oracle_clip()
 
 
+def q_union_layer(spark, sf_dir):
+    """Layer-algebra Union (ogrlayer.cpp:2282): poly fixture × a PARTIAL
+    admin grid — intersection pieces (both ids), input−method pieces (null
+    cell_id), method−input pieces (null poly_id); per-piece exact areas."""
+    polys = PG.poly_fixture(spark)
+    grid = PG.admin_grid(spark, nx=8, ny=2, lon_min=-2.0, lon_max=96.0,
+                         lat_min=-1.0, lat_max=7.0)
+    pieces = LA.layer_union(polys, grid)
+    return pieces.select("poly_id", "cell_id",
+                         F.round("piece_area", 6).alias("piece_area"))
+
+
+def q_symdiff_layer(spark, sf_dir):
+    """Layer-algebra SymDifference (ogrlayer.cpp:2626): the Union families
+    minus the intersection pieces."""
+    polys = PG.poly_fixture(spark)
+    grid = PG.admin_grid(spark, nx=8, ny=2, lon_min=-2.0, lon_max=96.0,
+                         lat_min=-1.0, lat_max=7.0)
+    pieces = LA.layer_symdifference(polys, grid)
+    return pieces.select("poly_id", "cell_id",
+                         F.round("piece_area", 6).alias("piece_area"))
+
+
+def _oracle_union_family(include_intersection: bool) -> str:
+    inter_branch = (
+        "SELECT fid AS poly_id, cell_id, round(a, 6) AS piece_area FROM inter\n"
+        "UNION ALL\n" if include_intersection else "")
+    return f"""
+WITH f AS (SELECT unnest(generate_series(0, 9)) AS fid),
+cells AS (SELECT j * 8 + i AS cell_id,
+                 -2.0 + i * 12.25 AS cx0, -2.0 + (i + 1) * 12.25 AS cx1,
+                 -1.0 + j * 4.0 AS cy0, -1.0 + (j + 1) * 4.0 AS cy1
+          FROM (SELECT unnest(generate_series(0, 7)) AS i),
+               (SELECT unnest(generate_series(0, 1)) AS j)),
+geo AS (SELECT fid, 20.0 * fid AS x0, 20.0 * fid + 10.0 AS x1,
+               0.0 AS y0, 10.0 AS y1,
+               CASE WHEN fid = 3 THEN 20.0 * fid + 3.0
+                    WHEN fid = 7 THEN 20.0 * fid + 4.0 ELSE 0.0 END AS hx0,
+               CASE WHEN fid = 3 THEN 20.0 * fid + 10.0
+                    WHEN fid = 7 THEN 20.0 * fid + 6.0 ELSE 0.0 END AS hx1,
+               CASE WHEN fid = 3 THEN 3.0 WHEN fid = 7 THEN 4.0
+                    ELSE 0.0 END AS hy0,
+               CASE WHEN fid = 3 THEN 7.0 WHEN fid = 7 THEN 6.0
+                    ELSE 0.0 END AS hy1
+        FROM f),
+ar AS (SELECT fid, cell_id,
+         greatest(0, least(x1, cx1) - greatest(x0, cx0))
+           * greatest(0, least(y1, cy1) - greatest(y0, cy0))
+         - greatest(0, least(hx1, cx1) - greatest(hx0, cx0))
+           * greatest(0, least(hy1, cy1) - greatest(hy0, cy0))
+           AS a
+       FROM geo CROSS JOIN cells),
+inter AS (SELECT fid, cell_id, a FROM ar WHERE a > 0),
+pa AS (SELECT fid, (x1 - x0) * (y1 - y0) - (hx1 - hx0) * (hy1 - hy0) AS area
+       FROM geo),
+am AS (SELECT p.fid, p.area - coalesce(sum(i.a), 0) AS a
+       FROM pa p LEFT JOIN inter i ON i.fid = p.fid GROUP BY p.fid, p.area),
+bm AS (SELECT c.cell_id, (cx1 - cx0) * (cy1 - cy0) - coalesce(sum(i.a), 0) AS a
+       FROM cells c LEFT JOIN inter i ON i.cell_id = c.cell_id
+       GROUP BY c.cell_id, cx0, cx1, cy0, cy1)
+{inter_branch}SELECT fid AS poly_id, CAST(NULL AS BIGINT) AS cell_id,
+       round(a, 6) AS piece_area FROM am WHERE a > 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS poly_id, cell_id, round(a, 6) AS piece_area
+FROM bm WHERE a > 0
+"""
+
+
+ORACLE_UNION_LAYER = _oracle_union_family(True)
+ORACLE_SYMDIFF_LAYER = _oracle_union_family(False)
+
+
 # ---------------------------------------------------------------------------
 # north-star end-to-end on the synthesized Common-Crawl-style pages table
 # ---------------------------------------------------------------------------
@@ -1226,6 +1298,8 @@ QUERIES: dict[str, tuple] = {
     "warp_bilinear": (q_warp_bilinear, ORACLE_WARP_BILINEAR),
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
     "clip_layer_area": (q_clip_layer_area, ORACLE_CLIP_LAYER),
+    "union_layer": (q_union_layer, ORACLE_UNION_LAYER),
+    "symdiff_layer": (q_symdiff_layer, ORACLE_SYMDIFF_LAYER),
     "pages_e2e": (q_pages_e2e, None),
     "grid_invdist": (q_grid_invdist, ORACLE_GRID_INVDIST),
     "grid_nearest": (q_grid_nearest, ORACLE_GRID_NEAREST),

@@ -109,3 +109,55 @@ def test_reblock_roundtrip(spark):
     np.testing.assert_array_equal(got, arr)
     # block count changes as expected
     assert out.count() == ((70 + 23) // 24) * ((50 + 23) // 24)
+
+
+# ---------------------------------------------------------------------------
+# polygon-layer Union / SymDifference (ogrlayer.cpp:2282, 2626)
+# ---------------------------------------------------------------------------
+
+def _rect_layer(spark, rows, id_name="fid", wkb_name="geometry"):
+    import numpy as np
+    recs = []
+    for rid, x0, y0, x1, y1 in rows:
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                        dtype=float)
+        recs.append((rid, bytearray(G.encode_polygon([ring]))))
+    return spark.createDataFrame(recs, f"{id_name} long, {wkb_name} binary")
+
+
+def test_layer_union_three_families(spark):
+    """One overlapping pair: A=[0,10]^2, B=[5,-5..15]: A∩B=25, A−B=75,
+    B−A=75; a second disjoint A (fid 2) and disjoint B (cell 9) emit whole."""
+    a = _rect_layer(spark, [(1, 0, 0, 10, 10), (2, 100, 0, 110, 10)])
+    b = _rect_layer(spark, [(5, 5, 5, 15, 15), (9, 200, 0, 210, 10)],
+                    id_name="cell_id", wkb_name="wkb")
+    rows = LA.layer_union(a, b).collect()
+    got = {(r["poly_id"], r["cell_id"]): r["piece_area"] for r in rows}
+    assert got == {(1, 5): 25.0, (1, None): 75.0, (2, None): 100.0,
+                   (None, 5): 75.0, (None, 9): 100.0}
+    # geometry sanity: every piece decodes and area matches ring math
+    for r in rows:
+        assert abs(G.polygon_area(bytes(r["piece_wkb"])) - r["piece_area"]) < 1e-9
+
+
+def test_layer_symdiff_drops_intersection(spark):
+    a = _rect_layer(spark, [(1, 0, 0, 10, 10)])
+    b = _rect_layer(spark, [(5, 5, 5, 15, 15)], id_name="cell_id",
+                    wkb_name="wkb")
+    got = {(r["poly_id"], r["cell_id"]): r["piece_area"]
+           for r in LA.layer_symdifference(a, b).collect()}
+    assert got == {(1, None): 75.0, (None, 5): 75.0}
+
+
+def test_layer_union_hole_piece(spark):
+    """Method cell strictly inside the subject → A−B piece is a ring with a
+    hole; B−A empty; A∩B = the cell."""
+    a = _rect_layer(spark, [(1, 0, 0, 10, 10)])
+    b = _rect_layer(spark, [(5, 4, 4, 6, 6)], id_name="cell_id",
+                    wkb_name="wkb")
+    rows = {(r["poly_id"], r["cell_id"]): r for r in LA.layer_union(a, b).collect()}
+    assert set(rows) == {(1, 5), (1, None)}
+    piece = rows[(1, None)]
+    assert piece["piece_area"] == 96.0
+    polys = G.decode_polygons(bytes(piece["piece_wkb"]))
+    assert len(polys) == 1 and len(polys[0]) == 2  # exterior + hole
