@@ -986,6 +986,68 @@ SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res WHERE v > 0
 """
 
 
+WARP_DOWN = RM.RasterMeta("docs_down", 360, 170,
+                          gt=(-180.0, 1.0, 0.0, 85.0, 0.0, -1.0),
+                          dtype="uint8", nodata=0)
+
+
+def q_warp_max(spark, sf_dir):
+    """Distributed gdalwarp GRA_Max (GWKAverageOrModeThread,
+    gdalwarpkernel.cpp:4912-4950): 2x downsample of the doc-point raster —
+    each dst pixel takes the max of its 2x2 source box."""
+    out = RS.warp(_doc_tiles(spark, sf_dir), DOC_META, WARP_DOWN, "max")
+    return RM.nonzero_pixels(out, WARP_DOWN)
+
+
+ORACLE_WARP_MAX = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT CAST(floor(px / 2) AS BIGINT) AS px, CAST(floor(py / 2) AS BIGINT) AS py,
+       CAST(max(burn) AS DOUBLE) AS val
+FROM pix GROUP BY 1, 2
+"""
+
+
+DENSE_META = RM.RasterMeta("dense", 256, 128,
+                           gt=(0.0, 1.0, 0.0, 128.0, 0.0, -1.0),
+                           dtype="uint8", nodata=0)
+DENSE_DOWN = RM.RasterMeta("dense_down", 128, 64,
+                           gt=(0.0, 2.0, 0.0, 128.0, 0.0, -2.0),
+                           dtype="uint8", nodata=0)
+
+
+def _dense_tiles(spark):
+    """Dense deterministic formula raster v = (px*7 + py*13) % 50 + 1 —
+    order statistics need full boxes, which the sparse doc raster can't
+    exercise."""
+    px = (spark.range(256 * 128)
+          .select((F.col("id") % 256).alias("px"),
+                  F.floor(F.col("id") / 256).alias("py"))
+          .withColumn("burn_val",
+                      ((F.col("px") * 7 + F.col("py") * 13) % 50 + 1)
+                      .cast("double")))
+    return RZ.pixels_to_blocks(px, DENSE_META)
+
+
+def q_warp_med(spark, sf_dir):
+    """GRA_Med: quantile index ceil(0.5*n - 1) of the sorted 2x2 source box
+    (gdalwarpkernel.cpp:4988-5025) — the second-smallest of 4."""
+    out = RS.warp(_dense_tiles(spark), DENSE_META, DENSE_DOWN, "med")
+    return RM.nonzero_pixels(out, DENSE_DOWN)
+
+
+ORACLE_WARP_MED = """
+WITH d AS (SELECT i % 128 AS dx, CAST(floor(i / 128) AS BIGINT) AS dy
+           FROM (SELECT unnest(generate_series(0, 128 * 64 - 1)) AS i)),
+v AS (SELECT dx, dy, list_sort([
+        CAST((2 * dx * 7 + 2 * dy * 13) % 50 + 1 AS DOUBLE),
+        CAST(((2 * dx + 1) * 7 + 2 * dy * 13) % 50 + 1 AS DOUBLE),
+        CAST((2 * dx * 7 + (2 * dy + 1) * 13) % 50 + 1 AS DOUBLE),
+        CAST(((2 * dx + 1) * 7 + (2 * dy + 1) * 13) % 50 + 1 AS DOUBLE)]) AS s
+      FROM d)
+SELECT CAST(dx AS BIGINT) AS px, dy AS py, s[2] AS val FROM v WHERE s[2] > 0
+"""
+
+
 def q_polygonize_rects(spark, sf_dir):
     """Scanline rasterize of the admin-grid polygons + distributed
     polygonize (2-phase CC): each rectangle must come back as exactly one
@@ -1296,6 +1358,8 @@ QUERIES: dict[str, tuple] = {
     "raster_histogram": (q_raster_histogram, ORACLE_RASTER_HISTOGRAM),
     "pyramid_avg": (q_pyramid_avg, ORACLE_PYRAMID_AVG),
     "warp_bilinear": (q_warp_bilinear, ORACLE_WARP_BILINEAR),
+    "warp_max": (q_warp_max, ORACLE_WARP_MAX),
+    "warp_med": (q_warp_med, ORACLE_WARP_MED),
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
     "clip_layer_area": (q_clip_layer_area, ORACLE_CLIP_LAYER),
     "union_layer": (q_union_layer, ORACLE_UNION_LAYER),

@@ -61,15 +61,53 @@ def downsample2x_nearest(arr: np.ndarray) -> np.ndarray:
     return arr[::2, ::2].copy()
 
 
+def downsample2x_mode(arr: np.ndarray) -> np.ndarray:
+    """MODE overview (GDALResampleChunk32R_Mode, overview.cpp:767-940):
+    majority value of each 2x2 box with the reference's first-to-attain
+    tie rule (`++count > max` switches the winner only on strict
+    increase). For a 2x2 scan (a b / c d) that enumerates to a closed
+    form; degenerate 1x2/2x1/1x1 edge boxes always keep their first
+    (top-left) sample, because a count of 1 never exceeds the max of 1."""
+    h, w = arr.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    out = np.empty((oh, ow), dtype=arr.dtype)
+    fh, fw = h // 2, w // 2
+    a = arr[0:2 * fh:2, 0:2 * fw:2]
+    b = arr[0:2 * fh:2, 1:2 * fw:2]
+    c = arr[1:2 * fh:2, 0:2 * fw:2]
+    d = arr[1:2 * fh:2, 1:2 * fw:2]
+    out[:fh, :fw] = np.where(
+        (b == a) | (c == a), a,
+        np.where(c == b, b,
+                 np.where(d == a, a,
+                          np.where(d == b, b, np.where(d == c, c, a)))))
+    if ow > fw:
+        out[:fh, fw] = arr[0:2 * fh:2, 2 * fw]
+    if oh > fh:
+        out[fh, :fw] = arr[2 * fh, 0:2 * fw:2]
+    if ow > fw and oh > fh:
+        out[fh, fw] = arr[2 * fh, 2 * fw]
+    return out
+
+
+# binomial 3x3 gauss matrix for a /2 overview (overview.cpp:509-575;
+# larger 5x5/7x7 matrices apply only to >2x ratios, which the /2 overview
+# chain never produces)
+GAUSS_3X3 = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+
+
 def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
                    method: str = "average") -> tuple[DataFrame, RasterMeta]:
     """One /2 overview level. Returns (tiles_df, out_meta)."""
-    if method not in ("average", "nearest"):
+    if method == "gauss":
+        return _overview_gauss(tiles, meta, out_id)
+    if method not in ("average", "nearest", "mode"):
         raise ValueError(f"unsupported method {method!r}")
     out_meta = meta.scaled(out_id, 2)
     dtype, block = meta.dtype, meta.block
     ow_full, oh_full = out_meta.width, out_meta.height
-    down = downsample2x_average if method == "average" else downsample2x_nearest
+    down = {"average": downsample2x_average, "nearest": downsample2x_nearest,
+            "mode": downsample2x_mode}[method]
 
     keyed = tiles.withColumn("obx", F.floor(F.col("bx") / 2).cast("int")) \
                  .withColumn("oby", F.floor(F.col("by") / 2).cast("int"))
@@ -89,6 +127,80 @@ def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
         w = min(block, ow_full - obx * block)
         h = min(block, oh_full - oby * block)
         out = out[:h, :w]
+        return pd.DataFrame([(out_id, band, int(obx), int(oby),
+                              int(out.shape[1]), int(out.shape[0]),
+                              out.tobytes())],
+                            columns=["raster_id", "band", "bx", "by",
+                                     "w", "h", "data"])
+
+    out = (keyed.groupBy("raster_id", "band", "obx", "oby")
+           .applyInPandas(reduce_group, schema=TILE_SCHEMA))
+    return out, out_meta
+
+
+def _overview_gauss(tiles: DataFrame, meta: RasterMeta,
+                    out_id: str) -> tuple[DataFrame, RasterMeta]:
+    """GAUSS /2 overview (GDALResampleChunk32R_Gauss, overview.cpp:509-700):
+    each dst pixel g convolves source window [2g, 2g+3) with the binomial
+    3x3 matrix, normalizing by the sum of in-raster weights at edges.
+
+    The 1-px overhang means a parent block needs its 2x2 children plus one
+    extra source row/col: source blocks on an even block row/col are
+    therefore shipped to the parent above/left as well (≤4 parents for a
+    corner block) — still a shrinking groupBy shuffle, no extra pass."""
+    out_meta = meta.scaled(out_id, 2)
+    dtype, block = meta.dtype, meta.block
+    ow_full, oh_full = out_meta.width, out_meta.height
+    W, H = meta.width, meta.height
+
+    def parents(col):
+        half = F.floor(F.col(col) / 2).cast("int")
+        return F.when(F.col(col) % 2 == 0,
+                      F.array(half, (half - 1).cast("int"))
+                      ).otherwise(F.array(half))
+
+    keyed = (tiles.withColumn("obx", F.explode(parents("bx")))
+             .filter(F.col("obx") >= 0)
+             .withColumn("oby", F.explode(parents("by")))
+             .filter(F.col("oby") >= 0))
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid, band, obx, oby = key
+        wx0, wy0 = obx * 2 * block, oby * 2 * block
+        ww = min(2 * block + 1, W - wx0)
+        wh = min(2 * block + 1, H - wy0)
+        V = np.zeros((wh, ww), dtype=np.float64)
+        Mk = np.zeros((wh, ww), dtype=np.float64)
+        for r in pdf.itertuples(index=False):
+            sub = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
+            qx, qy = r.bx * block - wx0, r.by * block - wy0
+            cw, ch = min(r.w, ww - qx), min(r.h, wh - qy)
+            if cw <= 0 or ch <= 0:
+                continue
+            V[qy:qy + ch, qx:qx + cw] = sub[:ch, :cw]
+            Mk[qy:qy + ch, qx:qx + cw] = 1.0
+        ow = min(block, ow_full - obx * block)
+        oh = min(block, oh_full - oby * block)
+        VP = np.zeros((2 * oh + 1, 2 * ow + 1))
+        MP = np.zeros_like(VP)
+        ch, cw = min(wh, 2 * oh + 1), min(ww, 2 * ow + 1)
+        VP[:ch, :cw] = V[:ch, :cw]
+        MP[:ch, :cw] = Mk[:ch, :cw]
+        acc = np.zeros((oh, ow))
+        cnt = np.zeros((oh, ow))
+        for j in range(3):
+            for i in range(3):
+                wgt = GAUSS_3X3[j, i]
+                acc += wgt * VP[j:j + 2 * oh:2, i:i + 2 * ow:2]
+                cnt += wgt * MP[j:j + 2 * oh:2, i:i + 2 * ow:2]
+        # reference computes a float32 scanline, the band write converts
+        val = np.where(cnt > 0, acc / np.where(cnt > 0, cnt, 1.0),
+                       0.0).astype(np.float32)
+        if np.dtype(dtype).kind in "ui":
+            info = np.iinfo(dtype)
+            out = np.clip(np.floor(val + 0.5), info.min, info.max).astype(dtype)
+        else:
+            out = val.astype(dtype)
         return pd.DataFrame([(out_id, band, int(obx), int(oby),
                               int(out.shape[1]), int(out.shape[0]),
                               out.tobytes())],

@@ -170,6 +170,94 @@ def average_grid(src: np.ndarray, ox: int, oy: int, src_w: int, src_h: int,
     return np.where(invalid, nodata, val), invalid
 
 
+AOM_METHODS = ("mode", "min", "max", "med", "q1", "q3")
+_QUANT = {"med": 0.5, "q1": 0.25, "q3": 0.75}
+
+
+def _mode_scan(vals: np.ndarray):
+    """GWKAverageOrMode mode tie rule (gdalwarpkernel.cpp:4803-4909): the
+    winner is the first value in scan order to attain the final maximum
+    count (`++count > max` updates the winner only on strict increase)."""
+    uniq, inv, counts = np.unique(vals, return_inverse=True, return_counts=True)
+    m = counts.max()
+    tied = np.flatnonzero(counts == m)
+    if len(tied) == 1:
+        return uniq[tied[0]]
+    best_pos, best_v = None, None
+    for t in tied:
+        pos = np.flatnonzero(inv == t)[m - 1]  # where the m-th occurrence lands
+        if best_pos is None or pos < best_pos:
+            best_pos, best_v = pos, uniq[t]
+    return best_v
+
+
+def aom_grid(src: np.ndarray, ox: int, oy: int, src_w: int, src_h: int,
+             sx0: np.ndarray, sy0: np.ndarray,
+             sx1: np.ndarray, sy1: np.ndarray, method: str,
+             nodata: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """GRA_Mode/Min/Max/Med/Q1/Q3 over the dst pixel's source footprint box
+    (GWKAverageOrModeThread, gdalwarpkernel.cpp:4740-5025): box indices
+    floor(sx0+1e-10)..ceil(sx1-1e-10) clamped, degenerate boxes expanded by
+    one; quantile index ceil(q*n - 1) on the sorted box; mode follows the
+    reference's first-to-attain tie rule (integer histogram for
+    byte/int16/uint16, float32 value list otherwise)."""
+    xmin = np.maximum(np.floor(sx0 + 1e-10).astype(np.int64), 0)
+    xmax = np.minimum(np.ceil(sx1 - 1e-10).astype(np.int64), src_w)
+    ymin = np.maximum(np.floor(sy0 + 1e-10).astype(np.int64), 0)
+    ymax = np.minimum(np.ceil(sy1 - 1e-10).astype(np.int64), src_h)
+    xmax = np.where((xmin == xmax) & (xmax < src_w), xmax + 1, xmax)
+    ymax = np.where((ymin == ymax) & (ymax < src_h), ymax + 1, ymax)
+    lx0 = xmin - ox
+    ly0 = ymin - oy
+    bw = xmax - xmin
+    bh = ymax - ymin
+    h, w = sx0.shape
+    out = np.full((h, w), np.nan)
+    q = _QUANT.get(method)
+
+    ubw = np.unique(bw[bw > 0])
+    ubh = np.unique(bh[bh > 0])
+    if (method != "mode" and len(ubw) == 1 and len(ubh) == 1
+            and (bw > 0).all() and (bh > 0).all()):
+        # uniform boxes (the affine fast path): one vectorized gather
+        bw0, bh0 = int(ubw[0]), int(ubh[0])
+        YY = np.clip(ly0[:, :, None, None] + np.arange(bh0)[None, None, :, None],
+                     0, src.shape[0] - 1)
+        XX = np.clip(lx0[:, :, None, None] + np.arange(bw0)[None, None, None, :],
+                     0, src.shape[1] - 1)
+        wins = src.astype(np.float64)[YY, XX].reshape(h, w, bh0 * bw0)
+        if method == "min":
+            out = wins.min(axis=2)
+        elif method == "max":
+            out = wins.max(axis=2)
+        else:
+            wins.sort(axis=2)
+            out = wins[:, :, int(math.ceil(q * bh0 * bw0 - 1))]
+        return out, np.zeros((h, w), dtype=bool)
+
+    int_mode = src.dtype.kind in "ui" and src.dtype.itemsize <= 2
+    for yy in range(h):
+        for xx in range(w):
+            if bw[yy, xx] <= 0 or bh[yy, xx] <= 0:
+                continue
+            box = src[ly0[yy, xx]:ly0[yy, xx] + bh[yy, xx],
+                      lx0[yy, xx]:lx0[yy, xx] + bw[yy, xx]].ravel()
+            if box.size == 0:
+                continue
+            if method == "min":
+                out[yy, xx] = box.min()
+            elif method == "max":
+                out[yy, xx] = box.max()
+            elif method == "mode":
+                vals = box if int_mode else box.astype(np.float32)
+                out[yy, xx] = _mode_scan(vals)
+            else:
+                srt = np.sort(box.astype(np.float64))
+                out[yy, xx] = srt[int(math.ceil(q * len(srt) - 1))]
+    invalid = np.isnan(out)
+    return np.where(invalid, nodata, out), invalid
+
+
 # ---------------------------------------------------------------------------
 # distributed warp
 # ---------------------------------------------------------------------------
@@ -204,9 +292,10 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
         if scale is None:
             scale = (abs(src_meta.gt[1] / dst_meta.gt[1]),
                      abs(src_meta.gt[5] / dst_meta.gt[5]))
-    if method not in KERNELS and method not in ("nearest", "average"):
+    if method not in KERNELS and method not in ("nearest", "average") \
+            and method not in AOM_METHODS:
         raise ValueError(f"unsupported method {method!r}")
-    radius = 0 if method in ("nearest", "average") else KERNELS[method][1]
+    radius = KERNELS[method][1] if method in KERNELS else 0
     block = dst_meta.block
     sblock = src_meta.block
     sW, sH = src_meta.width, src_meta.height
@@ -287,13 +376,16 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
         DX, DY = np.meshgrid(
             np.arange(dbx * block, dbx * block + w, dtype=np.float64) + 0.5,
             np.arange(dby * block, dby * block + h, dtype=np.float64) + 0.5)
-        if method == "average":
+        if method == "average" or method in AOM_METHODS:
             ex0, ey0 = src_from_dst(DX - 0.5, DY - 0.5)
             ex1, ey1 = src_from_dst(DX + 0.5, DY + 0.5)
-            val, inv = average_grid(buf, sx0, sy0, sW, sH,
-                                    np.minimum(ex0, ex1), np.minimum(ey0, ey1),
-                                    np.maximum(ex0, ex1), np.maximum(ey0, ey1),
-                                    nodata)
+            box = (buf, sx0, sy0, sW, sH,
+                   np.minimum(ex0, ex1), np.minimum(ey0, ey1),
+                   np.maximum(ex0, ex1), np.maximum(ey0, ey1))
+            if method == "average":
+                val, inv = average_grid(*box, nodata=nodata)
+            else:
+                val, inv = aom_grid(*box, method, nodata=nodata)
         else:
             sx, sy = src_from_dst(DX, DY)
             if scale is not None:

@@ -148,3 +148,76 @@ def test_checksum_int32_clamp():
     assert CK._to_int32(neg)[0, 0] == -2147483648
     small = np.array([[42]], dtype=np.uint8)
     assert CK._to_int32(small)[0, 0] == 42
+
+
+# ---------------------------------------------------------------------------
+# GAUSS / MODE overview resamplers (overview.cpp reference twins)
+# ---------------------------------------------------------------------------
+
+def ref_gauss_2x(arr):
+    """Sequential port of GDALResampleChunk32R_Gauss (overview.cpp:509-700)
+    for a /2 overview: 3x3 binomial window at [2g, 2g+3), edge-normalized."""
+    H, W = arr.shape
+    oh, ow = (H + 1) // 2, (W + 1) // 2
+    MTX = [[1, 2, 1], [2, 4, 2], [1, 2, 1]]
+    out = np.zeros((oh, ow), dtype=np.float32)
+    for d in range(oh):
+        for p in range(ow):
+            tot, cnt = 0.0, 0
+            for j in range(3):
+                for i in range(3):
+                    y, x = 2 * d + j, 2 * p + i
+                    if y < H and x < W:
+                        tot += float(arr[y, x]) * MTX[j][i]
+                        cnt += MTX[j][i]
+            out[d, p] = np.float32(tot / cnt) if cnt else 0.0
+    return out
+
+
+def ref_mode_2x(arr):
+    """Sequential port of GDALResampleChunk32R_Mode box loops for /2."""
+    H, W = arr.shape
+    oh, ow = (H + 1) // 2, (W + 1) // 2
+    out = np.empty((oh, ow), dtype=arr.dtype)
+    for d in range(oh):
+        y0 = 2 * d
+        y1 = min(2 * d + 2, H)
+        if y0 == H:
+            y0 = H - 1
+        for p in range(ow):
+            x0 = 2 * p
+            x1 = min(2 * p + 2, W)
+            if x0 == W:
+                x0 = W - 1
+            counts, winner, maxc = {}, None, 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    v = arr[y, x]
+                    counts[v] = counts.get(v, 0) + 1
+                    if counts[v] > maxc:
+                        maxc, winner = counts[v], v
+            out[d, p] = winner
+    return out
+
+
+@pytest.mark.parametrize("shape", [(40, 60), (41, 61)])
+def test_overview_gauss_matches_twin(spark, shape):
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 255, size=shape).astype(np.uint8)
+    meta = M.RasterMeta("g", shape[1], shape[0], block=16)
+    out, om = PY.overview_level(M.from_array(spark, arr, meta), meta,
+                                "g_ov", method="gauss")
+    got = M.to_array(out, om)
+    want = np.clip(np.floor(ref_gauss_2x(arr) + 0.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape", [(40, 60), (41, 61)])
+def test_overview_mode_matches_twin(spark, shape):
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 4, size=shape).astype(np.uint8)  # dense ties
+    meta = M.RasterMeta("m", shape[1], shape[0], block=16)
+    out, om = PY.overview_level(M.from_array(spark, arr, meta), meta,
+                                "m_ov", method="mode")
+    got = M.to_array(out, om)
+    np.testing.assert_array_equal(got, ref_mode_2x(arr))

@@ -201,3 +201,70 @@ def test_warp_reprojection_style_transform(spark, src_tiles):
     want = R._round_cast(val, "uint8", inv, 0)
     # interior must match exactly; edge blocks may differ only in invalid px
     np.testing.assert_array_equal(got[5:-5, 5:-5], want[5:-5, 5:-5])
+
+
+# ---------------------------------------------------------------------------
+# GRA_Mode/Min/Max/Med/Q1/Q3 (GWKAverageOrModeThread reference twins)
+# ---------------------------------------------------------------------------
+
+def ref_aom(arr, oh, ow, fy, fx, method):
+    """Literal sequential port of the GWKAverageOrMode box loops
+    (gdalwarpkernel.cpp:4740-5025) for an integer fy x fx downsample."""
+    H, W = arr.shape
+    out = np.zeros((oh, ow))
+    q = {"med": 0.5, "q1": 0.25, "q3": 0.75}.get(method)
+    for dy in range(oh):
+        for dx in range(ow):
+            x0, x1 = dx * fx, min((dx + 1) * fx, W)
+            y0, y1 = dy * fy, min((dy + 1) * fy, H)
+            vals = [arr[y, x] for y in range(y0, y1) for x in range(x0, x1)]
+            if method == "min":
+                out[dy, dx] = min(vals)
+            elif method == "max":
+                out[dy, dx] = max(vals)
+            elif method == "mode":
+                counts, winner, maxc = {}, None, 0
+                for v in vals:
+                    k = int(v) if arr.dtype.kind in "ui" else np.float32(v)
+                    counts[k] = counts.get(k, 0) + 1
+                    if counts[k] > maxc:
+                        maxc, winner = counts[k], k
+                out[dy, dx] = winner
+            else:
+                srt = sorted(float(v) for v in vals)
+                out[dy, dx] = srt[math.ceil(q * len(srt) - 1)]
+    return out
+
+
+@pytest.mark.parametrize("method", ["mode", "min", "max", "med", "q1", "q3"])
+def test_warp_aom_matches_reference_twin(spark, src_tiles, method):
+    """4x downsample (uneven 25x20 output over the 100x80 source)."""
+    dst_meta = M.RasterMeta("aom", 25, 20,
+                            gt=(500.0, 8.0, 0.0, 900.0, 0.0, -8.0), block=16)
+    got = M.to_array(R.warp(src_tiles, SRC_META, dst_meta, method), dst_meta)
+    want = ref_aom(SRC_ARR, 20, 25, 4, 4, method)
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+def test_warp_mode_tie_rule(spark):
+    """2x2 boxes engineered so ties exercise the first-to-attain rule."""
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 3, size=(16, 16)).astype(np.uint8)  # many ties
+    meta = M.RasterMeta("t", 16, 16, gt=(0.0, 1.0, 0.0, 16.0, 0.0, -1.0), block=8)
+    dstm = M.RasterMeta("t2", 8, 8, gt=(0.0, 2.0, 0.0, 16.0, 0.0, -2.0), block=8)
+    got = M.to_array(R.warp(M.from_array(spark, arr, meta), meta, dstm, "mode"), dstm)
+    want = ref_aom(arr, 8, 8, 2, 2, "mode")
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+def test_warp_mode_float_path(spark):
+    """Float rasters take the Fmode float32 value-list path."""
+    rng = np.random.RandomState(7)
+    arr = rng.choice([0.5, 1.25, 2.75], size=(12, 12)).astype(np.float64)
+    meta = M.RasterMeta("f", 12, 12, gt=(0.0, 1.0, 0.0, 12.0, 0.0, -1.0),
+                        dtype="float64", block=8)
+    dstm = M.RasterMeta("f2", 6, 6, gt=(0.0, 2.0, 0.0, 12.0, 0.0, -2.0),
+                        dtype="float64", block=8)
+    got = M.to_array(R.warp(M.from_array(spark, arr, meta), meta, dstm, "mode"), dstm)
+    want = ref_aom(arr, 6, 6, 2, 2, "mode")
+    np.testing.assert_array_equal(got, want)
