@@ -1222,19 +1222,23 @@ def q_pages_e2e(spark, sf_dir):
     pg = PAGES.pages(spark, n)
     html_text = F.regexp_extract(F.decode(F.col("html"), "UTF-8"),
                                  r"<p>(.*)</p>", 1)
-    flags = pg.select((html_text == F.col("text")).cast("long").alias("ok"))
-    n_text_ok = flags.agg(F.sum("ok")).collect()[0][0]
+    text_ok = pg.agg(F.sum((html_text == F.col("text")).cast("long"))
+                     .alias("n_text_byte_identical"))
     pts = PAGES.extract_points(pg)
     grid = PG.admin_grid(spark, nx=36, ny=17, lat_min=-85.0, lat_max=85.0)
     joined = SJ.point_in_polygon_join(pts, grid, strategy="broadcast")
     out = tiles.with_tile_columns(joined, zoom=8)
     agg = out.groupBy("cell_id", "tx", "ty").agg(F.count(F.lit(1)).alias("n"))
-    return agg.agg(
+    summary = agg.agg(
         F.lit(n).alias("n_pages"),
-        F.lit(int(n_text_ok)).alias("n_text_byte_identical"),
         F.sum("n").alias("n_points_joined"),
         F.countDistinct("cell_id").alias("n_cells"),
         F.count(F.lit(1)).alias("n_cell_tiles"))
+    # both single-row aggregates join into ONE plan/action (a driver-side
+    # collect of the text check would split the job in two)
+    return summary.crossJoin(text_ok).select(
+        "n_pages", "n_text_byte_identical", "n_points_joined",
+        "n_cells", "n_cell_tiles")
 
 
 # ---------------------------------------------------------------------------

@@ -186,6 +186,14 @@ _EDGES = T.StructType([
     T.StructField("node", T.LongType()),
 ])
 
+# summary + edge rows from ONE labeling pass, discriminated by `kind`
+# ('s'/'e'); the per-block union-find is the expensive step, so running it
+# once and caching the combined rows halves the labeling cost
+_COMBINED = T.StructType(
+    [T.StructField("kind", T.StringType())]
+    + list(_SUMMARY.fields)
+    + [f for f in _EDGES.fields if f.name not in ("value", "node")])
+
 
 def _node_base(bx: int, by: int, nbx: int) -> int:
     return (np.int64(by) * nbx + bx) << np.int64(24)
@@ -209,7 +217,8 @@ def _polygonize_full(tiles: DataFrame, meta: RasterMeta, band: int = 0,
 
     def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            srows, erows = [], []
+            srows: list = []
+            erows: list = []
             for r in pdf.itertuples(index=False):
                 arr = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
                 labels, n = label_block(arr, nodata)
@@ -260,21 +269,18 @@ def _polygonize_full(tiles: DataFrame, meta: RasterMeta, band: int = 0,
                     if lab >= 0 and px0 + r.w < width:
                         erows.append(("v", (py0 + y) * (width + 1) + px0 + r.w - 1,
                                       float(arr[y, r.w - 1]), int(base + lab)))
-            yield pd.DataFrame(srows, columns=[f.name for f in _SUMMARY]), \
-                  pd.DataFrame(erows, columns=[f.name for f in _EDGES])
+            cols = [f.name for f in _COMBINED]
+            rows = [("s", n, v, np_, x0, y0, x1, y1, None, None)
+                    for n, v, np_, x0, y0, x1, y1 in srows]
+            rows += [("e", n, v, None, None, None, None, None, side, gpos)
+                     for side, gpos, v, n in erows]
+            yield pd.DataFrame(rows, columns=cols)
 
-    # run local labeling once, emitting both outputs from a cached pass
-    def local_summary(batches):
-        for s, _ in local(batches):
-            yield s
-
-    def local_edges(batches):
-        for _, e in local(batches):
-            yield e
-
-    cached = tiles.cache()
-    summary = cached.mapInPandas(local_summary, schema=_SUMMARY)
-    edges = cached.mapInPandas(local_edges, schema=_EDGES)
+    combined = tiles.mapInPandas(local, schema=_COMBINED).cache()
+    summary = combined.filter(F.col("kind") == "s").select(
+        *[f.name for f in _SUMMARY.fields])
+    edges = combined.filter(F.col("kind") == "e").select(
+        *[f.name for f in _EDGES.fields])
 
     # adjacent-block merge edges: same (side, gpos, value), different node
     a = edges.alias("a")

@@ -37,6 +37,9 @@ _ADJ = T.StructType([
 _EDGE = T.StructType([
     T.StructField("side", T.StringType()), T.StructField("gpos", T.LongType()),
     T.StructField("node", T.LongType())])
+# within-block adjacency + border rows from one labeling pass ('a'/'e')
+_COMBINED = T.StructType([T.StructField("kind", T.StringType())]
+                         + list(_ADJ.fields) + list(_EDGE.fields))
 
 
 def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
@@ -47,7 +50,8 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
     tiles_b = tiles.filter(F.col("band") == band)
 
     # ---- adjacency: within-block pairs + cross-block border pairs --------
-    def local_adj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # (one labeling pass per block emits BOTH row kinds, cached)
+    def local_both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -62,38 +66,35 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
                     lo = np.minimum(pa, pb)
                     hi = np.maximum(pa, pb)
                     uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
-                    rows.extend((int(x), int(y)) for x, y in uniq)
-            yield pd.DataFrame(rows, columns=["a", "b"])
-
-    def border(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
-                labels, _ = label_block(arr, nodata)
-                base = _node_base(r.bx, r.by, nbx)
+                    rows.extend(("a", int(x), int(y), None, None, None)
+                                for x, y in uniq)
                 px0, py0 = r.bx * block, r.by * block
                 # same non-wrapping key scheme as polygonize: v keys use a
                 # width+1 multiplier; outer-border edges are never emitted
                 for x in range(r.w):
                     if labels[0, x] >= 0 and py0 > 0:
-                        rows.append(("h", (py0 - 1) * width + px0 + x,
+                        rows.append(("e", None, None, "h",
+                                     (py0 - 1) * width + px0 + x,
                                      int(base + labels[0, x])))
                     if labels[r.h - 1, x] >= 0 and py0 + r.h < height:
-                        rows.append(("h", (py0 + r.h - 1) * width + px0 + x,
+                        rows.append(("e", None, None, "h",
+                                     (py0 + r.h - 1) * width + px0 + x,
                                      int(base + labels[r.h - 1, x])))
                 for y in range(r.h):
                     if labels[y, 0] >= 0 and px0 > 0:
-                        rows.append(("v", (py0 + y) * (width + 1) + px0 - 1,
+                        rows.append(("e", None, None, "v",
+                                     (py0 + y) * (width + 1) + px0 - 1,
                                      int(base + labels[y, 0])))
                     if labels[y, r.w - 1] >= 0 and px0 + r.w < width:
-                        rows.append(("v", (py0 + y) * (width + 1) + px0 + r.w - 1,
+                        rows.append(("e", None, None, "v",
+                                     (py0 + y) * (width + 1) + px0 + r.w - 1,
                                      int(base + labels[y, r.w - 1])))
-            yield pd.DataFrame(rows, columns=["side", "gpos", "node"])
+            yield pd.DataFrame(rows, columns=[f.name for f in _COMBINED])
 
     cached = tiles_b.cache()
-    adj_local = cached.mapInPandas(local_adj, schema=_ADJ)
-    edges = cached.mapInPandas(border, schema=_EDGE)
+    both = cached.mapInPandas(local_both, schema=_COMBINED).cache()
+    adj_local = both.filter(F.col("kind") == "a").select("a", "b")
+    edges = both.filter(F.col("kind") == "e").select("side", "gpos", "node")
     ea, eb = edges.alias("x"), edges.alias("y")
     adj_cross = (ea.join(eb, (F.col("x.side") == F.col("y.side"))
                          & (F.col("x.gpos") == F.col("y.gpos"))
