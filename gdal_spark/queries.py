@@ -1048,6 +1048,40 @@ SELECT CAST(dx AS BIGINT) AS px, dy AS py, s[2] AS val FROM v WHERE s[2] > 0
 """
 
 
+from gdal_spark.raster import contour as CT  # noqa: E402
+
+CONTOUR_META = RM.RasterMeta("ramp", 30, 20,
+                             gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+                             dtype="float64")
+
+
+def _ramp_tiles(spark):
+    px = (spark.range(30 * 20)
+          .select((F.col("id") % 30).alias("px"),
+                  F.floor(F.col("id") / 30).alias("py"))
+          .withColumn("burn_val", F.col("px").cast("double")))
+    return RZ.pixels_to_blocks(px, CONTOUR_META)
+
+
+def q_contour_lines(spark, sf_dir):
+    """GDALContourGenerate with polyline stitching (contour.cpp:1532 merge
+    semantics as a per-level endpoint-graph walk): on the z=x ramp each
+    level yields exactly one open vertical polyline through all 19 cell
+    rows — 20 points, length 19."""
+    out = CT.contour_lines(_ramp_tiles(spark), CONTOUR_META,
+                           [4.25, 10.5, 17.75])
+    return out.select("level", "line_id", "n_points",
+                      F.col("closed").cast("int").alias("closed"),
+                      F.round("length", 6).alias("length"))
+
+
+ORACLE_CONTOUR_LINES = """
+SELECT CAST(lv AS DOUBLE) AS level, CAST(0 AS BIGINT) AS line_id,
+       20 AS n_points, 0 AS closed, CAST(19 AS DOUBLE) AS length
+FROM (SELECT unnest([4.25, 10.5, 17.75]) AS lv)
+"""
+
+
 def q_polygonize_rects(spark, sf_dir):
     """Scanline rasterize of the admin-grid polygons + distributed
     polygonize (2-phase CC): each rectangle must come back as exactly one
@@ -1363,6 +1397,7 @@ QUERIES: dict[str, tuple] = {
     "pyramid_avg": (q_pyramid_avg, ORACLE_PYRAMID_AVG),
     "warp_bilinear": (q_warp_bilinear, ORACLE_WARP_BILINEAR),
     "warp_max": (q_warp_max, ORACLE_WARP_MAX),
+    "contour_lines": (q_contour_lines, ORACLE_CONTOUR_LINES),
     "warp_med": (q_warp_med, ORACLE_WARP_MED),
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
     "clip_layer_area": (q_clip_layer_area, ORACLE_CLIP_LAYER),

@@ -151,3 +151,81 @@ def contour_segments(tiles: DataFrame, meta: RasterMeta,
 
     sdf = tiles.mapInPandas(strips, schema=strip_schema)
     return sdf.groupBy("tbx", "tby", "band").applyInPandas(emit, schema=_SEG)
+
+
+_LINE = T.StructType([
+    T.StructField("level", T.DoubleType()),
+    T.StructField("line_id", T.LongType()),
+    T.StructField("n_points", T.IntegerType()),
+    T.StructField("closed", T.BooleanType()),
+    T.StructField("length", T.DoubleType()),
+    T.StructField("wkb", T.BinaryType()),
+])
+
+
+def stitch_segments(seg_rows) -> list[tuple]:
+    """Merge contour segments into maximal polylines (the reference's
+    single-pass merge, contour.cpp:1532 GDALContourItem::Merge — here an
+    endpoint-graph walk). Endpoints match EXACTLY: neighboring cells
+    compute the shared edge crossing from the same two node values with
+    the same expression, so the floats are bitwise identical.
+
+    Deterministic: open paths start from the smallest degree-1 vertex,
+    cycles from the smallest remaining vertex; ties walk toward the
+    smaller neighbor. Returns [(points ndarray, closed)]."""
+    adj: dict[tuple, list] = {}
+    for x0, y0, x1, y1 in seg_rows:
+        a, b = (float(x0), float(y0)), (float(x1), float(y1))
+        if a == b:
+            continue
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for v in adj:
+        adj[v].sort()
+    out = []
+
+    def walk(start):
+        path = [start]
+        cur = start
+        while adj[cur]:
+            nxt = adj[cur].pop(0)
+            adj[nxt].remove(cur)
+            path.append(nxt)
+            cur = nxt
+        return path
+
+    for start in sorted(v for v, ns in adj.items() if len(ns) == 1):
+        if adj[start]:
+            p = walk(start)
+            out.append((np.asarray(p, dtype=np.float64), False))
+    for start in sorted(v for v, ns in adj.items() if ns):
+        if adj[start]:
+            p = walk(start)
+            out.append((np.asarray(p, dtype=np.float64),
+                        len(p) > 1 and p[0] == p[-1]))
+    return out
+
+
+def contour_lines(tiles: DataFrame, meta: RasterMeta,
+                  levels: list[float]) -> DataFrame:
+    """Merged polylines per level: (level, line_id, n_points, closed,
+    length, wkb LineString). Stitching is a per-level groupBy walk —
+    contour geometry is 1-D, so a level's segment set is tiny relative to
+    the raster (memory ∝ contour length, not area)."""
+    from gdal_spark.functions import geometry as G
+
+    segs = contour_segments(tiles, meta, levels)
+
+    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        level = float(key[0])
+        lines = stitch_segments(
+            zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]))
+        rows = []
+        for i, (pts, closed) in enumerate(lines):
+            seglen = float(np.hypot(np.diff(pts[:, 0]),
+                                    np.diff(pts[:, 1])).sum())
+            rows.append((level, i, len(pts), bool(closed), seglen,
+                         G.encode_linestring(pts)))
+        return pd.DataFrame(rows, columns=[f.name for f in _LINE])
+
+    return segs.groupBy("level").applyInPandas(stitch, schema=_LINE)

@@ -115,3 +115,50 @@ def test_contour_geo_coords(spark):
     segs = CT.contour_segments(M.from_array(spark, X, meta), meta, [4.5]).collect()
     for r in segs:
         assert r["x0"] == pytest.approx(100.0 + 5.0 * 2.0)  # px 5.0 → geo 110
+
+
+def test_contour_lines_ramp_stitched(spark):
+    """z=x ramp: one open polyline per level, all 19 segments merged."""
+    X, _ = np.meshgrid(np.arange(30, dtype=np.float64), np.arange(20))
+    meta = M.RasterMeta("cl", 30, 20, dtype="float64", block=8)
+    rows = CT.contour_lines(M.from_array(spark, X, meta), meta,
+                            [10.25]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_points"] == 20 and not r["closed"]
+    assert r["length"] == pytest.approx(19.0)
+    from gdal_spark.functions import geometry as G
+    pts = G.decode_linestring(bytes(r["wkb"]))
+    assert np.allclose(pts[:, 0], 10.75)        # constant x = L + 0.5
+    assert pts[0, 1] != pts[-1, 1]
+
+
+def test_contour_lines_closed_ring(spark):
+    """Chebyshev cone z = max(|i-10|, |j-10|): contours are closed rings."""
+    ii, jj = np.meshgrid(np.arange(21), np.arange(21), indexing="ij")
+    z = np.maximum(np.abs(ii - 10), np.abs(jj - 10)).astype(np.float64)
+    meta = M.RasterMeta("cone", 21, 21, dtype="float64", block=8)
+    rows = CT.contour_lines(M.from_array(spark, z, meta), meta,
+                            [3.5, 6.5]).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    for lv, rs in by_level.items():
+        assert len(rs) == 1, lv
+        assert rs[0]["closed"], lv
+    # ring lengths grow with level
+    assert by_level[6.5][0]["length"] > by_level[3.5][0]["length"]
+
+
+def test_contour_lines_block_independence(spark):
+    rng = np.random.RandomState(13)
+    arr = rng.rand(25, 40) * 100
+    sigs = []
+    for block in (40, 8):
+        meta = M.RasterMeta("ci", 40, 25, dtype="float64", block=block)
+        rows = CT.contour_lines(M.from_array(spark, arr, meta), meta,
+                                [30.0, 60.0]).collect()
+        sigs.append(sorted((r["level"], r["n_points"], r["closed"],
+                            round(r["length"], 9)) for r in rows))
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) > 2
