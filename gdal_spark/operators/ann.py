@@ -79,13 +79,54 @@ def srp_bucket(df: DataFrame, id_col: str, vec: str, n_planes: int = 8,
     return df.select(id_col, vec).mapInPandas(run, schema=out_schema)
 
 
+def srp_probe_buckets(df: DataFrame, id_col: str, vec: str,
+                      n_planes: int = 8, seed: int = 42,
+                      n_probes: int = 1) -> DataFrame:
+    """Multi-probe SRP buckets for the query side: the vector's own bucket
+    plus the ``n_probes - 1`` Hamming-1 neighbors whose hyperplane margin
+    |proj| is smallest — the classic multi-probe LSH order (flip the bits
+    the vector was closest to crossing). One Arrow pass, ≤ n_probes rows
+    per query."""
+    out_schema = f"{id_col} long, bucket int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: pdf[id_col],
+                                    "bucket": np.zeros(0, dtype=np.int32)})
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1], n_planes, seed)
+            proj = mat @ planes.T
+            base = (((proj > 0).astype(np.int64)
+                     << np.arange(n_planes, dtype=np.int64)).sum(axis=1))
+            ids = pdf[id_col].to_numpy()
+            out_ids = [ids]
+            out_buckets = [base]
+            if n_probes > 1:
+                order = np.argsort(np.abs(proj), axis=1, kind="stable")
+                for r in range(min(n_probes - 1, n_planes)):
+                    out_ids.append(ids)
+                    out_buckets.append(base ^ (1 << order[:, r]))
+            yield pd.DataFrame({
+                id_col: np.concatenate(out_ids),
+                "bucket": np.concatenate(out_buckets).astype(np.int32)})
+
+    return df.select(id_col, vec).mapInPandas(run, schema=out_schema)
+
+
 def cosine_topk_lsh(queries: DataFrame, data: DataFrame, k: int,
                     q_id: str = "qid", d_id: str = "vec_id",
                     vec: str = "embedding", n_planes: int = 6,
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42, n_probes: int = 1) -> DataFrame:
     """Approximate cosine top-k: equi-join on SRP bucket, exact rerank inside
-    the bucket. Recall grows as n_planes shrinks (bigger buckets)."""
-    qb = srp_bucket(queries, q_id, vec, n_planes, seed)
+    the bucket. Recall grows as n_planes shrinks (bigger buckets) or as
+    ``n_probes`` grows (each query additionally probes its nearest
+    Hamming-1 buckets; data vectors still live in exactly one bucket, so
+    probe fan-out multiplies only the query side)."""
+    qb = srp_probe_buckets(queries, q_id, vec, n_planes, seed, n_probes)
     db = srp_bucket(data, d_id, vec, n_planes, seed)
     qv = F.transform(F.col(vec), lambda x: x.cast("double"))
     q = queries.select(F.col(q_id), qv.alias("_qv")).join(qb, on=q_id)

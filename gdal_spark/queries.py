@@ -49,7 +49,13 @@ POINTS_SQL = f"SELECT doc_id, {LON_EXPR} AS lon, {LAT_EXPR} AS lat FROM document
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """All queries load through the source registry: an ``iceberg:`` prefix
+    on sf_dir routes to the Iceberg DataSource (the input_hint contract),
+    a plain path to the testdata parquet layout."""
+    from gdal_spark.sources.catalog import ICEBERG_PREFIX, load_table
+    if sf_dir.startswith(ICEBERG_PREFIX):
+        return load_table(spark, f"{sf_dir}.{table}")
+    return load_table(spark, f"{sf_dir}/{table}.parquet")
 
 
 def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,62 @@
+"""ANN multi-probe LSH: recall vs the brute-force twin."""
+
+import numpy as np
+
+from gdal_spark.operators import ann as ANN
+
+
+def _embeddings(spark, n, dim, seed, id_name):
+    rng = np.random.RandomState(seed)
+    rows = [(i, rng.standard_normal(dim).astype(float).tolist())
+            for i in range(n)]
+    return spark.createDataFrame(rows, f"{id_name} long, embedding array<double>")
+
+
+def test_multiprobe_improves_recall(spark):
+    """Planted-neighbor data (each query has 10 perturbed copies): the true
+    top-5 live in the query's bucket or a Hamming-1 neighbor, so probing
+    flipped buckets must recover what single-probe misses."""
+    rng = np.random.RandomState(2)
+    qvecs = rng.standard_normal((12, 16))
+    rows, vid = [], 0
+    for qv in qvecs:
+        for _ in range(10):                      # 10 near-duplicates per query
+            rows.append((vid, (qv + 0.15 * rng.standard_normal(16)).tolist()))
+            vid += 1
+    for _ in range(180):                         # background noise
+        rows.append((vid, rng.standard_normal(16).tolist()))
+        vid += 1
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    queries = spark.createDataFrame(
+        [(i, qv.tolist()) for i, qv in enumerate(qvecs)],
+        "qid long, embedding array<double>").cache()
+    truth = {}
+    for r in ANN.cosine_topk_bruteforce(queries, data, k=5).collect():
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def recall(n_probes):
+        got = {}
+        res = ANN.cosine_topk_lsh(queries, data, k=5, n_planes=6,
+                                  n_probes=n_probes).collect()
+        for r in res:
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1, r4, r7 = recall(1), recall(4), recall(7)
+    assert r4 >= r1
+    assert r7 >= r4
+    assert r7 >= 0.6          # 6 extra Hamming-1 probes recover most of top-5
+    assert r1 < 1.0           # single-probe genuinely misses some
+
+
+def test_probe_buckets_shape(spark):
+    q = _embeddings(spark, 5, 8, 3, "qid")
+    pb = ANN.srp_probe_buckets(q, "qid", "embedding", n_planes=6, n_probes=4)
+    rows = pb.collect()
+    assert len(rows) == 5 * 4
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], set()).add(r["bucket"])
+    # all probes distinct per query (base + 3 distinct bit flips)
+    assert all(len(v) == 4 for v in per_q.values())
