@@ -140,6 +140,30 @@ def decode_linestring(wkb: bytes) -> np.ndarray:
 # Measures (shoelace area / envelope) — OGR_GEOM_AREA analog
 # ---------------------------------------------------------------------------
 
+def geometry_length(wkb: bytes) -> float:
+    """get_Length: polyline length for LineString/MultiLineString
+    (OGRSimpleCurve::get_Length, gdal/ogr/ogrlinestring.cpp:2087 — sum of
+    segment lengths); 0 for non-curve geometries (the reference defines
+    the measure on curves only)."""
+    buf = memoryview(wkb)
+    gtype, endian, _off = _read_header(buf, 0)
+    if gtype == WKB_LINESTRING:
+        coords = decode_linestring(wkb)
+        return float(np.hypot(np.diff(coords[:, 0]),
+                              np.diff(coords[:, 1])).sum())
+    if gtype == WKB_MULTILINESTRING:
+        n = int.from_bytes(buf[5:9], "little" if endian == "<" else "big")
+        off = 9
+        total = 0.0
+        for _k in range(n):
+            _gt2, e2, body = _read_header(buf, off)
+            coords, off = _decode_ring(buf, e2, body)
+            total += float(np.hypot(np.diff(coords[:, 0]),
+                                    np.diff(coords[:, 1])).sum())
+        return total
+    return 0.0
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Unsigned shoelace area of one ring (OGRLinearRing::get_Area)."""
     x, y = ring[:, 0], ring[:, 1]

@@ -40,10 +40,26 @@ def ci_in(col: Column, values: list[str]) -> Column:
 
 
 def ci_like(col: Column, pattern: str, escape: str | None = None) -> Column:
-    """Case-insensitive LIKE with optional ESCAPE (swq_op_general.cpp:42)."""
-    pat = F.lit(pattern.lower())
-    return (F.lower(col).like(pattern.lower(), escape)
-            if escape else F.lower(col).like(pattern.lower()))
+    """Case-insensitive LIKE with optional ESCAPE (swq_op_general.cpp:42).
+
+    The pattern is lowercased character-wise EXCEPT occurrences of the
+    escape character itself — blanket ``pattern.lower()`` would turn an
+    uppercase escape char (e.g. 'X' in ``'100X%' ESCAPE 'X'``) into a
+    different character, silently re-activating the escaped wildcard."""
+    if escape:
+        out = []
+        i = 0
+        while i < len(pattern):
+            ch = pattern[i]
+            if ch == escape and i + 1 < len(pattern):
+                out.append(escape)
+                out.append(pattern[i + 1].lower())
+                i += 2
+            else:
+                out.append(ch.lower())
+                i += 1
+        return F.like(F.lower(col), F.lit("".join(out)), F.lit(escape))
+    return F.lower(col).like(pattern.lower())
 
 
 def ogr_substr(col: Column, start: int, length: int | None = None) -> Column:
@@ -133,6 +149,31 @@ def ogr_geometry(col: Column) -> Column:
 def ogr_geom_wkt(col: Column) -> Column:
     """OGR_GEOM_WKT for the Point/Polygon subset (fixture needs)."""
     return F.pandas_udf(_geom_wkt_fn, "string")(col)
+
+
+def ogr_style(style_col: Column | None = None) -> Column:
+    """OGR_STYLE special field (ogr_sql.dox:497): the feature's style
+    string (OGRFeature::GetStyleString). Layers that carry no style info —
+    every layer this engine synthesizes — yield NULL, exactly what the
+    reference returns for plain features; pass a style column to surface
+    stored styles."""
+    return style_col if style_col is not None else F.lit(None).cast("string")
+
+
+def _geom_length_fn(wkb: pd.Series) -> pd.Series:
+    out = np.zeros(len(wkb))
+    for i, b in enumerate(wkb):
+        if b is None:
+            continue
+        out[i] = G.geometry_length(bytes(b))
+    return pd.Series(out)
+
+
+def ogr_geom_length(col: Column) -> Column:
+    """get_Length measure for curve geometries (OGRCurve::get_Length,
+    gdal/ogr/ogrlinestring.cpp) — 0 for points/polygons, matching the
+    reference's curve-only definition."""
+    return F.pandas_udf(_geom_length_fn, "double")(col)
 
 
 # ---------------------------------------------------------------------------

@@ -193,6 +193,58 @@ def quadkey(tx: Column, ty: Column, zoom: int) -> Column:
     return F.concat(*digits)
 
 
+# ---------------------------------------------------------------------------
+# Geodetic (plate-carrée) profile — gdal2tiles.py:320-412 GlobalGeodetic
+# ---------------------------------------------------------------------------
+
+def py_geodetic_resolution(zoom: int, tmscompatible: bool = True) -> float:
+    """arc-degrees/pixel (GlobalGeodetic.Resolution): resFact 180/256 for
+    the OSGeo-TMS 2-tiles-at-zoom-0 layout, 360/256 for the
+    OpenLayers/WMTS 1-tile layout."""
+    fact = 180.0 / TILE_SIZE if tmscompatible else 360.0 / TILE_SIZE
+    return fact / (2 ** zoom)
+
+
+def py_geodetic_tile(lon: float, lat: float, zoom: int,
+                     tmscompatible: bool = True) -> tuple[int, int]:
+    """GlobalGeodetic.LonLatToTile: px=(180+lon)/res, py=(90+lat)/res,
+    then the shared ceil-minus-one PixelsToTile."""
+    res = py_geodetic_resolution(zoom, tmscompatible)
+    return py_pixels_to_tile((180.0 + lon) / res, (90.0 + lat) / res)
+
+
+def py_geodetic_tile_bounds(tx: int, ty: int, zoom: int,
+                            tmscompatible: bool = True
+                            ) -> tuple[float, float, float, float]:
+    res = py_geodetic_resolution(zoom, tmscompatible)
+    return (tx * TILE_SIZE * res - 180.0, ty * TILE_SIZE * res - 90.0,
+            (tx + 1) * TILE_SIZE * res - 180.0,
+            (ty + 1) * TILE_SIZE * res - 90.0)
+
+
+def geodetic_tile_x(lon: Column, zoom: int,
+                    tmscompatible: bool = True) -> Column:
+    res = py_geodetic_resolution(zoom, tmscompatible)
+    return pixels_to_tile((F.lit(180.0) + lon) / F.lit(res))
+
+
+def geodetic_tile_y(lat: Column, zoom: int,
+                    tmscompatible: bool = True) -> Column:
+    res = py_geodetic_resolution(zoom, tmscompatible)
+    return pixels_to_tile((F.lit(90.0) + lat) / F.lit(res))
+
+
+def with_geodetic_tile_columns(df, lon: str = "lon", lat: str = "lat",
+                               zoom: int = 12, tmscompatible: bool = True,
+                               prefix: str = ""):
+    """Attach plate-carrée (gtx, gty) TMS tile columns — pure column math,
+    the EPSG:4326 twin of with_tile_columns."""
+    return (df.withColumn(prefix + "gtx",
+                          geodetic_tile_x(F.col(lon), zoom, tmscompatible))
+            .withColumn(prefix + "gty",
+                        geodetic_tile_y(F.col(lat), zoom, tmscompatible)))
+
+
 def parent_tile(t: Column) -> Column:
     """Tile coord at zoom-1 = floor division by 2 (pyramid rollup key;
     gdal2tiles.py:1313-1400 overview pass shape). Works for negative

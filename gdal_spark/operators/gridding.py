@@ -115,3 +115,26 @@ def grid_metric(points: DataFrame, meta: RasterMeta, radius: float,
         raise ValueError(f"unknown metric {metric!r}")
     return (pairs.groupBy("px", "py")
             .agg(exprs[metric].cast("double").alias("val")))
+
+
+def grid_avg_distance_pts(points: DataFrame, meta: RasterMeta, radius: float,
+                          x="x", y="y", pid="pid") -> DataFrame:
+    """GDALGridDataMetricAverageDistancePts (gdalgrid.cpp:1171-1263):
+    mean distance over all unordered PAIRS of points inside the node's
+    search circle (the reference's i<j double loop — pair distance is
+    point-to-point, not point-to-node). Nodes with fewer than two
+    in-radius points have no pairs and are omitted (the reference writes
+    nodata there). The per-node pair count is quadratic in neighborhood
+    size — bounded by the radius/cell geometry the same way the
+    reference's ellipse search is."""
+    cand = _candidate_pairs(points, meta, radius, x, y)
+    a = cand.select("px", "py", F.col(pid).alias("_pa"),
+                    F.col(x).alias("_xa"), F.col(y).alias("_ya"))
+    b = cand.select("px", "py", F.col(pid).alias("_pb"),
+                    F.col(x).alias("_xb"), F.col(y).alias("_yb"))
+    dx = F.col("_xa") - F.col("_xb")
+    dy = F.col("_ya") - F.col("_yb")
+    return (a.join(b, on=["px", "py"])
+            .filter(F.col("_pa") < F.col("_pb"))
+            .groupBy("px", "py")
+            .agg(F.avg(F.sqrt(dx * dx + dy * dy)).cast("double").alias("val")))

@@ -1122,6 +1122,39 @@ FROM (SELECT unnest(generate_series(0, 35)) AS i),
 from gdal_spark.operators import layer_algebra as LA  # noqa: E402
 
 
+def q_locate_info(spark, sf_dir):
+    """gdallocationinfo (gdal/apps/gdallocationinfo.cpp:383-401): every doc
+    point located back in the doc raster via inverse geotransform + block
+    join — (doc_id, px, py, val); val null outside the raster."""
+    pts = doc_points(spark, sf_dir)
+    out = RM.locate_points(pts, _doc_tiles(spark, sf_dir), DOC_META)
+    return out.select("doc_id", "px", "py", "val")
+
+
+ORACLE_LOCATE_INFO = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT r.doc_id, r.px, r.py, CAST(b.burn AS DOUBLE) AS val
+FROM pxr r LEFT JOIN pix b ON b.px = r.px AND b.py = r.py
+"""
+
+
+def q_tile_geodetic_z6(spark, sf_dir):
+    """Geodetic (plate-carrée) tile profile (gdal2tiles.py:320-412
+    GlobalGeodetic, OSGeo-TMS resFact 180/256): per-tile doc counts at z6."""
+    pts = doc_points(spark, sf_dir)
+    df = tiles.with_geodetic_tile_columns(pts, zoom=6)
+    return df.groupBy("gtx", "gty").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_TILE_GEODETIC = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT CAST(ceil(((180.0 + lon) / 0.010986328125) / 256.0) - 1 AS INTEGER) AS gtx,
+       CAST(ceil(((90.0 + lat) / 0.010986328125) / 256.0) - 1 AS INTEGER) AS gty,
+       count(*) AS n
+FROM pts GROUP BY 1, 2
+"""
+
+
 def q_clip_layer_area(spark, sf_dir):
     """Layer-algebra Intersection/Clip emission (ogrlayer.cpp:2016/3486):
     exact Sutherland–Hodgman pieces of the poly fixture against a convex
@@ -1349,6 +1382,32 @@ def q_grid_avgdist(spark, sf_dir):
     return out.select("px", "py", F.round("val", 6).alias("val"))
 
 
+def q_grid_avgdist_pts(spark, sf_dir):
+    """Data metric average_distance_pts (gdalgrid.cpp:1171): mean distance
+    over unordered in-radius point PAIRS per grid node."""
+    out = GR.grid_avg_distance_pts(_grid_points(spark, sf_dir), GRID_META,
+                                   GRID_RADIUS)
+    return out.select("px", "py", F.round("val", 6).alias("val"))
+
+
+ORACLE_GRID_AVGDIST_PTS = f"""
+WITH pts AS ({POINTS_SQL}), p AS ({_GRID_PTS}),
+nodes AS (SELECT px, py, -180.0 + (px + 0.5) * 5.0 AS nx,
+                 85.0 + (py + 0.5) * (-5.0) AS ny
+          FROM (SELECT unnest(generate_series(0, 71)) AS px),
+               (SELECT unnest(generate_series(0, 33)) AS py)),
+prx AS (SELECT px, py, doc_id, lon, lat
+        FROM nodes CROSS JOIN p
+        WHERE (lon - nx) * (lon - nx) + (lat - ny) * (lat - ny) <= 36.0),
+pairs AS (SELECT a.px, a.py,
+            sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                 + (a.lat - b.lat) * (a.lat - b.lat)) AS d
+          FROM prx a JOIN prx b
+            ON a.px = b.px AND a.py = b.py AND a.doc_id < b.doc_id)
+SELECT px, py, round(avg(d), 6) AS val FROM pairs GROUP BY px, py
+"""
+
+
 ORACLE_GRID_AVGDIST = f"""
 WITH pts AS ({POINTS_SQL}), p AS ({_GRID_PTS}), {_GRID_NODES}
 SELECT px, py, round(avg(sqrt(d2)), 6) AS val FROM pr GROUP BY px, py
@@ -1413,4 +1472,7 @@ QUERIES: dict[str, tuple] = {
     "grid_invdist": (q_grid_invdist, ORACLE_GRID_INVDIST),
     "grid_nearest": (q_grid_nearest, ORACLE_GRID_NEAREST),
     "grid_avgdist": (q_grid_avgdist, ORACLE_GRID_AVGDIST),
+    "grid_avgdist_pts": (q_grid_avgdist_pts, ORACLE_GRID_AVGDIST_PTS),
+    "locate_info": (q_locate_info, ORACLE_LOCATE_INFO),
+    "tile_geodetic_z6": (q_tile_geodetic_z6, ORACLE_TILE_GEODETIC),
 }

@@ -168,6 +168,66 @@ def nonzero_pixels(tiles: DataFrame, meta: RasterMeta, band: int = 0) -> DataFra
     return tiles.filter(F.col("band") == band).mapInPandas(run, schema=schema)
 
 
+def locate_points(points: DataFrame, tiles: DataFrame, meta: RasterMeta,
+                  lon: str = "lon", lat: str = "lat", band: int = 0,
+                  val_col: str = "val") -> DataFrame:
+    """gdallocationinfo analog (gdal/apps/gdallocationinfo.cpp:383-401):
+    inverse geotransform → containing pixel ``floor((geo - origin)/scale)``
+    → block equi-join → per-block value gather. Returns the point columns
+    plus (px, py, val); points outside the raster keep their (out-of-range)
+    pixel indices and a null val, matching the app's "outside" report.
+    Axis-aligned geotransforms only (rotated rasters unsupported, as in
+    rasterize). One shuffle keyed by block — scalable to any point count."""
+    g = meta.gt
+    if g[2] != 0.0 or g[4] != 0.0:
+        raise NotImplementedError("rotated geotransforms unsupported")
+    dtype, block = meta.dtype, meta.block
+    width, height = meta.width, meta.height
+    pt_cols = points.columns
+    px = F.floor((F.col(lon) - F.lit(g[0])) / F.lit(g[1])).cast("long")
+    py = F.floor((F.col(lat) - F.lit(g[3])) / F.lit(g[5])).cast("long")
+    pts = points.withColumn("px", px).withColumn("py", py)
+    inb = ((F.col("px") >= 0) & (F.col("px") < width)
+           & (F.col("py") >= 0) & (F.col("py") < height))
+    inside = (pts.filter(inb)
+              .withColumn("bx", F.floor(F.col("px") / block).cast("int"))
+              .withColumn("by", F.floor(F.col("py") / block).cast("int")))
+    joined = inside.join(
+        tiles.filter(F.col("band") == band).select("bx", "by", "w", "h", "data"),
+        on=["bx", "by"], how="inner")
+    out_names = [*pt_cols, "px", "py", val_col]
+    out_schema = T.StructType(
+        list(points.schema.fields)
+        + [T.StructField("px", T.LongType()), T.StructField("py", T.LongType()),
+           T.StructField(val_col, T.DoubleType())])
+    names = joined.columns
+    i_px, i_py = names.index("px"), names.index("py")
+    i_bx, i_by = names.index("bx"), names.index("by")
+    i_data = names.index("data")
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = np.full(len(pdf), np.nan)
+            arrs: dict[tuple, np.ndarray] = {}
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                key = (r[i_bx], r[i_by])
+                arr = arrs.get(key)
+                if arr is None:
+                    arr = np.frombuffer(bytes(r[i_data]), dtype=dtype).reshape(
+                        pdf.iloc[i]["h"], pdf.iloc[i]["w"])
+                    arrs[key] = arr
+                vals[i] = float(arr[r[i_py] - r[i_by] * block,
+                                    r[i_px] - r[i_bx] * block])
+            out = pdf.drop(columns=["bx", "by", "w", "h", "data"])
+            out[val_col] = vals
+            yield out
+
+    matched = joined.mapInPandas(gather, schema=out_schema)
+    outside = (pts.filter(~inb)
+               .withColumn(val_col, F.lit(None).cast("double")))
+    return matched.unionByName(outside).select(*out_names)
+
+
 def to_array(df: DataFrame, meta: RasterMeta, band: int = 0,
              fill: float = 0) -> np.ndarray:
     """Collect block rows into one array (tests / small outputs only)."""

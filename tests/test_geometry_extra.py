@@ -75,3 +75,37 @@ def test_color_relief(spark):
     # exact ramp points
     i0 = np.unravel_index(np.argmin(np.abs(arr - 100.0)), arr.shape)
     assert r[i0] == 255 and g[i0] == 0
+
+
+def test_geometry_length_measure():
+    """get_Length: linestring polyline length; 0 for polygons/points."""
+    import numpy as np
+    from gdal_spark.functions import geometry as G
+    ls = G.encode_linestring(np.array([[0.0, 0.0], [3.0, 4.0], [3.0, 8.0]]))
+    assert G.geometry_length(ls) == 9.0
+    sq = G.encode_polygon([np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]],
+                                    dtype=float)])
+    assert G.geometry_length(sq) == 0.0
+    assert G.geometry_length(G.encode_point(1.0, 2.0)) == 0.0
+
+
+def test_ci_like_escape_uppercase(spark):
+    """ESCAPE char must not be lowercased away: '100X%' ESCAPE 'X' matches
+    the literal '100%' only."""
+    from gdal_spark.functions import ogr_sql as O
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("100%",), ("100abc",), ("100%x",)], "s string")
+    got = sorted(r["s"] for r in
+                 df.filter(O.ci_like(F.col("s"), "100X%", escape="X")).collect())
+    assert got == ["100%"]
+    # case-insensitivity still applies to the payload around the escape
+    df2 = spark.createDataFrame([("ABC100%",)], "s string")
+    assert df2.filter(O.ci_like(F.col("s"), "aBc100X%", escape="X")).count() == 1
+    assert df2.filter(O.ci_like(F.col("s"), "aBc10_X%", escape="X")).count() == 1
+
+
+def test_ogr_style_null(spark):
+    from gdal_spark.functions import ogr_sql as O
+    df = spark.createDataFrame([(1,)], "id long")
+    row = df.select(O.ogr_style().alias("OGR_STYLE")).collect()[0]
+    assert row["OGR_STYLE"] is None

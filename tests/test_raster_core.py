@@ -221,3 +221,24 @@ def test_overview_mode_matches_twin(spark, shape):
                                 "m_ov", method="mode")
     got = M.to_array(out, om)
     np.testing.assert_array_equal(got, ref_mode_2x(arr))
+
+
+def test_locate_points_matches_raster(spark):
+    """gdallocationinfo twin: values read back equal the array; outside
+    points get null val with computed pixel indices."""
+    arr = ((np.arange(20 * 30).reshape(20, 30) * 7) % 251).astype(np.uint8)
+    meta = M.RasterMeta("loc", 30, 20, gt=(100.0, 2.0, 0.0, 80.0, 0.0, -2.0),
+                        block=8)
+    tiles = M.from_array(spark, arr, meta)
+    pts = spark.createDataFrame(
+        [(0, 101.0, 79.0), (1, 159.9, 40.1), (2, 99.0, 79.0), (3, 120.5, 10.0)],
+        "pid long, lon double, lat double")
+    got = {r["pid"]: r for r in
+           M.locate_points(pts, tiles, meta).collect()}
+    assert got[0]["px"] == 0 and got[0]["py"] == 0
+    assert got[0]["val"] == float(arr[0, 0])
+    assert got[1]["px"] == 29 and got[1]["py"] == 19
+    assert got[1]["val"] == float(arr[19, 29])
+    assert got[2]["val"] is None          # west of the raster
+    assert got[3]["val"] is None          # south of the raster
+    assert len(got) == 4

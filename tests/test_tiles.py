@@ -96,3 +96,29 @@ def test_spark_parent_tile(spark):
     rows = df.select(T.parent_tile(F.col("t")).alias("p"), "t").collect()
     for r in rows:
         assert r["p"] == math.floor(r["t"] / 2.0)
+
+
+def test_geodetic_profile_twins():
+    """GlobalGeodetic (gdal2tiles.py:320-412): z0 has 2 tiles across
+    (tmscompatible) or 1 (OpenLayers layout)."""
+    from gdal_spark.functions import tiles as T
+    assert T.py_geodetic_tile(-179.9, -89.9, 0) == (0, 0)
+    assert T.py_geodetic_tile(179.9, 89.9, 0) == (1, 0)
+    assert T.py_geodetic_tile(179.9, 89.9, 0, tmscompatible=False) == (0, 0)
+    # z1 tmscompatible: 4x2 tiles, bounds roundtrip
+    tx, ty = T.py_geodetic_tile(10.0, 20.0, 1)
+    x0, y0, x1, y1 = T.py_geodetic_tile_bounds(tx, ty, 1)
+    assert x0 <= 10.0 <= x1 and y0 <= 20.0 <= y1
+    assert T.py_geodetic_resolution(0) == 180.0 / 256
+
+
+def test_geodetic_columns_match_twins(spark):
+    from gdal_spark.functions import tiles as T
+    import numpy as np
+    rng = np.random.RandomState(8)
+    rows = [(float(lo), float(la)) for lo, la in
+            zip(rng.uniform(-179, 179, 50), rng.uniform(-89, 89, 50))]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    got = T.with_geodetic_tile_columns(df, zoom=7).collect()
+    for r in got:
+        assert (r["gtx"], r["gty"]) == T.py_geodetic_tile(r["lon"], r["lat"], 7)
