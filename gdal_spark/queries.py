@@ -1155,6 +1155,75 @@ FROM pts GROUP BY 1, 2
 """
 
 
+def q_st_predicates(spark, sf_dir):
+    """ST predicate suite (Touches/Overlaps/Within/Contains/Equals/
+    Intersects — OGRGeometry predicate family, ogrgeometry.cpp:2300-2600)
+    over three method layers vs a 4x2 rect grid: a half-cell-shifted grid
+    (overlaps + touches), one nested cell (within/contains), and the grid
+    itself (equals). The Spark side runs the real segment/ray-cast
+    kernels; the oracle is closed-form interval logic."""
+    from gdal_spark.functions import st as ST
+    a = PG.admin_grid(spark, nx=4, ny=2, lon_min=0.0, lon_max=40.0,
+                      lat_min=0.0, lat_max=20.0)
+    b1 = PG.admin_grid(spark, nx=4, ny=2, lon_min=5.0, lon_max=45.0,
+                       lat_min=0.0, lat_max=20.0)
+    b2 = PG.admin_grid(spark, nx=1, ny=1, lon_min=2.0, lon_max=8.0,
+                       lat_min=2.0, lat_max=8.0)
+    b3 = PG.admin_grid(spark, nx=4, ny=2, lon_min=0.0, lon_max=40.0,
+                       lat_min=0.0, lat_max=20.0)
+    bs = (b1.withColumn("src", F.lit("shift"))
+          .unionByName(b2.withColumn("src", F.lit("nested")))
+          .unionByName(b3.withColumn("src", F.lit("same"))))
+    pairs = (a.select(F.col("cell_id").alias("aid"), F.col("wkb").alias("wa"))
+             .crossJoin(bs.select("src", F.col("cell_id").alias("bid"),
+                                  F.col("wkb").alias("wb")))
+             .coalesce(8))
+    wa, wb = F.col("wa"), F.col("wb")
+    return pairs.select(
+        "aid", "src", "bid",
+        ST.st_predicate("intersects")(wa, wb).cast("int").alias("intersects"),
+        ST.st_predicate("touches")(wa, wb).cast("int").alias("touches"),
+        ST.st_predicate("overlaps")(wa, wb).cast("int").alias("overlaps"),
+        ST.st_predicate("within")(wa, wb).cast("int").alias("within"),
+        ST.st_predicate("contains")(wa, wb).cast("int").alias("contains"),
+        ST.st_predicate("equals")(wa, wb).cast("int").alias("equals"))
+
+
+ORACLE_ST_PREDICATES = """
+WITH a AS (SELECT j * 4 + i AS aid, i * 10.0 AS x0, j * 10.0 AS y0,
+                  i * 10.0 + 10 AS x1, j * 10.0 + 10 AS y1
+           FROM (SELECT unnest(generate_series(0, 3)) AS i),
+                (SELECT unnest(generate_series(0, 1)) AS j)),
+b AS (
+  SELECT 'shift' AS src, j * 4 + i AS bid, 5 + i * 10.0 AS x0, j * 10.0 AS y0,
+         5 + i * 10.0 + 10 AS x1, j * 10.0 + 10 AS y1
+  FROM (SELECT unnest(generate_series(0, 3)) AS i),
+       (SELECT unnest(generate_series(0, 1)) AS j)
+  UNION ALL
+  SELECT 'nested', 0, 2.0, 2.0, 8.0, 8.0
+  UNION ALL
+  SELECT 'same', j * 4 + i, i * 10.0, j * 10.0, i * 10.0 + 10, j * 10.0 + 10
+  FROM (SELECT unnest(generate_series(0, 3)) AS i),
+       (SELECT unnest(generate_series(0, 1)) AS j)),
+r AS (SELECT aid, src, bid,
+        (greatest(a.x0, b.x0) <= least(a.x1, b.x1)
+         AND greatest(a.y0, b.y0) <= least(a.y1, b.y1)) AS closed_int,
+        (greatest(a.x0, b.x0) < least(a.x1, b.x1)
+         AND greatest(a.y0, b.y0) < least(a.y1, b.y1)) AS open_int,
+        (a.x0 >= b.x0 AND a.x1 <= b.x1 AND a.y0 >= b.y0 AND a.y1 <= b.y1) AS w_ab,
+        (b.x0 >= a.x0 AND b.x1 <= a.x1 AND b.y0 >= a.y0 AND b.y1 <= a.y1) AS w_ba
+      FROM a CROSS JOIN b)
+SELECT aid, src, bid,
+       CAST(closed_int AS INTEGER) AS intersects,
+       CAST(closed_int AND NOT open_int AS INTEGER) AS touches,
+       CAST(open_int AND NOT w_ab AND NOT w_ba AS INTEGER) AS overlaps,
+       CAST(w_ab AS INTEGER) AS within,
+       CAST(w_ba AS INTEGER) AS contains,
+       CAST(w_ab AND w_ba AS INTEGER) AS equals
+FROM r
+"""
+
+
 def q_clip_layer_area(spark, sf_dir):
     """Layer-algebra Intersection/Clip emission (ogrlayer.cpp:2016/3486):
     exact Sutherland–Hodgman pieces of the poly fixture against a convex
@@ -1467,6 +1536,7 @@ QUERIES: dict[str, tuple] = {
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
     "clip_layer_area": (q_clip_layer_area, ORACLE_CLIP_LAYER),
     "union_layer": (q_union_layer, ORACLE_UNION_LAYER),
+    "st_predicates": (q_st_predicates, ORACLE_ST_PREDICATES),
     "symdiff_layer": (q_symdiff_layer, ORACLE_SYMDIFF_LAYER),
     "pages_e2e": (q_pages_e2e, None),
     "grid_invdist": (q_grid_invdist, ORACLE_GRID_INVDIST),
