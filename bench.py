@@ -27,6 +27,7 @@ HEADLINE = [
     "pip_tile_flagship",
     "tile_assign_z10",
     "pip_admin_grid",
+    "pip_shuffle_left",
     "knn_k3",
     "tile_pyramid",
     "groupby_agg",
@@ -38,6 +39,7 @@ HEADLINE = [
     "sessionize",
     "rasterize",
     "warp_bilinear",
+    "warp_max",
 ]
 
 
@@ -111,7 +113,8 @@ def _cpu_ceiling(lo: int, hi: int, secs: float = 6.0) -> float:
 
 
 def _scaling(n_rows: int = SCALING_ROWS, pairs=((4, 16), (8, 32)),
-             reps: int = 2) -> dict:
+             reps: int = int(os.environ.get("GDAL_SPARK_SCALING_REPS", "2"))
+             ) -> dict:
     """Same job at two parallelism levels per pair (the sandbox stand-in
     for N vs 4N executors); eff = (thr_hi / thr_lo) / (hi/lo). Measured
     against the box's pure-CPU ceiling for each pair."""

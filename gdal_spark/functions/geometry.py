@@ -18,6 +18,7 @@ pandas UDFs) — zero per-row Python in the hot path.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -365,6 +366,59 @@ def rectilinear_difference(subject_wkb: bytes,
                       for r in rings_px])
     wkb = encode_polygon(polys[0]) if len(polys) == 1 else encode_multipolygon(polys)
     return wkb, area
+
+
+def rectilinear_union(wkbs: list[bytes]) -> tuple[bytes, float] | None:
+    """Exact union geometry of rectilinear polygons (the constructive
+    OGRGeometry::Union the reference gets from GEOS, ogrgeometry.cpp:2900)
+    — same breakpoint-grid + ring-tracing machinery as
+    :func:`rectilinear_difference`. Returns (wkb, area) or None."""
+    rings: list[np.ndarray] = []
+    for w in wkbs:
+        for poly in decode_polygons(w):
+            rings.extend(poly)
+    if not rings:
+        return None
+    for r in rings:
+        d = np.diff(r, axis=0)
+        if not np.all((d[:, 0] == 0) | (d[:, 1] == 0)):
+            raise NotImplementedError("rectilinear_union: non-axis-aligned edge")
+    xs = np.unique(np.concatenate([r[:, 0] for r in rings]))
+    ys = np.unique(np.concatenate([r[:, 1] for r in rings]))
+    if len(xs) < 2 or len(ys) < 2:
+        return None
+    CX, CY = np.meshgrid((xs[:-1] + xs[1:]) / 2.0, (ys[:-1] + ys[1:]) / 2.0)
+    pi, _ = PreparedPolygons(list(range(len(wkbs))), wkbs).contains_batch(
+        CX.ravel(), CY.ravel())
+    cover = np.zeros(CX.size, dtype=bool)
+    cover[pi] = True
+    cover = cover.reshape(CX.shape)
+    if not cover.any():
+        return None
+    area = float((cover * (np.diff(ys)[:, None] * np.diff(xs)[None, :])).sum())
+    from gdal_spark.raster.polygonize import label_block, trace_rings
+    labels, n = label_block(cover.astype(np.uint8), nodata=0)
+    polys = []
+    for lab in range(n):
+        rings_px = trace_rings(labels == lab)
+        polys.append([np.column_stack((xs[r[:, 0].astype(np.int64)],
+                                       ys[r[:, 1].astype(np.int64)]))
+                      for r in rings_px])
+    wkb = encode_polygon(polys[0]) if len(polys) == 1 else encode_multipolygon(polys)
+    return wkb, area
+
+
+def buffer_point(x: float, y: float, dist: float,
+                 quadsegs: int = 30) -> bytes:
+    """Point buffer: regular polygon with 4*quadsegs vertices
+    (OGRGeometry::Buffer signature default nQuadSegs=30,
+    ogrgeometry.cpp:2800 — the reference delegates the construction to
+    GEOS; this is the same quadrant-segment circle approximation)."""
+    n = max(4 * int(quadsegs), 4)
+    ang = np.arange(n + 1) * (2.0 * math.pi / n)
+    ring = np.column_stack((x + dist * np.cos(ang), y + dist * np.sin(ang)))
+    ring[-1] = ring[0]
+    return encode_polygon([ring])
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:

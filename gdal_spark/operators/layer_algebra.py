@@ -150,7 +150,8 @@ _PIECES_SCHEMA = T.StructType([
 def layer_union(polys: DataFrame, cells: DataFrame,
                 poly_id: str = "fid", poly_wkb: str = "geometry",
                 cell_id: str = "cell_id", cell_wkb: str = "wkb",
-                include_intersection: bool = True) -> DataFrame:
+                include_intersection: bool = True,
+                include_method_minus: bool = True) -> DataFrame:
     """OGRLayer::Union emission (ogrlayer.cpp:2282) for a polygon input
     layer against a broadcastable polygon method layer:
 
@@ -233,9 +234,11 @@ def layer_union(polys: DataFrame, cells: DataFrame,
             return pd.DataFrame(columns=piece_cols)
         return pd.DataFrame([(None, cid, out[0], out[1])], columns=piece_cols)
 
-    b_pieces = pairs.groupBy("cell_id").applyInPandas(b_minus, schema=_PIECES_SCHEMA)
-
-    out = a_pieces.unionByName(b_pieces)
+    out = a_pieces
+    if include_method_minus:
+        b_pieces = pairs.groupBy("cell_id").applyInPandas(
+            b_minus, schema=_PIECES_SCHEMA)
+        out = out.unionByName(b_pieces)
     if include_intersection:
         inter = clip_polygons_to_cells(polys, cells, poly_id, poly_wkb,
                                        cell_id, cell_wkb)
@@ -247,3 +250,11 @@ def layer_symdifference(polys: DataFrame, cells: DataFrame, **kw) -> DataFrame:
     """OGRLayer::SymDifference (ogrlayer.cpp:2626): Union minus the
     intersection family — input−method and method−input pieces only."""
     return layer_union(polys, cells, include_intersection=False, **kw)
+
+
+def layer_identity_polygons(polys: DataFrame, cells: DataFrame,
+                            **kw) -> DataFrame:
+    """OGRLayer::Identity for polygon inputs (ogrlayer.cpp:2937): the input
+    split by the method layer — input∩method pieces (both ids) plus the
+    uncovered input remainder (null cell_id); no method-only pieces."""
+    return layer_union(polys, cells, include_method_minus=False, **kw)

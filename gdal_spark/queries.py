@@ -164,6 +164,31 @@ FROM pts GROUP BY 1, 2, 3
 """
 
 
+def q_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT set operations (swq set-ops surface, SURVEY §2.7):
+    nation keys present in both customer and supplier, minus those of
+    customers with small account balances — exercised as Spark's builtin
+    INTERSECT/EXCEPT (Catalyst rewrites to semi/anti joins)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_customer")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("_supplier")
+    return spark.sql("""
+        SELECT c_nationkey AS nationkey FROM _customer
+        INTERSECT
+        SELECT s_nationkey FROM _supplier
+        EXCEPT
+        SELECT c_nationkey FROM _customer WHERE c_acctbal < -900
+    """)
+
+
+ORACLE_INTERSECT_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+EXCEPT
+SELECT c_nationkey FROM customer WHERE c_acctbal < -900
+"""
+
+
 def q_pip_shuffle_left(spark, sf_dir):
     """Shuffle-path PIP join (cell-keyed equi-join + exact ray cast per
     Arrow batch) in left first-match mode against an eastern-hemisphere
@@ -1504,6 +1529,7 @@ QUERIES: dict[str, tuple] = {
     "like_ci": (q_like_ci, ORACLE_LIKE_CI),
     "substr_cast": (q_substr_cast, ORACLE_SUBSTR_CAST),
     "union_all": (q_union_all, ORACLE_UNION_ALL),
+    "intersect_except": (q_intersect_except, ORACLE_INTERSECT_EXCEPT),
     "groupby_agg": (q_groupby_agg, ORACLE_GROUPBY_AGG),
     "poly_idlink_join": (q_poly_idlink_join, ORACLE_POLY_IDLINK),
     "poly_special_fields": (q_poly_special_fields, ORACLE_POLY_SPECIAL),

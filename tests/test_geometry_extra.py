@@ -109,3 +109,33 @@ def test_ogr_style_null(spark):
     df = spark.createDataFrame([(1,)], "id long")
     row = df.select(O.ogr_style().alias("OGR_STYLE")).collect()[0]
     assert row["OGR_STYLE"] is None
+
+
+def test_rectilinear_union_and_buffer():
+    import numpy as np
+    from gdal_spark.functions import geometry as G
+
+    def rect(x0, y0, x1, y1):
+        return G.encode_polygon([np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)])
+
+    # overlapping L-union: area = 100 + 100 - 25
+    wkb, area = G.rectilinear_union([rect(0, 0, 10, 10), rect(5, 5, 15, 15)])
+    assert area == 175.0
+    assert G.polygon_area(wkb) == 175.0
+    # disjoint -> MultiPolygon of 2
+    wkb2, area2 = G.rectilinear_union([rect(0, 0, 10, 10), rect(20, 0, 30, 10)])
+    assert area2 == 200.0 and len(G.decode_polygons(wkb2)) == 2
+    # ring union enclosing a hole: frame of 4 rects
+    frame = [rect(0, 0, 10, 2), rect(0, 8, 10, 10),
+             rect(0, 0, 2, 10), rect(8, 0, 10, 10)]
+    wkb3, area3 = G.rectilinear_union(frame)
+    polys = G.decode_polygons(wkb3)
+    assert area3 == 100.0 - 36.0
+    assert len(polys) == 1 and len(polys[0]) == 2  # exterior + hole
+
+    buf = G.buffer_point(10.0, 20.0, 2.0, quadsegs=30)
+    rings = G.decode_polygons(buf)[0]
+    assert len(rings[0]) == 121  # 4*30 vertices + closing point
+    d = np.hypot(rings[0][:, 0] - 10.0, rings[0][:, 1] - 20.0)
+    assert np.allclose(d, 2.0)

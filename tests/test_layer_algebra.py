@@ -161,3 +161,14 @@ def test_layer_union_hole_piece(spark):
     assert piece["piece_area"] == 96.0
     polys = G.decode_polygons(bytes(piece["piece_wkb"]))
     assert len(polys) == 1 and len(polys[0]) == 2  # exterior + hole
+
+
+def test_layer_identity_polygons(spark):
+    """Identity = intersection pieces + uncovered input remainder, no
+    method-only pieces (ogrlayer.cpp:2937)."""
+    a = _rect_layer(spark, [(1, 0, 0, 10, 10)])
+    b = _rect_layer(spark, [(5, 5, 5, 15, 15)], id_name="cell_id",
+                    wkb_name="wkb")
+    got = {(r["poly_id"], r["cell_id"]): r["piece_area"]
+           for r in LA.layer_identity_polygons(a, b).collect()}
+    assert got == {(1, 5): 25.0, (1, None): 75.0}
