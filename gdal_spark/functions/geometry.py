@@ -137,6 +137,135 @@ def decode_linestring(wkb: bytes) -> np.ndarray:
     return arr
 
 
+def encode_multipoint(points: np.ndarray) -> bytes:
+    out = [_LE, struct.pack("<II", WKB_MULTIPOINT, len(points))]
+    for x, y in np.asarray(points, dtype=np.float64):
+        out.append(encode_point(float(x), float(y)))
+    return b"".join(out)
+
+
+def encode_multilinestring(lines: list[np.ndarray]) -> bytes:
+    out = [_LE, struct.pack("<II", WKB_MULTILINESTRING, len(lines))]
+    for ln in lines:
+        out.append(encode_linestring(np.asarray(ln)))
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# WKT codec (OGRGeometry::exportToWkt / createFromWkt,
+# gdal/ogr/ogrgeometryfactory.cpp:300 + per-type importFromWkt)
+# ---------------------------------------------------------------------------
+
+def _fmt(v: float) -> str:
+    return f"{v:.15g}"
+
+
+def _wkt_coords(arr: np.ndarray) -> str:
+    return ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in arr)
+
+
+def wkt_from_wkb(wkb: bytes) -> str:
+    """Full WKT emission for the engine's geometry types (Point,
+    LineString, Polygon, MultiPoint, MultiLineString, MultiPolygon).
+    Numbers use %.15g (integral coords print without a decimal point, as
+    OGRMakeWktCoordinate does)."""
+    buf = memoryview(wkb)
+    gtype, endian, off = _read_header(buf, 0)
+    if gtype == WKB_POINT:
+        x, y = decode_point(wkb)
+        return f"POINT ({_fmt(x)} {_fmt(y)})"
+    if gtype == WKB_LINESTRING:
+        return f"LINESTRING ({_wkt_coords(decode_linestring(wkb))})"
+    if gtype == WKB_POLYGON:
+        rings = decode_polygons(wkb)[0]
+        return "POLYGON (" + ",".join(f"({_wkt_coords(r)})" for r in rings) + ")"
+    if gtype == WKB_MULTIPOLYGON:
+        polys = decode_polygons(wkb)
+        parts = ["(" + ",".join(f"({_wkt_coords(r)})" for r in rings) + ")"
+                 for rings in polys]
+        return "MULTIPOLYGON (" + ",".join(parts) + ")"
+    if gtype == WKB_MULTIPOINT:
+        (n,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        pts = []
+        for _ in range(n):
+            _gt, e2, body = _read_header(buf, off)
+            x, y = struct.unpack_from(e2 + "dd", buf, body)
+            pts.append(f"{_fmt(x)} {_fmt(y)}")
+            off = body + 16
+        return "MULTIPOINT (" + ",".join(pts) + ")"
+    if gtype == WKB_MULTILINESTRING:
+        (n,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            _gt, e2, body = _read_header(buf, off)
+            coords, off = _decode_ring(buf, e2, body)
+            parts.append(f"({_wkt_coords(coords)})")
+        return "MULTILINESTRING (" + ",".join(parts) + ")"
+    raise ValueError(f"unsupported geometry type {gtype}")
+
+
+def _parse_coord_list(s: str) -> np.ndarray:
+    pts = []
+    for pair in s.split(","):
+        xy = pair.split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _split_groups(s: str) -> list[str]:
+    """Split 'a),(b' style top-level paren groups of a WKT body."""
+    out, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start:i])
+    return out
+
+
+def wkb_from_wkt(wkt: str) -> bytes:
+    """WKT parser for the same six types (+EMPTY handled as a zero-part
+    collection / zero-point geometry, per OGR importFromWkt)."""
+    s = wkt.strip()
+    head, _, rest = s.partition("(")
+    kind = head.strip().upper()
+    body = rest.rsplit(")", 1)[0] if rest else ""
+    if s.upper().endswith("EMPTY"):
+        body = ""
+        kind = s.upper().replace("EMPTY", "").strip()
+    if kind == "POINT":
+        arr = _parse_coord_list(body)
+        return encode_point(float(arr[0, 0]), float(arr[0, 1]))
+    if kind == "LINESTRING":
+        return encode_linestring(_parse_coord_list(body))
+    if kind == "POLYGON":
+        return encode_polygon([_parse_coord_list(g)
+                               for g in _split_groups(body)])
+    if kind == "MULTIPOINT":
+        if not body:
+            return encode_multipoint(np.zeros((0, 2)))
+        groups = _split_groups(body)
+        if groups:  # MULTIPOINT ((1 2),(3 4)) variant
+            return encode_multipoint(np.vstack(
+                [_parse_coord_list(g) for g in groups]))
+        return encode_multipoint(_parse_coord_list(body))
+    if kind == "MULTILINESTRING":
+        return encode_multilinestring([_parse_coord_list(g)
+                                       for g in _split_groups(body)])
+    if kind == "MULTIPOLYGON":
+        polys = []
+        for g in _split_groups(body):
+            polys.append([_parse_coord_list(r) for r in _split_groups(g)])
+        return encode_multipolygon(polys)
+    raise ValueError(f"unsupported WKT kind {kind!r}")
+
+
 # ---------------------------------------------------------------------------
 # Measures (shoelace area / envelope) — OGR_GEOM_AREA analog
 # ---------------------------------------------------------------------------

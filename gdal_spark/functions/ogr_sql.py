@@ -117,19 +117,9 @@ def _geom_wkt_fn(wkb: pd.Series) -> pd.Series:
         if b is None:
             out.append(None)
             continue
-        bb = bytes(b)
-        gtype = bb[1] if bb[0] == 1 else bb[4]
-        if gtype == G.WKB_POINT:
-            x, y = G.decode_point(bb)
-            out.append(f"POINT ({x:g} {y:g})")
-        elif gtype == G.WKB_POLYGON:
-            rings = G.decode_polygons(bb)[0]
-            parts = []
-            for r in rings:
-                pts = ",".join(f"{x:g} {y:g}" for x, y in r)
-                parts.append(f"({pts})")
-            out.append("POLYGON (" + ",".join(parts) + ")")
-        else:
+        try:
+            out.append(G.wkt_from_wkb(bytes(b)))
+        except ValueError:
             out.append(None)
     return pd.Series(out)
 

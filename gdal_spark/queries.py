@@ -1113,6 +1113,23 @@ FROM (SELECT unnest([4.25, 10.5, 17.75]) AS lv)
 """
 
 
+def q_warp_utm(spark, sf_dir):
+    """Distributed gdalwarp EPSG:4326 → UTM 18N (Krüger-series transverse
+    Mercator, functions/proj.py) over the NYC doc-raster window — the
+    classic reprojection path. Non-SQL-expressible (series transform), so
+    the driver records the rows-only check; exact parity with a direct
+    numpy re-lookup is held in tests/test_proj.py."""
+    from gdal_spark.functions import proj as PJ
+    e0, n1 = PJ.utm_from_latlon(41.0, -74.25, 18)
+    dst = RM.RasterMeta("docs_utm", 64, 64,
+                        gt=(float(e0), 500.0, 0.0, float(n1), 0.0, -500.0),
+                        dtype="uint8", nodata=0)
+    tr = PJ.UtmWarpTransform(DOC_META.gt, dst.gt, zone=18)
+    out = RS.warp(_doc_tiles(spark, sf_dir), DOC_META, dst, "nearest",
+                  src_from_dst=tr)
+    return RM.nonzero_pixels(out, dst)
+
+
 def q_polygonize_rects(spark, sf_dir):
     """Scanline rasterize of the admin-grid polygons + distributed
     polygonize (2-phase CC): each rectangle must come back as exactly one
@@ -1559,6 +1576,7 @@ QUERIES: dict[str, tuple] = {
     "warp_max": (q_warp_max, ORACLE_WARP_MAX),
     "contour_lines": (q_contour_lines, ORACLE_CONTOUR_LINES),
     "warp_med": (q_warp_med, ORACLE_WARP_MED),
+    "warp_utm": (q_warp_utm, None),
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
     "clip_layer_area": (q_clip_layer_area, ORACLE_CLIP_LAYER),
     "union_layer": (q_union_layer, ORACLE_UNION_LAYER),

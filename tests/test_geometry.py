@@ -100,3 +100,28 @@ def test_raycast_matches_scalar_on_random_points():
     got = set(pi.tolist())
     expected = {i for i in range(500) if G.py_point_in_ring(px[i], py[i], CONCAVE)}
     assert got == expected
+
+
+def test_wkt_codec_roundtrip():
+    """Full WKT emission + parser (OGR exportToWkt/createFromWkt) across
+    all six geometry types; %.15g prints integral coords bare."""
+    cases = [
+        "POINT (30 10.5)",
+        "LINESTRING (30 10,10 30,40 40)",
+        "POLYGON ((30 10,40 40,20 40,10 20,30 10))",
+        "POLYGON ((35 10,45 45,15 40,10 20,35 10),(20 30,35 35,30 20,20 30))",
+        "MULTIPOINT (10 40,40 30,20 20,30 10)",
+        "MULTILINESTRING ((10 10,20 20,10 40),(40 40,30 30,40 20,30 10))",
+        "MULTIPOLYGON (((30 20,45 40,10 40,30 20)),"
+        "((15 5,40 10,10 20,5 10,15 5)))",
+    ]
+    for wkt in cases:
+        wkb = G.wkb_from_wkt(wkt)
+        assert G.wkt_from_wkb(wkb) == wkt, wkt
+    # nested MULTIPOINT variant parses to the same geometry
+    a = G.wkb_from_wkt("MULTIPOINT ((10 40),(40 30))")
+    b = G.wkb_from_wkt("MULTIPOINT (10 40,40 30)")
+    assert a == b
+    # decimals survive %.15g
+    assert G.wkt_from_wkb(G.wkb_from_wkt("POINT (1.25 -2.75)")) == \
+        "POINT (1.25 -2.75)"
