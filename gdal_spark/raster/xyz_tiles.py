@@ -49,6 +49,33 @@ def zoom_for_meta(src_meta: RasterMeta) -> int:
     return TM.py_zoom_for_pixel_size(abs(src_meta.gt[1]))
 
 
+def geodetic_world_meta(zoom: int, raster_id: str, dtype: str = "uint8",
+                        nodata: float | None = 0.0) -> RasterMeta:
+    """Global plate-carrée raster at ``zoom`` (gdal2tiles -profile
+    geodetic, tmscompatible layout: 2x1 tiles at z0 covering
+    [-180,180]x[-90,90]); block (bx, by) = geodetic tile (x, google-y)."""
+    res = TM.py_geodetic_resolution(zoom)
+    return RasterMeta(raster_id, 2 * 256 * (1 << zoom), 256 * (1 << zoom),
+                      gt=(-180.0, res, 0.0, 90.0, 0.0, -res),
+                      dtype=dtype, nodata=nodata, block=256)
+
+
+def geodetic_tile_range(src_meta: RasterMeta,
+                        zoom: int) -> tuple[int, int, int, int]:
+    """(x0, y0, x1, y1) google-y geodetic tile window for a lon/lat source."""
+    xs = [src_meta.gt[0], src_meta.gt[0] + src_meta.width * src_meta.gt[1]]
+    ys = [src_meta.gt[3], src_meta.gt[3] + src_meta.height * src_meta.gt[5]]
+    res = TM.py_geodetic_resolution(zoom)
+    px = [(x + 180.0) / res for x in xs]
+    py = [(90.0 - y) / res for y in ys]
+    eps = 1e-6
+    x0 = max(int(math.floor(min(px) / 256 + eps)), 0)
+    x1 = min(int(math.ceil(max(px) / 256 - eps)) - 1, 2 * (1 << zoom) - 1)
+    y0 = max(int(math.floor(min(py) / 256 + eps)), 0)
+    y1 = min(int(math.ceil(max(py) / 256 - eps)) - 1, (1 << zoom) - 1)
+    return x0, y0, max(x1, x0), max(y1, y0)
+
+
 def tile_range(src_meta: RasterMeta, zoom: int) -> tuple[int, int, int, int]:
     """(x0, y0, x1, y1) google-y tile window covering the source extent."""
     xs = [src_meta.gt[0], src_meta.gt[0] + src_meta.width * src_meta.gt[1]]
@@ -69,17 +96,27 @@ def tile_range(src_meta: RasterMeta, zoom: int) -> tuple[int, int, int, int]:
 def build_xyz_pyramid(src_tiles: DataFrame, src_meta: RasterMeta,
                       zmin: int, zmax: int | None = None,
                       base_method: str = "average",
-                      overview_method: str = "average"
+                      overview_method: str = "average",
+                      profile: str = "mercator"
                       ) -> list[tuple[int, DataFrame, RasterMeta]]:
     """[(zoom, tiles_df, meta)] from zmax down to zmin. Source must be in
-    WebMercator meters (warp with a transform first otherwise). Block rows
-    are the tiles: raster_id f"z{z}", (bx, by) = XYZ (x, y)."""
+    the profile's CRS — WebMercator meters for ``profile="mercator"``,
+    lon/lat degrees for ``profile="geodetic"`` (gdal2tiles -profile;
+    warp with a transform first otherwise). Block rows are the tiles:
+    raster_id f"z{z}", (bx, by) = XYZ (x, y)."""
     if zmax is None:
         zmax = zoom_for_meta(src_meta)
     levels = []
-    wmeta = world_meta(zmax, f"z{zmax}", dtype=src_meta.dtype,
-                       nodata=src_meta.nodata)
-    win = tile_range(src_meta, zmax)
+    if profile == "mercator":
+        wmeta = world_meta(zmax, f"z{zmax}", dtype=src_meta.dtype,
+                           nodata=src_meta.nodata)
+        win = tile_range(src_meta, zmax)
+    elif profile == "geodetic":
+        wmeta = geodetic_world_meta(zmax, f"z{zmax}", dtype=src_meta.dtype,
+                                    nodata=src_meta.nodata)
+        win = geodetic_tile_range(src_meta, zmax)
+    else:
+        raise ValueError(f"unsupported profile {profile!r}")
     base = RS.warp(src_tiles, src_meta, wmeta, method=base_method,
                    dst_window=win)
     levels.append((zmax, base, wmeta))

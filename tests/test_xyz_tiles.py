@@ -72,3 +72,28 @@ def test_overview_chain_and_manifest(spark, merc_src):
     for r in man:
         assert r["quadkey"] == TM.py_quadkey(r["x"], r["tms_y"], r["zoom"])
         assert r["tms_y"] == (1 << r["zoom"]) - 1 - r["y"]
+
+
+def test_geodetic_profile_pyramid(spark):
+    """-profile geodetic: z1 world is 4x2 tiles over [-180,180]x[-90,90];
+    a source covering one geodetic tile lands in exactly that tile and the
+    z0 overview parents it."""
+    res = TM.py_geodetic_resolution(1)          # 90/256 deg/px at z1
+    # source = geodetic tile (x=1, google-y=0): lon [-90, 0], lat [0, 90]
+    meta = M.RasterMeta("geo_src", 256, 256,
+                        gt=(-90.0, res, 0.0, 90.0, 0.0, -res), block=64)
+    arr = ((np.arange(256 * 256).reshape(256, 256)) % 200 + 1).astype(np.uint8)
+    levels = XT.build_xyz_pyramid(M.from_array(spark, arr, meta), meta,
+                                  zmin=0, zmax=1, base_method="nearest",
+                                  profile="geodetic")
+    assert [z for z, _, _ in levels] == [1, 0]
+    z1 = {(r["bx"], r["by"]): r for r in levels[0][1].collect()}
+    assert set(z1) == {(1, 0)}
+    t = np.frombuffer(bytes(z1[(1, 0)]["data"]), dtype=np.uint8).reshape(256, 256)
+    np.testing.assert_array_equal(t, arr)       # 1:1 resolution, same grid
+    z0 = {(r["bx"], r["by"]) for r in levels[1][1].collect()}
+    assert z0 == {(0, 0)}                       # parent tile at z0
+
+    # tile addressing agrees with the GlobalGeodetic twin (TMS y flip)
+    gtx, gty_tms = TM.py_geodetic_tile(-45.0, 45.0, 1)
+    assert (gtx, (1 << 1) - 1 - gty_tms) == (1, 0)
