@@ -240,9 +240,15 @@ def wkb_from_wkt(wkt: str) -> bytes:
         body = ""
         kind = s.upper().replace("EMPTY", "").strip()
     if kind == "POINT":
+        if not body:
+            # OGR encodes POINT EMPTY as a point with NaN coords
+            # (OGRPoint::exportToWkb on an empty point).
+            return encode_point(float("nan"), float("nan"))
         arr = _parse_coord_list(body)
         return encode_point(float(arr[0, 0]), float(arr[0, 1]))
     if kind == "LINESTRING":
+        if not body:
+            return encode_linestring(np.zeros((0, 2)))
         return encode_linestring(_parse_coord_list(body))
     if kind == "POLYGON":
         return encode_polygon([_parse_coord_list(g)

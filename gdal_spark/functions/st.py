@@ -44,6 +44,18 @@ def _gtype(wkb: bytes) -> int:
     return gtype
 
 
+_TOPO_DIM = {WKB_POINT: 0, 4: 0,            # Point / MultiPoint
+             WKB_LINESTRING: 1, 5: 1,       # LineString / MultiLineString
+             WKB_POLYGON: 2, WKB_MULTIPOLYGON: 2}
+
+
+def _topo_dim(wkb: bytes) -> int:
+    """Topological dimension class (0=point, 1=line, 2=area) — OGC
+    Overlaps compares dimension, not concrete type (a Polygon can overlap
+    a MultiPolygon)."""
+    return _TOPO_DIM.get(_gtype(wkb) % 1000, -1)
+
+
 def _rings_of(wkb: bytes) -> list[list[np.ndarray]]:
     return decode_polygons(wkb)
 
@@ -219,9 +231,10 @@ def st_contains(a: bytes, b: bytes) -> bool:
 
 def st_overlaps(a: bytes, b: bytes) -> bool:
     """Interiors intersect, neither contains the other, same dimension."""
+    if _topo_dim(a) != _topo_dim(b):
+        return False  # OGC Overlaps is defined only for equal dimensions
     r = relate(a, b)
-    return (r["interiors"] and not r["a_in_b"] and not r["b_in_a"]
-            and _gtype(a) == _gtype(b))
+    return r["interiors"] and not r["a_in_b"] and not r["b_in_a"]
 
 
 def st_equals(a: bytes, b: bytes) -> bool:

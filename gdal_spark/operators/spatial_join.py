@@ -79,8 +79,11 @@ def point_in_polygon_join(
     if how not in ("inner", "left", "left_first"):
         raise ValueError(f"unsupported how={how!r}")
     if strategy == "auto":
-        # cheap metadata-or-count probe; polygon side is usually tiny
-        n_poly = polygons.count()
+        # metadata probe first (Catalyst stats from parquet/Iceberg footers —
+        # no Spark job); count() action only as a last resort
+        n_poly = _estimated_row_count(polygons)
+        if n_poly is None:
+            n_poly = polygons.count()
         strategy = "broadcast" if n_poly <= broadcast_max_polygons else "shuffle"
     if strategy == "broadcast":
         rows = polygons.select(poly_id, poly_wkb).collect()
@@ -100,6 +103,28 @@ def point_in_polygon_join(
     if strategy == "shuffle":
         return _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom)
     raise ValueError(f"unsupported strategy={strategy!r}")
+
+
+def _estimated_row_count(df: DataFrame) -> int | None:
+    """Planning-time row estimate from Catalyst statistics (parquet footer /
+    Iceberg snapshot totals surface through the relation's stats) — runs NO
+    Spark job, unlike ``count()``. Returns None when no estimate exists.
+    When only sizeInBytes is known, rows are estimated at 64 B/row — an
+    overestimate for WKB polygon rows, i.e. it errs toward the shuffle path,
+    never toward broadcasting an oversized side."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        # Long.MaxValue-scale sizes are Spark's "unknown" sentinel
+        # (defaultSizeInBytes), not a real estimate — fall back to count()
+        if 0 <= size < (1 << 62):
+            return max(size // 64, 1)
+    except Exception:
+        pass
+    return None
 
 
 def _as_rectangles(poly_rows) -> list | None:
@@ -289,9 +314,12 @@ def _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom) 
     pt_cols = points.columns
     if how != "inner":
         # left modes need a stable per-row identity: keying the dedup window
-        # and the unmatched anti-join on ALL point columns would (a) shuffle
-        # the full payload (text/html at web scale) and (b) silently merge
-        # duplicate points into one output row
+        # on ALL point columns would (a) shuffle the full payload (text/html
+        # at web scale) and (b) silently merge duplicate points into one
+        # output row. _rid is non-deterministic, so it must flow through ONE
+        # linear subtree — the left cell-join below keeps every point in a
+        # single lineage (no independent anti-join re-scan that could
+        # recompute different ids; round-2 ADVICE).
         points = points.withColumn("_rid", F.monotonically_increasing_id())
     pts = (
         points.withColumn("_tx", tiles.tile_x(F.col(lon), cell_zoom))
@@ -301,7 +329,10 @@ def _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom) 
         polygons.select(poly_id, poly_wkb), poly_wkb, cell_zoom
     ).select(F.col(poly_id).alias("_pid"), F.col(poly_wkb).alias("_wkb"), "_tx", "_ty")
 
-    paired = pts.join(polys, on=["_tx", "_ty"], how="inner")
+    # left modes keep unmatched points in-band (null _pid / _wkb rows) so the
+    # whole join is one subtree; inner drops them at the cell join already
+    paired = pts.join(polys, on=["_tx", "_ty"],
+                      how="inner" if how == "inner" else "left")
 
     # exact ray-cast filter over candidate pairs, grouped by polygon within
     # each Arrow batch so each unique geometry is prepared once per batch
@@ -315,10 +346,11 @@ def _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom) 
             px = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
             py = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
             wkbs = pdf.iloc[:, wkb_i]
-            pids = pdf.iloc[:, pid_i].to_numpy()
+            pids = pdf.iloc[:, pid_i].to_numpy(dtype=np.float64, na_value=np.nan)
             inside = np.zeros(len(pdf), dtype=bool)
+            valid = np.flatnonzero(~np.isnan(pids))  # left-join misses skip the test
             # group rows by polygon id (same id => same wkb)
-            order = np.argsort(pids, kind="stable")
+            order = valid[np.argsort(pids[valid], kind="stable")]
             sorted_pids = pids[order]
             starts = np.flatnonzero(np.r_[True, sorted_pids[1:] != sorted_pids[:-1]])
             bounds = np.r_[starts, len(sorted_pids)]
@@ -332,16 +364,20 @@ def _shuffle_pip(points, polygons, poly_id, poly_wkb, lon, lat, how, cell_zoom) 
             yield out
 
     tested = paired.mapInPandas(run, schema=schema)
-    sel = pt_cols if how == "inner" else [*pt_cols, "_rid"]
-    matched = tested.filter(F.col("_inside")).select(*sel, F.col("_pid").alias(poly_id))
-
     if how == "inner":
-        return matched
+        return tested.filter(F.col("_inside")).select(
+            *pt_cols, F.col("_pid").alias(poly_id))
+
+    # left modes: single subtree — rank candidates per point (matches first,
+    # lowest polygon id first); unmatched points are the rids whose best row
+    # is not inside. Saves the anti-join exchange and never recomputes _rid.
+    from pyspark.sql import Window
+    w = Window.partitionBy("_rid").orderBy(
+        F.col("_inside").desc(), F.col("_pid").asc_nulls_last())
+    ranked = tested.withColumn("_rn", F.row_number().over(w))
     if how == "left_first":
-        from pyspark.sql import Window
-        w = Window.partitionBy("_rid").orderBy(F.col(poly_id))
-        matched = (matched.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") == 1).drop("_rn"))
-    unmatched = points.join(matched.select("_rid"), on="_rid", how="left_anti")
-    return (matched.drop("_rid").unionByName(
-        unmatched.drop("_rid").withColumn(poly_id, F.lit(None).cast("long"))))
+        out = ranked.filter(F.col("_rn") == 1)
+    else:  # "left": all matches, plus one null row for unmatched points
+        out = ranked.filter(F.col("_inside") | (F.col("_rn") == 1))
+    pid = F.when(F.col("_inside"), F.col("_pid")).cast("long")
+    return out.select(*pt_cols, pid.alias(poly_id))

@@ -176,6 +176,10 @@ def locate_points(points: DataFrame, tiles: DataFrame, meta: RasterMeta,
     → block equi-join → per-block value gather. Returns the point columns
     plus (px, py, val); points outside the raster keep their (out-of-range)
     pixel indices and a null val, matching the app's "outside" report.
+    Tile frames are sparse (only blocks containing pixels exist), so the
+    block join is LEFT: an in-bounds point whose block row is absent
+    reports the raster fill value (nodata if set, else 0) instead of being
+    dropped — one output row per input point, gdallocationinfo parity.
     Axis-aligned geotransforms only (rotated rasters unsupported, as in
     rasterize). One shuffle keyed by block — scalable to any point count."""
     g = meta.gt
@@ -192,9 +196,10 @@ def locate_points(points: DataFrame, tiles: DataFrame, meta: RasterMeta,
     inside = (pts.filter(inb)
               .withColumn("bx", F.floor(F.col("px") / block).cast("int"))
               .withColumn("by", F.floor(F.col("py") / block).cast("int")))
+    fill_val = float(meta.nodata) if meta.nodata is not None else 0.0
     joined = inside.join(
         tiles.filter(F.col("band") == band).select("bx", "by", "w", "h", "data"),
-        on=["bx", "by"], how="inner")
+        on=["bx", "by"], how="left")
     out_names = [*pt_cols, "px", "py", val_col]
     out_schema = T.StructType(
         list(points.schema.fields)
@@ -210,11 +215,15 @@ def locate_points(points: DataFrame, tiles: DataFrame, meta: RasterMeta,
             vals = np.full(len(pdf), np.nan)
             arrs: dict[tuple, np.ndarray] = {}
             for i, r in enumerate(pdf.itertuples(index=False)):
+                if r[i_data] is None:  # sparse raster: block absent → fill
+                    vals[i] = fill_val
+                    continue
                 key = (r[i_bx], r[i_by])
                 arr = arrs.get(key)
                 if arr is None:
+                    # h/w become float64 after the left join (nullable ints)
                     arr = np.frombuffer(bytes(r[i_data]), dtype=dtype).reshape(
-                        pdf.iloc[i]["h"], pdf.iloc[i]["w"])
+                        int(pdf.iloc[i]["h"]), int(pdf.iloc[i]["w"]))
                     arrs[key] = arr
                 vals[i] = float(arr[r[i_py] - r[i_by] * block,
                                     r[i_px] - r[i_bx] * block])

@@ -125,3 +125,16 @@ def test_wkt_codec_roundtrip():
     # decimals survive %.15g
     assert G.wkt_from_wkb(G.wkb_from_wkt("POINT (1.25 -2.75)")) == \
         "POINT (1.25 -2.75)"
+
+
+def test_wkt_empty_point_and_linestring():
+    """Round-2 ADVICE regression: POINT EMPTY / LINESTRING EMPTY used to
+    fall through to the coord parser and raise IndexError."""
+    pt = G.wkb_from_wkt("POINT EMPTY")
+    x, y = G.decode_point(pt)
+    assert np.isnan(x) and np.isnan(y)
+    ls = G.wkb_from_wkt("LINESTRING EMPTY")
+    assert len(G.decode_linestring(ls)) == 0
+    # multi kinds already worked; keep them covered
+    assert G.wkb_from_wkt("MULTIPOINT EMPTY") is not None
+    assert G.wkb_from_wkt("POLYGON EMPTY") is not None

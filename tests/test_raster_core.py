@@ -242,3 +242,28 @@ def test_locate_points_matches_raster(spark):
     assert got[2]["val"] is None          # west of the raster
     assert got[3]["val"] is None          # south of the raster
     assert len(got) == 4
+
+
+def test_locate_points_sparse_blocks_report_fill(spark):
+    """Round-2 ADVICE regression: tile frames are sparse (only blocks with
+    pixels exist); an in-bounds point whose block row is absent must report
+    the raster fill value (nodata if set, else 0) — one output row per
+    input point, not a silent drop."""
+    meta = M.RasterMeta("sparse", 32, 32, gt=(0.0, 1.0, 0.0, 32.0, 0.0, -1.0),
+                        block=16, nodata=255.0)
+    # only block (0,0) exists; blocks (1,0),(0,1),(1,1) are absent
+    sub = np.full((16, 16), 7, dtype=np.uint8)
+    tiles = spark.createDataFrame(
+        [("sparse", 0, 0, 0, 16, 16, bytearray(sub.tobytes()))], M.TILE_SCHEMA)
+    pts = spark.createDataFrame(
+        [(0, 5.0, 27.0),    # in block (0,0) -> 7
+         (1, 20.0, 27.0),   # in-bounds, block (1,0) absent -> nodata fill
+         (2, 20.0, 5.0),    # in-bounds, block (1,1) absent -> nodata fill
+         (3, -5.0, 27.0)],  # outside -> null
+        "pid long, lon double, lat double")
+    got = {r["pid"]: r for r in M.locate_points(pts, tiles, meta).collect()}
+    assert len(got) == 4
+    assert got[0]["val"] == 7.0
+    assert got[1]["val"] == 255.0
+    assert got[2]["val"] == 255.0
+    assert got[3]["val"] is None

@@ -80,3 +80,17 @@ def test_column_api(spark):
     assert got[1] == (True, False, True)
     assert got[2] == (False, True, True)
     assert got[3] == (False, False, False)
+
+
+def test_overlaps_mixed_polygon_multipolygon():
+    """Round-2 ADVICE regression: Overlaps compares topological dimension,
+    not the raw WKB type code — a Polygon overlapping a MultiPolygon is
+    true (both are 2-dimensional)."""
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    multi = G.encode_multipolygon([[sq]])
+    a = rect(5, 5, 15, 15)
+    assert st.st_overlaps(a, multi)
+    assert st.st_overlaps(multi, a)
+    # dimension mismatch still refuses: line vs area is never Overlaps
+    line = G.encode_linestring(np.array([[-1.0, 5.0], [20.0, 5.0]]))
+    assert not st.st_overlaps(line, multi)
