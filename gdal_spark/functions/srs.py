@@ -1,0 +1,636 @@
+"""General SRS transform family: projection registry, WKT1 CRS codec,
+composed image-to-image transformers, GCP polynomial / thin-plate-spline
+fitting, and the approximate lattice transformer.
+
+Reference analogs (semantics only — all math re-derived from Snyder 1987
+"Map Projections: A Working Manual" and Karney 2011; no reference code):
+
+- ``GDALCreateGenImgProjTransformer`` (gdal/alg/gdaltransformer.cpp:974,
+  1169) composes dst pixel → dst geo → CRS transform → src geo → src
+  pixel; :class:`GenImgProjTransform` is that chain as a picklable
+  numpy-vectorized ``src_from_dst`` for :func:`raster.resample.warp`.
+- PROJ coordinate transforms (gdal/ogr/ogrct.cpp:810): here each
+  projected CRS is a closed-form vectorized ``forward``/``inverse`` pair
+  (Lambert Conformal Conic 2SP, Albers Equal-Area 2SP, Transverse
+  Mercator via the Krüger series in functions/proj.py, Web/spherical
+  Mercator, geographic identity).
+- GCP polynomial transforms order 1-3 (gdal/alg/gdal_crs.c) →
+  :class:`GCPTransform` (numpy least-squares fit, both directions).
+- Thin-plate-spline transform (gdal/alg/gdal_tps.cpp) →
+  :class:`TPSTransform` (exact interpolation through the GCPs).
+- ApproxTransformer (gdal/alg/gdaltransformer.cpp:2625-3010, default
+  max error 0.25 px, :3010) → :class:`ApproxTransform`: evaluates the
+  exact transform on a coarse lattice, bilinearly interpolates all
+  points, verifies the error on a strided sample of the *actual* inputs
+  and refines the lattice until the error bound holds.
+
+Everything is vectorized numpy over coordinate arrays — zero per-row
+Python — so any of these plug into the distributed warp as
+``src_from_dst``. SQL-expression generators (``sql_*``) emit the same
+formulas as DuckDB-compatible text with constants embedded as exact
+Python double reprs, giving warp queries value-checkable oracles.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from gdal_spark.functions import proj as PJ
+
+WGS84 = (6378137.0, 1.0 / 298.257223563)
+CLARKE_1866 = (6378206.4, 1.0 - 6356583.8 / 6378206.4)
+
+
+# ---------------------------------------------------------------------------
+# projections (forward: lon/lat deg -> x/y; inverse: x/y -> lon/lat deg)
+# ---------------------------------------------------------------------------
+
+class Geographic:
+    """Identity CRS: projected coords are (lon, lat) degrees."""
+
+    name = "geographic"
+
+    def forward(self, lon, lat):
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+
+    def inverse(self, x, y):
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+
+
+class WebMercator:
+    """Spherical Mercator EPSG:3857 (the gdal2tiles GlobalMercator grid)."""
+
+    name = "webmercator"
+    R = 6378137.0
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        x = np.deg2rad(lon) * self.R
+        y = np.log(np.tan((90.0 + lat) * math.pi / 360.0)) * self.R
+        return x, y
+
+    def inverse(self, x, y):
+        lon = np.rad2deg(np.asarray(x, np.float64) / self.R)
+        lat = np.rad2deg(2.0 * np.arctan(np.exp(np.asarray(y, np.float64)
+                                                / self.R)) - math.pi / 2.0)
+        return lon, lat
+
+
+def _m(phi, e):
+    """Snyder 14-15: m = cos phi / sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
+
+
+def _t(phi, e):
+    """Snyder 15-9: isometric colatitude function."""
+    s = np.sin(phi)
+    return (np.tan(math.pi / 4.0 - phi / 2.0)
+            / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+
+def _q(phi, e):
+    """Snyder 3-12: authalic q."""
+    s = np.sin(phi)
+    return (1.0 - e * e) * (s / (1.0 - (e * s) ** 2)
+                            - np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+
+
+@dataclass(frozen=True)
+class LambertConformalConic:
+    """Lambert Conformal Conic, 2 standard parallels (EPSG method 9802;
+    Snyder 1987 eqs 15-1..15-11, ellipsoidal form). Degrees in, meters
+    out. All members derive from (lat1, lat2, lat0, lon0, FE, FN, a, f)."""
+
+    lat1: float
+    lat2: float
+    lat0: float = 0.0
+    lon0: float = 0.0
+    fe: float = 0.0
+    fn: float = 0.0
+    a: float = WGS84[0]
+    f: float = WGS84[1]
+    name = "lcc"
+
+    def _consts(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+        p1, p2 = math.radians(self.lat1), math.radians(self.lat2)
+        p0 = math.radians(self.lat0)
+        m1, m2 = float(_m(p1, e)), float(_m(p2, e))
+        t0, t1, t2 = float(_t(p0, e)), float(_t(p1, e)), float(_t(p2, e))
+        if abs(p1 - p2) < 1e-12:
+            n = math.sin(p1)
+        else:
+            n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        big_f = m1 / (n * t1 ** n)
+        rho0 = self.a * big_f * t0 ** n
+        return e, n, big_f, rho0
+
+    def forward(self, lon, lat):
+        e, n, big_f, rho0 = self._consts()
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        lam = np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        rho = self.a * big_f * _t(phi, e) ** n
+        theta = n * lam
+        return (self.fe + rho * np.sin(theta),
+                self.fn + rho0 - rho * np.cos(theta))
+
+    def inverse(self, x, y):
+        e, n, big_f, rho0 = self._consts()
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sign(n) * np.hypot(dx, dy)
+        theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        t = (rho / (self.a * big_f)) ** (1.0 / n)
+        # Snyder 7-9: fixed-point iteration for phi from t (converges
+        # quadratically fast for e < 0.1; 8 rounds reach 1e-12 rad)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = e * np.sin(phi)
+            phi = (math.pi / 2.0
+                   - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)))
+        return self.lon0 + np.rad2deg(theta / n), np.rad2deg(phi)
+
+
+@dataclass(frozen=True)
+class AlbersEqualArea:
+    """Albers Conic Equal-Area, 2 standard parallels (EPSG method 9822;
+    Snyder 1987 eqs 14-1..14-21, ellipsoidal form)."""
+
+    lat1: float
+    lat2: float
+    lat0: float = 0.0
+    lon0: float = 0.0
+    fe: float = 0.0
+    fn: float = 0.0
+    a: float = WGS84[0]
+    f: float = WGS84[1]
+    name = "albers"
+
+    def _consts(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+        p1, p2 = math.radians(self.lat1), math.radians(self.lat2)
+        p0 = math.radians(self.lat0)
+        m1, m2 = float(_m(p1, e)), float(_m(p2, e))
+        q0, q1, q2 = float(_q(p0, e)), float(_q(p1, e)), float(_q(p2, e))
+        if abs(p1 - p2) < 1e-12:
+            n = math.sin(p1)
+        else:
+            n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        big_c = m1 * m1 + n * q1
+        rho0 = self.a * math.sqrt(big_c - n * q0) / n
+        return e, n, big_c, rho0
+
+    def forward(self, lon, lat):
+        e, n, big_c, rho0 = self._consts()
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        lam = np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        rho = self.a * np.sqrt(big_c - n * _q(phi, e)) / n
+        theta = n * lam
+        return (self.fe + rho * np.sin(theta),
+                self.fn + rho0 - rho * np.cos(theta))
+
+    def inverse(self, x, y):
+        e, n, big_c, rho0 = self._consts()
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.hypot(dx, dy)
+        theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        q = (big_c - (rho * n / self.a) ** 2) / n
+        # Snyder 3-16 Newton iteration for phi from authalic q
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        e2 = e * e
+        for _ in range(10):
+            s = np.sin(phi)
+            one = 1.0 - e2 * s * s
+            phi = phi + one * one / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2) - s / one
+                + np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+        return self.lon0 + np.rad2deg(theta / n), np.rad2deg(phi)
+
+
+@dataclass(frozen=True)
+class TransverseMercator:
+    """Transverse Mercator (EPSG 9807) delegating to the Krüger n^6
+    series in functions/proj.py (WGS84 only — the series coefficients
+    are precomputed for that ellipsoid)."""
+
+    lon0: float
+    k0: float = PJ.UTM_K0
+    fe: float = PJ.UTM_FE
+    fn: float = 0.0
+    name = "tmerc"
+
+    def forward(self, lon, lat):
+        e, n = PJ.tm_forward(lat, lon, self.lon0, k0=self.k0,
+                             fe=self.fe, fn=self.fn)
+        return e, n
+
+    def inverse(self, x, y):
+        lat, lon = PJ.tm_inverse(x, y, self.lon0, k0=self.k0,
+                                 fe=self.fe, fn=self.fn)
+        return lon, lat
+
+
+def utm_crs(zone: int, north: bool = True) -> TransverseMercator:
+    return TransverseMercator(lon0=PJ.utm_central_meridian(zone),
+                              fn=0.0 if north else PJ.UTM_FN_SOUTH)
+
+
+# ---------------------------------------------------------------------------
+# WKT1 CRS codec (OGRSpatialReference exportToWkt/importFromWkt analog,
+# gdal/ogr/ogrspatialreference.cpp:658 — PROJCS/GEOGCS node trees)
+# ---------------------------------------------------------------------------
+
+_PROJ_WKT_NAMES = {
+    "lcc": "Lambert_Conformal_Conic_2SP",
+    "albers": "Albers_Conic_Equal_Area",
+    "tmerc": "Transverse_Mercator",
+}
+
+
+def crs_to_wkt(crs) -> str:
+    """Serialize a projected CRS to WKT1 (geographic → GEOGCS only)."""
+    a = getattr(crs, "a", WGS84[0])
+    f = getattr(crs, "f", WGS84[1])
+    geogcs = (f'GEOGCS["GCS_WGS_1984",DATUM["WGS_1984",'
+              f'SPHEROID["WGS84",{a!r},{1.0 / f!r}]],'
+              f'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+    if isinstance(crs, Geographic):
+        return geogcs
+    params: list[tuple[str, float]] = []
+    if isinstance(crs, (LambertConformalConic, AlbersEqualArea)):
+        params = [("standard_parallel_1", crs.lat1),
+                  ("standard_parallel_2", crs.lat2),
+                  ("latitude_of_origin", crs.lat0),
+                  ("central_meridian", crs.lon0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, TransverseMercator):
+        params = [("latitude_of_origin", 0.0),
+                  ("central_meridian", crs.lon0),
+                  ("scale_factor", crs.k0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    else:
+        raise ValueError(f"cannot serialize {crs!r}")
+    body = ",".join(f'PARAMETER["{k}",{v!r}]' for k, v in params)
+    return (f'PROJCS["{crs.name}",{geogcs},'
+            f'PROJECTION["{_PROJ_WKT_NAMES[crs.name]}"],{body},'
+            f'UNIT["metre",1]]')
+
+
+def _wkt_nodes(wkt: str, kind: str) -> list[list[str]]:
+    """All ``kind[...]`` nodes' comma-split (depth-0) argument lists."""
+    out = []
+    for m in re.finditer(kind + r"\[", wkt):
+        depth, start = 1, m.end()
+        for i in range(start, len(wkt)):
+            if wkt[i] == "[":
+                depth += 1
+            elif wkt[i] == "]":
+                depth -= 1
+                if depth == 0:
+                    body = wkt[start:i]
+                    args, d, cur = [], 0, []
+                    for ch in body:
+                        if ch == "[":
+                            d += 1
+                        elif ch == "]":
+                            d -= 1
+                        if ch == "," and d == 0:
+                            args.append("".join(cur)); cur = []
+                        else:
+                            cur.append(ch)
+                    args.append("".join(cur))
+                    out.append([a.strip() for a in args])
+                    break
+    return out
+
+
+def crs_from_wkt(wkt: str):
+    """Parse a WKT1 PROJCS/GEOGCS into a projection object."""
+    wkt = wkt.strip()
+    if wkt.upper().startswith("GEOGCS"):
+        return Geographic()
+    projs = _wkt_nodes(wkt, "PROJECTION")
+    if not projs:
+        raise ValueError("no PROJECTION node")
+    method = projs[0][0].strip('"')
+    params = {p[0].strip('"').lower(): float(p[1])
+              for p in _wkt_nodes(wkt, "PARAMETER")}
+    sph = _wkt_nodes(wkt, "SPHEROID")
+    a, f = WGS84
+    if sph:
+        a = float(sph[0][1])
+        rf = float(sph[0][2])
+        f = 0.0 if rf == 0 else 1.0 / rf
+    g = params.get
+    if method == "Lambert_Conformal_Conic_2SP":
+        return LambertConformalConic(
+            lat1=g("standard_parallel_1", 0.0), lat2=g("standard_parallel_2", 0.0),
+            lat0=g("latitude_of_origin", 0.0), lon0=g("central_meridian", 0.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Albers_Conic_Equal_Area":
+        return AlbersEqualArea(
+            lat1=g("standard_parallel_1", 0.0), lat2=g("standard_parallel_2", 0.0),
+            lat0=g("latitude_of_origin", 0.0), lon0=g("central_meridian", 0.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Transverse_Mercator":
+        return TransverseMercator(
+            lon0=g("central_meridian", 0.0), k0=g("scale_factor", 1.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0))
+    if method in ("Mercator_1SP", "Popular_Visualisation_Pseudo_Mercator"):
+        return WebMercator()
+    raise ValueError(f"unsupported projection method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# composed image transformer (GenImgProjTransformer analog)
+# ---------------------------------------------------------------------------
+
+class GenImgProjTransform:
+    """Picklable ``src_from_dst`` composing dst pixel → dst geo →
+    dst CRS⁻¹ → lon/lat → src CRS → src geo → src pixel
+    (gdal/alg/gdaltransformer.cpp:974). Either side may instead be a
+    fitted GCP/TPS transform (pixel ↔ geo directly), mirroring
+    GDALCreateGenImgProjTransformer's bGCPUseOK path."""
+
+    def __init__(self, src_gt, dst_gt, src_crs=None, dst_crs=None,
+                 src_gcp=None, dst_gcp=None):
+        self.src_gt = tuple(src_gt) if src_gt is not None else None
+        self.dst_gt = tuple(dst_gt) if dst_gt is not None else None
+        self.src_crs = src_crs or Geographic()
+        self.dst_crs = dst_crs or Geographic()
+        self.src_gcp = src_gcp  # pixel<->geo transform overriding src_gt
+        self.dst_gcp = dst_gcp  # pixel<->geo transform overriding dst_gt
+
+    @staticmethod
+    def _px_to_geo(gt, px, py):
+        return (gt[0] + px * gt[1] + py * gt[2],
+                gt[3] + px * gt[4] + py * gt[5])
+
+    @staticmethod
+    def _geo_to_px(gt, x, y):
+        det = gt[1] * gt[5] - gt[2] * gt[4]
+        dx, dy = x - gt[0], y - gt[3]
+        return (dx * gt[5] - dy * gt[2]) / det, (dy * gt[1] - dx * gt[4]) / det
+
+    def __call__(self, px, py):
+        px = np.asarray(px, np.float64) + 0.0
+        py = np.asarray(py, np.float64) + 0.0
+        if self.dst_gcp is not None:
+            x, y = self.dst_gcp.forward(px, py)
+        else:
+            x, y = self._px_to_geo(self.dst_gt, px, py)
+        if not isinstance(self.dst_crs, Geographic) \
+                or not isinstance(self.src_crs, Geographic) \
+                or self.src_gcp is not None:
+            lon, lat = self.dst_crs.inverse(x, y)
+            x, y = self.src_crs.forward(lon, lat)
+        if self.src_gcp is not None:
+            return self.src_gcp.inverse(x, y)
+        return self._geo_to_px(self.src_gt, x, y)
+
+
+# ---------------------------------------------------------------------------
+# GCP polynomial transform (gdal/alg/gdal_crs.c analog, orders 1-3)
+# ---------------------------------------------------------------------------
+
+def _poly_terms(x, y, order: int) -> np.ndarray:
+    cols = [np.ones_like(x), x, y]
+    if order >= 2:
+        cols += [x * y, x * x, y * y]
+    if order >= 3:
+        cols += [x * x * y, x * y * y, x ** 3, y ** 3]
+    return np.stack(cols, axis=-1)
+
+
+class GCPTransform:
+    """Least-squares bivariate polynomial (order 1-3) fitted to ground
+    control points, both directions — the gdal_crs.c transform. ``gcps``
+    is a sequence of (pixel, line, geo_x, geo_y)."""
+
+    def __init__(self, gcps, order: int = 1):
+        g = np.asarray(gcps, np.float64)
+        need = {1: 3, 2: 6, 3: 10}[order]
+        if len(g) < need:
+            raise ValueError(f"order {order} needs >= {need} GCPs, got {len(g)}")
+        self.order = order
+        af = _poly_terms(g[:, 0], g[:, 1], order)
+        ai = _poly_terms(g[:, 2], g[:, 3], order)
+        self.cx, *_ = np.linalg.lstsq(af, g[:, 2], rcond=None)
+        self.cy, *_ = np.linalg.lstsq(af, g[:, 3], rcond=None)
+        self.ipx, *_ = np.linalg.lstsq(ai, g[:, 0], rcond=None)
+        self.ipy, *_ = np.linalg.lstsq(ai, g[:, 1], rcond=None)
+        tf = af @ np.stack([self.cx, self.cy], axis=-1)
+        self.max_fit_error = float(np.hypot(tf[:, 0] - g[:, 2],
+                                            tf[:, 1] - g[:, 3]).max())
+
+    def forward(self, px, py):
+        t = _poly_terms(np.asarray(px, np.float64),
+                        np.asarray(py, np.float64), self.order)
+        return t @ self.cx, t @ self.cy
+
+    def inverse(self, x, y):
+        t = _poly_terms(np.asarray(x, np.float64),
+                        np.asarray(y, np.float64), self.order)
+        return t @ self.ipx, t @ self.ipy
+
+
+class TPSTransform:
+    """Thin-plate-spline transform through all GCPs exactly
+    (gdal/alg/gdal_tps.cpp analog; radial basis U(r) = r^2 log r^2 plus
+    an affine part, one dense solve per direction at fit time)."""
+
+    def __init__(self, gcps):
+        g = np.asarray(gcps, np.float64)
+        if len(g) < 3:
+            raise ValueError("TPS needs >= 3 GCPs")
+        self.src = g[:, 0:2].copy()
+        self.dst = g[:, 2:4].copy()
+        self.wf = self._solve(self.src, self.dst)
+        self.wi = self._solve(self.dst, self.src)
+
+    @staticmethod
+    def _u(r2):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(r2 > 0.0, r2 * np.log(r2), 0.0)
+
+    @classmethod
+    def _solve(cls, src, dst):
+        n = len(src)
+        d2 = ((src[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+        big = np.zeros((n + 3, n + 3))
+        big[:n, :n] = cls._u(d2)
+        big[:n, n] = 1.0
+        big[:n, n + 1:] = src
+        big[n, :n] = 1.0
+        big[n + 1:, :n] = src.T
+        rhs = np.zeros((n + 3, 2))
+        rhs[:n] = dst
+        return np.linalg.solve(big, rhs)
+
+    def _apply(self, w, ctrl, x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        shape = x.shape
+        p = np.stack([x.ravel(), y.ravel()], axis=-1)
+        d2 = ((p[:, None, :] - ctrl[None, :, :]) ** 2).sum(-1)
+        n = len(ctrl)
+        out = (self._u(d2) @ w[:n] + w[n]
+               + p @ w[n + 1:])
+        return out[:, 0].reshape(shape), out[:, 1].reshape(shape)
+
+    def forward(self, px, py):
+        return self._apply(self.wf, self.src, px, py)
+
+    def inverse(self, x, y):
+        return self._apply(self.wi, self.dst, x, y)
+
+
+# ---------------------------------------------------------------------------
+# approximate transformer (gdaltransformer.cpp:2625-3010 analog)
+# ---------------------------------------------------------------------------
+
+class ApproxTransform:
+    """Wrap an exact ``src_from_dst`` with coarse-lattice bilinear
+    interpolation. The exact transform is evaluated on a ``step``-spaced
+    lattice over the input bbox plus a strided sample of the actual
+    inputs for error control; if the sampled error exceeds ``max_err``
+    (GDAL -et, default 0.25 px) the lattice is refined, falling back to
+    the exact transform below step 4. Cuts per-block transform cost
+    ~step² for expensive chains (Krüger/LCC/TPS)."""
+
+    def __init__(self, exact, max_err: float = 0.25, step: int = 16,
+                 min_points: int = 512):
+        self.exact = exact
+        self.max_err = float(max_err)
+        self.step = int(step)
+        self.min_points = int(min_points)
+
+    def __call__(self, px, py):
+        px = np.asarray(px, np.float64)
+        py = np.asarray(py, np.float64)
+        if px.size < self.min_points:
+            return self.exact(px, py)
+        x0 = math.floor(float(px.min())); x1 = math.ceil(float(px.max()))
+        y0 = math.floor(float(py.min())); y1 = math.ceil(float(py.max()))
+        # strided sample of actual inputs for the error check
+        flat_x = px.ravel(); flat_y = py.ravel()
+        stride = max(1, flat_x.size // 64)
+        sx_chk = flat_x[::stride]; sy_chk = flat_y[::stride]
+        ex_chk = None
+        step = self.step
+        while step >= 4:
+            gx = np.arange(x0, x1 + step + 1, step, dtype=np.float64)
+            gy = np.arange(y0, y1 + step + 1, step, dtype=np.float64)
+            gx2, gy2 = np.meshgrid(gx, gy)
+            lx, ly = self.exact(gx2, gy2)
+            if not (np.isfinite(lx).all() and np.isfinite(ly).all()):
+                return self.exact(px, py)  # outside the smooth domain
+
+            def interp(qx, qy):
+                fx = np.clip((qx - x0) / step, 0, len(gx) - 1 - 1e-9)
+                fy = np.clip((qy - y0) / step, 0, len(gy) - 1 - 1e-9)
+                ix = fx.astype(np.int64); iy = fy.astype(np.int64)
+                tx = fx - ix; ty = fy - iy
+                def bil(grid):
+                    return ((1 - tx) * (1 - ty) * grid[iy, ix]
+                            + tx * (1 - ty) * grid[iy, ix + 1]
+                            + (1 - tx) * ty * grid[iy + 1, ix]
+                            + tx * ty * grid[iy + 1, ix + 1])
+                return bil(lx), bil(ly)
+
+            ax_chk, ay_chk = interp(sx_chk, sy_chk)
+            if ex_chk is None:
+                ex_chk = self.exact(sx_chk, sy_chk)
+            err = np.hypot(ax_chk - ex_chk[0], ay_chk - ex_chk[1])
+            if float(err.max(initial=0.0)) <= self.max_err:
+                ox, oy = interp(flat_x, flat_y)
+                return ox.reshape(px.shape), oy.reshape(px.shape)
+            step //= 2
+        return self.exact(px, py)
+
+
+# ---------------------------------------------------------------------------
+# SQL expression generators (oracle twins; constants embedded as exact
+# Python double reprs so both engines evaluate the same formula text)
+# ---------------------------------------------------------------------------
+
+def _d(v: float) -> str:
+    """Embed a Python double as an explicitly-DOUBLE SQL literal (bare
+    decimal literals are DECIMAL in DuckDB and overflow on chained
+    multiplication)."""
+    return f"({v!r}::DOUBLE)"
+
+
+def sql_lcc_forward(crs: LambertConformalConic, lon: str, lat: str) -> tuple[str, str]:
+    """DuckDB SQL text computing the LCC forward (x, y) of (lon, lat)."""
+    e, n, big_f, rho0 = crs._consts()
+    af = _d(crs.a * big_f)
+    he = _d(e / 2.0)
+    er = _d(e)
+    d2r = _d(math.pi / 180.0)
+    t = (f"(tan({_d(math.pi / 4.0)} - ({lat}) * {_d(math.pi / 360.0)}) / "
+         f"pow((1.0 - {er} * sin(({lat}) * {d2r})) / "
+         f"(1.0 + {er} * sin(({lat}) * {d2r})), {he}))")
+    rho = f"({af} * pow({t}, {_d(n)}))"
+    theta = f"({_d(n)} * (({lon}) - {_d(crs.lon0)}) * {d2r})"
+    x = f"({_d(crs.fe)} + {rho} * sin({theta}))"
+    y = f"({_d(crs.fn)} + {_d(rho0)} - {rho} * cos({theta}))"
+    return x, y
+
+
+def sql_albers_forward(crs: AlbersEqualArea, lon: str, lat: str) -> tuple[str, str]:
+    """DuckDB SQL text computing the Albers forward (x, y) of (lon, lat)."""
+    e, n, big_c, rho0 = crs._consts()
+    er = _d(e)
+    d2r = _d(math.pi / 180.0)
+    s = f"sin(({lat}) * {d2r})"
+    q = (f"({_d(1.0 - e * e)} * ({s} / (1.0 - {_d(e * e)} * {s} * {s}) - "
+         f"ln((1.0 - {er} * {s}) / (1.0 + {er} * {s})) / {_d(2.0 * e)}))")
+    rho = f"({_d(crs.a)} * sqrt({_d(big_c)} - {_d(n)} * {q}) / {_d(n)})"
+    theta = f"({_d(n)} * (({lon}) - {_d(crs.lon0)}) * {d2r})"
+    x = f"({_d(crs.fe)} + {rho} * sin({theta}))"
+    y = f"({_d(crs.fn)} + {_d(rho0)} - {rho} * cos({theta}))"
+    return x, y
+
+
+def sql_tm_inverse(e_expr: str, n_expr: str, lon0: float,
+                   k0: float = PJ.UTM_K0, fe: float = PJ.UTM_FE,
+                   fn: float = 0.0) -> tuple[str, str]:
+    """DuckDB SQL text for the Krüger-series inverse transverse Mercator:
+    (easting, northing) expressions → (lon, lat) expressions. sinh/cosh
+    are spelled with exp() (DuckDB has no hyperbolics). Mirrors
+    functions/proj.py tm_inverse term by term with the same coefficient
+    doubles."""
+    ka = _d(k0 * PJ.A_BAR)
+    xi = f"((({n_expr}) - {_d(fn)}) / {ka})"
+    eta = f"((({e_expr}) - {_d(fe)}) / {ka})"
+
+    def sinh(u):
+        return f"((exp({u}) - exp(-({u}))) * 0.5)"
+
+    def cosh(u):
+        return f"((exp({u}) + exp(-({u}))) * 0.5)"
+
+    xi_terms = " + ".join(
+        f"{_d(float(PJ.BETA[j - 1]))} * sin({2 * j} * {xi}) * "
+        f"{cosh(f'{2 * j} * {eta}')}" for j in range(1, 7))
+    eta_terms = " + ".join(
+        f"{_d(float(PJ.BETA[j - 1]))} * cos({2 * j} * {xi}) * "
+        f"{sinh(f'{2 * j} * {eta}')}" for j in range(1, 7))
+    xi_p = f"({xi} - ({xi_terms}))"
+    eta_p = f"({eta} - ({eta_terms}))"
+    chi = f"(asin(sin({xi_p}) / {cosh(eta_p)}))"
+    phi_terms = " + ".join(
+        f"{_d(float(PJ.DELTA[j - 1]))} * sin({2 * j} * {chi})"
+        for j in range(1, 7))
+    phi = f"({chi} + {phi_terms})"
+    lam = f"(atan2({sinh(eta_p)}, cos({xi_p})))"
+    r2d = _d(180.0 / math.pi)
+    return f"({_d(lon0)} + {lam} * {r2d})", f"({phi} * {r2d})"

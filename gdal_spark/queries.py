@@ -1590,3 +1590,216 @@ QUERIES: dict[str, tuple] = {
     "locate_info": (q_locate_info, ORACLE_LOCATE_INFO),
     "tile_geodetic_z6": (q_tile_geodetic_z6, ORACLE_TILE_GEODETIC),
 }
+
+
+# ---------------------------------------------------------------------------
+# general SRS transform family (round 3): LCC / Albers / UTM-series /
+# GCP-polynomial warps with value-checked oracles (functions/srs.py)
+# ---------------------------------------------------------------------------
+
+from gdal_spark.functions import srs as SRS  # noqa: E402
+
+# CONUS Lambert Conformal Conic (the classic stateplane/NARR-style frame)
+LCC_CONUS = SRS.LambertConformalConic(lat1=33.0, lat2=45.0, lat0=23.0,
+                                      lon0=-96.0)
+ALBERS_CONUS = SRS.AlbersEqualArea(lat1=29.5, lat2=45.5, lat0=23.0,
+                                   lon0=-96.0)
+
+# LCC source grid covering the projected NYC doc cluster: bbox of the
+# projected corners of the lon/lat window (the cone is rotated ~14 deg
+# here, so corners — not the NW point — bound the region), 500 m pixels.
+_LCC_CX, _LCC_CY = (v for v in LCC_CONUS.forward(
+    [-74.30, -74.30, -73.66, -73.66], [40.40, 41.05, 40.40, 41.05]))
+_LCC_X0 = float(_LCC_CX.min()) - 2000.0
+_LCC_Y1 = float(_LCC_CY.max()) + 2000.0
+LCC_META = RM.RasterMeta("docs_lcc", 160, 160,
+                         gt=(_LCC_X0, 500.0, 0.0, _LCC_Y1, 0.0, -500.0),
+                         dtype="uint8", nodata=0, block=64)
+LCC_DST = RM.RasterMeta("docs_lcc_geo", 128, 128,
+                        gt=(-74.3, 0.005, 0.0, 41.05, 0.0, -0.005),
+                        dtype="uint8", nodata=0, block=64)
+
+
+def _lcc_tiles(spark, sf_dir):
+    """Doc burn on the LCC grid: points projected with the same SQL
+    expression text the oracle runs (JVM column math, zero UDF)."""
+    xs, ys = SRS.sql_lcc_forward(LCC_CONUS, "lon", "lat")
+    pts = (doc_points(spark, sf_dir)
+           .selectExpr("doc_id", f"{xs} AS x", f"{ys} AS y")
+           .withColumn("burn", (F.col("doc_id") % 199 + 1).cast("double")))
+    pix = RZ.rasterize_points(pts, LCC_META, lon="x", lat="y",
+                              burn="burn", order="doc_id")
+    return RZ.pixels_to_blocks(pix, LCC_META)
+
+
+def q_warp_lcc(spark, sf_dir):
+    """Distributed gdalwarp Lambert-Conformal-Conic → EPSG:4326 (the
+    composed GenImgProjTransformer chain, gdaltransformer.cpp:974):
+    dst geographic pixel → LCC forward (Snyder 15-1..15-11) → source
+    pixel, nearest kernel. Value-checked against a DuckDB twin running
+    the same closed-form forward projection."""
+    tr = SRS.GenImgProjTransform(LCC_META.gt, LCC_DST.gt, src_crs=LCC_CONUS)
+    out = RS.warp(_lcc_tiles(spark, sf_dir), LCC_META, LCC_DST, "nearest",
+                  src_from_dst=tr)
+    return RM.nonzero_pixels(out, LCC_DST)
+
+
+def _oracle_warp_lcc() -> str:
+    xs, ys = SRS.sql_lcc_forward(LCC_CONUS, "lon", "lat")
+    # dst pixel centers -> lon/lat -> LCC forward -> source pixel (nearest)
+    cx, cy = SRS.sql_lcc_forward(LCC_CONUS, "lon_c", "lat_c")
+    x0, y1 = repr(_LCC_X0), repr(_LCC_Y1)
+    return f"""
+WITH pts AS ({POINTS_SQL}),
+prj AS (SELECT doc_id, {xs} AS x, {ys} AS y FROM pts),
+pxr AS (SELECT doc_id, CAST(floor((x - {x0}) / 500.0) AS BIGINT) AS px,
+               CAST(floor((y - {y1}) / (-500.0)) AS BIGINT) AS py
+        FROM prj),
+pix AS (SELECT px, py, (max(doc_id) % 199) + 1 AS burn
+        FROM pxr WHERE px >= 0 AND px < 160 AND py >= 0 AND py < 160
+        GROUP BY px, py),
+dst AS (SELECT dx, dy, (-74.3 + (dx + 0.5) * 0.005) AS lon_c,
+               (41.05 - (dy + 0.5) * 0.005) AS lat_c
+        FROM (SELECT unnest(generate_series(0, 127)) AS dx),
+             (SELECT unnest(generate_series(0, 127)) AS dy)),
+spx AS (SELECT dx, dy, ({cx} - {x0}) / 500.0 AS sxf,
+               ({cy} - {y1}) / (-500.0) AS syf FROM dst),
+sel AS (SELECT dx, dy, CAST(trunc(sxf + 1e-10) AS BIGINT) AS isx,
+               CAST(trunc(syf + 1e-10) AS BIGINT) AS isy
+        FROM spx WHERE sxf >= 0 AND syf >= 0),
+res AS (SELECT s.dx, s.dy, coalesce(p.burn, 0) AS v
+        FROM sel s LEFT JOIN pix p ON p.px = s.isx AND p.py = s.isy
+        WHERE s.isx < 160 AND s.isy < 160)
+SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res WHERE v > 0
+"""
+
+
+ORACLE_WARP_LCC = _oracle_warp_lcc()
+
+
+def q_proj_albers_cells(spark, sf_dir):
+    """Albers equal-area 100 km binning of the doc points — the
+    reproject-then-aggregate pattern (equal-area cells give unbiased
+    density), pure JVM column math via the shared SQL expression text."""
+    ax, ay = SRS.sql_albers_forward(ALBERS_CONUS, "lon", "lat")
+    return (doc_points(spark, sf_dir)
+            .selectExpr("doc_id",
+                        f"CAST(floor({ax} / 100000.0) AS BIGINT) AS cx",
+                        f"CAST(floor({ay} / 100000.0) AS BIGINT) AS cy")
+            .groupBy("cx", "cy")
+            .agg(F.count("*").alias("n"), F.max("doc_id").alias("max_doc"))
+            .filter(F.col("n") >= 3))
+
+
+def _oracle_proj_albers() -> str:
+    ax, ay = SRS.sql_albers_forward(ALBERS_CONUS, "lon", "lat")
+    return f"""
+WITH pts AS ({POINTS_SQL}),
+cells AS (SELECT doc_id, CAST(floor({ax} / 100000.0) AS BIGINT) AS cx,
+                 CAST(floor({ay} / 100000.0) AS BIGINT) AS cy FROM pts)
+SELECT cx, cy, count(*) AS n, max(doc_id) AS max_doc
+FROM cells GROUP BY cx, cy HAVING count(*) >= 3
+"""
+
+
+ORACLE_PROJ_ALBERS = _oracle_proj_albers()
+
+
+def _gcp_dst_transform():
+    """Order-2 GCP transform fitted to a 5x5 lattice sampled exactly from
+    a quadratic pixel→geo model (gdal_crs.c path; lstsq recovers the
+    model, max_fit_error ~1e-12). Deterministic — both the warp and the
+    oracle use the same fitted coefficient doubles."""
+    import numpy as np
+
+    def model(px, py):
+        lon = -74.24 + 0.005 * px + 2e-6 * px * py - 1e-6 * py * py
+        lat = 40.95 - 0.004 * py + 1.5e-6 * px * px - 2e-6 * px * py
+        return lon, lat
+
+    gx, gy = np.meshgrid(np.linspace(0.0, 100.0, 5), np.linspace(0.0, 100.0, 5))
+    mx, my = model(gx.ravel(), gy.ravel())
+    return SRS.GCPTransform(np.c_[gx.ravel(), gy.ravel(), mx, my], order=2)
+
+
+def q_warp_gcp(spark, sf_dir):
+    """Warp the geographic doc raster onto a GCP-referenced target grid
+    (order-2 polynomial georeferencing, gdal/alg/gdal_crs.c analog):
+    dst pixel → fitted quadratic → lon/lat → source pixel, nearest."""
+    gcp = _gcp_dst_transform()
+    dst = RM.RasterMeta("docs_gcp", 100, 100,
+                        gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),  # pixel space
+                        dtype="uint8", nodata=0, block=64)
+    tr = SRS.GenImgProjTransform(DOC_META.gt, None, dst_gcp=gcp)
+    out = RS.warp(_doc_tiles(spark, sf_dir), DOC_META, dst, "nearest",
+                  src_from_dst=tr)
+    return RM.nonzero_pixels(out, dst)
+
+
+def _poly2_sql(coef, px: str, py: str) -> str:
+    """SQL text of the fitted order-2 polynomial (terms match
+    srs._poly_terms: 1, x, y, xy, x², y²)."""
+    d = SRS._d
+    return (f"({d(float(coef[0]))} + {d(float(coef[1]))} * {px} + "
+            f"{d(float(coef[2]))} * {py} + {d(float(coef[3]))} * {px} * {py} + "
+            f"{d(float(coef[4]))} * {px} * {px} + "
+            f"{d(float(coef[5]))} * {py} * {py})")
+
+
+def _oracle_warp_gcp() -> str:
+    gcp = _gcp_dst_transform()
+    lon_c = _poly2_sql(gcp.cx, "(dx + 0.5)", "(dy + 0.5)")
+    lat_c = _poly2_sql(gcp.cy, "(dx + 0.5)", "(dy + 0.5)")
+    return f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL},
+dst AS (SELECT dx, dy, ({lon_c} + 180.0) / 0.5 AS sxf,
+               ({lat_c} - 85.0) / (-0.5) AS syf
+        FROM (SELECT unnest(generate_series(0, 99)) AS dx),
+             (SELECT unnest(generate_series(0, 99)) AS dy)),
+sel AS (SELECT dx, dy, CAST(trunc(sxf + 1e-10) AS BIGINT) AS isx,
+               CAST(trunc(syf + 1e-10) AS BIGINT) AS isy
+        FROM dst WHERE sxf >= 0 AND syf >= 0),
+res AS (SELECT s.dx, s.dy, coalesce(p.burn, 0) AS v
+        FROM sel s LEFT JOIN pix p ON p.px = s.isx AND p.py = s.isy
+        WHERE s.isx < 720 AND s.isy < 340)
+SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res WHERE v > 0
+"""
+
+
+ORACLE_WARP_GCP = _oracle_warp_gcp()
+
+
+def _oracle_warp_utm() -> str:
+    """Real value oracle for the existing warp_utm query (was rows-only):
+    the Krüger-series inverse is closed-form, so the whole chain is SQL
+    (functions/srs.py sql_tm_inverse)."""
+    from gdal_spark.functions import proj as PJ
+    e0, n1 = PJ.utm_from_latlon(41.0, -74.25, 18)
+    e_expr = f"({repr(float(e0))} + (dx + 0.5) * 500.0)"
+    n_expr = f"({repr(float(n1))} - (dy + 0.5) * 500.0)"
+    lon_e, lat_e = SRS.sql_tm_inverse(e_expr, n_expr,
+                                      lon0=PJ.utm_central_meridian(18))
+    return f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL},
+dst AS (SELECT dx, dy, ({lon_e} + 180.0) / 0.5 AS sxf,
+               ({lat_e} - 85.0) / (-0.5) AS syf
+        FROM (SELECT unnest(generate_series(0, 63)) AS dx),
+             (SELECT unnest(generate_series(0, 63)) AS dy)),
+sel AS (SELECT dx, dy, CAST(trunc(sxf + 1e-10) AS BIGINT) AS isx,
+               CAST(trunc(syf + 1e-10) AS BIGINT) AS isy
+        FROM dst WHERE sxf >= 0 AND syf >= 0),
+res AS (SELECT s.dx, s.dy, coalesce(p.burn, 0) AS v
+        FROM sel s LEFT JOIN pix p ON p.px = s.isx AND p.py = s.isy
+        WHERE s.isx < 720 AND s.isy < 340)
+SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res WHERE v > 0
+"""
+
+
+ORACLE_WARP_UTM = _oracle_warp_utm()
+
+QUERIES.update({
+    "warp_lcc": (q_warp_lcc, ORACLE_WARP_LCC),
+    "proj_albers_cells": (q_proj_albers_cells, ORACLE_PROJ_ALBERS),
+    "warp_gcp": (q_warp_gcp, ORACLE_WARP_GCP),
+    "warp_utm": (q_warp_utm, ORACLE_WARP_UTM),
+})
