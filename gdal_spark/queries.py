@@ -1803,3 +1803,58 @@ QUERIES.update({
     "warp_gcp": (q_warp_gcp, ORACLE_WARP_GCP),
     "warp_utm": (q_warp_utm, ORACLE_WARP_UTM),
 })
+
+
+# cutline-clipped warp (gdalwarp -cutline, gdal/alg/gdalcutline.cpp:45)
+
+_CUT_A = (-74.2689, 40.5311)
+_CUT_B = (-73.7123, 40.6077)
+_CUT_C = (-74.0471, 41.0033)
+
+
+def q_warp_cutline(spark, sf_dir):
+    """Warp the world doc raster into the NYC window with a triangular
+    cutline: only pixels whose center falls inside the polygon receive
+    output (blend distance 0); blocks outside the cutline envelope are
+    pruned before the source join."""
+    import numpy as np
+    from gdal_spark.functions import geometry as G
+    tri = G.encode_polygon([np.array([_CUT_A, _CUT_B, _CUT_C, _CUT_A],
+                                     dtype=float)])
+    dst = RM.RasterMeta("docs_cut", 128, 128,
+                        gt=(-74.3, 0.005, 0.0, 41.05, 0.0, -0.005),
+                        dtype="uint8", nodata=0, block=64)
+    out = RS.warp(_doc_tiles(spark, sf_dir), DOC_META, dst, "nearest",
+                  cutline=tri)
+    return RM.nonzero_pixels(out, dst)
+
+
+def _oracle_warp_cutline() -> str:
+    (ax, ay), (bx, by), (cx, cy) = _CUT_A, _CUT_B, _CUT_C
+    d1 = f"(({bx!r} - {ax!r}) * (lat_c - {ay!r}) - ({by!r} - {ay!r}) * (lon_c - {ax!r}))"
+    d2 = f"(({cx!r} - {bx!r}) * (lat_c - {by!r}) - ({cy!r} - {by!r}) * (lon_c - {bx!r}))"
+    d3 = f"(({ax!r} - {cx!r}) * (lat_c - {cy!r}) - ({ay!r} - {cy!r}) * (lon_c - {cx!r}))"
+    inside = (f"(({d1} > 0 AND {d2} > 0 AND {d3} > 0) OR "
+              f"({d1} < 0 AND {d2} < 0 AND {d3} < 0))")
+    return f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL},
+dst AS (SELECT dx, dy, (-74.3 + (dx + 0.5) * 0.005) AS lon_c,
+               (41.05 - (dy + 0.5) * 0.005) AS lat_c
+        FROM (SELECT unnest(generate_series(0, 127)) AS dx),
+             (SELECT unnest(generate_series(0, 127)) AS dy)),
+cut AS (SELECT dx, dy, lon_c, lat_c FROM dst WHERE {inside}),
+spx AS (SELECT dx, dy, (lon_c + 180.0) / 0.5 AS sxf,
+               (lat_c - 85.0) / (-0.5) AS syf FROM cut),
+sel AS (SELECT dx, dy, CAST(trunc(sxf + 1e-10) AS BIGINT) AS isx,
+               CAST(trunc(syf + 1e-10) AS BIGINT) AS isy
+        FROM spx WHERE sxf >= 0 AND syf >= 0),
+res AS (SELECT s.dx, s.dy, coalesce(p.burn, 0) AS v
+        FROM sel s LEFT JOIN pix p ON p.px = s.isx AND p.py = s.isy
+        WHERE s.isx < 720 AND s.isy < 340)
+SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res WHERE v > 0
+"""
+
+
+ORACLE_WARP_CUTLINE = _oracle_warp_cutline()
+
+QUERIES["warp_cutline"] = (q_warp_cutline, ORACLE_WARP_CUTLINE)

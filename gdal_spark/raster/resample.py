@@ -277,7 +277,9 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
          src_from_dst: Callable | None = None,
          scale: tuple[float, float] | None = None,
          lattice: int = 8,
-         dst_window: tuple[int, int, int, int] | None = None) -> DataFrame:
+         dst_window: tuple[int, int, int, int] | None = None,
+         cutline: bytes | None = None,
+         src_nodata: float | None = None) -> DataFrame:
     """Warp ``src_tiles`` onto ``dst_meta``'s grid. ``src_from_dst`` maps
     arrays of dst pixel coords → src pixel coords (default: affine via the
     two geotransforms); it must be picklable and numpy-vectorized.
@@ -286,6 +288,21 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     kernel (GDAL dfXScale, :906). Defaults to the exact geotransform ratio
     for affine warps — global and partition-independent — and to a
     per-block lattice estimate for custom transforms.
+
+    ``cutline``: WKB polygon in dst georeferenced coords (gdalwarp
+    -cutline, gdal/alg/gdalcutline.cpp:45): only dst pixels whose center
+    falls inside the polygon receive output; everything else is nodata.
+    Dst blocks wholly outside the cutline envelope are pruned *before*
+    the source-block shuffle join (no tiles emitted — the engine's sparse
+    convention reads absent blocks as nodata), so a small cutline over a
+    world-size raster only processes the covered blocks.
+
+    ``src_nodata``: per-band source nodata (gdalwarp -srcnodata,
+    gdal/alg/gdalwarper.cpp:364 GDALWarpNoDataMasker): source pixels
+    equal to this value get zero kernel weight; the result is the
+    density-normalized blend of valid pixels (dfDensity semantics), and
+    a dst pixel with no valid source support becomes dst nodata.
+    Supported for nearest and the convolution kernels.
     """
     if src_from_dst is None:
         src_from_dst = affine_src_from_dst(src_meta, dst_meta)
@@ -295,6 +312,9 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     if method not in KERNELS and method not in ("nearest", "average") \
             and method not in AOM_METHODS:
         raise ValueError(f"unsupported method {method!r}")
+    if src_nodata is not None and method not in KERNELS \
+            and method != "nearest":
+        raise ValueError("src_nodata supported for nearest/kernel methods")
     radius = KERNELS[method][1] if method in KERNELS else 0
     block = dst_meta.block
     sblock = src_meta.block
@@ -318,6 +338,19 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
         keys = spark.range(nbx * nby).select(
             (F.col("id") % nbx).cast("int").alias("dbx"),
             (F.col("id") / nbx).cast("int").alias("dby"))
+    dst_gt = dst_meta.gt
+    if cutline is not None:
+        # envelope prune in dst pixel space (cutline blocks only)
+        from gdal_spark.functions.geometry import polygon_envelope
+        ex0, ey0, ex1, ey1 = polygon_envelope(cutline)
+        cpx = [dst_meta.geo_to_pixel(x, y)
+               for x in (ex0, ex1) for y in (ey0, ey1)]
+        bx_lo = int(math.floor(min(p[0] for p in cpx))) // block
+        bx_hi = int(math.ceil(max(p[0] for p in cpx))) // block
+        by_lo = int(math.floor(min(p[1] for p in cpx))) // block
+        by_hi = int(math.ceil(max(p[1] for p in cpx))) // block
+        keys = keys.filter((F.col("dbx") >= bx_lo) & (F.col("dbx") <= bx_hi)
+                           & (F.col("dby") >= by_lo) & (F.col("dby") <= by_hi))
 
     win_schema = T.StructType([
         T.StructField("dbx", T.IntegerType()), T.StructField("dby", T.IntegerType()),
@@ -396,8 +429,37 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
                 yscale = (sy.max() - sy.min()) / max(h - 1, 1)
                 xscale = 1.0 if xscale <= 0 else min(1.0, 1.0 / xscale)
                 yscale = 1.0 if yscale <= 0 else min(1.0, 1.0 / yscale)
-            val, inv = resample_grid(buf, sx0, sy0, sW, sH, sx, sy, method,
-                                     xscale, yscale, nodata)
+            if src_nodata is not None and method != "nearest":
+                # density-normalized valid-pixel blend (GDALWarpNoDataMasker
+                # + dfDensity, gdalwarper.cpp:364 / gdalwarpkernel.cpp): run
+                # the kernel on zero-filled data and on the validity mask,
+                # then divide — weights of nodata pixels cancel exactly
+                valid = buf != src_nodata
+                vsum, inv = resample_grid(
+                    np.where(valid, buf, 0).astype(buf.dtype), sx0, sy0,
+                    sW, sH, sx, sy, method, xscale, yscale, nodata)
+                dens, _ = resample_grid(valid.astype(np.float64), sx0, sy0,
+                                        sW, sH, sx, sy, method,
+                                        xscale, yscale, nodata)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    val = np.where(dens > 1e-9, vsum / dens, nodata)
+                inv = inv | (dens <= 1e-9)
+            else:
+                val, inv = resample_grid(buf, sx0, sy0, sW, sH, sx, sy,
+                                         method, xscale, yscale, nodata)
+                if src_nodata is not None:  # nearest: sampled value test
+                    inv = inv | (val == src_nodata)
+        if cutline is not None:
+            # validity mask from the cutline polygon: pixel-center test
+            # (gdalcutline.cpp:45 blend mask with zero blend distance)
+            from gdal_spark.functions.geometry import PreparedPolygons
+            gx = dst_gt[0] + DX * dst_gt[1] + DY * dst_gt[2]
+            gy = dst_gt[3] + DX * dst_gt[4] + DY * dst_gt[5]
+            prep = PreparedPolygons(ids=[0], wkbs=[cutline])
+            pi, _g = prep.contains_batch(gx.ravel(), gy.ravel())
+            mask = np.zeros(gx.size, dtype=bool)
+            mask[pi] = True
+            inv = inv | ~mask.reshape(gx.shape)
         out = _round_cast(val, dtype, inv, nodata)
         return pd.DataFrame([(out_id, band, dbx, dby, w, h, out.tobytes())],
                             columns=["raster_id", "band", "bx", "by",

@@ -268,3 +268,69 @@ def test_warp_mode_float_path(spark):
     got = M.to_array(R.warp(M.from_array(spark, arr, meta), meta, dstm, "mode"), dstm)
     want = ref_aom(arr, 6, 6, 2, 2, "mode")
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# cutline + src nodata (gdalwarp -cutline / -srcnodata, round 3)
+# ---------------------------------------------------------------------------
+
+def _triangle_wkb(a, b, c):
+    from gdal_spark.functions import geometry as G
+    return G.encode_polygon([np.array([a, b, c, a], dtype=float)])
+
+
+def _point_in_tri(px, py, a, b, c):
+    d1 = (b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])
+    d2 = (c[0] - b[0]) * (py - b[1]) - (c[1] - b[1]) * (px - b[0])
+    d3 = (a[0] - c[0]) * (py - c[1]) - (a[1] - c[1]) * (px - c[0])
+    return ((d1 > 0) & (d2 > 0) & (d3 > 0)) | ((d1 < 0) & (d2 < 0) & (d3 < 0))
+
+
+def test_warp_cutline_masks_outside(spark, src_tiles):
+    """autotest/alg/cutline.py analog: identity warp with a triangular
+    cutline — inside pixels identical to the source, outside nodata(0),
+    twin = an independent sign-test point-in-triangle mask."""
+    dst_meta = M.RasterMeta("cut", 100, 80, gt=SRC_META.gt, block=32)
+    a, b, c = (540.3, 761.7), (687.1, 777.9), (610.7, 883.3)
+    wkb = _triangle_wkb(a, b, c)
+    got = M.to_array(R.warp(src_tiles, SRC_META, dst_meta, "nearest",
+                            cutline=wkb), dst_meta)
+    DX, DY = np.meshgrid(np.arange(100) + 0.5, np.arange(80) + 0.5)
+    gx = SRC_META.gt[0] + DX * SRC_META.gt[1]
+    gy = SRC_META.gt[3] + DY * SRC_META.gt[5]
+    inside = _point_in_tri(gx, gy, a, b, c)
+    assert inside.any() and (~inside).any()
+    np.testing.assert_array_equal(got[inside], SRC_ARR[inside])
+    assert (got[~inside] == 0).all()
+
+
+def test_warp_cutline_prunes_blocks(spark, src_tiles):
+    """Blocks wholly outside the cutline envelope are never emitted (the
+    sparse-raster convention reads them as nodata) — the scale path for
+    small cutlines over large rasters."""
+    dst_meta = M.RasterMeta("cutp", 100, 80, gt=SRC_META.gt, block=32)
+    a, b, c = (510.3, 880.7), (550.1, 885.9), (530.7, 897.3)  # one corner
+    out = R.warp(src_tiles, SRC_META, dst_meta, "nearest",
+                 cutline=_triangle_wkb(a, b, c))
+    blocks = {(r["bx"], r["by"]) for r in out.select("bx", "by").collect()}
+    assert blocks == {(0, 0)}
+
+
+def test_warp_src_nodata_nearest_and_bilinear(spark):
+    """-srcnodata semantics: nodata source pixels get zero weight; a dst
+    pixel whose entire support is nodata becomes dst nodata; bilinear
+    blends are renormalized over the valid pixels only."""
+    arr = np.full((8, 8), 100, dtype=np.uint8)
+    arr[:, 4:] = 255  # nodata half
+    meta = M.RasterMeta("nd", 8, 8, gt=(0.0, 1.0, 0.0, 8.0, 0.0, -1.0), block=8)
+    tiles = M.from_array(spark, arr, meta)
+    dst = M.RasterMeta("ndd", 8, 8, gt=meta.gt, block=8, nodata=7.0)
+    got_n = M.to_array(R.warp(tiles, meta, dst, "nearest", src_nodata=255.0),
+                       dst, fill=7)
+    assert (got_n[:, :4] == 100).all() and (got_n[:, 4:] == 7).all()
+    got_b = M.to_array(R.warp(tiles, meta, dst, "bilinear", src_nodata=255.0),
+                       dst, fill=7)
+    # renormalized blend: valid half keeps its value right up to the edge
+    assert (got_b[:, :4] == 100).all() and (got_b[:, 4:] == 7).all()
+    with pytest.raises(ValueError):
+        R.warp(tiles, meta, dst, "average", src_nodata=255.0)
