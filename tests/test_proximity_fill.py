@@ -56,6 +56,30 @@ def test_proximity_geo_units(spark):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_proximity_dense_targets(spark):
+    """Density independence: ≥30% target pixels must still be exact, and the
+    separable EDT must not fan out per target (the round-2 brute-force shape
+    was O(pixels × targets); this one is O(pixels × strip) regardless)."""
+    import time
+    rng = np.random.RandomState(7)
+    dense = (rng.rand(40, 60) < 0.35).astype(np.uint8)
+    meta = M.RasterMeta("pd", 60, 40, block=16)
+    t0 = time.time()
+    out, om = PX.proximity(M.from_array(spark, dense, meta), meta,
+                           max_distance=12.0)
+    got = M.to_array(out, om, fill=om.nodata)
+    t_dense = time.time() - t0
+    np.testing.assert_allclose(got, brute_prox(dense, 12.0), rtol=1e-6)
+    # sparse control on the same grid/block size
+    t0 = time.time()
+    out, om = PX.proximity(M.from_array(spark, ARR, meta), meta,
+                           max_distance=12.0)
+    M.to_array(out, om, fill=om.nodata)
+    t_sparse = time.time() - t0
+    # generous noise guard — the algorithm is literally the same code path
+    assert t_dense <= max(4.0 * t_sparse, t_sparse + 5.0)
+
+
 # ---------------------------------------------------------------------------
 # fillnodata
 # ---------------------------------------------------------------------------
