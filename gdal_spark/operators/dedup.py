@@ -179,28 +179,42 @@ def winnow_fingerprints(df: DataFrame, text: str = "text",
 
 def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id",
               shingle_n: int = 2) -> DataFrame:
-    """64-bit SimHash per doc from md5 bit-votes of word shingles —
-    vectorized in one Arrow pass (no per-row Python loops over bits)."""
-    import hashlib
+    """64-bit SimHash per doc from md5 bit-votes of word shingles.
 
-    base = df.select(F.col(id_col), F.array_distinct(word_shingles(F.col(text), shingle_n)).alias("_sh"))
+    Shingle hashing is JVM column math: md5 hex → two 32-bit halves via
+    ``conv`` (the same first-8-bytes-big-endian value the DuckDB oracle
+    parses as UBIGINT). The Arrow pass only folds the bit votes, vectorized
+    across the WHOLE batch (flatten → ``np.add.reduceat`` segment sums) —
+    no hashlib, no per-row hashing loop."""
+    sh = F.array_distinct(word_shingles(F.col(text), shingle_n))
+    half = lambda m, p: F.conv(F.substring(m, p, 8), 16, 10).cast("long")
+    base = (df.select(F.col(id_col), F.transform(sh, F.md5).alias("_md"))
+            .select(F.col(id_col),
+                    F.transform(F.col("_md"), lambda m: half(m, 1)).alias("_hi"),
+                    F.transform(F.col("_md"), lambda m: half(m, 9)).alias("_lo")))
     schema = f"{id_col} long, simhash long"
+    bitpos = np.arange(64, dtype=np.uint64)[None, :]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.uint64)
-            for i, shingles in enumerate(pdf["_sh"]):
-                if shingles is None or len(shingles) == 0:
-                    continue
-                # vectorized bit votes: unpack md5-first-8-bytes per shingle
-                hs = np.frombuffer(
-                    b"".join(hashlib.md5(s.encode()).digest()[:8] for s in shingles),
-                    dtype=">u8")
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-                # signed! uint64 sums would wrap on negative vote totals
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
-                out[i] = np.bitwise_or.reduce(
-                    (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out.astype(np.int64)})
+            n = len(pdf)
+            his, los = pdf["_hi"], pdf["_lo"]
+            lens = np.fromiter((0 if h is None else len(h) for h in his),
+                               dtype=np.int64, count=n)
+            votes = np.zeros((n, 64), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                hsv = ((np.concatenate([np.asarray(h, dtype=np.uint64)
+                                        for h in his[nz]]) << np.uint64(32))
+                       | np.concatenate([np.asarray(l, dtype=np.uint64)
+                                         for l in los[nz]]))
+                bits = ((hsv[:, None] >> bitpos) & np.uint64(1)).astype(np.int64)
+                starts = np.zeros(n, dtype=np.int64)
+                starts[1:] = np.cumsum(lens)[:-1]
+                votes[nz] = np.add.reduceat(bits, starts[nz], axis=0)
+            set_bits = (votes * 2 > lens[:, None]).astype(np.uint64)
+            out = np.bitwise_or.reduce(set_bits << bitpos, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "simhash": out.view(np.int64)})
 
     return base.mapInPandas(run, schema=schema)
