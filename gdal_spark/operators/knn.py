@@ -7,10 +7,11 @@ distributed generalization of gdalgrid's search-radius scan.
 
 Algorithm (exact):
 1. Index data points by WebMercator cell at ``zoom`` (pure column math).
-2. For ring r = 0, 1, 2...: each unsettled query joins the frame of cells at
-   Chebyshev distance r from its home cell (dx/dy sequence explode — no UDF)
-   against the bucketed points; candidates accumulate, keeping per-query
-   top-k by (dist_sq, point id) — deterministic tie-break.
+2. For ring batches [0,1], [2,3], [4,7], ... (geometric widths, one settle
+   action per batch): each unsettled query joins the frame of cells in the
+   Chebyshev annulus (dx/dy sequence explode — no UDF) against the bucketed
+   points; candidates accumulate, keeping per-query top-k by
+   (dist_sq, point id) — deterministic tie-break.
 3. A query settles when its k-th candidate distance is ≤ the distance from
    the query point to the boundary of the ring-r cell box (no point outside
    the box can beat it). Loop ends when all queries settle.
@@ -73,13 +74,20 @@ def knn_cell_ring(queries: DataFrame, points: DataFrame, k: int,
     best: DataFrame | None = None
     w = Window.partitionBy(q_id).orderBy("dist_sq", p_id)
 
-    for r in range(max_rings + 1):
-        # frame of cells at Chebyshev distance exactly r (clamped to grid)
+    # ring BATCHES: expand Chebyshev annulus [r_lo, r_hi] per iteration and
+    # run ONE settle-test action per batch (vs one per ring in round 2 —
+    # halves the job count; widths grow geometrically so the long tail of
+    # sparse-region queries finishes in O(log rings) actions, each tiny)
+    r_lo, width = 0, 2
+    while r_lo <= max_rings:
+        r = min(r_lo + width - 1, max_rings)  # batch upper ring
+        # frame of cells at Chebyshev distance in [r_lo, r] (clamped)
         dxy = F.sequence(F.lit(-r), F.lit(r))
+        cheb = F.greatest(F.abs(F.col("_dx")), F.abs(F.col("_dy")))
         ring = (unsettled
                 .withColumn("_dx", F.explode(dxy))
                 .withColumn("_dy", F.explode(dxy))
-                .filter((F.greatest(F.abs(F.col("_dx")), F.abs(F.col("_dy"))) == r))
+                .filter((cheb >= r_lo) & (cheb <= r))
                 .withColumn("_tx", F.col("_qtx") + F.col("_dx"))
                 .withColumn("_ty", F.col("_qty") + F.col("_dy"))
                 .filter((F.col("_tx") >= 0) & (F.col("_tx") <= zmax_t)
@@ -118,6 +126,7 @@ def knn_cell_ring(queries: DataFrame, points: DataFrame, k: int,
         unsettled = unsettled.join(settled_ids, on=q_id, how="left_anti").persist()
         if unsettled.isEmpty():
             break
+        r_lo, width = r + 1, min(width * 2, 16)
 
     pts.unpersist()
     q0.unpersist()

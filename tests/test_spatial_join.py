@@ -116,3 +116,17 @@ def test_polygon_cover_cells(spark):
         _, ty0 = T.py_latlon_to_tile(r["ymin"], 0.0, 3)
         _, ty1 = T.py_latlon_to_tile(r["ymax"], 0.0, 3)
         assert tx0 <= r["_tx"] <= tx1 and ty0 <= r["_ty"] <= ty1
+
+
+def test_metadata_probe_runs_no_job(spark, tmp_path):
+    """The auto strategy's row-count probe must come from Catalyst stats
+    (parquet footers), not a count() action — no Spark job may run."""
+    pq = str(tmp_path / "polys.parquet")
+    PG.admin_grid(spark, nx=4, ny=2).write.mode("overwrite").parquet(pq)
+    polys = spark.read.parquet(pq)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    est = SJ._estimated_row_count(polys)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert est is not None and est >= 1
+    assert after == before, "metadata probe launched a Spark job"
