@@ -16,10 +16,10 @@
   self-join into 10^12 pairs — the cap bounds any bucket to
   max_bucket^2/2 pairs at a measured recall cost, the standard guard for
   skewed web corpora.
-- ``ngram_jaccard_pairs``   — exact shingle-set Jaccard for candidate pairs
-  via explode + distinct + count joins (set semantics).
-- ``simhash64``             — 64-bit SimHash from md5 nibbles of shingles
-  (vectorized pandas UDF; Hamming-distance dedup path).
+- ``ngram_jaccard_pairs``   — shingle-set Jaccard for candidate pairs via
+  per-doc 60-bit hash arrays + array_intersect (no explode, no agg shuffle).
+- ``simhash64``             — 64-bit SimHash from JVM md5 column hashes
+  (batch-wide numpy vote fold; Hamming-distance dedup path).
 
 At 100 TB: signatures are ~n_hashes × 8-byte strings per doc (tiny vs the
 text); candidate pairs after banding are a small fraction of n^2, and the
@@ -121,36 +121,40 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
-    """Exact Jaccard over distinct word shingles for the given id pairs.
+    """Jaccard over distinct word shingles for the given id pairs.
     Output: (id_a, id_b, inter, size_a, size_b, jaccard).
 
-    Set sizes are pure column math (size of the distinct-shingle array —
-    no explode). Only candidate-pair docs are exploded, and the
-    intersection join is an equi-join that INCLUDES the shingle in the key
-    — joining on ids alone and filtering equality afterwards would build
-    the |A|x|B| cross product of the two shingle sets per pair."""
+    Each candidate doc's distinct shingle set is reduced ONCE to an array
+    of 60-bit md5-prefix hashes (the same hash the minhash signatures
+    use); per pair, ``inter = size(array_intersect(ha, hb))`` — pure array
+    column math. Compared to the round-2 shingle-explode equi-join this
+    ships 8 B/shingle instead of the shingle string, and removes both the
+    per-(pair, shingle) join rows and the post-join count aggregation
+    shuffle entirely. Jaccard over the hash sets equals shingle-set
+    Jaccard absent 60-bit collisions (P ≈ n²/2⁶¹ per doc — the standard
+    dedup-pipeline tradeoff; the SQL oracle mirrors the same hashes, so
+    parity is exact by construction)."""
     ids = (pairs.select(F.col("id_a").alias("_id"))
            .unionByName(pairs.select(F.col("id_b").alias("_id"))).distinct())
-    # prune to candidate docs BEFORE shingling (the id semi-join reaches the
-    # scan, so repeated references shingle only the candidates); sizes and
-    # the exploded shingle set both derive from this small projection.
-    # Callers should materialize `pairs` (cache/localCheckpoint) — it is
-    # referenced three times below.
-    sh_arr = F.array_distinct(word_shingles(F.col("_t"), shingle_n))
+    # prune to candidate docs BEFORE shingling (the id semi-join reaches
+    # the scan, so only candidates are hashed). Callers should materialize
+    # `pairs` (cache/localCheckpoint) — it is referenced three times.
+    ha = F.transform(
+        F.array_distinct(word_shingles(F.col("_t"), shingle_n)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    # cached: referenced by both pair sides — hash each candidate once
     cand = (df.select(F.col(id_col).alias("_id"), F.col(text).alias("_t"))
             .join(ids, on="_id")
-            .select("_id", sh_arr.alias("_sha")).cache())
-    sizes = cand.select("_id", F.size("_sha").alias("_size"))
-    sh = cand.select("_id", F.explode("_sha").alias("_sh"))
-    inter = (pairs.join(sh.withColumnRenamed("_id", "id_a"), on="id_a")
-             .join(sh.withColumnRenamed("_id", "id_b"), on=["id_b", "_sh"])
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
-    out = (pairs.join(inter, on=["id_a", "id_b"], how="left")
-           .na.fill({"inter": 0})
-           .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_size", "size_a"),
+            .select("_id", ha.alias("_ha")).cache())
+    out = (pairs
+           .join(cand.select(F.col("_id").alias("id_a"), F.col("_ha").alias("_haa")),
                  on="id_a")
-           .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_size", "size_b"),
-                 on="id_b"))
+           .join(cand.select(F.col("_id").alias("id_b"), F.col("_ha").alias("_hab")),
+                 on="id_b")
+           .select("id_a", "id_b",
+                   F.size(F.array_intersect("_haa", "_hab")).alias("inter"),
+                   F.size("_haa").alias("size_a"),
+                   F.size("_hab").alias("size_b")))
     return out.withColumn(
         "jaccard",
         F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))

@@ -632,12 +632,10 @@ bands AS (SELECT _id, _band, _key FROM (
 pairs AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
           FROM bands a JOIN bands b ON a._band = b._band AND a._key = b._key
           WHERE a._id < b._id),
-shd AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh_raw),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
-inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
-          FROM pairs p JOIN shd x ON x.doc_id = p.id_a
-                       JOIN shd y ON y.doc_id = p.id_b AND y.s = x.s
-          GROUP BY p.id_a, p.id_b)
+sizes AS (SELECT doc_id, len(hs) AS sz FROM hsh),
+inter AS (SELECT p.id_a, p.id_b, len(list_intersect(a.hs, b.hs)) AS inter
+          FROM pairs p JOIN hsh a ON a.doc_id = p.id_a
+                       JOIN hsh b ON b.doc_id = p.id_b)
 SELECT p.id_a, p.id_b, coalesce(i.inter, 0) AS inter,
        sa.sz AS size_a, sb.sz AS size_b,
        round(coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
