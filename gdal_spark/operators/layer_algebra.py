@@ -10,11 +10,14 @@ Two method-layer regimes:
   the reference's nested loop + spatial-filter pushdown
   (ogrlayer.cpp:2090-2097) becomes the broadcast/shuffle two-path join.
 
-- **polygon input vs convex method polygons** (grid/tile cells — the
-  dominant method layer at scale): exact Sutherland–Hodgman clipping
-  (geometry.clip_ring_convex) emits the Intersection/Clip piece per
-  (subject, cell) pair, cell-joined by bbox cover. General concave×concave
-  boolean ops are out of scope (the reference delegates those to GEOS).
+- **polygon input vs polygon method layer** (grid/tile cells — the
+  dominant method layer at scale): per (subject, cell) pair, convex cells
+  take exact Sutherland–Hodgman clipping (geometry.clip_ring_convex);
+  arbitrary simple/holed/multi-part operands take the Martinez–Rueda
+  plane-sweep boolean kernel (functions/clipping.py) — the reference
+  delegates these to GEOS (ogrgeometry.cpp:2922-3310). Difference
+  emissions use an exact rectilinear grid-arrangement fast path with the
+  same general fallback.
 """
 
 from __future__ import annotations
@@ -27,8 +30,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gdal_spark.functions import clipping as CL
 from gdal_spark.functions import geometry as G
 from gdal_spark.operators.spatial_join import point_in_polygon_join, with_envelope
+
+
+def _difference(subject_wkb: bytes,
+                clip_wkbs: list[bytes]) -> tuple[bytes, float] | None:
+    """subject − ∪clips: exact rectilinear grid-arrangement fast path,
+    general Martinez–Rueda fold for arbitrary simple polygons."""
+    try:
+        return G.rectilinear_difference(subject_wkb, clip_wkbs)
+    except NotImplementedError:
+        return CL.wkb_difference_multi(subject_wkb, clip_wkbs)
+
+
+def _ring_convex(ring: np.ndarray) -> bool:
+    r = ring if not np.array_equal(ring[0], ring[-1]) else ring[:-1]
+    n = len(r)
+    if n < 3:
+        return False
+    d = np.roll(r, -1, axis=0) - r
+    cross = d[:, 0] * np.roll(d, -1, axis=0)[:, 1] - d[:, 1] * np.roll(d, -1, axis=0)[:, 0]
+    return bool(np.all(cross >= 0) or np.all(cross <= 0))
 
 
 # ---------------------------------------------------------------------------
@@ -86,7 +110,9 @@ def clip_polygons_to_cells(polys: DataFrame, cells: DataFrame,
     cell_rows = cells.select(cell_id, cell_wkb).collect()
     prepared = []
     for r in cell_rows:
-        rings = G.decode_polygons(bytes(r[1]))[0]
+        cwkb = bytes(r[1])
+        parts = G.decode_polygons(cwkb)
+        rings = parts[0]
         ring = rings[0]
         # orient CCW (positive signed area)
         rr = ring if len(ring) and np.array_equal(ring[0], ring[-1]) \
@@ -94,9 +120,17 @@ def clip_polygons_to_cells(polys: DataFrame, cells: DataFrame,
         _, _, a = G.ring_centroid_area(rr)
         if a < 0:
             ring = ring[::-1]
+        # Sutherland–Hodgman needs a single convex ring; concave/holed/
+        # multi-part cells take the general Martinez–Rueda path
+        convex = (len(parts) == 1 and len(rings) == 1 and _ring_convex(ring))
         xmin, ymin = ring.min(axis=0)
         xmax, ymax = ring.max(axis=0)
-        prepared.append((r[0], ring, (xmin, ymin, xmax, ymax)))
+        for p in parts[1:]:
+            for rg in p:
+                xmin = min(xmin, rg[:, 0].min()); ymin = min(ymin, rg[:, 1].min())
+                xmax = max(xmax, rg[:, 0].max()); ymax = max(ymax, rg[:, 1].max())
+        prepared.append((r[0], ring if convex else cwkb, convex,
+                         (xmin, ymin, xmax, ymax)))
     bc = spark.sparkContext.broadcast(prepared)
 
     env = with_envelope(polys.select(poly_id, poly_wkb), poly_wkb)
@@ -119,13 +153,19 @@ def clip_polygons_to_cells(polys: DataFrame, cells: DataFrame,
                 wkb = bytes(rec[i_wkb])
                 bx0, by0 = rec[i_x0], rec[i_y0]
                 bx1, by1 = rec[i_x1], rec[i_y1]
-                for cid, ring, (cx0, cy0, cx1, cy1) in cellset:
+                for cid, cgeo, convex, (cx0, cy0, cx1, cy1) in cellset:
                     if bx1 < cx0 or cx1 < bx0 or by1 < cy0 or cy1 < by0:
                         continue  # envelope reject (ogrlayer.cpp:2071-2087)
-                    piece = G.polygon_clip_convex(wkb, ring)
-                    if piece is None:
-                        continue
-                    area = G.polygon_area(piece)
+                    if convex:
+                        piece = G.polygon_clip_convex(wkb, cgeo)
+                        if piece is None:
+                            continue
+                        area = G.polygon_area(piece)
+                    else:
+                        res = CL.wkb_boolean(wkb, cgeo, CL.INTERSECTION)
+                        if res is None:
+                            continue
+                        piece, area = res
                     if area <= 0.0:
                         continue
                     rows.append((int(rec[i_id]), int(cid),
@@ -155,13 +195,13 @@ def layer_union(polys: DataFrame, cells: DataFrame,
     """OGRLayer::Union emission (ogrlayer.cpp:2282) for a polygon input
     layer against a broadcastable polygon method layer:
 
-    - input∩method pieces → (poly_id, cell_id)   [Sutherland–Hodgman]
-    - input − ∪method     → (poly_id, NULL)      [exact rectilinear diff]
-    - method − ∪input     → (NULL, cell_id)      [exact rectilinear diff]
+    - input∩method pieces → (poly_id, cell_id)   [S–H / Martinez–Rueda]
+    - input − ∪method     → (poly_id, NULL)      [rectilinear fast path,
+    - method − ∪input     → (NULL, cell_id)       Martinez–Rueda fallback]
 
-    Difference pieces require axis-aligned geometry (the reference does
-    general concave boolean ops through GEOS; grid/tile method layers —
-    this engine's dominant case — are rectilinear). Distribution: method
+    Arbitrary simple polygons (rotated, concave, holed, multi-part) are
+    supported via the plane-sweep boolean kernel; axis-aligned inputs take
+    the exact grid-arrangement fast path. Distribution: method
     layer broadcast; the input side is one Arrow map pass for ∩ and A−B;
     B−A groups the input features overlapping each method cell (bounded by
     features-per-cell, the same envelope-reject the reference stages).
@@ -194,7 +234,7 @@ def layer_union(polys: DataFrame, cells: DataFrame,
                 clips = [w for _cid, w, (cx0, cy0, cx1, cy1) in cellset
                          if not (bx1 < cx0 or cx1 < bx0
                                  or by1 < cy0 or cy1 < by0)]
-                out = G.rectilinear_difference(wkb, clips)
+                out = _difference(wkb, clips)
                 if out is not None:
                     rows.append((int(rec[i_id]), None, out[0], out[1]))
             yield pd.DataFrame(rows, columns=piece_cols)
@@ -229,7 +269,7 @@ def layer_union(polys: DataFrame, cells: DataFrame,
             geo_cache.update({c: w for c, w, _ in bc.value})
         cid = int(key[0])
         clips = [bytes(w) for w in pdf["swkb"] if w is not None]
-        out = G.rectilinear_difference(geo_cache[cid], clips)
+        out = _difference(geo_cache[cid], clips)
         if out is None:
             return pd.DataFrame(columns=piece_cols)
         return pd.DataFrame([(None, cid, out[0], out[1])], columns=piece_cols)

@@ -1386,6 +1386,96 @@ ORACLE_UNION_LAYER = _oracle_union_family(True)
 ORACLE_SYMDIFF_LAYER = _oracle_union_family(False)
 
 
+def q_union_layer_rot(spark, sf_dir):
+    """Layer-algebra Union over NON-rectilinear operands: the 45°-rotated
+    poly fixture (diamonds; fid 3 concave, fid 7 holed) × a concave
+    L-shaped rotated method grid — every piece goes through the general
+    Martinez–Rueda boolean kernel (functions/clipping.py; the reference
+    delegates to GEOS, ogrgeometry.cpp:2922-3310). The oracle is exact
+    because the geometry is rectilinear in the rotated frame
+    (u,v)=(x+y, y−x): interval math in uv, area_xy = area_uv/2."""
+    polys = PG.rot_poly_fixture(spark)
+    grid = PG.diamond_grid(spark, nx=8, ny=2, u_min=-2.0, u_max=98.0,
+                           v_min=-1.0, v_max=7.0, concave=True)
+    pieces = LA.layer_union(polys, grid)
+    return pieces.select("poly_id", "cell_id",
+                         F.round("piece_area", 6).alias("piece_area"))
+
+
+def q_symdiff_layer_rot(spark, sf_dir):
+    """SymDifference over the same rotated/concave/holed operands."""
+    polys = PG.rot_poly_fixture(spark)
+    grid = PG.diamond_grid(spark, nx=8, ny=2, u_min=-2.0, u_max=98.0,
+                           v_min=-1.0, v_max=7.0, concave=True)
+    pieces = LA.layer_symdifference(polys, grid)
+    return pieces.select("poly_id", "cell_id",
+                         F.round("piece_area", 6).alias("piece_area"))
+
+
+def _oracle_rot_family(include_intersection: bool) -> str:
+    """uv-frame oracle for the rotated fixtures: subjects are uv rectangles
+    (minus a notch/hole rectangle for fid 3/7), cells are uv L-shapes
+    (cell minus its top-right quadrant); every overlap is exact interval
+    inclusion-exclusion, and xy areas are uv areas halved (Jacobian)."""
+    inter_branch = (
+        "SELECT fid AS poly_id, cell_id, round(a / 2, 6) AS piece_area "
+        "FROM inter\nUNION ALL\n" if include_intersection else "")
+    return f"""
+WITH f AS (SELECT unnest(generate_series(0, 9)) AS fid),
+cells AS (SELECT j * 8 + i AS cell_id,
+                 -2.0 + i * 12.5 AS cx0, -2.0 + (i + 1) * 12.5 AS cx1,
+                 -1.0 + j * 4.0 AS cy0, -1.0 + (j + 1) * 4.0 AS cy1
+          FROM (SELECT unnest(generate_series(0, 7)) AS i),
+               (SELECT unnest(generate_series(0, 1)) AS j)),
+cq AS (SELECT cell_id, cx0, cx1, cy0, cy1,
+              (cx0 + cx1) / 2 AS qx0, cx1 AS qx1,
+              (cy0 + cy1) / 2 AS qy0, cy1 AS qy1
+       FROM cells),
+geo AS (SELECT fid, 20.0 * fid AS x0, 20.0 * fid + 10.0 AS x1,
+               0.0 AS y0, 10.0 AS y1,
+               CASE WHEN fid = 3 THEN 20.0 * fid + 3.0
+                    WHEN fid = 7 THEN 20.0 * fid + 4.0 ELSE 0.0 END AS hx0,
+               CASE WHEN fid = 3 THEN 20.0 * fid + 10.0
+                    WHEN fid = 7 THEN 20.0 * fid + 6.0 ELSE 0.0 END AS hx1,
+               CASE WHEN fid = 3 THEN 3.0 WHEN fid = 7 THEN 4.0
+                    ELSE 0.0 END AS hy0,
+               CASE WHEN fid = 3 THEN 7.0 WHEN fid = 7 THEN 6.0
+                    ELSE 0.0 END AS hy1
+        FROM f),
+-- overlap(subject minus hole, cell minus quadrant) by inclusion-exclusion
+-- (hole within subject, quadrant within cell)
+ar AS (SELECT fid, cell_id,
+         greatest(0, least(x1, cx1) - greatest(x0, cx0))
+           * greatest(0, least(y1, cy1) - greatest(y0, cy0))
+         - greatest(0, least(x1, qx1) - greatest(x0, qx0))
+           * greatest(0, least(y1, qy1) - greatest(y0, qy0))
+         - greatest(0, least(hx1, cx1) - greatest(hx0, cx0))
+           * greatest(0, least(hy1, cy1) - greatest(hy0, cy0))
+         + greatest(0, least(hx1, qx1) - greatest(hx0, qx0))
+           * greatest(0, least(hy1, qy1) - greatest(hy0, qy0))
+           AS a
+       FROM geo CROSS JOIN cq),
+inter AS (SELECT fid, cell_id, a FROM ar WHERE a > 0),
+pa AS (SELECT fid, (x1 - x0) * (y1 - y0) - (hx1 - hx0) * (hy1 - hy0) AS area
+       FROM geo),
+am AS (SELECT p.fid, p.area - coalesce(sum(i.a), 0) AS a
+       FROM pa p LEFT JOIN inter i ON i.fid = p.fid GROUP BY p.fid, p.area),
+bm AS (SELECT c.cell_id, 0.75 * (cx1 - cx0) * (cy1 - cy0)
+                - coalesce(sum(i.a), 0) AS a
+       FROM cells c LEFT JOIN inter i ON i.cell_id = c.cell_id
+       GROUP BY c.cell_id, cx0, cx1, cy0, cy1)
+{inter_branch}SELECT fid AS poly_id, CAST(NULL AS BIGINT) AS cell_id,
+       round(a / 2, 6) AS piece_area FROM am WHERE a > 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS poly_id, cell_id, round(a / 2, 6) AS piece_area
+FROM bm WHERE a > 0
+"""
+
+
+ORACLE_UNION_LAYER_ROT = _oracle_rot_family(True)
+ORACLE_SYMDIFF_LAYER_ROT = _oracle_rot_family(False)
+
+
 # ---------------------------------------------------------------------------
 # north-star end-to-end on the synthesized Common-Crawl-style pages table
 # ---------------------------------------------------------------------------
@@ -1578,8 +1668,10 @@ QUERIES: dict[str, tuple] = {
     "polygonize_rects": (q_polygonize_rects, ORACLE_POLYGONIZE_RECTS),
     "clip_layer_area": (q_clip_layer_area, ORACLE_CLIP_LAYER),
     "union_layer": (q_union_layer, ORACLE_UNION_LAYER),
+    "union_layer_rot": (q_union_layer_rot, ORACLE_UNION_LAYER_ROT),
     "st_predicates": (q_st_predicates, ORACLE_ST_PREDICATES),
     "symdiff_layer": (q_symdiff_layer, ORACLE_SYMDIFF_LAYER),
+    "symdiff_layer_rot": (q_symdiff_layer_rot, ORACLE_SYMDIFF_LAYER_ROT),
     "pages_e2e": (q_pages_e2e, None),
     "grid_invdist": (q_grid_invdist, ORACLE_GRID_INVDIST),
     "grid_nearest": (q_grid_nearest, ORACLE_GRID_NEAREST),

@@ -105,3 +105,86 @@ def poly_fixture(spark: SparkSession) -> DataFrame:
 
 def idlink_fixture(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(IDLINK_ROWS, "eas_id long, name string")
+
+
+# ---------------------------------------------------------------------------
+# rotated (45°) fixtures — non-rectilinear layer-algebra operands whose SQL
+# oracles stay exact: geometry is rectilinear in the rotated frame
+# (u, v) = (x + y, y − x), so interval math in uv gives exact areas and the
+# inverse map x = (u − v)/2, y = (u + v)/2 (Jacobian ½ ⇒ area_xy = area_uv/2)
+# produces diamonds/concave/holed polygons in xy that the general
+# Martinez–Rueda boolean kernel must handle.
+# ---------------------------------------------------------------------------
+
+def _uv_to_xy(ring_uv: np.ndarray) -> np.ndarray:
+    u, v = ring_uv[:, 0], ring_uv[:, 1]
+    return np.column_stack(((u - v) / 2.0, (u + v) / 2.0))
+
+
+def rot_poly_fixture(spark: SparkSession) -> DataFrame:
+    """poly_fixture rotated 45°: the same uv-space geometry as _poly_geom
+    (10×10 square at u=20·fid; fid 3 concave notch, fid 7 interior ring)
+    mapped through uv→xy, yielding diamonds — none axis-aligned in xy."""
+    def geom(fid: int) -> bytes:
+        u0 = 20.0 * fid
+        square = np.array([[u0, 0], [u0 + 10, 0], [u0 + 10, 10],
+                           [u0, 10], [u0, 0]], dtype=float)
+        if fid == 3:
+            concave = np.array(
+                [[u0, 0], [u0 + 10, 0], [u0 + 10, 3], [u0 + 3, 3], [u0 + 3, 7],
+                 [u0 + 10, 7], [u0 + 10, 10], [u0, 10], [u0, 0]], dtype=float)
+            return G.encode_polygon([_uv_to_xy(concave)])
+        if fid == 7:
+            hole = np.array([[u0 + 4, 4], [u0 + 6, 4], [u0 + 6, 6],
+                             [u0 + 4, 6], [u0 + 4, 4]], dtype=float)
+            return G.encode_polygon([_uv_to_xy(square), _uv_to_xy(hole)])
+        return G.encode_polygon([_uv_to_xy(square)])
+
+    schema = T.StructType([
+        T.StructField("fid", T.LongType(), False),
+        T.StructField("geometry", T.BinaryType(), False),
+        T.StructField("area", T.DoubleType(), False),
+        T.StructField("eas_id", T.LongType(), False),
+        T.StructField("prfedea", T.StringType(), False),
+    ])
+    rows = [(fid, bytearray(geom(fid)), area, eas, prf)
+            for fid, area, eas, prf in POLY_ROWS]
+    return spark.createDataFrame(rows, schema)
+
+
+def diamond_grid(spark: SparkSession, nx: int, ny: int,
+                 u_min: float, u_max: float, v_min: float, v_max: float,
+                 concave: bool = False) -> DataFrame:
+    """admin_grid in the rotated uv frame: cells axis-aligned in uv, i.e.
+    45°-rotated diamonds in xy. With ``concave=True`` each cell is an L
+    (the cell minus its top-right uv quadrant) — a concave method layer
+    that forces the general boolean path everywhere."""
+    du = (u_max - u_min) / nx
+    dv = (v_max - v_min) / ny
+    rows = []
+    for j in range(ny):
+        for i in range(nx):
+            u0, u1 = u_min + i * du, u_min + (i + 1) * du
+            v0, v1 = v_min + j * dv, v_min + (j + 1) * dv
+            if concave:
+                um, vm = (u0 + u1) / 2.0, (v0 + v1) / 2.0
+                ring_uv = np.array([[u0, v0], [u1, v0], [u1, vm], [um, vm],
+                                    [um, v1], [u0, v1], [u0, v0]])
+            else:
+                ring_uv = np.array([[u0, v0], [u1, v0], [u1, v1],
+                                    [u0, v1], [u0, v0]])
+            ring = _uv_to_xy(ring_uv)
+            rows.append((j * nx + i, f"dcell_{i}_{j}",
+                         bytearray(G.encode_polygon([ring])),
+                         float(ring[:, 0].min()), float(ring[:, 1].min()),
+                         float(ring[:, 0].max()), float(ring[:, 1].max())))
+    schema = T.StructType([
+        T.StructField("cell_id", T.LongType(), False),
+        T.StructField("cell_name", T.StringType(), False),
+        T.StructField("wkb", T.BinaryType(), False),
+        T.StructField("xmin", T.DoubleType(), False),
+        T.StructField("ymin", T.DoubleType(), False),
+        T.StructField("xmax", T.DoubleType(), False),
+        T.StructField("ymax", T.DoubleType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)

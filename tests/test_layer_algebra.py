@@ -172,3 +172,30 @@ def test_layer_identity_polygons(spark):
     got = {(r["poly_id"], r["cell_id"]): r["piece_area"]
            for r in LA.layer_identity_polygons(a, b).collect()}
     assert got == {(1, 5): 25.0, (1, None): 75.0}
+
+
+def test_layer_union_rotated_concave(spark):
+    """Non-rectilinear operands end-to-end: 45°-rotated holed/concave
+    subjects × concave L-shaped rotated cells through the Martinez–Rueda
+    kernel. Exact identity: Σ pieces partitions area(A ∪ B)."""
+    from gdal_spark.sources import polygons as PG
+    polys = PG.rot_poly_fixture(spark)
+    grid = PG.diamond_grid(spark, nx=8, ny=2, u_min=-2.0, u_max=98.0,
+                           v_min=-1.0, v_max=7.0, concave=True)
+    rows = LA.layer_union(polys, grid).collect()
+    # subjects: 10 diamonds area 50 each, minus notch 14 (fid3) / hole 2
+    # (fid7) → total (10*100 - 28 - 4)/2 = 484; cells: 16 L's of 18.75
+    a_total = 484.0
+    b_total = 16 * 18.75
+    inter = sum(r["piece_area"] for r in rows
+                if r["poly_id"] is not None and r["cell_id"] is not None)
+    a_only = sum(r["piece_area"] for r in rows
+                 if r["poly_id"] is not None and r["cell_id"] is None)
+    b_only = sum(r["piece_area"] for r in rows
+                 if r["poly_id"] is None and r["cell_id"] is not None)
+    assert inter > 0 and a_only > 0 and b_only > 0
+    assert inter + a_only == pytest.approx(a_total, abs=1e-9)
+    assert inter + b_only == pytest.approx(b_total, abs=1e-9)
+    # every piece's stored area matches its geometry
+    for r in rows:
+        assert abs(G.polygon_area(bytes(r["piece_wkb"])) - r["piece_area"]) < 1e-9
