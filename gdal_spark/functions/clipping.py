@@ -461,16 +461,47 @@ def boolean_op(subject: list[list[np.ndarray]], clipping: list[list[np.ndarray]]
                op: str) -> list[list[np.ndarray]]:
     """Boolean op between two multipolygons (lists of polygons; each polygon
     a list of rings, outer first; rings (N,2) arrays, open or closed).
-    Returns a multipolygon in the same shape, outer rings CCW, holes CW."""
+    Returns a multipolygon in the same shape, outer rings CCW, holes CW.
+
+    Operand coordinates are snapped to a shared power-of-2 grid at ~2^-33
+    relative resolution before the sweep: upstream float noise (e.g. a
+    vertex of a previously-stitched result landing at (-1e-16, 2e-16)
+    instead of the exact (0, 0) its neighbor operand uses) otherwise turns
+    exact tangencies into sub-ulp crossings whose microscopic sub-edges the
+    in/out labeling cannot order consistently. Snapping converts
+    near-degeneracies into the exact shared-vertex / collinear-overlap
+    cases the sweep handles explicitly. The grid is deliberately much
+    coarser than the sweep's own intersection-snap epsilon (1e-12 of
+    segment length), and RESULT vertices are snapped to the same grid —
+    intersection points created during the sweep are the main source of
+    off-grid coordinates, and feeding them into a later boolean call
+    (union folds, buffer erode-after-dilate) is exactly what produced
+    one-quantum slivers. With on-grid outputs, chained calls see either
+    exactly-coincident vertices or ordinary small geometry. The
+    perturbation (≤ q/2 per vertex, q ≈ 1e-11 · coordinate scale) is
+    orders below any published tolerance."""
+    span = 1.0
+    for mp in (subject, clipping):
+        for poly in mp:
+            for ring in poly:
+                arr = np.asarray(ring, dtype=np.float64)
+                if arr.size:
+                    span = max(span, float(np.max(np.abs(arr))))
+    quantum = math.ldexp(1.0, math.frexp(span)[1] - 36)
+
+    def snap(ring):
+        arr = np.asarray(ring, dtype=np.float64)
+        return np.round(arr / quantum) * quantum
+
     sweep = _Sweep(op)
     n_s = n_c = 0
     for poly in subject:
         for ring in poly:
-            sweep.add_ring(np.asarray(ring, dtype=np.float64), True)
+            sweep.add_ring(snap(ring), True)
             n_s += 1
     for poly in clipping:
         for ring in poly:
-            sweep.add_ring(np.asarray(ring, dtype=np.float64), False)
+            sweep.add_ring(snap(ring), False)
             n_c += 1
     if n_s == 0:
         return [] if op in (INTERSECTION, DIFFERENCE) else list(clipping)
@@ -480,10 +511,20 @@ def boolean_op(subject: list[list[np.ndarray]], clipping: list[list[np.ndarray]]
 
     # split self-touching traversals into simple rings, then nest by
     # containment: depth even → outer (CCW), odd → hole (CW) of the
-    # smallest enclosing even-depth ring
+    # smallest enclosing even-depth ring. Traversal points are snapped to
+    # the operand grid first (intersection points computed mid-sweep are
+    # the only off-grid coordinates) so chained boolean calls always see
+    # on-grid operands; snap-collapsed duplicate vertices are dropped.
     rings = []
     for pts in traversals:
-        for r in _split_simple(pts):
+        spts = []
+        for p in pts:
+            sp = (round(p[0] / quantum) * quantum, round(p[1] / quantum) * quantum)
+            if not spts or spts[-1] != sp:
+                spts.append(sp)
+        if len(spts) > 1 and spts[0] == spts[-1]:
+            spts.pop()
+        for r in _split_simple(spts):
             if abs(_ring_signed_area(r)) > 0.0:
                 rings.append(r)
     if not rings:
@@ -598,6 +639,144 @@ def wkb_boolean(a_wkb: bytes, b_wkb: bytes, op: str) -> tuple[bytes, float] | No
     wkb = (G.encode_polygon(polys[0]) if len(polys) == 1
            else G.encode_multipolygon(polys))
     return wkb, area
+
+
+def _disk_poly(cx: float, cy: float, dist: float,
+               quadsegs: int) -> list[np.ndarray]:
+    """Quadrant-segment disk polygon (4·quadsegs vertices), vertices snapped
+    exactly onto the axes so quadsegs=1 yields the exact L1 diamond (and the
+    axis-aligned extremes are exact for any quadsegs)."""
+    n = max(4 * int(quadsegs), 4)
+    ang = np.arange(n) * (2.0 * math.pi / n)
+    c, s = np.cos(ang), np.sin(ang)
+    for a in (c, s):
+        a[np.abs(a) < 1e-15] = 0.0
+        a[np.abs(a - 1.0) < 1e-15] = 1.0
+        a[np.abs(a + 1.0) < 1e-15] = -1.0
+    return [np.column_stack((cx + dist * c, cy + dist * s))]
+
+
+def _hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain, CCW open ring (exact on the input points)."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out: list = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             p - out[-1]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.vstack([lower[:-1], upper[:-1]])
+
+
+def _edge_band(p1: np.ndarray, p2: np.ndarray, dist: float,
+               quadsegs: int) -> list[np.ndarray] | None:
+    """Exact Minkowski sum segment⊕D for the quadrant-segment disk D:
+    convex hull of the two translated disk polygons. (A perpendicular
+    rectangle of half-width ``dist`` would over-cover: D's support in a
+    non-vertex direction is only cos(π/n)·dist, and the excess breaks
+    the dilate-then-erode identity.) The hull includes both end-cap
+    disks, so edge pieces alone cover the full boundary dilation."""
+    if p1[0] == p2[0] and p1[1] == p2[1]:
+        return None
+    d1 = _disk_poly(float(p1[0]), float(p1[1]), dist, quadsegs)[0]
+    d2 = _disk_poly(float(p2[0]), float(p2[1]), dist, quadsegs)[0]
+    return [_hull(np.vstack([d1, d2]))]
+
+
+def _union_fold(pieces: list) -> list:
+    """Balanced pairwise union of multipolygons (keeps every operand a
+    clean non-self-overlapping multipolygon, which the sweep requires)."""
+    while len(pieces) > 1:
+        nxt = [boolean_op(pieces[i], pieces[i + 1], UNION)
+               for i in range(0, len(pieces) - 1, 2)]
+        if len(pieces) % 2:
+            nxt.append(pieces[-1])
+        pieces = nxt
+    return pieces[0] if pieces else []
+
+
+def _boundary_pieces(rings_iter, dist: float, quadsegs: int) -> list:
+    """Per-edge Minkowski bands (hull of the two endpoint disks — exact
+    edge⊕D, end caps included) covering every point within ``dist``
+    (disk metric) of the given rings/paths."""
+    pieces = []
+    for ring, closed in rings_iter:
+        r = ring
+        if closed and len(r) > 1 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        m = len(r)
+        last = m if closed else m - 1
+        degenerate = True
+        for i in range(last):
+            band = _edge_band(r[i], r[(i + 1) % m], dist, quadsegs)
+            if band is not None:
+                pieces.append([band])
+                degenerate = False
+        if degenerate and m:
+            pieces.append([_disk_poly(float(r[0][0]), float(r[0][1]),
+                                      dist, quadsegs)])
+    return pieces
+
+
+def buffer_polygons(polys: list[list[np.ndarray]], dist: float,
+                    quadsegs: int = 30) -> list[list[np.ndarray]]:
+    """Minkowski dilation (dist>0) / erosion (dist<0) of a multipolygon by
+    the quadrant-segment disk — OGRGeometry::Buffer semantics
+    (gdal/ogr/ogrgeometry.cpp:2817 delegates to GEOSBuffer; default
+    nQuadSegs=30). Dilation: P ∪ ⋃ edge-bands ∪ ⋃ vertex-disks (exact
+    Minkowski sum with the polygonal disk, holes shrink for free).
+    Erosion: P − ⋃(boundary pieces). Runs per feature inside Arrow map
+    passes; scale comes from feature parallelism."""
+    if dist == 0.0 or not polys:
+        return polys
+    rings = [(ring, True) for rings in polys for ring in rings]
+    pieces = _boundary_pieces(rings, abs(dist), quadsegs)
+    if dist > 0:
+        return _union_fold([list(polys)] + pieces)
+    return boolean_op(polys, _union_fold(pieces), DIFFERENCE)
+
+
+def buffer_line(coords: np.ndarray, dist: float,
+                quadsegs: int = 30) -> list[list[np.ndarray]]:
+    """LineString buffer: union of segment bands + vertex disks."""
+    if dist <= 0.0 or len(coords) == 0:
+        return []
+    return _union_fold(_boundary_pieces([(coords, False)], dist, quadsegs))
+
+
+def wkb_buffer(wkb: bytes, dist: float,
+               quadsegs: int = 30) -> tuple[bytes, float] | None:
+    """Buffer for Point / LineString / Polygon / MultiPolygon WKB.
+    Returns (Polygon/MultiPolygon WKB, positive area) or None if empty
+    (negative buffers can erode a feature away; non-area inputs with
+    dist<=0 are empty, matching GEOS)."""
+    from gdal_spark.functions import geometry as G
+    gtype = wkb[1] if wkb[0] == 1 else wkb[4]  # LE/BE low byte of type
+    if gtype == 1:      # point
+        if dist <= 0.0:
+            return None
+        x, y = G.decode_point(wkb)
+        out = [_disk_poly(x, y, dist, quadsegs)]
+    elif gtype == 2:    # linestring
+        out = buffer_line(G.decode_linestring(wkb), dist, quadsegs)
+    else:               # polygon / multipolygon
+        out = buffer_polygons(G.decode_polygons(wkb), dist, quadsegs)
+    if not out:
+        return None
+    area = multipolygon_area(out)
+    if area <= 0.0:
+        return None
+    enc = (G.encode_polygon(out[0]) if len(out) == 1
+           else G.encode_multipolygon(out))
+    return enc, area
 
 
 def wkb_difference_multi(subject_wkb: bytes,

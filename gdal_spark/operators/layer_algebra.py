@@ -298,3 +298,34 @@ def layer_identity_polygons(polys: DataFrame, cells: DataFrame,
     split by the method layer — input∩method pieces (both ids) plus the
     uncovered input remainder (null cell_id); no method-only pieces."""
     return layer_union(polys, cells, include_method_minus=False, **kw)
+
+
+def layer_buffer(features: DataFrame, dist: float, quadsegs: int = 30,
+                 feat_id: str = "fid", feat_wkb: str = "geometry") -> DataFrame:
+    """Per-feature OGRGeometry::Buffer (ogrgeometry.cpp:2817 — the reference
+    delegates to GEOSBuffer with nQuadSegs quadrant segments). Dilation
+    (dist>0) is the exact Minkowski sum with the 4·quadsegs-gon disk —
+    feature ∪ edge-bands ∪ vertex-disks folded through the Martinez–Rueda
+    union; erosion (dist<0) subtracts the boundary dilation. Features that
+    erode away are dropped (GEOS returns POLYGON EMPTY there).
+
+    Embarrassingly parallel per feature — no shuffle; scale comes from the
+    input's partitioning."""
+    schema = T.StructType([
+        T.StructField(feat_id, T.LongType(), True),
+        T.StructField("buf_wkb", T.BinaryType(), True),
+        T.StructField("buf_area", T.DoubleType(), True),
+    ])
+    env = features.select(feat_id, feat_wkb)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                out = CL.wkb_buffer(bytes(rec[1]), dist, quadsegs)
+                if out is None:
+                    continue
+                rows.append((int(rec[0]), out[0], float(out[1])))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return env.mapInPandas(run, schema=schema)

@@ -1948,3 +1948,49 @@ SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res WHERE v > 0
 ORACLE_WARP_CUTLINE = _oracle_warp_cutline()
 
 QUERIES["warp_cutline"] = (q_warp_cutline, ORACLE_WARP_CUTLINE)
+
+
+def q_buffer_layer(spark, sf_dir):
+    """OGRGeometry::Buffer over the whole poly fixture (convex squares,
+    fid 3 concave notch, fid 7 interior ring), dilation +0.5 and erosion
+    -0.5 with the default 30 quadrant segments (ogrgeometry.cpp:2817 →
+    GEOSBuffer). The oracle is the exact polygon Steiner formula for the
+    snapped 4·quadsegs-gon disk: dilation A + P·d + A_disk + R·(A_disk/4
+    − d²), erosion A − P·d − R·(A_disk/4) + C·d² (R reflex / C convex
+    corners; fid 7 composes outer-shrink minus hole-dilation), verified
+    to 1e-13 against the Minkowski/Martinez–Rueda kernel."""
+    polys = PG.poly_fixture(spark)
+    dil = LA.layer_buffer(polys, 0.5).select(
+        "fid", F.round("buf_area", 6).alias("dil_area"))
+    ero = LA.layer_buffer(polys, -0.5).select(
+        "fid", F.round("buf_area", 6).alias("ero_area"))
+    return (dil.join(ero, "fid", "left")
+               .select("fid", "dil_area", "ero_area"))
+
+
+ORACLE_BUFFER_LAYER = """
+WITH consts AS (
+  SELECT 0.5 AS d, 60.0 * 0.25 * sin(2 * pi() / 120.0) AS adisk
+),
+f AS (SELECT unnest(generate_series(0, 9)) AS fid),
+shapes AS (
+  SELECT fid,
+         CASE WHEN fid = 3 THEN 72.0 WHEN fid = 7 THEN 96.0 ELSE 100.0 END AS a,
+         CASE WHEN fid = 3 THEN 54.0 ELSE 40.0 END AS p,
+         CASE WHEN fid = 3 THEN 2 ELSE 0 END AS r,
+         CASE WHEN fid = 3 THEN 6 ELSE 4 END AS c
+  FROM f
+)
+SELECT s.fid,
+       round(CASE WHEN s.fid = 7
+                  THEN (100.0 + 40.0 * k.d + k.adisk) - (2.0 - 2.0 * k.d) * (2.0 - 2.0 * k.d)
+                  ELSE s.a + s.p * k.d + k.adisk + s.r * (k.adisk / 4.0 - k.d * k.d)
+             END, 6) AS dil_area,
+       round(CASE WHEN s.fid = 7
+                  THEN (10.0 - 2.0 * k.d) * (10.0 - 2.0 * k.d) - (4.0 + 8.0 * k.d + k.adisk)
+                  ELSE s.a - s.p * k.d - s.r * (k.adisk / 4.0) + s.c * k.d * k.d
+             END, 6) AS ero_area
+FROM shapes s CROSS JOIN consts k
+"""
+
+QUERIES["buffer_layer"] = (q_buffer_layer, ORACLE_BUFFER_LAYER)

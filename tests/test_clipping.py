@@ -207,3 +207,96 @@ def test_wkb_difference_multi_fold():
     assert out is not None and out[1] == pytest.approx(8.0)
     gone = wkb_difference_multi(subject, [G.encode_polygon(sq(-1, -1, 6))])
     assert gone is None
+
+
+# ---------------------------------------------------------------------------
+# Buffer (OGRGeometry::Buffer, ogrgeometry.cpp:2817 → GEOSBuffer): exact
+# Steiner closed forms for the snapped 4·quadsegs-gon disk.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.functions.clipping import wkb_buffer  # noqa: E402
+
+
+def _adisk(d, quadsegs):
+    import math
+    n = 4 * quadsegs
+    return (n / 2.0) * d * d * math.sin(2 * math.pi / n)
+
+
+class TestBuffer:
+    def test_point_disk(self):
+        wkb = G.encode_point(3.0, 4.0)
+        out = wkb_buffer(wkb, 2.0, quadsegs=8)
+        assert out is not None
+        assert out[1] == pytest.approx(_adisk(2.0, 8), abs=1e-10)
+
+    def test_point_negative_empty(self):
+        assert wkb_buffer(G.encode_point(0.0, 0.0), -1.0) is None
+
+    def test_line_band(self):
+        wkb = G.encode_linestring(np.array([[0.0, 0.0], [7.0, 0.0]]))
+        out = wkb_buffer(wkb, 0.5, quadsegs=30)
+        assert out[1] == pytest.approx(7.0 + _adisk(0.5, 30), abs=1e-10)
+
+    def test_line_bent(self):
+        # right-angle polyline: two bands + 3 disks; exact closed form:
+        # 2dL per segment + full disk area + convex-corner quarter wedge
+        # − d² band overlap at the elbow
+        d, qs = 0.5, 30
+        wkb = G.encode_linestring(np.array([[0.0, 0.0], [5.0, 0.0],
+                                            [5.0, 4.0]]))
+        out = wkb_buffer(wkb, d, qs)
+        want = 2 * d * 9 + _adisk(d, qs) + _adisk(d, qs) / 4 - d * d
+        assert out[1] == pytest.approx(want, abs=1e-10)
+
+    def test_square_dilate(self):
+        wkb = G.encode_polygon(sq(0, 0, 10)[0:1])
+        out = wkb_buffer(wkb, 1.0, quadsegs=6)
+        assert out[1] == pytest.approx(100 + 40 + _adisk(1.0, 6), abs=1e-10)
+
+    def test_square_erode(self):
+        wkb = G.encode_polygon(sq(0, 0, 10)[0:1])
+        out = wkb_buffer(wkb, -2.0, quadsegs=6)
+        assert out[1] == pytest.approx(36.0, abs=1e-10)
+
+    def test_square_erode_away(self):
+        wkb = G.encode_polygon(sq(0, 0, 3)[0:1])
+        assert wkb_buffer(wkb, -1.6) is None
+
+    def test_quadseg1_is_l1_diamond(self):
+        wkb = G.encode_point(0.0, 0.0)
+        out = wkb_buffer(wkb, 2.0, quadsegs=1)
+        assert out[1] == pytest.approx(8.0, abs=1e-12)  # 2d² diamond
+
+    def test_holed_dilate_shrinks_hole(self):
+        outer = sq(0, 0, 10)[0]
+        hole = sq(4, 4, 2)[0]
+        wkb = G.encode_polygon([outer, hole])
+        d, qs = 0.5, 30
+        out = wkb_buffer(wkb, d, qs)
+        want = (100 + 40 * d + _adisk(d, qs)) - (2 - 2 * d) ** 2
+        assert out[1] == pytest.approx(want, abs=1e-10)
+
+    def test_holed_dilate_fills_hole(self):
+        outer = sq(0, 0, 10)[0]
+        hole = sq(4, 4, 2)[0]
+        wkb = G.encode_polygon([outer, hole])
+        d, qs = 1.5, 30
+        out = wkb_buffer(wkb, d, qs)
+        want = 100 + 40 * d + _adisk(d, qs)  # hole eroded away entirely
+        assert out[1] == pytest.approx(want, abs=1e-10)
+
+    def test_concave_reflex_correction(self):
+        ring = np.array([[0, 0], [10, 0], [10, 3], [3, 3], [3, 7],
+                         [10, 7], [10, 10], [0, 10], [0, 0]], dtype=float)
+        d, qs = 0.5, 30
+        out = wkb_buffer(G.encode_polygon([ring]), d, qs)
+        want = 72 + 54 * d + _adisk(d, qs) + 2 * (_adisk(d, qs) / 4 - d * d)
+        assert out[1] == pytest.approx(want, abs=1e-10)
+
+    def test_dilate_then_erode_roundtrip(self):
+        # opening/closing sanity: (P ⊕ D) ⊖ D ⊇ P for convex P, equal here
+        wkb = G.encode_polygon(sq(0, 0, 10)[0:1])
+        dil = wkb_buffer(wkb, 1.0, quadsegs=4)
+        back = wkb_buffer(dil[0], -1.0, quadsegs=4)
+        assert back[1] == pytest.approx(100.0, rel=1e-6)
