@@ -1994,3 +1994,46 @@ FROM shapes s CROSS JOIN consts k
 """
 
 QUERIES["buffer_layer"] = (q_buffer_layer, ORACLE_BUFFER_LAYER)
+
+
+def q_layer_sqlite_info(spark, sf_dir):
+    """SQLite-dialect layer introspection (ogr_sql_sqlite.dox:103-140):
+    ogr_layer_FeatureCount / GeometryType / SRID / Extent for the pages
+    point layer and the admin polygon grid, one catalog row per layer.
+    The admin row's geometry type is read from the WKB header byte in JVM
+    column math (functions/sqlite_dialect.py); extents/counts are single
+    partial aggregations."""
+    from gdal_spark.functions import sqlite_dialect as SD
+    pts = doc_points(spark, sf_dir)
+    grid = PG.admin_grid(spark)
+    info = SD.layer_info({
+        "pages": {"df": pts, "x": "lon", "y": "lat", "geom_type": "POINT"},
+        "admin": {"df": grid, "wkb": "wkb",
+                  "bbox": ("xmin", "ymin", "xmax", "ymax")},
+    })
+    return info.select("layer_name", "n_features", "geom_type", "srid",
+                       F.round("minx", 9).alias("minx"),
+                       F.round("miny", 9).alias("miny"),
+                       F.round("maxx", 9).alias("maxx"),
+                       F.round("maxy", 9).alias("maxy"))
+
+
+ORACLE_LAYER_SQLITE_INFO = f"""
+WITH pts AS ({POINTS_SQL}),
+pages AS (
+  SELECT 'pages' AS layer_name, count(*) AS n_features,
+         'POINT' AS geom_type, 4326 AS srid,
+         round(min(lon), 9) AS minx, round(min(lat), 9) AS miny,
+         round(max(lon), 9) AS maxx, round(max(lat), 9) AS maxy
+  FROM pts
+),
+admin AS (
+  SELECT 'admin' AS layer_name, CAST(72 AS BIGINT) AS n_features,
+         'POLYGON' AS geom_type, 4326 AS srid,
+         CAST(-180.0 AS DOUBLE) AS minx, CAST(-85.0 AS DOUBLE) AS miny,
+         CAST(180.0 AS DOUBLE) AS maxx, CAST(85.0 AS DOUBLE) AS maxy
+)
+SELECT * FROM pages UNION ALL SELECT * FROM admin
+"""
+
+QUERIES["layer_sqlite_info"] = (q_layer_sqlite_info, ORACLE_LAYER_SQLITE_INFO)
