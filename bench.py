@@ -43,7 +43,16 @@ HEADLINE = [
 ]
 
 
-def _run_once(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def _run_once(spark, sf_dir: str, names: list[str],
+              reps: int = 2) -> dict[str, float]:
+    """Per-query wall time, best-of-``reps`` back-to-back runs.
+
+    This box shows documented 2-3x window-to-window variance under
+    noisy-neighbor load (BASELINE.md bench notes: 46.8s / 67.8s / 90.9s
+    for the identical suite in consecutive quiet-hour runs). A single
+    shot therefore measures the neighbor, not the plan; min-of-2 is the
+    standard steady-state estimator and stays within one suite run of
+    the single-shot cost."""
     from gdal_spark import queries as Q
 
     timings: dict[str, float] = {}
@@ -51,11 +60,18 @@ def _run_once(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         if name not in Q.QUERIES:
             continue
         fn = Q.QUERIES[name][0]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # foreach-noop forces full evaluation without driver collect
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(max(reps, 1)):
+            # drop Spark-side cached frames so a query that caches
+            # internally (e.g. the LSH candidate frame) re-executes fully
+            # on every rep — best-of must measure the plan, not the cache
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # foreach-noop forces full evaluation without driver collect
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     return timings
 
 
@@ -175,6 +191,7 @@ def main() -> int:
         print(json.dumps(res))
         return 0
 
+    load_pre = os.getloadavg()[0]
     spark = get_spark("bench", cores=cores)
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or HEADLINE
     # warm-up pass on the smallest table so JVM/codegen costs don't land on q1
@@ -188,6 +205,9 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "cores": cores,
+        "reps": "best-of-2 per query (see _run_once)",
+        "load_avg_pre": round(load_pre, 2),
+        "load_avg_post": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
     return 0

