@@ -2037,3 +2037,80 @@ SELECT * FROM pages UNION ALL SELECT * FROM admin
 """
 
 QUERIES["layer_sqlite_info"] = (q_layer_sqlite_info, ORACLE_LAYER_SQLITE_INFO)
+
+
+def q_overview_magphase(spark, sf_dir):
+    """Complex-raster AVERAGE_MAGPHASE /2 overview
+    (GDALResampleChunkC32R, gdal/gcore/overview.cpp:1848-1892): a 64x48
+    GDT_CFloat32 raster with linear real/imag ramps reduced one level;
+    each output pixel is the 2x2 component mean rescaled to the mean
+    source magnitude. The oracle replays the reference's exact cast
+    chain (float32 component means, double magnitude math, float32
+    scale) in SQL."""
+    import numpy as np
+    meta = RM.RasterMeta("cplx", 64, 48,
+                         gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+                         dtype="complex64", nodata=None, block=32)
+
+    def pattern(X, Y):
+        return ((0.5 * X - 0.25 * Y + 3.0)
+                + 1j * (0.25 * Y - 0.125 * X))
+
+    tiles = RM.synthetic_raster(spark, meta, pattern)
+    out, out_meta = PY.overview_level(tiles, meta, "cplx_ov",
+                                      method="average_magphase")
+
+    block = out_meta.block
+
+    def to_pixels(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(bytes(r.data),
+                                    dtype="complex64").reshape(r.h, r.w)
+                ys, xs = np.nonzero(np.ones_like(arr, dtype=bool))
+                for y, x in zip(ys, xs):
+                    rows.append((int(r.bx) * block + int(x),
+                                 int(r.by) * block + int(y),
+                                 float(arr[y, x].real),
+                                 float(arr[y, x].imag)))
+            yield pd.DataFrame(rows, columns=["px", "py", "re", "im"])
+
+    pix = out.mapInPandas(to_pixels, schema="px int, py int, re double, im double")
+    return pix.select("px", "py",
+                      F.round("re", 5).alias("re"),
+                      F.round("im", 5).alias("im"))
+
+
+ORACLE_OVERVIEW_MAGPHASE = """
+WITH src AS (
+  SELECT x.x AS px, y.y AS py,
+         CAST(0.5 * x.x - 0.25 * y.y + 3.0 AS FLOAT) AS r,
+         CAST(0.25 * y.y - 0.125 * x.x AS FLOAT) AS i
+  FROM (SELECT unnest(generate_series(0, 63)) AS x) x,
+       (SELECT unnest(generate_series(0, 47)) AS y) y
+),
+agg AS (
+  SELECT px // 2 AS ox, py // 2 AS oy,
+         CAST(avg(CAST(r AS DOUBLE)) AS FLOAT) AS mean_r,
+         CAST(avg(CAST(i AS DOUBLE)) AS FLOAT) AS mean_i,
+         avg(sqrt(CAST(r AS DOUBLE) * r + CAST(i AS DOUBLE) * i)) AS mean_m
+  FROM src GROUP BY 1, 2
+),
+scaled AS (
+  SELECT ox, oy, mean_r, mean_i,
+         CASE WHEN sqrt(CAST(mean_r AS DOUBLE) * mean_r
+                        + CAST(mean_i AS DOUBLE) * mean_i) = 0 THEN CAST(1.0 AS FLOAT)
+              ELSE CAST(mean_m / sqrt(CAST(mean_r AS DOUBLE) * mean_r
+                                      + CAST(mean_i AS DOUBLE) * mean_i) AS FLOAT)
+         END AS ratio
+  FROM agg
+)
+SELECT ox AS px, oy AS py,
+       round(CAST(CAST(mean_r * ratio AS FLOAT) AS DOUBLE), 5) AS re,
+       round(CAST(CAST(mean_i * ratio AS FLOAT) AS DOUBLE), 5) AS im
+FROM scaled
+"""
+
+QUERIES["overview_magphase"] = (q_overview_magphase, ORACLE_OVERVIEW_MAGPHASE)

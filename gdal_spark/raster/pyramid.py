@@ -61,6 +61,55 @@ def downsample2x_nearest(arr: np.ndarray) -> np.ndarray:
     return arr[::2, ::2].copy()
 
 
+def downsample2x_average_complex(arr: np.ndarray) -> np.ndarray:
+    """Complex AVERAGE (GDALResampleChunkC32R "AVER" branch,
+    overview.cpp:1894-1920): per-component double accumulate, float32
+    cast per component on store."""
+    h, w = arr.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    acc = np.zeros((oh, ow), dtype=np.complex128)
+    cnt = np.zeros((oh, ow), dtype=np.int64)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            sub = arr[dy::2, dx::2].astype(np.complex128)
+            acc[:sub.shape[0], :sub.shape[1]] += sub
+            cnt[:sub.shape[0], :sub.shape[1]] += 1
+    return (acc / cnt).astype(np.complex64)
+
+
+def downsample2x_magphase(arr: np.ndarray) -> np.ndarray:
+    """AVERAGE_MAGPHASE (GDALResampleChunkC32R, overview.cpp:1848-1892):
+    the stored value is the per-component mean rescaled so its magnitude
+    equals the mean of the source magnitudes — phase of the vector mean,
+    magnitude of the scalar-mean. Cast order mirrors the reference: the
+    component means are stored float32 first, the magnitude/ratio math
+    runs in double on those float32 values, and the final scale is a
+    float32 multiply."""
+    h, w = arr.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    acc_r = np.zeros((oh, ow), dtype=np.float64)
+    acc_i = np.zeros((oh, ow), dtype=np.float64)
+    acc_m = np.zeros((oh, ow), dtype=np.float64)
+    cnt = np.zeros((oh, ow), dtype=np.int64)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            sub = arr[dy::2, dx::2].astype(np.complex128)
+            acc_r[:sub.shape[0], :sub.shape[1]] += sub.real
+            acc_i[:sub.shape[0], :sub.shape[1]] += sub.imag
+            acc_m[:sub.shape[0], :sub.shape[1]] += np.abs(sub)
+            cnt[:sub.shape[0], :sub.shape[1]] += 1
+    mean_r = (acc_r / cnt).astype(np.float32)
+    mean_i = (acc_i / cnt).astype(np.float32)
+    mag = np.sqrt(mean_r.astype(np.float64) ** 2
+                  + mean_i.astype(np.float64) ** 2)
+    desired = acc_m / cnt
+    ratio = np.where(mag != 0.0, desired / mag, 1.0).astype(np.float32)
+    out_r = (mean_r * ratio).astype(np.float32)
+    out_i = (mean_i * ratio).astype(np.float32)
+    return (out_r.astype(np.complex64)
+            + 1j * out_i.astype(np.complex64)).astype(np.complex64)
+
+
 def downsample2x_mode(arr: np.ndarray) -> np.ndarray:
     """MODE overview (GDALResampleChunk32R_Mode, overview.cpp:767-940):
     majority value of each 2x2 box with the reference's first-to-attain
@@ -101,13 +150,20 @@ def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
     """One /2 overview level. Returns (tiles_df, out_meta)."""
     if method == "gauss":
         return _overview_gauss(tiles, meta, out_id)
-    if method not in ("average", "nearest", "mode"):
+    if method not in ("average", "nearest", "mode", "average_magphase"):
         raise ValueError(f"unsupported method {method!r}")
     out_meta = meta.scaled(out_id, 2)
     dtype, block = meta.dtype, meta.block
     ow_full, oh_full = out_meta.width, out_meta.height
-    down = {"average": downsample2x_average, "nearest": downsample2x_nearest,
-            "mode": downsample2x_mode}[method]
+    is_complex = np.dtype(dtype).kind == "c"
+    if method == "average_magphase" and not is_complex:
+        raise ValueError("average_magphase applies to complex rasters "
+                         "(GDT_C*; overview.cpp:1848)")
+    down = {"average": (downsample2x_average_complex if is_complex
+                        else downsample2x_average),
+            "nearest": downsample2x_nearest,
+            "mode": downsample2x_mode,
+            "average_magphase": downsample2x_magphase}[method]
 
     keyed = tiles.withColumn("obx", F.floor(F.col("bx") / 2).cast("int")) \
                  .withColumn("oby", F.floor(F.col("by") / 2).cast("int"))

@@ -267,3 +267,80 @@ def test_locate_points_sparse_blocks_report_fill(spark):
     assert got[1]["val"] == 255.0
     assert got[2]["val"] == 255.0
     assert got[3]["val"] is None
+
+
+# ---------------------------------------------------------------------------
+# complex overviews (GDALResampleChunkC32R, overview.cpp:1769-1935)
+# ---------------------------------------------------------------------------
+
+def test_complex_average_components():
+    from gdal_spark.raster.pyramid import downsample2x_average_complex
+    arr = np.array([[1 + 2j, 3 + 4j], [5 + 6j, 7 + 8j]], dtype=np.complex64)
+    out = downsample2x_average_complex(arr)
+    assert out.shape == (1, 1)
+    assert out[0, 0] == np.complex64(4 + 5j)
+
+
+def test_magphase_preserves_mean_magnitude():
+    from gdal_spark.raster.pyramid import downsample2x_magphase
+    # opposite phases: vector mean is small, magnitude mean is not
+    arr = np.array([[1 + 0j, -1 + 0.5j], [0 + 1j, 0.5 - 1j]],
+                   dtype=np.complex64)
+    out = downsample2x_magphase(arr)
+    want_mag = np.mean(np.abs(arr.astype(np.complex128)))
+    assert abs(out[0, 0]) == pytest.approx(want_mag, rel=1e-6)
+    # phase equals the vector-mean phase
+    vm = arr.astype(np.complex128).mean()
+    assert np.angle(out[0, 0]) == pytest.approx(np.angle(vm), abs=1e-6)
+
+
+def test_magphase_zero_mean_keeps_ratio_one():
+    from gdal_spark.raster.pyramid import downsample2x_magphase
+    arr = np.array([[1 + 0j, -1 + 0j], [0 + 1j, 0 - 1j]], dtype=np.complex64)
+    out = downsample2x_magphase(arr)
+    # vector mean is exactly 0 → reference keeps the (0,0) value
+    assert out[0, 0] == 0
+
+
+def test_magphase_constant_field_identity():
+    from gdal_spark.raster.pyramid import downsample2x_magphase
+    arr = np.full((4, 4), 3 - 4j, dtype=np.complex64)
+    out = downsample2x_magphase(arr)
+    assert np.allclose(out, 3 - 4j, rtol=1e-6)
+
+
+def test_magphase_odd_edges():
+    from gdal_spark.raster.pyramid import downsample2x_magphase
+    arr = (np.arange(15, dtype=np.float32).reshape(3, 5)
+           + 1j * np.ones((3, 5), dtype=np.float32)).astype(np.complex64)
+    out = downsample2x_magphase(arr)
+    assert out.shape == (2, 3)
+    # 1x1 corner box passes through
+    assert out[1, 2] == np.complex64(arr[2, 4])
+
+
+def test_overview_level_complex_roundtrip(spark):
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import pyramid as PY
+    meta = RM.RasterMeta("c1", 8, 8, gt=(0, 1, 0, 0, 0, 1),
+                         dtype="complex64", nodata=None, block=4)
+    arr = (np.arange(64, dtype=np.float32).reshape(8, 8)
+           + 1j * np.ones((8, 8), dtype=np.float32)).astype(np.complex64)
+    tiles = RM.from_array(spark, arr, meta)
+    out, om = PY.overview_level(tiles, meta, "c1_ov",
+                                method="average_magphase")
+    got = np.zeros((4, 4), dtype=np.complex64)
+    for r in out.collect():
+        sub = np.frombuffer(bytes(r.data), dtype="complex64").reshape(r.h, r.w)
+        got[r.by * 4:r.by * 4 + r.h, r.bx * 4:r.bx * 4 + r.w] = sub
+    from gdal_spark.raster.pyramid import downsample2x_magphase
+    assert np.allclose(got, downsample2x_magphase(arr), rtol=1e-7)
+
+
+def test_average_magphase_rejects_real(spark):
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import pyramid as PY
+    meta = RM.RasterMeta("r1", 8, 8, gt=(0, 1, 0, 0, 0, 1),
+                         dtype="float32", nodata=None, block=4)
+    with pytest.raises(ValueError):
+        PY.overview_level(None, meta, "x", method="average_magphase")
