@@ -797,3 +797,20 @@ def wkb_difference_multi(subject_wkb: bytes,
     wkb = (G.encode_polygon(cur[0]) if len(cur) == 1
            else G.encode_multipolygon(cur))
     return wkb, area
+
+
+def wkb_union_cascaded(wkbs: list[bytes]) -> tuple[bytes, float] | None:
+    """OGRGeometry::UnionCascaded (ogrgeometry.cpp:3119 →
+    GEOSUnionCascaded): balanced pairwise union of many polygons —
+    the same fold the buffer kernel uses, O(n log n) boolean ops."""
+    from gdal_spark.functions import geometry as G
+    mps = [G.decode_polygons(bytes(w)) for w in wkbs if w is not None]
+    if not mps:
+        return None
+    u = _union_fold(mps)
+    if not u:
+        return None
+    area = multipolygon_area(u)
+    enc = (G.encode_polygon(u[0]) if len(u) == 1
+           else G.encode_multipolygon(u))
+    return enc, area

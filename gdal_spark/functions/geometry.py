@@ -773,3 +773,141 @@ class PreparedPolygons:
             inter = (x1 * y2 - x2 * y1) / denom
         crossings = (straddle & (inter > 0.0)).sum(axis=1)
         return (crossings % 2) == 1
+
+
+def wkb_boundary(wkb: bytes) -> bytes | None:
+    """OGRGeometry::Boundary (ogrgeometry.cpp:2685 → GEOSBoundary):
+    polygon → its ring(s) as LINESTRING/MULTILINESTRING, linestring → its
+    endpoints as MULTIPOINT (empty for a closed ring), point → None
+    (GEOS returns an empty collection)."""
+    gtype = wkb[1] if wkb[0] == 1 else wkb[4]
+    if gtype == WKB_POINT:
+        return None
+    if gtype == WKB_LINESTRING:
+        coords = decode_linestring(wkb)
+        if len(coords) >= 2 and np.array_equal(coords[0], coords[-1]):
+            return None  # closed curve: empty boundary
+        return encode_multipoint(np.vstack([coords[0], coords[-1]]))
+    rings = [np.vstack([r, r[:1]]) if not np.array_equal(r[0], r[-1]) else r
+             for poly in decode_polygons(wkb) for r in poly]
+    if len(rings) == 1:
+        return encode_linestring(rings[0])
+    return encode_multilinestring(rings)
+
+
+def point_on_surface(wkb: bytes) -> tuple[float, float]:
+    """OGRGeometry::PointOnSurface (ogrgeometry.cpp:3985 → GEOS
+    InteriorPointArea): a point guaranteed interior to the polygon —
+    the midpoint of the widest in-polygon interval on the horizontal
+    scanline through the envelope centre, with the GEOS vertex-avoidance
+    rule (if the centre y hits a vertex, rescan between it and the next
+    distinct vertex y)."""
+    polys = decode_polygons(wkb)
+    ys = np.concatenate([r[:, 1] for p in polys for r in p])
+    y0, y1 = float(ys.min()), float(ys.max())
+    ymid = (y0 + y1) / 2.0
+    uniq = np.unique(ys)
+    if np.any(uniq == ymid):
+        # bisect toward the nearest distinct vertex y above the centre
+        above = uniq[uniq > ymid]
+        ymid = (ymid + (float(above.min()) if len(above) else y1)) / 2.0
+
+    xs = []
+    for poly in polys:
+        for ring in poly:
+            r = ring if not np.array_equal(ring[0], ring[-1]) else ring[:-1]
+            x, y = r[:, 0], r[:, 1]
+            xn, yn = np.roll(x, -1), np.roll(y, -1)
+            cross = (y > ymid) != (yn > ymid)
+            if np.any(cross):
+                t = (ymid - y[cross]) / (yn[cross] - y[cross])
+                xs.append(x[cross] + t * (xn[cross] - x[cross]))
+    allx = np.sort(np.concatenate(xs))
+    # even-odd: [x0,x1], [x2,x3], ... are interior intervals
+    widths = allx[1::2] - allx[0::2]
+    k = int(np.argmax(widths))
+    return (float((allx[2 * k] + allx[2 * k + 1]) / 2.0), float(ymid))
+
+
+def _ring_self_intersects(ring: np.ndarray) -> bool:
+    r = ring if not np.array_equal(ring[0], ring[-1]) else ring[:-1]
+    n = len(r)
+    if n < 3:
+        return True
+    segs = [(r[i], r[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        (a1, a2) = segs[i]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent through the wrap
+            (b1, b2) = segs[j]
+            d1 = np.cross(a2 - a1, b1 - a1)
+            d2 = np.cross(a2 - a1, b2 - a1)
+            d3 = np.cross(b2 - b1, a1 - b1)
+            d4 = np.cross(b2 - b1, a2 - b1)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return True
+    return False
+
+
+def simplify_preserve_topology(coords: np.ndarray,
+                               tolerance: float) -> np.ndarray:
+    """OGRGeometry::SimplifyPreserveTopology (ogrgeometry.cpp:4299 →
+    GEOS TopologyPreservingSimplifier): Douglas–Peucker, then re-insert
+    dropped vertices (farthest-from-output first) until the ring is
+    simple and non-degenerate — the GEOS guarantees (no self-
+    intersection, no collapse) without its full quadtree machinery;
+    identical output to plain DP whenever DP already preserves
+    topology."""
+    c = np.asarray(coords, dtype=np.float64)
+    closed = len(c) > 1 and np.array_equal(c[0], c[-1])
+    out = simplify_dp(c, tolerance)
+    if not closed:
+        return out
+    while (_ring_self_intersects(out) or len(out) < 4
+           or abs(_ring_area_signed(out)) == 0.0) and len(out) < len(c):
+        # farthest dropped original vertex from the simplified outline
+        kept = {tuple(p) for p in out}
+        best_d, best_i = -1.0, -1
+        for i, p in enumerate(c[:-1]):
+            if tuple(p) in kept:
+                continue
+            d = _point_outline_dist(p, out)
+            if d > best_d:
+                best_d, best_i = d, i
+        if best_i < 0:
+            return c.copy()
+        out = _insert_vertex_in_order(c, out, best_i)
+    return out
+
+
+def _ring_area_signed(ring: np.ndarray) -> float:
+    r = ring if not np.array_equal(ring[0], ring[-1]) else ring[:-1]
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _point_outline_dist(p: np.ndarray, outline: np.ndarray) -> float:
+    a = outline[:-1]
+    b = outline[1:]
+    ab = b - a
+    L2 = np.einsum("ij,ij->i", ab, ab)
+    t = np.clip(np.einsum("ij,ij->i", p - a, ab) / np.where(L2 == 0, 1, L2),
+                0, 1)
+    proj = a + t[:, None] * ab
+    return float(np.min(np.hypot(*(p - proj).T)))
+
+
+def _insert_vertex_in_order(orig: np.ndarray, out: np.ndarray,
+                            idx: int) -> np.ndarray:
+    """Insert orig[idx] into the simplified ring at its original position."""
+    pos = {tuple(p): i for i, p in enumerate(orig[:-1])}
+    order = [pos[tuple(p)] for p in out[:-1]]
+    target = idx
+    ins = len(order)
+    for k in range(len(order)):
+        if order[k] > target:
+            ins = k
+            break
+    new = np.vstack([out[:ins], orig[idx:idx + 1], out[ins:]])
+    return new

@@ -329,3 +329,71 @@ def layer_buffer(features: DataFrame, dist: float, quadsegs: int = 30,
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return env.mapInPandas(run, schema=schema)
+
+
+def layer_union_cascaded(features: DataFrame,
+                         feat_wkb: str = "geometry") -> DataFrame:
+    """OGRGeometry::UnionCascaded over a whole layer (ogrgeometry.cpp:3119
+    → GEOSUnionCascaded): two-stage distributed fold — each partition
+    unions its features (mapInPandas, no shuffle), then the per-partition
+    partials (one small geometry each) fold to the final union in a
+    single-group reduce. Returns one row (union_wkb, union_area)."""
+    part_schema = T.StructType([T.StructField("pwkb", T.BinaryType(), True)])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wkbs = []
+        for pdf in batches:
+            wkbs.extend(bytes(w) for w in pdf[feat_wkb] if w is not None)
+        out = CL.wkb_union_cascaded(wkbs) if wkbs else None
+        yield pd.DataFrame([(out[0],)] if out else [], columns=["pwkb"])
+
+    partials = features.select(feat_wkb).mapInPandas(partial,
+                                                     schema=part_schema)
+
+    final_schema = T.StructType([
+        T.StructField("union_wkb", T.BinaryType(), True),
+        T.StructField("union_area", T.DoubleType(), True),
+    ])
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = CL.wkb_union_cascaded([bytes(w) for w in pdf["pwkb"]])
+        if out is None:
+            return pd.DataFrame(columns=["union_wkb", "union_area"])
+        return pd.DataFrame([(out[0], out[1])],
+                            columns=["union_wkb", "union_area"])
+
+    return (partials.groupBy(F.lit(1).alias("_g"))
+            .applyInPandas(lambda k, pdf: final(pdf), schema=final_schema))
+
+
+def layer_constructive(features: DataFrame, feat_id: str = "fid",
+                       feat_wkb: str = "geometry") -> DataFrame:
+    """Per-feature constructive-op rollup: Boundary length
+    (ogrgeometry.cpp:2685), PointOnSurface + interiority check (:3985),
+    ConvexHull area (:2595). One Arrow pass, no shuffle."""
+    schema = T.StructType([
+        T.StructField(feat_id, T.LongType(), True),
+        T.StructField("boundary_len", T.DoubleType(), True),
+        T.StructField("pos_inside", T.IntegerType(), True),
+        T.StructField("hull_area", T.DoubleType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                wkb = bytes(rec[1])
+                blen = G.geometry_length(G.wkb_boundary(wkb))
+                x, y = G.point_on_surface(wkb)
+                polys = G.decode_polygons(wkb)
+                inside = any(
+                    G.py_point_in_ring(x, y, p[0])
+                    and not any(G.py_point_in_ring(x, y, h) for h in p[1:])
+                    for p in polys)
+                hull = G.convex_hull(np.vstack([p[0] for p in polys]))
+                harea = abs(G._ring_area_signed(hull))
+                rows.append((int(rec[0]), float(blen), int(inside),
+                             float(harea)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return features.select(feat_id, feat_wkb).mapInPandas(run, schema=schema)

@@ -2114,3 +2114,32 @@ FROM scaled
 """
 
 QUERIES["overview_magphase"] = (q_overview_magphase, ORACLE_OVERVIEW_MAGPHASE)
+
+
+def q_geom_constructive(spark, sf_dir):
+    """Constructive-geometry rollup over the poly fixture: Boundary
+    length (ogrgeometry.cpp:2685), PointOnSurface interiority (:3985),
+    ConvexHull area (:2595) per feature, plus the UnionCascaded area of
+    the whole layer (:3119 — two-stage partition-partial fold). All four
+    have exact closed forms on the fixture: perimeters 40/54/48, hulls
+    100, disjoint-union area 968."""
+    per = LA.layer_constructive(PG.poly_fixture(spark))
+    union = LA.layer_union_cascaded(PG.poly_fixture(spark)) \
+        .select(F.round("union_area", 6).alias("union_area"))
+    return (per.crossJoin(union)
+            .select("fid", F.round("boundary_len", 6).alias("boundary_len"),
+                    "pos_inside", F.round("hull_area", 6).alias("hull_area"),
+                    "union_area"))
+
+
+ORACLE_GEOM_CONSTRUCTIVE = """
+SELECT fid,
+       CAST(CASE WHEN fid = 3 THEN 54.0 WHEN fid = 7 THEN 48.0
+            ELSE 40.0 END AS DOUBLE) AS boundary_len,
+       1 AS pos_inside,
+       CAST(100.0 AS DOUBLE) AS hull_area,
+       CAST(968.0 AS DOUBLE) AS union_area
+FROM (SELECT unnest(generate_series(0, 9)) AS fid)
+"""
+
+QUERIES["geom_constructive"] = (q_geom_constructive, ORACLE_GEOM_CONSTRUCTIVE)

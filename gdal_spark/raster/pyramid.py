@@ -150,7 +150,9 @@ def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
     """One /2 overview level. Returns (tiles_df, out_meta)."""
     if method == "gauss":
         return _overview_gauss(tiles, meta, out_id)
-    if method not in ("average", "nearest", "mode", "average_magphase"):
+    if method not in ("average", "nearest", "mode", "average_magphase",
+                      "average_bit2grayscale",
+                      "average_bit2grayscale_miniswhite"):
         raise ValueError(f"unsupported method {method!r}")
     out_meta = meta.scaled(out_id, 2)
     dtype, block = meta.dtype, meta.block
@@ -159,11 +161,27 @@ def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
     if method == "average_magphase" and not is_complex:
         raise ValueError("average_magphase applies to complex rasters "
                          "(GDT_C*; overview.cpp:1848)")
+
+    def _b2g(arr: np.ndarray) -> np.ndarray:
+        # 1-bit → 8-bit grayscale promotion before averaging
+        # (overview.cpp:2339-2373: value 1 → 255; MINISWHITE swaps 0/255)
+        out = arr.copy()
+        out[arr == 1] = 255
+        return downsample2x_average(out)
+
+    def _b2g_mw(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[arr == 1] = 0
+        out[arr == 0] = 255
+        return downsample2x_average(out)
+
     down = {"average": (downsample2x_average_complex if is_complex
                         else downsample2x_average),
             "nearest": downsample2x_nearest,
             "mode": downsample2x_mode,
-            "average_magphase": downsample2x_magphase}[method]
+            "average_magphase": downsample2x_magphase,
+            "average_bit2grayscale": _b2g,
+            "average_bit2grayscale_miniswhite": _b2g_mw}[method]
 
     keyed = tiles.withColumn("obx", F.floor(F.col("bx") / 2).cast("int")) \
                  .withColumn("oby", F.floor(F.col("by") / 2).cast("int"))

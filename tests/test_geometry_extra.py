@@ -139,3 +139,89 @@ def test_rectilinear_union_and_buffer():
     assert len(rings[0]) == 121  # 4*30 vertices + closing point
     d = np.hypot(rings[0][:, 0] - 10.0, rings[0][:, 1] - 20.0)
     assert np.allclose(d, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# constructive ops round-out (Boundary / PointOnSurface /
+# SimplifyPreserveTopology / UnionCascaded)
+# ---------------------------------------------------------------------------
+
+def test_boundary_kinds():
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [6, 4], [6, 6], [4, 6], [4, 4]])
+    b = G.wkb_boundary(G.encode_polygon([sq]))
+    assert (b[1] if b[0] == 1 else b[4]) == G.WKB_LINESTRING
+    assert G.geometry_length(b) == pytest.approx(40.0)
+    b2 = G.wkb_boundary(G.encode_polygon([sq, hole]))
+    assert (b2[1] if b2[0] == 1 else b2[4]) == G.WKB_MULTILINESTRING
+    assert G.geometry_length(b2) == pytest.approx(48.0)
+    # open line → endpoints; closed line → empty; point → empty
+    line = G.encode_linestring(np.array([[0.0, 0], [5, 0], [5, 5]]))
+    bl = G.wkb_boundary(line)
+    assert (bl[1] if bl[0] == 1 else bl[4]) == G.WKB_MULTIPOINT
+    ring = G.encode_linestring(np.array([[0.0, 0], [5, 0], [0, 5], [0, 0]]))
+    assert G.wkb_boundary(ring) is None
+    assert G.wkb_boundary(G.encode_point(1.0, 1.0)) is None
+
+
+def test_point_on_surface_concave_and_holed():
+    # concave C shape: envelope centre is OUTSIDE the polygon
+    c = np.array([[0.0, 0], [10, 0], [10, 2], [2, 2], [2, 8], [10, 8],
+                  [10, 10], [0, 10], [0, 0]])
+    x, y = G.point_on_surface(G.encode_polygon([c]))
+    assert G.py_point_in_ring(x, y, c)
+    # holed square: centre falls in the hole, widest interval avoids it
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [6, 4], [6, 6], [4, 6], [4, 4]])
+    x, y = G.point_on_surface(G.encode_polygon([sq, hole]))
+    assert G.py_point_in_ring(x, y, sq)
+    assert not G.py_point_in_ring(x, y, hole)
+
+
+def test_simplify_preserve_topology_safe_equals_dp():
+    ring = np.array([[0.0, 0], [5, 0.1], [10, 0], [10, 10], [0, 10], [0, 0]])
+    dp = G.simplify_dp(ring, 0.5)
+    tp = G.simplify_preserve_topology(ring, 0.5)
+    assert np.array_equal(dp, tp)
+
+
+def test_simplify_preserve_topology_guards_collapse():
+    # thin sliver: plain DP at huge tolerance collapses to a degenerate
+    # ring; the topology-preserving variant re-inserts vertices
+    ring = np.array([[0.0, 0], [10, 0], [10, 0.5], [0, 0.5], [0, 0]])
+    tp = G.simplify_preserve_topology(ring, 5.0)
+    assert abs(G._ring_area_signed(tp)) > 0.0
+    from gdal_spark.functions.geometry import _ring_self_intersects
+    assert not _ring_self_intersects(tp)
+
+
+def test_union_cascaded_overlapping():
+    from gdal_spark.functions.clipping import wkb_union_cascaded
+    sqs = [G.encode_polygon([np.array([[i * 5.0, 0], [i * 5.0 + 10, 0],
+                                       [i * 5.0 + 10, 10], [i * 5.0, 10],
+                                       [i * 5.0, 0]])]) for i in range(3)]
+    out = wkb_union_cascaded(sqs)
+    assert out[1] == pytest.approx(200.0)  # 20x10 merged strip
+
+
+def test_bit2grayscale_overview(spark):
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import pyramid as PY
+    meta = RM.RasterMeta("b1", 4, 4, gt=(0, 1, 0, 0, 0, 1),
+                         dtype="uint8", nodata=None, block=4)
+    arr = np.array([[1, 1, 0, 0], [1, 1, 0, 1], [0, 0, 1, 1], [0, 0, 1, 1]],
+                   dtype=np.uint8)
+    tiles = RM.from_array(spark, arr, meta)
+    out, _ = PY.overview_level(tiles, meta, "b1_ov",
+                               method="average_bit2grayscale")
+    got = np.frombuffer(bytes(out.collect()[0].data),
+                        dtype=np.uint8).reshape(2, 2)
+    assert got[0, 0] == 255          # all-ones box
+    assert got[0, 1] == (255 + 2) // 4   # one of four set, reference rounding
+    assert got[1, 1] == 255
+    out2, _ = PY.overview_level(tiles, meta, "b1_ov2",
+                                method="average_bit2grayscale_miniswhite")
+    got2 = np.frombuffer(bytes(out2.collect()[0].data),
+                        dtype=np.uint8).reshape(2, 2)
+    assert got2[0, 0] == 0 and got2[1, 1] == 0
+    assert got2[1, 0] == 255
