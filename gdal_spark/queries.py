@@ -2143,3 +2143,100 @@ FROM (SELECT unnest(generate_series(0, 9)) AS fid)
 """
 
 QUERIES["geom_constructive"] = (q_geom_constructive, ORACLE_GEOM_CONSTRUCTIVE)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (SURVEY §2.3): each 'click' event matched to the latest
+    'view' event of the same user at or before it — union-merge-window
+    form (operators/joins.py), one exchange, no cross product. Right
+    ties on timestamp resolve to the highest view event_id."""
+    from gdal_spark.operators import joins as J
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    out = J.asof_join(clicks, views, key="user_id",
+                      left_time="ts", right_time="ts",
+                      right_cols=["view_id"], suffix="")
+    return out.select("event_id", "user_id",
+                      F.col("view_id").cast("long").alias("view_id"))
+
+
+ORACLE_ASOF_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  -- collapse right-side timestamp ties to the highest event_id, making
+  -- arg_max over ts deterministic (mirrors the Spark window tie-break)
+  SELECT user_id, ts, max(event_id) AS view_id FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       arg_max(r.view_id, r.ts) AS view_id
+FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+GROUP BY l.event_id, l.user_id
+"""
+
+QUERIES["asof_join"] = (q_asof_join, ORACLE_ASOF_JOIN)
+
+
+def q_range_join(spark, sf_dir):
+    """Value-band range join (SURVEY §2.3 theta/range): events joined to
+    non-uniform value bands via the bucket-explode equi-join
+    (operators/joins.py) — the scale shape that replaces the reference's
+    nested-loop theta evaluation (ogr_gensql.cpp)."""
+    from gdal_spark.operators import joins as J
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 2.0), ("small", 2.0, 8.0), ("mid", 8.0, 32.0),
+         ("large", 32.0, 70.0)],
+        "band string, lo double, hi double")
+    out = J.range_join_bucketed(ev, "value", bands, "lo", "hi",
+                                bucket_width=4.0)
+    return (out.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+ORACLE_RANGE_JOIN = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 2.0), ('small', 2.0, 8.0), ('mid', 8.0, 32.0),
+         ('large', 32.0, 70.0)
+)
+SELECT b.band, count(*) AS n, round(sum(e.value), 6) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+QUERIES["range_join"] = (q_range_join, ORACLE_RANGE_JOIN)
+
+
+def q_rollup_agg(spark, sf_dir):
+    """GROUPING SETS / ROLLUP (SURVEY §2.4): two-level rollup over
+    (event_type, hour-of-day bucket) with grouping indicators — Catalyst
+    expands the grouping sets in one pass (Expand + single shuffle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("hod", (F.hour("ts") / 6).cast("int"))
+    out = (ev.rollup("event_type", "hod")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+                F.grouping("event_type").alias("g_type"),
+                F.grouping("hod").alias("g_hod")))
+    return out.select("event_type", "hod", "n", "sum_value",
+                      F.col("g_type").cast("int").alias("g_type"),
+                      F.col("g_hod").cast("int").alias("g_hod"))
+
+
+ORACLE_ROLLUP_AGG = """
+SELECT event_type, CAST(floor(hour(ts) / 6) AS INT) AS hod,
+       count(*) AS n, round(sum(value), 6) AS sum_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(CAST(floor(hour(ts) / 6) AS INT)) AS INT) AS g_hod
+FROM events
+GROUP BY ROLLUP(event_type, CAST(floor(hour(ts) / 6) AS INT))
+"""
+
+QUERIES["rollup_agg"] = (q_rollup_agg, ORACLE_ROLLUP_AGG)
