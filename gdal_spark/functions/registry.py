@@ -88,3 +88,58 @@ def register_dialect_functions(spark: SparkSession) -> list[str]:
     return ["ogr_geom_wkt", "ogr_geom_area", "ogr_geom_length",
             "ogr_deflate", "ogr_inflate", "hstore_get_value",
             "ogr_wkb_geometrytype"]
+
+
+def register_geocode_functions(spark: SparkSession) -> list[str]:
+    """ogr_geocode / ogr_geocode_reverse (SQLite dialect,
+    gdal/ogr/ogr_sql_sqlite.dox:141-188; gdal/ogr/ogrgeocoding.cpp).
+
+    The reference calls live OSM/Nominatim services with an on-disk
+    SQLite cache — network, so out of reach here. The engine's geocoder
+    is the deterministic xxhash64 host→(lon, lat) map the pages source
+    uses (sources/pages.py geo_micro_cols — 70% city-cluster skew, 30%
+    uniform); the SQL text below is generated from the same constants,
+    so ogr_geocode(host) in a text query agrees EXACTLY with the
+    distributed point-extraction path (asserted in tests). Forward
+    returns struct(lon, lat) in degrees; reverse names the nearest skew
+    city within 0.5° or NULL (the dialect returns NULL on a reverse
+    miss). Both are pure JVM SQL expressions."""
+    from gdal_spark.sources.pages import (CITIES, CITY_SPREAD_E6, SEED,
+                                          SKEW_PCT)
+
+    def hpos(salt, lo, hi):
+        span = hi - lo
+        return (f"(pmod(xxhash64(host, '{salt}', {SEED}), {span}) "
+                f"+ ({lo}))")
+
+    city = f"CAST(pmod(xxhash64(host, 'city', {SEED}), {len(CITIES)}) AS INT)"
+    lon_arr = "array(" + ", ".join(str(c[0]) for c in CITIES) + ")"
+    lat_arr = "array(" + ", ".join(str(c[1]) for c in CITIES) + ")"
+    pick = f"pmod(xxhash64(host, 'pick', {SEED}), 100)"
+    jlon = hpos("jlon", -CITY_SPREAD_E6, CITY_SPREAD_E6)
+    jlat = hpos("jlat", -CITY_SPREAD_E6, CITY_SPREAD_E6)
+    ulon = hpos("ulon", -179_500_000, 179_500_000)
+    ulat = hpos("ulat", -85_000_000, 85_000_000)
+    lon_e6 = (f"CASE WHEN {pick} < {SKEW_PCT} THEN "
+              f"element_at({lon_arr}, {city} + 1) + {jlon} "
+              f"ELSE {ulon} END")
+    lat_e6 = (f"CASE WHEN {pick} < {SKEW_PCT} THEN "
+              f"element_at({lat_arr}, {city} + 1) + {jlat} "
+              f"ELSE {ulat} END")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ogr_geocode"
+        "(host STRING) RETURNS STRUCT<lon: DOUBLE, lat: DOUBLE> RETURN "
+        f"named_struct('lon', CAST({lon_e6} AS DOUBLE) / 1e6, "
+        f"'lat', CAST({lat_e6} AS DOUBLE) / 1e6)")
+
+    names = "array(" + ", ".join(f"'city{i}'" for i in range(len(CITIES))) + ")"
+    dists = ("array(" + ", ".join(
+        f"abs(lon - ({c[0]}/1e6)) + abs(lat - ({c[1]}/1e6))"
+        for c in CITIES) + ")")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ogr_geocode_reverse"
+        "(lon DOUBLE, lat DOUBLE) RETURNS STRING RETURN "
+        f"CASE WHEN array_min({dists}) <= 0.5 THEN "
+        f"element_at({names}, CAST(array_position({dists}, "
+        f"array_min({dists})) AS INT)) ELSE NULL END")
+    return ["ogr_geocode", "ogr_geocode_reverse"]
