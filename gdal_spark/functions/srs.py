@@ -18,6 +18,11 @@ Reference analogs (semantics only — all math re-derived from Snyder 1987
   :class:`GCPTransform` (numpy least-squares fit, both directions).
 - Thin-plate-spline transform (gdal/alg/gdal_tps.cpp) →
   :class:`TPSTransform` (exact interpolation through the GCPs).
+- RPC transform (gdal/alg/gdal_rpc.cpp) → :class:`RPCTransform`
+  (direct 3rd-degree rational evaluation geo→pixel, vectorized Newton
+  pixel→geo at a fixed RPC_HEIGHT).
+- Geolocation arrays (gdal/alg/gdalgeoloc.cpp) → :class:`GeolocTransform`
+  (bilinear array interpolation forward, backmap-seeded Newton inverse).
 - ApproxTransformer (gdal/alg/gdaltransformer.cpp:2625-3010, default
   max error 0.25 px, :3010) → :class:`ApproxTransform`: evaluates the
   exact transform on a coarse lattice, bilinearly interpolates all
@@ -490,6 +495,206 @@ class TPSTransform:
 
     def inverse(self, x, y):
         return self._apply(self.wi, self.dst, x, y)
+
+
+# ---------------------------------------------------------------------------
+# RPC transform (gdal/alg/gdal_rpc.cpp analog)
+# ---------------------------------------------------------------------------
+
+def _rpc_terms(L, P, H):
+    """The 20 RPC00B cubic terms in coefficient order (the standard
+    NITF/GDAL ordering evaluated by RPCEvaluate in gdal/alg/gdal_rpc.cpp):
+    1, L, P, H, LP, LH, PH, L2, P2, H2, PLH, L3, LP2, LH2, L2P, P3, PH2,
+    L2H, P2H, H3."""
+    one = np.ones_like(L)
+    return np.stack([
+        one, L, P, H, L * P, L * H, P * H, L * L, P * P, H * H,
+        P * L * H, L ** 3, L * P * P, L * H * H, L * L * P, P ** 3,
+        P * H * H, L * L * H, P * P * H, H ** 3], axis=-1)
+
+
+@dataclass
+class RPCModel:
+    """RPC00B metadata block (the RPC domain of gdal/alg/gdal_rpc.cpp and
+    gdal/gcore's RPC metadata): offsets/scales plus 4x20 coefficients."""
+    line_off: float
+    samp_off: float
+    lat_off: float
+    long_off: float
+    height_off: float
+    line_scale: float
+    samp_scale: float
+    lat_scale: float
+    long_scale: float
+    height_scale: float
+    line_num: tuple
+    line_den: tuple
+    samp_num: tuple
+    samp_den: tuple
+
+
+class RPCTransform:
+    """Rational-polynomial-coefficient pixel↔geo transform
+    (gdal/alg/gdal_rpc.cpp): geo→pixel is the direct 3rd-degree rational
+    evaluation; pixel→geo is the iterative inverse (vectorized 2x2 Newton
+    with central-difference Jacobian, matching the reference's iterative
+    RPCInverseTransformPoint shape). ``height`` is the fixed terrain
+    height (gdalwarp -to RPC_HEIGHT, default 0).
+
+    Convention matches :class:`GCPTransform`: ``forward(px, py)`` →
+    (lon, lat) and ``inverse(lon, lat)`` → (px, py), so an instance drops
+    into :class:`GenImgProjTransform` as ``src_gcp``/``dst_gcp``."""
+
+    def __init__(self, model: RPCModel, height: float = 0.0,
+                 max_iter: int = 20, tol: float = 1e-10):
+        self.m = model
+        self.height = float(height)
+        self.max_iter = max_iter
+        self.tol = tol
+
+    def inverse(self, lon, lat):
+        """geo → pixel: direct RPC evaluation."""
+        m = self.m
+        L = (np.asarray(lon, np.float64) - m.long_off) / m.long_scale
+        P = (np.asarray(lat, np.float64) - m.lat_off) / m.lat_scale
+        H = np.full_like(L, (self.height - m.height_off) / m.height_scale)
+        t = _rpc_terms(L, P, H)
+        line = (t @ np.asarray(m.line_num)) / (t @ np.asarray(m.line_den))
+        samp = (t @ np.asarray(m.samp_num)) / (t @ np.asarray(m.samp_den))
+        return (samp * m.samp_scale + m.samp_off,
+                line * m.line_scale + m.line_off)
+
+    def forward(self, px, py):
+        """pixel → geo: vectorized Newton on the direct evaluation,
+        seeded at the RPC center (long_off, lat_off)."""
+        px = np.asarray(px, np.float64)
+        py = np.asarray(py, np.float64)
+        m = self.m
+        lon = np.full(px.shape, m.long_off, np.float64)
+        lat = np.full(px.shape, m.lat_off, np.float64)
+        dl = 1e-7 * m.long_scale
+        dp = 1e-7 * m.lat_scale
+        for _ in range(self.max_iter):
+            sx, sy = self.inverse(lon, lat)
+            fx, fy = sx - px, sy - py
+            sxl, syl = self.inverse(lon + dl, lat)
+            sxp, syp = self.inverse(lon, lat + dp)
+            j11 = (sxl - sx) / dl   # d samp / d lon
+            j21 = (syl - sy) / dl
+            j12 = (sxp - sx) / dp   # d samp / d lat
+            j22 = (syp - sy) / dp
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            dlon = (fx * j22 - fy * j12) / det
+            dlat = (fy * j11 - fx * j21) / det
+            lon -= dlon
+            lat -= dlat
+            if float(np.max(np.abs(dlon), initial=0.0)) < self.tol \
+                    and float(np.max(np.abs(dlat), initial=0.0)) < self.tol:
+                break
+        return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# geolocation-array transform (gdal/alg/gdalgeoloc.cpp analog)
+# ---------------------------------------------------------------------------
+
+class GeolocTransform:
+    """Geolocation-array pixel↔geo transform (gdal/alg/gdalgeoloc.cpp):
+    per-pixel lon/lat arrays, possibly subsampled (PIXEL_STEP/LINE_STEP
+    with PIXEL_OFFSET/LINE_OFFSET). ``forward`` bilinearly interpolates
+    the arrays at (px, py); ``inverse`` seeds from the nearest geoloc
+    node (the reference's backmap, gdalgeoloc.cpp GDALGeoLoc*Backmap)
+    and refines with Newton on the bilinear surface.
+
+    Same forward/inverse convention as :class:`GCPTransform`."""
+
+    def __init__(self, lon_arr, lat_arr, pixel_offset: float = 0.0,
+                 line_offset: float = 0.0, pixel_step: float = 1.0,
+                 line_step: float = 1.0, max_iter: int = 20,
+                 tol: float = 1e-10):
+        self.lon = np.asarray(lon_arr, np.float64)
+        self.lat = np.asarray(lat_arr, np.float64)
+        if self.lon.shape != self.lat.shape or self.lon.ndim != 2 \
+                or min(self.lon.shape) < 2:
+            raise ValueError("lon/lat arrays must be equal-shape 2-D, >= 2x2")
+        self.px_off = float(pixel_offset)
+        self.ln_off = float(line_offset)
+        self.px_step = float(pixel_step)
+        self.ln_step = float(line_step)
+        self.max_iter = max_iter
+        self.tol = tol
+
+    def _grid_coords(self, px, py):
+        """Raster pixel coords → fractional geoloc-array indices
+        (gx, gy), clamped to the interpolable interior."""
+        gx = (np.asarray(px, np.float64) - self.px_off) / self.px_step
+        gy = (np.asarray(py, np.float64) - self.ln_off) / self.ln_step
+        h, w = self.lon.shape
+        return (np.clip(gx, 0.0, w - 1 - 1e-9),
+                np.clip(gy, 0.0, h - 1 - 1e-9))
+
+    def _bilinear(self, gx, gy):
+        h, w = self.lon.shape
+        ix = np.minimum(gx.astype(np.int64), w - 2)
+        iy = np.minimum(gy.astype(np.int64), h - 2)
+        tx = gx - ix
+        ty = gy - iy
+
+        def bil(a):
+            return ((1 - tx) * (1 - ty) * a[iy, ix]
+                    + tx * (1 - ty) * a[iy, ix + 1]
+                    + (1 - tx) * ty * a[iy + 1, ix]
+                    + tx * ty * a[iy + 1, ix + 1])
+
+        return bil(self.lon), bil(self.lat)
+
+    def forward(self, px, py):
+        gx, gy = self._grid_coords(px, py)
+        return self._bilinear(gx, gy)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        shape = x.shape
+        xf, yf = x.ravel(), y.ravel()
+        h, w = self.lon.shape
+        # backmap seed: nearest geoloc node per query (chunked argmin)
+        flat_lon, flat_lat = self.lon.ravel(), self.lat.ravel()
+        seeds = np.empty(xf.size, np.int64)
+        chunk = max(1, int(4e6 // max(flat_lon.size, 1)))
+        for i in range(0, xf.size, chunk):
+            j = min(i + chunk, xf.size)
+            d2 = ((xf[i:j, None] - flat_lon[None, :]) ** 2
+                  + (yf[i:j, None] - flat_lat[None, :]) ** 2)
+            seeds[i:j] = d2.argmin(axis=1)
+        gx = (seeds % w).astype(np.float64)
+        gy = (seeds // w).astype(np.float64)
+        eps = 1e-4
+        for _ in range(self.max_iter):
+            lx, ly = self._bilinear(np.clip(gx, 0, w - 1 - 1e-9),
+                                    np.clip(gy, 0, h - 1 - 1e-9))
+            fx, fy = lx - xf, ly - yf
+            lxx, lyx = self._bilinear(np.clip(gx + eps, 0, w - 1 - 1e-9),
+                                      np.clip(gy, 0, h - 1 - 1e-9))
+            lxy, lyy = self._bilinear(np.clip(gx, 0, w - 1 - 1e-9),
+                                      np.clip(gy + eps, 0, h - 1 - 1e-9))
+            j11 = (lxx - lx) / eps
+            j21 = (lyx - ly) / eps
+            j12 = (lxy - lx) / eps
+            j22 = (lyy - ly) / eps
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            dgx = (fx * j22 - fy * j12) / det
+            dgy = (fy * j11 - fx * j21) / det
+            gx -= dgx
+            gy -= dgy
+            if float(np.max(np.abs(dgx), initial=0.0)) < self.tol \
+                    and float(np.max(np.abs(dgy), initial=0.0)) < self.tol:
+                break
+        px = gx * self.px_step + self.px_off
+        py = gy * self.ln_step + self.ln_off
+        return px.reshape(shape), py.reshape(shape)
 
 
 # ---------------------------------------------------------------------------

@@ -286,3 +286,105 @@ def test_warp_with_approx_transform_matches_exact(spark):
     diff = (out_e != out_a).mean()
     assert diff < 0.01  # sub-ulp lattice error can flip only edge-sitting pixels
     assert out_e.any()  # the window genuinely overlaps the source
+
+
+# ---------------------------------------------------------------------------
+# RPC transform (gdal/alg/gdal_rpc.cpp analog)
+# ---------------------------------------------------------------------------
+
+def _affine_rpc():
+    """RPC whose rational polynomials encode an affine + mild cubic
+    nonlinearity: samp_n = L + 0.02*L*P, line_n = P - 0.01*L*L (den = 1)."""
+    z = [0.0] * 20
+    samp_num = list(z); samp_num[1] = 1.0; samp_num[4] = 0.02
+    line_num = list(z); line_num[2] = 1.0; line_num[7] = -0.01
+    den = list(z); den[0] = 1.0
+    return S.RPCModel(
+        line_off=512.0, samp_off=512.0, lat_off=40.0, long_off=-74.0,
+        height_off=0.0, line_scale=512.0, samp_scale=512.0,
+        lat_scale=0.5, long_scale=0.5, height_scale=100.0,
+        line_num=tuple(line_num), line_den=tuple(den),
+        samp_num=tuple(samp_num), samp_den=tuple(den))
+
+
+def test_rpc_direct_evaluation_matches_closed_form():
+    t = S.RPCTransform(_affine_rpc())
+    lon = np.array([-74.0, -73.8, -74.3])
+    lat = np.array([40.0, 40.2, 39.9])
+    sx, sy = t.inverse(lon, lat)
+    L = (lon + 74.0) / 0.5
+    P = (lat - 40.0) / 0.5
+    np.testing.assert_allclose(sx, (L + 0.02 * L * P) * 512.0 + 512.0,
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(sy, (P - 0.01 * L * L) * 512.0 + 512.0,
+                               rtol=0, atol=1e-9)
+
+
+def test_rpc_inverse_roundtrip():
+    t = S.RPCTransform(_affine_rpc())
+    px = np.linspace(100.0, 900.0, 9)
+    py = np.linspace(50.0, 950.0, 9)
+    lon, lat = t.forward(px, py)
+    bx, by = t.inverse(lon, lat)
+    np.testing.assert_allclose(bx, px, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(by, py, rtol=0, atol=1e-6)
+
+
+def test_rpc_in_genimgproj_chain():
+    """dst plain geotransform -> geographic -> RPC src pixel: the composed
+    src_from_dst agrees with applying the pieces by hand."""
+    rpc = S.RPCTransform(_affine_rpc())
+    dst_gt = (-74.3, 0.001, 0.0, 40.3, 0.0, -0.001)
+    chain = S.GenImgProjTransform(src_gt=None, dst_gt=dst_gt, src_gcp=rpc)
+    px = np.array([10.0, 200.0])
+    py = np.array([20.0, 400.0])
+    lon = dst_gt[0] + px * dst_gt[1]
+    lat = dst_gt[3] + py * dst_gt[5]
+    ex, ey = rpc.inverse(lon, lat)
+    gx, gy = chain(px, py)
+    np.testing.assert_allclose(gx, ex, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(gy, ey, rtol=0, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# geolocation-array transform (gdal/alg/gdalgeoloc.cpp analog)
+# ---------------------------------------------------------------------------
+
+def _curved_geoloc(step=4.0):
+    """Geoloc arrays on a 17x9 subsampled grid (PIXEL_STEP=LINE_STEP=4)
+    from a smooth curved mapping."""
+    gy, gx = np.mgrid[0:9, 0:17]
+    px = gx * step
+    py = gy * step
+    lon = -100.0 + 0.01 * px + 1e-5 * py * py
+    lat = 35.0 - 0.01 * py + 2e-5 * px * px
+    return lon, lat, step
+
+
+def test_geoloc_forward_exact_at_nodes_and_bilinear_between():
+    lon, lat, step = _curved_geoloc()
+    t = S.GeolocTransform(lon, lat, pixel_step=step, line_step=step)
+    # node: raster pixel (8, 4) -> grid index (2, 1)
+    fx, fy = t.forward(np.array([8.0]), np.array([4.0]))
+    assert abs(fx[0] - lon[1, 2]) < 1e-12
+    assert abs(fy[0] - lat[1, 2]) < 1e-12
+    # midpoint between grid nodes = arithmetic mean (bilinear)
+    fx, fy = t.forward(np.array([10.0]), np.array([4.0]))
+    assert abs(fx[0] - (lon[1, 2] + lon[1, 3]) / 2) < 1e-12
+    assert abs(fy[0] - (lat[1, 2] + lat[1, 3]) / 2) < 1e-12
+
+
+def test_geoloc_inverse_roundtrip():
+    lon, lat, step = _curved_geoloc()
+    t = S.GeolocTransform(lon, lat, pixel_step=step, line_step=step)
+    px = np.linspace(1.0, 60.0, 13)
+    py = np.linspace(1.0, 30.0, 13)
+    x, y = t.forward(px, py)
+    bx, by = t.inverse(x, y)
+    np.testing.assert_allclose(bx, px, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(by, py, rtol=0, atol=1e-6)
+
+
+def test_geoloc_validates_array_shape():
+    with pytest.raises(ValueError):
+        S.GeolocTransform(np.zeros((1, 5)), np.zeros((1, 5)))
