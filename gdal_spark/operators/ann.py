@@ -139,3 +139,66 @@ def cosine_topk_lsh(queries: DataFrame, data: DataFrame, k: int,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, d_id, "sim", "rank"))
+
+
+def cosine_topk_ivf(queries: DataFrame, data: DataFrame, k: int,
+                    q_id: str = "qid", d_id: str = "vec_id",
+                    vec: str = "embedding", n_centroids: int = 16,
+                    n_probe: int = 4) -> DataFrame:
+    """IVF-flat approximate cosine top-k (the inverted-file ANN scale
+    path): a coarse quantizer of ``n_centroids`` centroids — seeded
+    deterministically as the lowest-id data vectors, so the structure is
+    oracle-reproducible without a k-means iteration — assigns every data
+    vector to exactly ONE inverted list (argmax centroid cosine, ties to
+    the smaller centroid id); each query probes its ``n_probe`` nearest
+    lists and exact-reranks inside them.
+
+    Scale shape: centroids are a driver-side constant folded into the
+    expression tree (like the broadcast polygon side of the PIP join);
+    list assignment is pure JVM column math (no shuffle, no UDF); the
+    probe fan-out multiplies only the query side; one equi-join on the
+    list id replaces the brute-force cross join."""
+    dv = F.transform(F.col(vec), lambda x: x.cast("double"))
+
+    # driver-side centroid constants, normalized with SEQUENTIAL float64
+    # sums (matches F.aggregate / DuckDB list_aggregate fold order, so
+    # both engines see bit-identical unit vectors)
+    rows = (data.filter(F.col(d_id) < n_centroids)
+            .select(F.col(d_id).alias("cid"), dv.alias("_cv"))
+            .orderBy("cid").collect())
+    cents = []
+    for r in rows:
+        s = 0.0
+        for x in r._cv:
+            s += x * x
+        nrm = s ** 0.5
+        cents.append((int(r.cid), [x / nrm for x in r._cv]))
+
+    def dots(col):
+        # per-centroid dot products against the unit centroids; |v| is
+        # constant across centroids so argmax(dot) == argmax(cosine)
+        entries = []
+        for cid, cv in cents:
+            lit = F.array(*[F.lit(float(x)) for x in cv])
+            d = F.aggregate(F.zip_with(col, lit, lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, x: acc + x)
+            entries.append(F.struct(d.alias("s"), F.lit(-cid).alias("nc")))
+        return F.array(*entries)
+
+    assigned = data.select(
+        F.col(d_id), dv.alias("_dv"),
+        (-F.array_max(dots(dv)).getField("nc")).cast("int").alias("cid"))
+    probes = (queries.select(F.col(q_id), dv.alias("_qv"),
+                             F.slice(F.sort_array(dots(dv), asc=False),
+                                     1, n_probe).alias("_pr"))
+              .withColumn("_p", F.explode("_pr"))
+              .select(q_id, "_qv",
+                      (-F.col("_p.nc")).cast("int").alias("cid")))
+    paired = probes.join(assigned, on="cid")
+    sim = F.round(_dot(F.col("_qv"), F.col("_dv"))
+                  / (_norm(F.col("_qv")) * _norm(F.col("_dv"))), 6)
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.col(d_id))
+    return (paired.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, d_id, "sim", "rank"))

@@ -162,3 +162,69 @@ def test_contour_lines_block_independence(spark):
                             round(r["length"], 9)) for r in rows))
     assert sigs[0] == sigs[1]
     assert len(sigs[0]) > 2
+
+
+def test_sieve_matches_sequential_reference(spark):
+    """Golden: distributed sieve equals an independent sequential
+    flood-fill sieve (largest-neighbor merge to fixpoint) on the
+    driver-gate fixture — including the subtle pinched-background case
+    where two 64-px squares merge into the 1600-px corner rather than
+    the globally-largest background (the diagonal square chains cut the
+    4-connected background into antidiagonal bands)."""
+    from collections import deque
+
+    W, H = 128, 64
+    X, Y = np.meshgrid(np.arange(W), np.arange(H))
+    small = ((X // 8 + Y // 8) % 5 == 0)
+    arr = np.where((X < 40) & (Y < 40), 3,
+                   np.where(small, 2, 1)).astype(np.uint16)
+
+    def label(a):
+        lab = -np.ones(a.shape, dtype=int)
+        nxt = 0
+        for y in range(H):
+            for x in range(W):
+                if lab[y, x] >= 0:
+                    continue
+                v = a[y, x]
+                lab[y, x] = nxt
+                dq = deque([(y, x)])
+                while dq:
+                    cy, cx = dq.popleft()
+                    for ny, nx in ((cy - 1, cx), (cy + 1, cx),
+                                   (cy, cx - 1), (cy, cx + 1)):
+                        if (0 <= ny < H and 0 <= nx < W
+                                and lab[ny, nx] < 0 and a[ny, nx] == v):
+                            lab[ny, nx] = nxt
+                            dq.append((ny, nx))
+                nxt += 1
+        return lab, nxt
+
+    thr = 100
+    cur = arr.copy()
+    for _ in range(50):
+        lab, n = label(cur)
+        sizes = np.bincount(lab.ravel(), minlength=n)
+        vals = np.zeros(n, dtype=cur.dtype)
+        vals[lab] = cur
+        nbrs = [set() for _ in range(n)]
+        for la, lb in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
+            m = la != lb
+            for a_, b_ in zip(la[m].ravel(), lb[m].ravel()):
+                nbrs[a_].add(b_)
+                nbrs[b_].add(a_)
+        newval = vals.copy()
+        changed = False
+        for r in range(n):
+            if sizes[r] < thr and nbrs[r]:
+                tgt = max(nbrs[r], key=lambda t: (sizes[t], -t))
+                if newval[r] != vals[tgt]:
+                    newval[r] = vals[tgt]
+                    changed = True
+        cur = newval[lab]
+        if not changed:
+            break
+
+    meta = M.RasterMeta("sq", W, H, dtype="uint16", block=32)
+    out = SV.sieve(M.from_array(spark, arr, meta), meta, threshold=thr)
+    np.testing.assert_array_equal(M.to_array(out, meta), cur)
