@@ -202,3 +202,47 @@ def cosine_topk_ivf(queries: DataFrame, data: DataFrame, k: int,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, d_id, "sim", "rank"))
+
+
+def embedding_neardup_pairs(data: DataFrame, threshold: float = 0.9,
+                            d_id: str = "vec_id", vec: str = "embedding",
+                            n_planes: int = 8, n_bands: int = 2,
+                            seed: int = 42, cap: int = 256) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding path,
+    complementing MinHash/SimHash text dedup): ``n_bands`` independent
+    sign-random-projection bucketings (seeds ``seed..seed+n_bands-1``)
+    generate candidate pairs from same-bucket co-membership in ANY band;
+    exact cosine >= ``threshold`` verifies survivors.
+
+    Scale shape (mirrors the MinHash-LSH banding design,
+    operators/dedup.py lsh_candidate_pairs): each vector lands in exactly
+    ``n_bands`` buckets; within a (band, bucket) only the first ``cap``
+    members (by id) pair up, killing the degenerate-bucket n^2 blowout;
+    pairs dedup on (id_a, id_b) BEFORE the embedding join, so the
+    verify-stage shuffle carries each candidate once.
+
+    Output: (id_a, id_b, sim) with id_a < id_b, sim rounded to 6 dp."""
+    buckets = None
+    for b in range(n_bands):
+        bb = (srp_bucket(data, d_id, vec, n_planes, seed + b)
+              .withColumn("band", F.lit(b)))
+        buckets = bb if buckets is None else buckets.unionByName(bb)
+    w = Window.partitionBy("band", "bucket").orderBy(d_id)
+    capped = (buckets.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= cap))
+    lhs = capped.select("band", "bucket", F.col(d_id).alias("id_a"))
+    rhs = capped.select("band", "bucket", F.col(d_id).alias("id_b"))
+    cand = (lhs.join(rhs, on=["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    dv = F.transform(F.col(vec), lambda x: x.cast("double"))
+    unit = data.select(
+        F.col(d_id),
+        F.transform(dv, lambda x: x / _norm(dv)).alias("_uv"))
+    ea = unit.select(F.col(d_id).alias("id_a"), F.col("_uv").alias("_va"))
+    eb = unit.select(F.col(d_id).alias("id_b"), F.col("_uv").alias("_vb"))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb")), 6)
+    return (cand.join(ea, on="id_a").join(eb, on="id_b")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))

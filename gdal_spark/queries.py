@@ -2736,3 +2736,59 @@ SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
 """
 
 QUERIES["ann_ivf_topk"] = (q_ann_ivf_topk, ORACLE_ANN_IVF)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (operators/ann.py
+    embedding_neardup_pairs): 2 independent 6-plane SRP bands propose
+    candidates, exact cosine >= 0.3 verifies — the dedup-by-embedding
+    path alongside MinHash/SimHash text dedup."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ANN.embedding_neardup_pairs(emb, threshold=0.3, n_planes=6,
+                                       n_bands=2, seed=42, cap=256)
+
+
+def _oracle_dedup_embedding() -> str:
+    bands = []
+    for b in range(2):
+        planes = ANN._hyperplanes(64, 6, seed=42 + b)
+        dots = []
+        for p in range(6):
+            lits = ", ".join(repr(float(x)) for x in planes[p])
+            dots.append(
+                f"list_aggregate(list_transform(generate_series(1, 64), "
+                f"i -> v[i] * ([{lits}])[i]), 'sum')")
+        bucket = " + ".join(
+            f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)"
+            for p, d in enumerate(dots))
+        bands.append(f"SELECT {b} AS band, vec_id, {bucket} AS bucket FROM e")
+    band_sql = " UNION ALL ".join(bands)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+bk AS ({band_sql}),
+cap AS (SELECT band, bucket, vec_id,
+               row_number() OVER (PARTITION BY band, bucket
+                                  ORDER BY vec_id) AS rn
+        FROM bk),
+c AS (SELECT band, bucket, vec_id FROM cap WHERE rn <= 256),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM c a JOIN c b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_aggregate(
+                 list_transform(v, y -> y * y), 'sum'))) AS uv
+      FROM e),
+s AS (SELECT cd.id_a, cd.id_b,
+        round(list_aggregate(list_transform(generate_series(1, 64),
+                                            i -> a.uv[i] * b.uv[i]),
+                             'sum'), 6) AS sim
+      FROM cand cd JOIN u a ON a.vec_id = cd.id_a
+                   JOIN u b ON b.vec_id = cd.id_b)
+SELECT id_a, id_b, sim FROM s WHERE sim >= 0.3
+"""
+
+
+ORACLE_DEDUP_EMBEDDING = _oracle_dedup_embedding()
+
+QUERIES["dedup_embedding"] = (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING)

@@ -95,3 +95,25 @@ def test_ivf_structure_and_recall(spark):
     hits1 = len({(r.qid, r.vec_id) for r in r1.collect()} & truth)
     assert hits4 >= hits1
     assert hits4 >= int(0.6 * len(truth))
+
+
+def test_embedding_neardup_pairs(spark):
+    """Near-dup pairs: planted duplicates (cos ~ 1) are always found,
+    every reported pair truly passes the threshold, ids are ordered,
+    and no pair is reported twice."""
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # plant 5 exact-ish duplicates of vectors 0..4 as ids 100..104
+    for i in range(5):
+        rows.append((100 + i, (base[i] + 1e-4 * rng.standard_normal(16)).tolist()))
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = ANN.embedding_neardup_pairs(data, threshold=0.95, n_planes=4,
+                                      n_bands=3, seed=1).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert all(a < b for a, b in got)
+    assert len(got) == len(out)          # no duplicate pairs across bands
+    assert all(r.sim >= 0.95 for r in out)
+    # planted pairs are near-identical -> same bucket in every band
+    assert {(i, 100 + i) for i in range(5)} <= got
