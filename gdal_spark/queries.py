@@ -2792,3 +2792,83 @@ SELECT id_a, id_b, sim FROM s WHERE sim >= 0.3
 ORACLE_DEDUP_EMBEDDING = _oracle_dedup_embedding()
 
 QUERIES["dedup_embedding"] = (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING)
+
+
+def q_s2_cells(spark, sf_dir):
+    """S2 cell index (functions/s2.py — the north rule's H3/S2 index):
+    leaf cell id + level-10 parent per doc point, one vectorized Arrow
+    pass, no shuffle. DuckDB twin replays the Hilbert walk as a
+    30-step recursive CTE."""
+    from gdal_spark.functions import s2 as S2
+    pts = doc_points(spark, sf_dir)
+    return (S2.with_s2_columns(pts, level=10)
+            .select("doc_id", "s2_id", "s2_id_l10"))
+
+
+ORACLE_S2_CELLS = f"""
+WITH RECURSIVE pts AS ({POINTS_SQL}),
+xyz AS (SELECT doc_id,
+               cos(radians(lat)) * cos(radians(lon)) AS x,
+               cos(radians(lat)) * sin(radians(lon)) AS y,
+               sin(radians(lat)) AS z
+        FROM pts),
+f0 AS (SELECT doc_id, x, y, z,
+              CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
+                   WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END AS f3
+       FROM xyz),
+fc AS (SELECT doc_id, x, y, z,
+              f3 + CASE WHEN (CASE f3 WHEN 0 THEN x WHEN 1 THEN y
+                              ELSE z END) < 0 THEN 3 ELSE 0 END AS face
+       FROM f0),
+uv AS (SELECT doc_id, face,
+              CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y
+                        WHEN 2 THEN -x / z WHEN 3 THEN z / x
+                        WHEN 4 THEN z / y ELSE -y / z END AS u,
+              CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y
+                        WHEN 2 THEN -y / z WHEN 3 THEN y / x
+                        WHEN 4 THEN -x / y ELSE -x / z END AS v
+       FROM fc),
+st AS (SELECT doc_id, face,
+              CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u)
+                   ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+              CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v)
+                   ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+       FROM uv),
+ij AS (SELECT doc_id, face,
+              least(greatest(CAST(floor(s * 1073741824.0) AS BIGINT),
+                             0), 1073741823) AS i,
+              least(greatest(CAST(floor(t * 1073741824.0) AS BIGINT),
+                             0), 1073741823) AS j
+       FROM st),
+walk AS (
+  SELECT doc_id, face, i, j, 29 AS k, CAST(0 AS HUGEINT) AS pos,
+         face & 1 AS o
+  FROM ij
+  UNION ALL
+  SELECT doc_id, face, i, j, k - 1,
+         pos * 4 + idx,
+         xor(o, ([1, 0, 0, 3])[idx + 1])
+  FROM (SELECT *,
+          ([0,1,3,2, 0,3,1,2, 2,3,1,0, 2,1,3,0])[
+              o * 4 + ((i >> k) & 1) * 2 + ((j >> k) & 1) + 1] AS idx
+        FROM walk WHERE k >= 0) w
+),
+ids AS (SELECT doc_id,
+               (CAST(face AS HUGEINT) * 1152921504606846976 + pos) * 2
+               + 1 AS id_u
+        FROM walk WHERE k = -1),
+packed AS (SELECT doc_id, id_u,
+                  (id_u // 2199023255552) * 2199023255552
+                  + 1099511627776 AS par_u
+           FROM ids)
+SELECT doc_id,
+       CAST(CASE WHEN id_u >= 9223372036854775808
+                 THEN id_u - 18446744073709551616 ELSE id_u END
+            AS BIGINT) AS s2_id,
+       CAST(CASE WHEN par_u >= 9223372036854775808
+                 THEN par_u - 18446744073709551616 ELSE par_u END
+            AS BIGINT) AS s2_id_l10
+FROM packed
+"""
+
+QUERIES["s2_cells"] = (q_s2_cells, ORACLE_S2_CELLS)
