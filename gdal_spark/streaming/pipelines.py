@@ -81,3 +81,48 @@ def run_available_now(stream_df: DataFrame, checkpoint: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def stream_dedup_first_seen(docs: DataFrame, text: str = "text",
+                            id_col: str = "doc_id",
+                            n_buckets: int = 64) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): exact
+    first-seen dedup of a document stream ACROSS micro-batches — the
+    streaming twin of operators.dedup.exact_dup_groups, for dedup-at-
+    ingest of a rolling crawl.
+
+    Content hashes (JVM xxhash64, no Python in the hash path) shard into
+    ``n_buckets`` state groups; each group's state is its set of seen
+    hashes, so the per-group state row stays small and the shuffle key is
+    the bucket, not the hash. Within a batch pandas ``drop_duplicates``
+    keeps the first occurrence (stream order within the group); a row is
+    emitted iff its hash is new to both the batch and the state. At
+    production scale the state set would be bounded with a TTL timeout
+    (state.setTimeoutDuration) or an RVQ sketch; unbounded here because
+    the tests drain finite streams.
+
+    Output: (id_col, content_hash) of first occurrences only."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = (docs.withColumn("_h", F.xxhash64(F.col(text)))
+              .withColumn("_b", F.pmod(F.col("_h"),
+                                       F.lit(n_buckets)).cast("int"))
+              .select("_b", F.col(id_col), "_h"))
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # noqa: F401 (worker-side import)
+        seen = set(state.get[0]) if state.exists else set()
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.drop_duplicates(subset=["_h"], keep="first")
+            fresh = pdf[~pdf["_h"].isin(seen)]
+            if len(fresh):
+                outs.append(fresh[[id_col, "_h"]])
+                seen.update(int(h) for h in fresh["_h"])
+        state.update((sorted(seen),))
+        for o in outs:
+            yield o.rename(columns={"_h": "content_hash"})
+
+    return hashed.groupBy("_b").applyInPandasWithState(
+        fn, f"{id_col} long, content_hash long", "seen array<bigint>",
+        "append", GroupStateTimeout.NoTimeout)

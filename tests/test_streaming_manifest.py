@@ -113,3 +113,36 @@ def test_manifest_detects_corruption(spark, tmp_path):
     dup.write.mode("append").partitionBy("tx").parquet(os.path.join(out, "data"))
     bad = MF.verify_manifest(spark, out)
     assert bad.count() == 1
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """Stateful dedup must remember hashes ACROSS micro-batches: batch 2
+    re-sends every batch-1 text (new ids) plus genuinely new texts —
+    only the new texts may come out of batch 2."""
+    rows1 = [(i, f"text-{i % 5}") for i in range(10)]        # 5 distinct
+    rows2 = ([(100 + i, f"text-{i % 5}") for i in range(10)]  # all dups
+             + [(200 + i, f"fresh-{i}") for i in range(3)])   # 3 new
+    d = tmp_path / "src_dedup"
+    d.mkdir()
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(d / "b1.parquet"))
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(d / "b2.parquet"))
+    batch = spark.read.parquet(str(d / "b1.parquet"))
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d) + "/*/"))
+    out = SP.stream_dedup_first_seen(stream)
+    SP.run_available_now(out, str(tmp_path / "ck_dd"), "dedup_out")
+    got = spark.table("dedup_out").collect()
+    # exactly 5 + 3 first-seen rows, one per distinct text
+    assert len(got) == 8
+    assert len({r.content_hash for r in got}) == 8
+    # every batch-1 text emitted a doc_id < 100; fresh texts from batch 2
+    emitted_ids = sorted(r.doc_id for r in got)
+    assert sum(1 for i in emitted_ids if i < 100) == 5
+    assert [i for i in emitted_ids if i >= 200] == [200, 201, 202]
+    # hash matches the JVM xxhash64 of the text column
+    want = {r.doc_id: r.h for r in spark.read.parquet(str(d) + "/*/")
+            .withColumn("h", F.xxhash64("text")).collect()}
+    assert all(want[r.doc_id] == r.content_hash for r in got)
