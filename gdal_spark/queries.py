@@ -2872,3 +2872,87 @@ FROM packed
 """
 
 QUERIES["s2_cells"] = (q_s2_cells, ORACLE_S2_CELLS)
+
+
+# ---------------------------------------------------------------------------
+# Format-driver round-trips (GeoJSON codec + Shapefile binary codec over
+# the poly fixture; gdal/ogr/ogrsf_frmts/geojson + shape driver parity —
+# autotest/ogr/ogr_geojson.py / ogr_shape.py expectations)
+# ---------------------------------------------------------------------------
+
+def q_geojson_roundtrip(spark, sf_dir):
+    """poly fixture → RFC 7946 feature lines → parsed back through the
+    GeoJSON geometry codec → (fid, eas_id, prfedea, geom_area). Exercises
+    both codec directions; geometry must survive bit-exactly (areas match
+    the fixture's known values: 100 / 72 concave / 96 holed)."""
+    import json as _json
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from gdal_spark.functions import geometry as _G
+    from gdal_spark.sources import formats as FMT
+
+    lines = FMT.geojson_feature_lines(PG.poly_fixture(spark))
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                feat = _json.loads(line)
+                wkb = FMT.wkb_from_geojson_geom(feat["geometry"])
+                p = feat["properties"]
+                rows.append((int(p["fid"]), int(p["eas_id"]), p["prfedea"],
+                             _G.polygon_area(wkb)))
+            yield _pd.DataFrame(
+                rows, columns=["fid", "eas_id", "prfedea", "geom_area"])
+
+    return lines.mapInPandas(
+        parse, "fid long, eas_id long, prfedea string, geom_area double"
+    ).orderBy("fid")
+
+
+_GEOM_AREAS = {3: 72.0, 7: 96.0}
+ORACLE_FORMAT_ROUNDTRIP = (
+    "WITH t(fid, eas_id, prfedea, geom_area) AS (VALUES "
+    + ", ".join(f"({fid}, {eas}, '{prf}', {_GEOM_AREAS.get(fid, 100.0)})"
+                for fid, _area, eas, prf in PG.POLY_ROWS)
+    + ") SELECT fid, eas_id, prfedea, CAST(geom_area AS DOUBLE) AS geom_area"
+    " FROM t ORDER BY fid"
+)
+
+QUERIES["geojson_roundtrip"] = (q_geojson_roundtrip, ORACLE_FORMAT_ROUNDTRIP)
+
+
+def q_shapefile_roundtrip(spark, sf_dir):
+    """poly fixture → ESRI Shapefile bytes (.shp/.dbf built per the spec's
+    binary layout, outer-CW ring normalization) → parsed back →
+    (fid, eas_id, prfedea, geom_area). The dbf N-field text encoding and
+    the ring orientation flip must both round-trip losslessly."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from gdal_spark.functions import geometry as _G
+    from gdal_spark.sources import formats as FMT
+
+    poly = PG.poly_fixture(spark).select("fid", "eas_id", "prfedea",
+                                         "geometry").repartition(1)
+
+    def roundtrip(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            shp, _shx, dbf = FMT.shapefile_bytes(pdf)
+            geoms = FMT.parse_shp(shp)
+            attrs = FMT.parse_dbf(dbf)
+            attrs["geom_area"] = [_G.polygon_area(g) for g in geoms]
+            yield attrs[["fid", "eas_id", "prfedea", "geom_area"]]
+
+    return poly.mapInPandas(
+        roundtrip, "fid long, eas_id long, prfedea string, geom_area double"
+    ).orderBy("fid")
+
+
+QUERIES["shapefile_roundtrip"] = (q_shapefile_roundtrip,
+                                  ORACLE_FORMAT_ROUNDTRIP)

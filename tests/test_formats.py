@@ -1,0 +1,174 @@
+"""Format drivers: GeoJSON / GeoJSONSeq / CSV / Shapefile / GeoPackage.
+
+Round-trip expectations mirror the reference driver tests
+(autotest/ogr/ogr_geojson.py, ogr_csv.py, ogr_shape.py, ogr_gpkg.py):
+read(write(layer)) preserves feature count, attribute values, and
+geometry within codec-exact tolerance."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import geometry as G
+from gdal_spark.sources import formats as FMT
+from gdal_spark.sources import polygons as PG
+
+
+def _wkbs():
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [6, 4], [6, 6], [4, 6], [4, 4]])
+    line = np.array([[0.0, 0], [5, 5], [10, 0]])
+    return {
+        "point": G.encode_point(3.25, -7.5),
+        "line": G.encode_linestring(line),
+        "poly": G.encode_polygon([sq, hole]),
+        "mpoint": G.encode_multipoint(np.array([[1.0, 2], [3, 4]])),
+        "mline": G.encode_multilinestring([line, line + 20]),
+        "mpoly": G.encode_multipolygon([[sq], [sq + 30]]),
+    }
+
+
+def test_geojson_codec_roundtrip():
+    for name, wkb in _wkbs().items():
+        d = FMT.geojson_geom_from_wkb(wkb)
+        back = FMT.wkb_from_geojson_geom(d)
+        assert G.wkt_from_wkb(back) == G.wkt_from_wkb(wkb), name
+    assert FMT.wkb_from_geojson_geom(None) is None
+    assert FMT.wkb_from_geojson_geom({"type": "GeometryCollection"}) is None
+
+
+def test_geojson_file_roundtrip(spark, tmp_path):
+    poly = PG.poly_fixture(spark)
+    doc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "properties": {"eas_id": r["eas_id"], "prfedea": r["prfedea"]},
+         "geometry": FMT.geojson_geom_from_wkb(bytes(r["geometry"]))}
+        for r in poly.orderBy("fid").collect()]}
+    p = tmp_path / "poly.geojson"
+    p.write_text(json.dumps(doc))
+    out = FMT.read_geojson(spark, str(p)).orderBy("fid").collect()
+    assert len(out) == 10
+    assert [json.loads(r["properties"])["eas_id"] for r in out] == \
+        [r[2] for r in PG.POLY_ROWS]
+    # geometry round-trips bit-exactly through the JSON codec
+    areas = [G.polygon_area(bytes(r["geometry"])) for r in out]
+    assert areas[0] == 100.0 and areas[3] == 72.0 and areas[7] == 96.0
+
+
+def test_geojson_seq_roundtrip(spark, tmp_path):
+    poly = PG.poly_fixture(spark)
+    FMT.write_geojson_seq(poly, str(tmp_path / "seq"))
+    back = FMT.read_geojson_seq(spark, str(tmp_path / "seq"))
+    rows = back.collect()
+    assert len(rows) == 10
+    eas = sorted(json.loads(r["properties"])["eas_id"] for r in rows)
+    assert eas == sorted(r[2] for r in PG.POLY_ROWS)
+    total_area = sum(G.polygon_area(bytes(r["geometry"])) for r in rows)
+    assert total_area == pytest.approx(100 * 8 + 72 + 96)
+
+
+def test_csv_wkt_roundtrip(spark, tmp_path):
+    poly = PG.poly_fixture(spark)
+    FMT.write_csv_features(poly, str(tmp_path / "csv"))
+    back = FMT.read_csv_features(spark, str(tmp_path / "csv"))
+    rows = back.orderBy("fid").collect()
+    assert [r["eas_id"] for r in rows] == [r[2] for r in PG.POLY_ROWS]
+    assert [r["area"] for r in rows] == [r[1] for r in PG.POLY_ROWS]
+    assert G.polygon_area(bytes(rows[3]["geometry"])) == 72.0
+
+
+def test_csv_xy_points(spark, tmp_path):
+    pdf = pd.DataFrame({"id": [1, 2], "lon": [10.5, -3.25], "lat": [45.0, 0.5]})
+    p = tmp_path / "pts.csv"
+    pdf.to_csv(p, index=False)
+    out = FMT.read_csv_features(spark, str(p), x_col="lon", y_col="lat") \
+        .orderBy("id").collect()
+    assert G.decode_point(bytes(out[0]["geometry"])) == (10.5, 45.0)
+    assert G.decode_point(bytes(out[1]["geometry"])) == (-3.25, 0.5)
+
+
+def test_shapefile_bytes_roundtrip():
+    poly = [(fid, area, eas, prf, PG._poly_geom(fid))
+            for fid, area, eas, prf in PG.POLY_ROWS]
+    pdf = pd.DataFrame(poly, columns=["fid", "area", "eas_id", "prfedea",
+                                      "geometry"])
+    shp, shx, dbf = FMT.shapefile_bytes(pdf)
+    geoms = FMT.parse_shp(shp)
+    attrs = FMT.parse_dbf(dbf)
+    assert len(geoms) == 10 and len(attrs) == 10
+    assert list(attrs["eas_id"]) == [r[2] for r in PG.POLY_ROWS]
+    assert list(attrs["prfedea"]) == [r[3] for r in PG.POLY_ROWS]
+    assert attrs["area"][3] == pytest.approx(547597.188, abs=1e-9)
+    # geometry: area-exact through the CW/CCW renormalization
+    assert G.polygon_area(geoms[0]) == 100.0
+    assert G.polygon_area(geoms[3]) == 72.0   # concave notch
+    assert G.polygon_area(geoms[7]) == 96.0   # interior ring survives
+    assert len(G.decode_polygons(geoms[7])[0]) == 2
+    # shx: one 8-byte index record per feature after the 100-byte header
+    assert len(shx) == 100 + 8 * 10
+
+
+def test_shapefile_multipolygon_and_types():
+    w = _wkbs()
+    pdf = pd.DataFrame({
+        "name": ["pt", "ln", "mpt", "mln"],
+        "geometry": [w["point"], w["line"], w["mpoint"], w["mline"]]})
+    # shapefiles are single-type; write each type alone and round-trip
+    for i in range(len(pdf)):
+        shp, _, dbf = FMT.shapefile_bytes(pdf.iloc[[i]].reset_index(drop=True))
+        [geom] = FMT.parse_shp(shp)
+        orig = bytes(pdf["geometry"][i])
+        assert G.wkt_from_wkb(geom) == G.wkt_from_wkb(orig)
+    # two disjoint outer rings → MultiPolygon on read
+    shp, _, _ = FMT.shapefile_bytes(pd.DataFrame({"geometry": [w["mpoly"]]}))
+    [geom] = FMT.parse_shp(shp)
+    polys = G.decode_polygons(geom)
+    assert len(polys) == 2
+    assert sum(abs(G._ring_area_signed(p[0])) for p in polys) == 200.0
+
+
+def test_shapefile_spark_roundtrip(spark, tmp_path):
+    poly = PG.poly_fixture(spark)
+    manifest = FMT.write_shapefile(poly.repartition(2), str(tmp_path / "shp"))
+    m = manifest.collect()
+    assert sum(r["records"] for r in m) == 10
+    back = FMT.read_shapefile(spark, str(tmp_path / "shp"))
+    rows = back.collect()
+    assert len(rows) == 10
+    eas = sorted(json.loads(r["properties"])["eas_id"] for r in rows)
+    assert eas == sorted(r[2] for r in PG.POLY_ROWS)
+    total = sum(G.polygon_area(bytes(r["geometry"])) for r in rows)
+    assert total == pytest.approx(100 * 8 + 72 + 96)
+
+
+def test_gpkg_roundtrip(spark, tmp_path):
+    poly = PG.poly_fixture(spark)
+    path = str(tmp_path / "poly.gpkg")
+    n = FMT.write_gpkg(poly, path, "poly")
+    assert n == 10
+    back = FMT.read_gpkg(spark, path, "poly", num_splits=3)
+    rows = back.orderBy("fid").collect()
+    assert len(rows) == 10
+    props = [json.loads(r["properties"]) for r in rows]
+    assert [p["eas_id"] for p in props] == [r[2] for r in PG.POLY_ROWS]
+    assert [p["area"] for p in props] == [r[1] for r in PG.POLY_ROWS]
+    assert G.polygon_area(bytes(rows[7]["geometry"])) == 96.0
+    # blob header strips cleanly
+    blob = FMT.gpkg_blob_from_wkb(G.encode_point(1, 2), 4326)
+    assert FMT.wkb_from_gpkg_blob(blob) == G.encode_point(1, 2)
+
+
+def test_feature_lines_jvm_filter(spark):
+    """Format output stays queryable JVM-side: properties via
+    get_json_object, geometry via the engine's operators."""
+    poly = PG.poly_fixture(spark)
+    lines = FMT.geojson_feature_lines(poly)
+    parsed = lines.select(
+        F.get_json_object("value", "$.properties.eas_id").cast("long")
+        .alias("eas_id"))
+    assert parsed.filter(F.col("eas_id") > 170).count() == 4
