@@ -2956,3 +2956,64 @@ def q_shapefile_roundtrip(spark, sf_dir):
 
 QUERIES["shapefile_roundtrip"] = (q_shapefile_roundtrip,
                                   ORACLE_FORMAT_ROUNDTRIP)
+
+
+# ---------------------------------------------------------------------------
+# ExecuteSQL dialect entry point (gdal/gcore/gdaldataset.cpp:4884 →
+# swq_parser.y → ogr_gensql.cpp, re-planned onto Catalyst in ogrsql.py)
+# ---------------------------------------------------------------------------
+
+def q_ogrsql_join(spark, sf_dir):
+    """OGR SQL statement through the dialect parser: aliased first-match
+    LEFT JOIN + ci LIKE + ORDER BY, planned as Catalyst Column trees."""
+    from gdal_spark.ogrsql import OGRSQLEngine
+
+    eng = OGRSQLEngine(spark)
+    eng.register("poly", PG.poly_fixture(spark))
+    eng.register("idlink", PG.idlink_fixture(spark), geometry_col=None)
+    return eng.execute_sql(
+        "SELECT p.fid AS fid, p.eas_id AS eas_id, name AS link_name, "
+        "SUBSTR(prfedea, -2) AS tail2 "
+        "FROM poly p LEFT JOIN idlink il ON p.eas_id = il.eas_id "
+        "WHERE prfedea LIKE '35043%' AND eas_id < 172 ORDER BY fid")
+
+
+_IDLINK_MAP = {eas: nm for eas, nm in PG.IDLINK_ROWS}
+ORACLE_OGRSQL_JOIN = (
+    "WITH t(fid, eas_id, link_name, tail2) AS (VALUES "
+    + ", ".join(
+        f"({fid}, {eas}, "
+        + (f"'{_IDLINK_MAP[eas]}'" if eas in _IDLINK_MAP else "NULL")
+        + f", '{prf[-2:]}')"
+        for fid, _a, eas, prf in PG.POLY_ROWS if eas < 172)
+    + ") SELECT fid, eas_id, CAST(link_name AS VARCHAR) AS link_name, tail2 "
+    "FROM t ORDER BY fid"
+)
+
+QUERIES["ogrsql_join"] = (q_ogrsql_join, ORACLE_OGRSQL_JOIN)
+
+
+def q_ogrsql_summary(spark, sf_dir):
+    """Summary mode (PrepareSummary analog): whole-table aggregates with
+    the reference's OP_field column naming, via the dialect parser."""
+    from gdal_spark.ogrsql import OGRSQLEngine
+
+    eng = OGRSQLEngine(spark)
+    eng.register("poly", PG.poly_fixture(spark))
+    return eng.execute_sql(
+        "SELECT MIN(eas_id), MAX(eas_id), COUNT(*), "
+        "SUM(eas_id) AS sum_eas, AVG(area) AS avg_area "
+        "FROM poly WHERE eas_id IN ('158', 165, 166, 'a999')")
+
+
+ORACLE_OGRSQL_SUMMARY = (
+    "WITH poly(fid, area, eas_id, prfedea) AS (VALUES "
+    + ", ".join(f"({fid}, {a!r}, {eas}, '{prf}')"
+                for fid, a, eas, prf in PG.POLY_ROWS)
+    + ') SELECT min(eas_id) AS "MIN_eas_id", max(eas_id) AS "MAX_eas_id", '
+    'count(*) AS "COUNT_*", sum(eas_id) AS sum_eas, '
+    "CAST(avg(area) AS DOUBLE) AS avg_area "
+    "FROM poly WHERE eas_id IN (158, 165, 166)"
+)
+
+QUERIES["ogrsql_summary"] = (q_ogrsql_summary, ORACLE_OGRSQL_SUMMARY)
