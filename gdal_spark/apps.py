@@ -1,0 +1,290 @@
+"""gdal/apps utilities re-expressed as Spark pipelines.
+
+``ogr2ogr`` (gdal/apps/ogr2ogr.cpp): read any vector format → attribute
+filter (``-where``) / OGR SQL (``-sql``) / rectangle spatial filter
+(``-spat``) / CRS reprojection (``-s_srs``/``-t_srs``) / field selection
+(``-select``) → write any vector format. Every stage is a DataFrame
+transformation — one declarative plan end-to-end; Catalyst pushes the
+attribute filter into the scan, the spatial filter is the reference's
+staged envelope test (ogrlayer.cpp:1344-1450), and reprojection runs
+batch-vectorized over Arrow (the ogr2ogr.cpp:784-796 composed-CT analog).
+
+``gdal_translate`` (gdal/apps/gdal_translate.cpp): band select (``-b``),
+pixel/georeferenced windowing (``-srcwin``/``-projwin``), output sizing
+(``-outsize``, via the warp gather with the requested resampler), dtype
+conversion (``-ot``) and linear value rescale (``-scale``, the
+GDALTranslate scale-params path) over the tile-row raster model. The
+window/resize is a ``warp`` with an affine transform — block-pruned, one
+shuffle; cast/rescale is a narrow map stage.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterator
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import geometry as G
+from gdal_spark.functions import srs as SRS
+from gdal_spark.ogrsql import OGRSQLEngine, attribute_filter
+from gdal_spark.raster import resample as RS
+from gdal_spark.raster.algebra import map_pixels
+from gdal_spark.raster.model import RasterMeta
+from gdal_spark.sources import formats as FMT
+
+
+# ---------------------------------------------------------------------------
+# vector format dispatch (driver probing, GDALOpenEx analog — by extension
+# rather than magic bytes: our formats are self-describing paths)
+# ---------------------------------------------------------------------------
+
+def _vector_ext(path: str) -> str:
+    base = path.rstrip("/").lower()
+    for ext in (".geojsonl", ".geojsons", ".geojson", ".json", ".csv",
+                ".shp", ".gpkg", ".parquet"):
+        if base.endswith(ext):
+            return ext
+    return ""
+
+
+def read_vector(spark: SparkSession, src, layer: str | None = None,
+                **opts) -> DataFrame:
+    """Open any supported vector source (DataFrame passthrough, GeoJSON
+    document/sequence, CSV+WKT, Shapefile, GeoPackage, Parquet)."""
+    if isinstance(src, DataFrame):
+        return src
+    ext = _vector_ext(src)
+    if ext in (".geojsonl", ".geojsons"):
+        return FMT.read_geojson_seq(spark, src)
+    if ext in (".geojson", ".json"):
+        return FMT.read_geojson(spark, src)
+    if ext == ".csv":
+        return FMT.read_csv_features(spark, src, **opts)
+    if ext == ".shp":
+        return FMT.read_shapefile(spark, src)
+    if ext == ".gpkg":
+        if layer is None:
+            raise ValueError("GeoPackage read requires layer=")
+        return FMT.read_gpkg(spark, src, layer)
+    if ext == ".parquet" or os.path.isdir(src):
+        return spark.read.parquet(src)
+    raise ValueError(f"unrecognized vector source {src!r}")
+
+
+def write_vector(df: DataFrame, dst: str, layer: str = "layer",
+                 geometry_col: str = "geometry") -> None:
+    ext = _vector_ext(dst)
+    if ext in (".geojsonl", ".geojsons", ".geojson", ".json"):
+        FMT.write_geojson_seq(df, dst, geometry_col)
+    elif ext == ".csv":
+        FMT.write_csv_features(df, dst, geometry_col)
+    elif ext == ".shp":
+        FMT.write_shapefile(df, os.path.dirname(dst) or dst,
+                            geometry_col).collect()
+    elif ext == ".gpkg":
+        FMT.write_gpkg(df, dst, layer, geometry_col)
+    elif ext == ".parquet":
+        df.write.mode("overwrite").parquet(dst)
+    else:
+        raise ValueError(f"unrecognized vector sink {dst!r}")
+
+
+# ---------------------------------------------------------------------------
+# spatial filter + reprojection stages
+# ---------------------------------------------------------------------------
+
+def spatial_filter(df: DataFrame, rect: tuple[float, float, float, float],
+                   geometry_col: str = "geometry") -> Column:
+    """``SetSpatialFilter`` with a rectangle (ogrlayer.cpp:1103): the
+    staged test — NULL geometries rejected, then envelope-intersects
+    (FilterGeometry's envelope stages, :1344-1383; for a rectangle filter
+    the envelope test IS the exact test for points and the accept test
+    for bbox-overlapping features, matching -spat semantics)."""
+    xmin, ymin, xmax, ymax = (float(v) for v in rect)
+
+    def env_hit(wkb: pd.Series) -> pd.Series:
+        out = np.zeros(len(wkb), dtype=bool)
+        for i, b in enumerate(wkb):
+            if b is None:
+                continue
+            ex0, ey0, ex1, ey1 = FMT._wkb_bbox(bytes(b))
+            out[i] = ex0 <= xmax and ex1 >= xmin and ey0 <= ymax and ey1 >= ymin
+        return pd.Series(out)
+
+    return F.pandas_udf(env_hit, "boolean")(F.col(geometry_col))
+
+
+def _walk_coords(obj, fn):
+    """Apply fn(ndarray Nx2)->ndarray to every coordinate array of a
+    GeoJSON geometry dict."""
+    kind = obj["type"]
+    c = obj["coordinates"]
+    if kind == "Point":
+        out = fn(np.asarray([c], dtype=np.float64))[0]
+        return {"type": kind, "coordinates": [float(out[0]), float(out[1])]}
+    if kind in ("LineString", "MultiPoint"):
+        return {"type": kind,
+                "coordinates": fn(np.asarray(c, np.float64)).tolist()}
+    if kind in ("Polygon", "MultiLineString"):
+        return {"type": kind,
+                "coordinates": [fn(np.asarray(r, np.float64)).tolist()
+                                for r in c]}
+    return {"type": kind,
+            "coordinates": [[fn(np.asarray(r, np.float64)).tolist()
+                             for r in rings] for rings in c]}
+
+
+def transform_geometry(df: DataFrame, t_srs, s_srs=None,
+                       geometry_col: str = "geometry") -> DataFrame:
+    """Reproject the geometry column s_srs → t_srs (default source:
+    geographic lon/lat). CRS objects are the engine's closed-form
+    projections (functions/srs.py) or WKT via ``crs_from_wkt`` — the
+    composed coordinate transformation of ogr2ogr.cpp:784-796, run as
+    numpy over whole Arrow batches."""
+    s = s_srs or SRS.Geographic()
+    t = t_srs
+    if isinstance(s, str):
+        s = SRS.crs_from_wkt(s)
+    if isinstance(t, str):
+        t = SRS.crs_from_wkt(t)
+    gi = df.schema.fieldNames().index(geometry_col)
+
+    def tx(arr: np.ndarray) -> np.ndarray:
+        lon, lat = s.inverse(arr[:, 0], arr[:, 1])
+        x, y = t.forward(lon, lat)
+        return np.column_stack([x, y])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for w in pdf.iloc[:, gi]:
+                if w is None:
+                    out.append(None)
+                    continue
+                d = FMT.geojson_geom_from_wkb(bytes(w))
+                out.append(bytearray(FMT.wkb_from_geojson_geom(
+                    _walk_coords(d, tx))))
+            pdf = pdf.copy()
+            pdf[geometry_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# ogr2ogr
+# ---------------------------------------------------------------------------
+
+def ogr2ogr(spark: SparkSession, src, dst: str | None = None, *,
+            layer: str | None = None, layer_name: str | None = None,
+            sql: str | None = None, where: str | None = None,
+            select: list[str] | None = None,
+            spat: tuple[float, float, float, float] | None = None,
+            s_srs=None, t_srs=None,
+            geometry_col: str = "geometry",
+            reader_opts: dict | None = None) -> DataFrame:
+    """The ogr2ogr pipeline. Stage order mirrors the app: open → -sql OR
+    (-where + -spat) → reproject → -select → write. Returns the final
+    DataFrame (also when ``dst`` is given, after writing)."""
+    df = read_vector(spark, src, layer=layer, **(reader_opts or {}))
+    if sql is not None:
+        eng = OGRSQLEngine(spark)
+        name = layer_name or (layer if layer else "src")
+        eng.register(name, df, geometry_col)
+        df = eng.execute_sql(sql)
+    else:
+        if where is not None:
+            df = df.filter(attribute_filter(df, where, geometry_col))
+        if spat is not None:
+            df = df.filter(spatial_filter(df, spat, geometry_col))
+    if t_srs is not None:
+        df = transform_geometry(df, t_srs, s_srs, geometry_col)
+    if select is not None:
+        keep = list(select)
+        if geometry_col in df.columns and geometry_col not in keep:
+            keep.append(geometry_col)
+        df = df.select(*keep)
+    if dst is not None:
+        write_vector(df, dst, layer=layer_name or "layer",
+                     geometry_col=geometry_col)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# gdal_translate
+# ---------------------------------------------------------------------------
+
+def gdal_translate(tiles: DataFrame, meta: RasterMeta, out_id: str, *,
+                   bands: list[int] | None = None,
+                   srcwin: tuple[int, int, int, int] | None = None,
+                   projwin: tuple[float, float, float, float] | None = None,
+                   outsize: tuple[int, int] | None = None,
+                   resample: str = "nearest",
+                   ot: str | None = None,
+                   scale: tuple[float, float, float, float] | None = None,
+                   ) -> tuple[DataFrame, RasterMeta]:
+    """gdal_translate over tile rows. ``projwin`` is (ulx, uly, lrx, lry)
+    in georeferenced coords (converted to a pixel window through the
+    inverse geotransform, as GDALTranslate does); ``scale`` is
+    (src_min, src_max, dst_min, dst_max) linear rescale with clipping.
+    Subset/resize executes as an affine warp (block-pruned source join);
+    no-op geometry requests degrade to pure narrow stages."""
+    if bands is not None:
+        tiles = tiles.filter(F.col("band").isin([int(b) for b in bands]))
+    g = meta.gt
+    if projwin is not None:
+        if srcwin is not None:
+            raise ValueError("give srcwin or projwin, not both")
+        ulx, uly, lrx, lry = projwin
+        x0 = (ulx - g[0]) / g[1]
+        y0 = (uly - g[3]) / g[5]
+        x1 = (lrx - g[0]) / g[1]
+        y1 = (lry - g[3]) / g[5]
+        srcwin = (int(math.floor(x0 + 0.001)), int(math.floor(y0 + 0.001)),
+                  int(math.ceil(x1 - x0 - 0.001)),
+                  int(math.ceil(y1 - y0 - 0.001)))
+    if srcwin is None:
+        srcwin = (0, 0, meta.width, meta.height)
+    xoff, yoff, xsize, ysize = srcwin
+    ow, oh = outsize if outsize is not None else (xsize, ysize)
+    odtype = ot or meta.dtype
+    out_gt = (g[0] + xoff * g[1], g[1] * xsize / ow, 0.0,
+              g[3] + yoff * g[5], 0.0, g[5] * ysize / oh)
+    dst_meta = replace(meta, raster_id=out_id, width=ow, height=oh,
+                       gt=out_gt, dtype=odtype)
+    needs_px = scale is not None or odtype != meta.dtype
+    geom_noop = (xoff, yoff, xsize, ysize, ow, oh) == (
+        0, 0, meta.width, meta.height, meta.width, meta.height)
+    if geom_noop:
+        out, cur_dtype = tiles, meta.dtype
+        if not needs_px:
+            return tiles.withColumn("raster_id", F.lit(out_id)), dst_meta
+    else:
+        # scale/cast follow the GDALTranslate order (rescale THEN cast):
+        # warp into float64 when pixel ops follow, narrow at the map stage
+        warp_meta = replace(dst_meta,
+                            dtype="float64" if needs_px else odtype)
+        out = RS.warp(tiles, meta, warp_meta, method=resample)
+        cur_dtype = warp_meta.dtype
+    if needs_px:
+        smin, smax, dmin, dmax = scale if scale is not None else (0, 1, 0, 1)
+
+        def fn(arr: np.ndarray) -> np.ndarray:
+            a = arr.astype(np.float64)
+            if scale is not None:
+                a = (a - smin) / (smax - smin) * (dmax - dmin) + dmin
+                a = np.clip(a, min(dmin, dmax), max(dmin, dmax))
+            if np.issubdtype(np.dtype(odtype), np.integer):
+                info = np.iinfo(odtype)
+                a = np.clip(np.round(a), info.min, info.max)
+            return a
+
+        out, _m = map_pixels(out, replace(dst_meta, dtype=cur_dtype),
+                             out_id, fn, out_dtype=odtype)
+    return out, dst_meta

@@ -256,6 +256,20 @@ def _spark_type(name: str, width: int = 0, prec: int = 0) -> str:
     raise ValueError(f"unsupported CAST type {name}")
 
 
+def attribute_filter(df: DataFrame, clause: str,
+                     geometry_col: str = "geometry") -> Column:
+    """``OGRLayer::SetAttributeFilter`` analog (ogrlayer.cpp:340): parse a
+    dialect WHERE clause (ci string ops, atoi promotion, special fields)
+    against one layer's schema and return the Catalyst predicate —
+    compiled once, pushed through Catalyst like any filter."""
+    p = _Parser.for_layer(df, geometry_col)
+    p.t = _lex(clause)
+    e = p.expr()
+    if p.peek()[0] != "end":
+        raise ValueError(f"trailing tokens in filter: {p.peek()}")
+    return e.col
+
+
 class _Parser:
     def __init__(self, engine: OGRSQLEngine, toks):
         self.eng = engine
@@ -264,6 +278,20 @@ class _Parser:
         self.tables: list[_Table] = []
         self.joined: DataFrame | None = None
         self._anon = 0
+
+    @classmethod
+    def for_layer(cls, df: DataFrame, geometry_col: str | None) -> "_Parser":
+        """Single-layer scope over the DataFrame's own column names (no
+        internal renaming) — the SetAttributeFilter entry path."""
+        p = cls.__new__(cls)
+        p.eng = None
+        p.t, p.i, p._anon = [], 0, 0
+        colmap = {c.lower(): c for c in df.columns}
+        kinds = {f.name: _kind_of(f.dataType) for f in df.schema.fields}
+        geom = geometry_col if geometry_col in df.columns else None
+        p.tables = [_Table("", "", colmap, kinds, geom, [])]
+        p.joined = df
+        return p
 
     # -- token helpers ------------------------------------------------------
 

@@ -3017,3 +3017,54 @@ ORACLE_OGRSQL_SUMMARY = (
 )
 
 QUERIES["ogrsql_summary"] = (q_ogrsql_summary, ORACLE_OGRSQL_SUMMARY)
+
+
+# ---------------------------------------------------------------------------
+# App pipelines: ogr2ogr + gdal_translate (gdal/apps parity, apps.py)
+# ---------------------------------------------------------------------------
+
+def q_ogr2ogr_pipeline(spark, sf_dir):
+    """ogr2ogr stage chain (-where + -spat + -select, ogr2ogr.cpp order):
+    dialect attribute filter, staged rectangle spatial filter, projection."""
+    from gdal_spark import apps as APP
+
+    out = APP.ogr2ogr(spark, PG.poly_fixture(spark),
+                      where="eas_id <= 173 AND prfedea LIKE '35043%'",
+                      spat=(35.0, 0.0, 65.0, 10.0),
+                      select=["fid", "eas_id", "prfedea"])
+    return out.select("fid", "eas_id", "prfedea").orderBy("fid")
+
+
+ORACLE_OGR2OGR = """
+WITH t(fid, eas_id, prfedea) AS (VALUES
+  (2, 171, '35043414'), (3, 173, '35043416'))
+SELECT fid, eas_id, prfedea FROM t ORDER BY fid
+"""
+
+QUERIES["ogr2ogr_pipeline"] = (q_ogr2ogr_pipeline, ORACLE_OGR2OGR)
+
+
+def q_translate_pipeline(spark, sf_dir):
+    """gdal_translate chain (-srcwin -outsize -ot -scale,
+    gdal_translate.cpp): windowed 2x-decimated nearest read, linear value
+    rescale 0..50 -> 0..100, float64 output — block-pruned warp + one
+    narrow map stage."""
+    from gdal_spark import apps as APP
+
+    a = _formula_a(spark)
+    out, om = APP.gdal_translate(a, MOS_META, "trans",
+                                 srcwin=(16, 8, 128, 64), outsize=(64, 32),
+                                 ot="float64", scale=(0, 50, 0.0, 100.0))
+    return RM.nonzero_pixels(out, om)
+
+
+ORACLE_TRANSLATE = """
+WITH d AS (SELECT dx, dy
+           FROM (SELECT unnest(generate_series(0, 63)) AS dx),
+                (SELECT unnest(generate_series(0, 31)) AS dy)),
+v AS (SELECT dx, dy,
+             ((2 * dx + 17) * 7 + (2 * dy + 9) * 13) % 50 + 1 AS c FROM d)
+SELECT dx AS px, dy AS py, CAST(c AS DOUBLE) * 2.0 AS val FROM v
+"""
+
+QUERIES["translate_pipeline"] = (q_translate_pipeline, ORACLE_TRANSLATE)

@@ -323,6 +323,8 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     nbx, nby = dst_meta.n_block_x, dst_meta.n_block_y
     snbx, snby = src_meta.n_block_x, src_meta.n_block_y
     dtype, out_id = dst_meta.dtype, dst_meta.raster_id
+    src_dtype = src_meta.dtype  # source blocks decode in THEIR dtype (may
+    # differ from dst: gdal_translate -ot / warp -ot dtype conversion)
     nodata = dst_meta.nodata if dst_meta.nodata is not None else 0.0
 
     spark = src_tiles.sparkSession
@@ -401,9 +403,9 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
         sy0 = max(int(pdf["sy0"].iloc[0] // sblock) * sblock, 0)
         sx1 = min((int(pdf["sx1"].iloc[0] // sblock) + 1) * sblock, sW)
         sy1 = min((int(pdf["sy1"].iloc[0] // sblock) + 1) * sblock, sH)
-        buf = np.zeros((sy1 - sy0, sx1 - sx0), dtype=dtype)
+        buf = np.zeros((sy1 - sy0, sx1 - sx0), dtype=src_dtype)
         for r in pdf.itertuples(index=False):
-            sub = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
+            sub = np.frombuffer(bytes(r.data), dtype=src_dtype).reshape(r.h, r.w)
             qx, qy = r.bx * sblock - sx0, r.by * sblock - sy0
             buf[qy:qy + r.h, qx:qx + r.w] = sub
         DX, DY = np.meshgrid(

@@ -1,0 +1,124 @@
+"""ogr2ogr / gdal_translate app pipelines (gdal/apps parity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdal_spark import apps as APP
+from gdal_spark.functions import geometry as G
+from gdal_spark.functions import srs as SRS
+from gdal_spark.raster import model as M
+from gdal_spark.sources import formats as FMT
+from gdal_spark.sources import polygons as PG
+
+
+def test_ogr2ogr_where_select(spark):
+    out = APP.ogr2ogr(
+        spark, PG.poly_fixture(spark),
+        where="eas_id < 170 AND prfedea LIKE '35043%'",
+        select=["fid", "eas_id"])
+    assert set(out.columns) == {"fid", "eas_id", "geometry"}
+    assert sorted(r["eas_id"] for r in out.collect()) == [158, 165, 166,
+                                                          168, 169]
+
+
+def test_ogr2ogr_spat(spark):
+    # squares sit at x = 20*fid .. 20*fid+10; the rect catches fids 2 and 3
+    out = APP.ogr2ogr(spark, PG.poly_fixture(spark), spat=(35, 0, 65, 10))
+    assert sorted(r["fid"] for r in out.collect()) == [2, 3]
+
+
+def test_ogr2ogr_sql(spark):
+    out = APP.ogr2ogr(
+        spark, PG.poly_fixture(spark), layer_name="poly",
+        sql="SELECT fid, eas_id FROM poly WHERE eas_id IN (158, 165)")
+    assert sorted(r["fid"] for r in out.collect()) == [7, 8]
+
+
+def test_ogr2ogr_convert_roundtrip(spark, tmp_path):
+    poly = PG.poly_fixture(spark)
+    gpkg = str(tmp_path / "out.gpkg")
+    APP.ogr2ogr(spark, poly, gpkg, layer_name="poly",
+                where="eas_id < 170")
+    back = APP.read_vector(spark, gpkg, layer="poly")
+    assert back.count() == 5
+    seq = str(tmp_path / "out.geojsonl")
+    APP.ogr2ogr(spark, poly, seq, select=["fid", "eas_id"])
+    assert FMT.read_geojson_seq(spark, seq).count() == 10
+
+
+def test_transform_geometry(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(G.encode_point(3.0, 50.0)))],
+        "fid long, geometry binary")
+    out = APP.transform_geometry(df, SRS.WebMercator())
+    x, y = G.decode_point(bytes(out.collect()[0]["geometry"]))
+    ex, ey = SRS.WebMercator().forward(np.array([3.0]), np.array([50.0]))
+    assert x == pytest.approx(float(ex[0])) and y == pytest.approx(float(ey[0]))
+    # round-trip back via s_srs
+    back = APP.transform_geometry(out, SRS.Geographic(),
+                                  s_srs=SRS.WebMercator())
+    lon, lat = G.decode_point(bytes(back.collect()[0]["geometry"]))
+    assert lon == pytest.approx(3.0) and lat == pytest.approx(50.0)
+
+
+@pytest.fixture(scope="module")
+def grad16(spark):
+    arr = (np.arange(256, dtype=np.uint8).reshape(16, 16))
+    meta = M.RasterMeta("g16", 16, 16, gt=(100.0, 2.0, 0.0, 400.0, 0.0, -2.0),
+                        dtype="uint8", block=8)
+    return M.from_array(spark, arr, meta), meta, arr
+
+
+def test_translate_srcwin(spark, grad16):
+    tiles, meta, arr = grad16
+    out, om = APP.gdal_translate(tiles, meta, "w1", srcwin=(4, 4, 8, 8))
+    assert (om.width, om.height) == (8, 8)
+    assert om.gt[0] == 100.0 + 4 * 2.0 and om.gt[3] == 400.0 - 4 * 2.0
+    got = M.to_array(out, om)
+    np.testing.assert_array_equal(got, arr[4:12, 4:12])
+
+
+def test_translate_projwin(spark, grad16):
+    tiles, meta, arr = grad16
+    # projwin equivalent of srcwin (4,4,8,8) through the geotransform
+    out, om = APP.gdal_translate(tiles, meta, "w2",
+                                 projwin=(108.0, 392.0, 124.0, 376.0))
+    np.testing.assert_array_equal(M.to_array(out, om), arr[4:12, 4:12])
+
+
+def test_translate_outsize_nearest(spark, grad16):
+    tiles, meta, arr = grad16
+    out, om = APP.gdal_translate(tiles, meta, "w3", srcwin=(4, 4, 8, 8),
+                                 outsize=(4, 4))
+    idx = (np.floor((np.arange(4) + 0.5) * 8 / 4).astype(int) + 4)
+    np.testing.assert_array_equal(M.to_array(out, om), arr[np.ix_(idx, idx)])
+
+
+def test_translate_scale_cast(spark, grad16):
+    tiles, meta, arr = grad16
+    out, om = APP.gdal_translate(tiles, meta, "w4", ot="float64",
+                                 scale=(0, 255, 0.0, 1.0))
+    assert om.dtype == "float64"
+    got = M.to_array(out, om, fill=np.nan)
+    np.testing.assert_allclose(got, arr.astype(np.float64) / 255.0)
+
+
+def test_translate_scale_with_resize(spark, grad16):
+    tiles, meta, arr = grad16
+    out, om = APP.gdal_translate(tiles, meta, "w5", srcwin=(0, 0, 16, 16),
+                                 outsize=(8, 8), ot="uint8",
+                                 scale=(0, 255, 0, 100))
+    idx = np.floor((np.arange(8) + 0.5) * 2).astype(int)
+    exp = np.clip(np.round(arr[np.ix_(idx, idx)].astype(float)
+                           / 255.0 * 100.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(M.to_array(out, om), exp)
+
+
+def test_translate_band_select(spark, grad16):
+    tiles, meta, arr = grad16
+    two = tiles.unionByName(
+        tiles.replace(0, 1, subset=["band"]))  # fake band 1 copy
+    out, om = APP.gdal_translate(two, meta, "w6", bands=[0])
+    assert out.select("band").distinct().count() == 1
