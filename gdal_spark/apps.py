@@ -288,3 +288,83 @@ def gdal_translate(tiles: DataFrame, meta: RasterMeta, out_id: str, *,
         out, _m = map_pixels(out, replace(dst_meta, dtype=cur_dtype),
                              out_id, fn, out_dtype=odtype)
     return out, dst_meta
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp
+# ---------------------------------------------------------------------------
+
+def _crs(v):
+    if v is None:
+        return SRS.Geographic()
+    if isinstance(v, str):
+        return SRS.crs_from_wkt(v)
+    return v
+
+
+def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
+             s_srs=None, t_srs=None, r: str = "nearest",
+             te: tuple[float, float, float, float] | None = None,
+             tr: tuple[float, float] | None = None,
+             ts: tuple[int, int] | None = None,
+             ot: str | None = None, et: float = 0.25,
+             cutline: bytes | None = None,
+             src_nodata: float | None = None,
+             dst_nodata: float | None = None,
+             ) -> tuple[DataFrame, RasterMeta]:
+    """The gdalwarp app (gdal/apps/gdalwarp.cpp): full reprojection
+    pipeline. Output grid inference follows the app exactly — without
+    ``-te``/``-tr``/``-ts`` the grid comes from ``suggested_warp_output``
+    (GDALSuggestedWarpOutput2); ``te`` overrides the extent, ``tr`` the
+    resolution, ``ts`` the size. The runtime transform is the composed
+    GenImgProjTransform chain (gdaltransformer.cpp:974) wrapped in the
+    coarse-lattice ApproxTransform at ``-et`` error (default 0.25 px,
+    gdaltransformer.cpp:3010); set ``et=0`` for the exact chain.
+    Execution is the engine's block-pruned distributed warp gather."""
+    s, t = _crs(s_srs), _crs(t_srs)
+    g = src_meta.gt
+
+    def dst_from_src(px, py):
+        x = g[0] + np.asarray(px, np.float64) * g[1] + np.asarray(py, np.float64) * g[2]
+        y = g[3] + np.asarray(px, np.float64) * g[4] + np.asarray(py, np.float64) * g[5]
+        lon, lat = s.inverse(x, y)
+        return t.forward(lon, lat)
+
+    suggested = None
+    if te is None or (tr is None and ts is None):
+        suggested = SRS.suggested_warp_output(src_meta.width,
+                                              src_meta.height, dst_from_src)
+    if te is not None:
+        xmin, ymin, xmax, ymax = (float(v) for v in te)
+    else:
+        sw, sh, sgt = suggested
+        xmin, xmax = sgt[0], sgt[0] + sw * sgt[1]
+        ymax, ymin = sgt[3], sgt[3] + sh * sgt[5]
+    if tr is not None:
+        xres, yres = (float(v) for v in tr)
+        width = max(1, int((xmax - xmin) / xres + 0.5))
+        height = max(1, int((ymax - ymin) / yres + 0.5))
+    elif ts is not None:
+        width, height = int(ts[0]), int(ts[1])
+        xres = (xmax - xmin) / width
+        yres = (ymax - ymin) / height
+    else:
+        sw, sh, sgt = suggested
+        if te is None:
+            width, height, xres, yres = sw, sh, sgt[1], -sgt[5]
+        else:
+            xres = yres = sgt[1]
+            width = max(1, int((xmax - xmin) / xres + 0.5))
+            height = max(1, int((ymax - ymin) / yres + 0.5))
+    dst_gt = (xmin, xres, 0.0, ymax, 0.0, -yres)
+    dst_meta = replace(src_meta, raster_id=out_id, width=width,
+                       height=height, gt=dst_gt, dtype=ot or src_meta.dtype,
+                       nodata=dst_nodata if dst_nodata is not None
+                       else src_meta.nodata)
+    exact = SRS.GenImgProjTransform(src_meta.gt, dst_gt,
+                                    src_crs=s, dst_crs=t)
+    src_from_dst = SRS.ApproxTransform(exact, max_err=et) if et else exact
+    out = RS.warp(tiles, src_meta, dst_meta, method=r,
+                  src_from_dst=src_from_dst, cutline=cutline,
+                  src_nodata=src_nodata)
+    return out, dst_meta

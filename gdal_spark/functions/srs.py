@@ -839,3 +839,48 @@ def sql_tm_inverse(e_expr: str, n_expr: str, lon0: float,
     lam = f"(atan2({sinh(eta_p)}, cos({xi_p})))"
     r2d = _d(180.0 / math.pi)
     return f"({_d(lon0)} + {lam} * {r2d})", f"({phi} * {r2d})"
+
+
+def suggested_warp_output(width: int, height: int, dst_from_src,
+                          n_pixel_step: int = 50
+                          ) -> tuple[int, int, tuple]:
+    """GDALSuggestedWarpOutput2 (gdal/alg/gdaltransformer.cpp:340-750):
+    infer the output grid of a warp. Samples the source edge at ~50-px
+    steps (20..100 steps per side, :365-368), forward-transforms to output
+    georeferenced coords, and takes the bounding box of the valid samples;
+    the square output pixel size is the transformed corner-diagonal
+    distance over the source pixel diagonal (:697-726), and the size
+    rounds with +0.5 (:744-745). Non-finite edge samples fall back to the
+    full interior sample grid (the detailed-grid path, :516-552); the
+    dichotomic discontinuity search and border-fit retries (:586,:760)
+    are unnecessary for the engine's continuous closed-form CRS family.
+
+    Returns (width, height, geotransform) of the suggested output."""
+    n_steps = int(min(width, height) / n_pixel_step + 0.5)
+    n_steps = max(20, min(100, n_steps))
+    r = np.arange(n_steps + 1, dtype=np.float64) / n_steps
+    zeros = np.zeros(n_steps + 1)
+    px = np.concatenate([r * width, r * width, zeros, zeros + width])
+    py = np.concatenate([zeros, zeros + height, r * height, r * height])
+    x, y = dst_from_src(px, py)
+    x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    ok = np.isfinite(x) & np.isfinite(y)
+    if not ok.all():
+        gx, gy = np.meshgrid(r * width, r * height)
+        x, y = dst_from_src(gx.ravel(), gy.ravel())
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        ok = np.isfinite(x) & np.isfinite(y)
+        if not ok.any():
+            raise ValueError("suggested_warp_output: transform failed on "
+                             "every sample point")
+    xmin = float(x[ok].min()); xmax = float(x[ok].max())
+    ymin = float(y[ok].min()); ymax = float(y[ok].max())
+    if ok[0] and ok[-1]:   # image-corner diagonal (:706-710)
+        dx, dy = float(x[-1] - x[0]), float(y[-1] - y[0])
+    else:
+        dx, dy = xmax - xmin, ymax - ymin
+    pixel_size = math.hypot(dx, dy) / math.hypot(width, height)
+    out_w = int((xmax - xmin) / pixel_size + 0.5)
+    out_h = int((ymax - ymin) / pixel_size + 0.5)
+    gt = (xmin, pixel_size, 0.0, ymax, 0.0, -pixel_size)
+    return out_w, out_h, gt

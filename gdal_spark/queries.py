@@ -3068,3 +3068,70 @@ SELECT dx AS px, dy AS py, CAST(c AS DOUBLE) * 2.0 AS val FROM v
 """
 
 QUERIES["translate_pipeline"] = (q_translate_pipeline, ORACLE_TRANSLATE)
+
+
+def _gdalwarp_meta():
+    import numpy as _np
+
+    from gdal_spark.functions import srs as _S
+    meta = RM.RasterMeta("geowarp", 128, 128,
+                         gt=(0.0, 0.25, 0.0, 32.0, 0.0, -0.25),
+                         dtype="uint8", block=64)
+
+    def dst_from_src(px, py):
+        lon = _np.asarray(px, _np.float64) * 0.25
+        lat = 32.0 - _np.asarray(py, _np.float64) * 0.25
+        return _S.WebMercator().forward(lon, lat)
+
+    w, h, gt = _S.suggested_warp_output(128, 128, dst_from_src)
+    return meta, w, h, gt
+
+
+GDALWARP_SRC, _GW_W, _GW_H, _GW_GT = _gdalwarp_meta()
+
+
+def q_gdalwarp_app(spark, sf_dir):
+    """gdalwarp app end-to-end (gdal/apps/gdalwarp.cpp): geographic →
+    WebMercator with the GDALSuggestedWarpOutput grid inference
+    (gdaltransformer.cpp:340) and the exact composed transform chain
+    (-et 0), nearest kernel, distributed block-pruned gather."""
+    from gdal_spark import apps as APP
+    from gdal_spark.functions import srs as _S
+
+    src = RM.synthetic_raster(spark, GDALWARP_SRC,
+                              lambda X, Y: (X * 7 + Y * 13) % 50 + 1)
+    out, om = APP.gdalwarp(src, GDALWARP_SRC, "gwapp",
+                           t_srs=_S.WebMercator(), et=0)
+    assert (om.width, om.height) == (_GW_W, _GW_H)
+    return RM.nonzero_pixels(out, om)
+
+
+def _oracle_gdalwarp() -> str:
+    import math as _math
+    xmin, ps, ymax = repr(_GW_GT[0]), repr(_GW_GT[1]), repr(_GW_GT[3])
+    r2d = repr(180.0 / _math.pi)
+    hpi = repr(_math.pi / 2.0)
+    # mirror the engine's float64 op order exactly: px→geo (xmin+(dx+.5)*ps),
+    # merc inverse (rad2deg via * 180/pi), geo→src px via the 2x2 inverse
+    # ((lon-0)*gt5)/det with det = gt1*gt5 = -0.0625 — powers of two, exact
+    return f"""
+WITH d AS (SELECT dx, dy
+           FROM (SELECT unnest(generate_series(0, {_GW_W - 1})) AS dx),
+                (SELECT unnest(generate_series(0, {_GW_H - 1})) AS dy)),
+geo AS (SELECT dx, dy, {xmin} + (dx + 0.5) * {ps} AS gx,
+               {ymax} - (dy + 0.5) * {ps} AS gy FROM d),
+ll AS (SELECT dx, dy, (gx / 6378137.0) * {r2d} AS lon,
+              (2.0 * atan(exp(gy / 6378137.0)) - {hpi}) * {r2d} AS lat
+       FROM geo),
+spx AS (SELECT dx, dy, ((lon - 0.0) * -0.25) / -0.0625 AS sxf,
+               ((lat - 32.0) * 0.25) / -0.0625 AS syf FROM ll),
+sel AS (SELECT dx, dy, CAST(trunc(sxf + 1e-10) AS BIGINT) AS isx,
+               CAST(trunc(syf + 1e-10) AS BIGINT) AS isy
+        FROM spx WHERE sxf >= 0 AND syf >= 0),
+res AS (SELECT dx, dy, (isx * 7 + isy * 13) % 50 + 1 AS v
+        FROM sel WHERE isx < 128 AND isy < 128)
+SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res
+"""
+
+
+QUERIES["gdalwarp_app"] = (q_gdalwarp_app, _oracle_gdalwarp())

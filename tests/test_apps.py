@@ -122,3 +122,69 @@ def test_translate_band_select(spark, grad16):
         tiles.replace(0, 1, subset=["band"]))  # fake band 1 copy
     out, om = APP.gdal_translate(two, meta, "w6", bands=[0])
     assert out.select("band").distinct().count() == 1
+
+
+def test_suggested_warp_output_identity():
+    def ident(px, py):
+        return np.asarray(px) * 0.5, 32.0 - np.asarray(py) * 0.5
+    w, h, gt = SRS.suggested_warp_output(64, 64, ident)
+    assert (w, h) == (64, 64)
+    assert gt == (0.0, 0.5, 0.0, 32.0, 0.0, -0.5)
+
+
+def test_gdalwarp_identity_window(spark, grad16):
+    tiles, meta, arr = grad16   # gt=(100,2,0,400,0,-2)
+    out, om = APP.gdalwarp(tiles, meta, "gw1",
+                           te=(108.0, 376.0, 124.0, 392.0), tr=(2.0, 2.0),
+                           et=0)
+    assert (om.width, om.height) == (8, 8)
+    np.testing.assert_array_equal(M.to_array(out, om), arr[4:12, 4:12])
+
+
+def test_gdalwarp_reproject_suggested(spark):
+    """Geographic → WebMercator with SuggestedWarpOutput grid: every dst
+    pixel must equal the local numpy twin of the same transform chain
+    (partitioning independence of the distributed gather)."""
+    meta = M.RasterMeta("geo64", 64, 64, gt=(0.0, 0.5, 0.0, 32.0, 0.0, -0.5),
+                        dtype="uint8", block=32)
+    arr = ((np.arange(64)[:, None] * 7 + np.arange(64)[None, :] * 13)
+           % 50 + 1).astype(np.uint8)
+    tiles = M.from_array(spark, arr, meta)
+    out, om = APP.gdalwarp(tiles, meta, "gw2", t_srs=SRS.WebMercator(), et=0)
+    got = M.to_array(out, om)
+    tr = SRS.GenImgProjTransform(meta.gt, om.gt, src_crs=SRS.Geographic(),
+                                 dst_crs=SRS.WebMercator())
+    DX, DY = np.meshgrid(np.arange(om.width) + 0.5,
+                         np.arange(om.height) + 0.5)
+    sx, sy = tr(DX, DY)
+    isx = np.trunc(sx + 1e-10).astype(int)
+    isy = np.trunc(sy + 1e-10).astype(int)
+    ok = (sx >= 0) & (sy >= 0) & (isx < 64) & (isy < 64)
+    exp = np.zeros_like(got)
+    exp[ok] = arr[isy[ok], isx[ok]]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_gdalwarp_approx_tolerance(spark):
+    """-et 0.25 lattice approximation stays within 1 px of the exact warp
+    on value-changing positions (the autotest maxdiff<=1 contract is on
+    values; nearest + smooth transform keeps assignments near-identical)."""
+    meta = M.RasterMeta("geo64b", 64, 64, gt=(0.0, 0.5, 0.0, 32.0, 0.0, -0.5),
+                        dtype="uint8", block=32)
+    arr = ((np.arange(64)[:, None] + np.arange(64)[None, :]) % 97).astype(np.uint8)
+    tiles = M.from_array(spark, arr, meta)
+    exact, om = APP.gdalwarp(tiles, meta, "gwE", t_srs=SRS.WebMercator(),
+                             et=0)
+    approx, om2 = APP.gdalwarp(tiles, meta, "gwA", t_srs=SRS.WebMercator(),
+                               et=0.25)
+    a = M.to_array(exact, om).astype(int)
+    b = M.to_array(approx, om2).astype(int)
+    # identical grids; the 0.25-px approx error may shift a nearest
+    # assignment by at most one pixel at lattice cell borders — every
+    # mismatching cell must hold a value from a's 3x3 neighborhood
+    assert (om.width, om.height) == (om2.width, om2.height)
+    mismatch = np.argwhere(a != b)
+    assert len(mismatch) < a.size * 0.05
+    pad = np.pad(a, 1, mode="edge")
+    for y, x in mismatch:
+        assert b[y, x] in pad[y:y + 3, x:x + 3]
