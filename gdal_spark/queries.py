@@ -3135,3 +3135,49 @@ SELECT dx AS px, dy AS py, CAST(v AS DOUBLE) AS val FROM res
 
 
 QUERIES["gdalwarp_app"] = (q_gdalwarp_app, _oracle_gdalwarp())
+
+
+def q_geotiff_roundtrip(spark, sf_dir):
+    """GeoTIFF codec round-trip (gdal/frmts/gtiff driver core re-expressed
+    from the TIFF 6.0 / GeoTIFF 1.1 specs): formula raster → tiled
+    uncompressed GeoTIFF bytes → parsed back → sparse pixel rows. The
+    whole encode/decode happens executor-side on Arrow batches."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from gdal_spark.raster import formats as _RF
+
+    a = _formula_a(spark).repartition(1)
+    block, W, H = MOS_META.block, MOS_META.width, MOS_META.height
+
+    def roundtrip(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = _np.zeros((H, W), dtype=MOS_META.dtype)
+            for r in pdf.itertuples(index=False):
+                sub = _np.frombuffer(bytes(r.data),
+                                     dtype=MOS_META.dtype).reshape(r.h, r.w)
+                arr[r.by * block:r.by * block + r.h,
+                    r.bx * block:r.bx * block + r.w] = sub
+            data = _RF.geotiff_bytes([arr], MOS_META)
+            bands, meta2 = _RF.parse_geotiff(data, "rt", block=block)
+            assert meta2.gt == MOS_META.gt and meta2.dtype == MOS_META.dtype
+            back = bands[0]
+            ys, xs = _np.nonzero(back)
+            yield _pd.DataFrame({"px": xs.astype("int64"),
+                                 "py": ys.astype("int64"),
+                                 "val": back[ys, xs].astype(_np.float64)})
+
+    return a.mapInPandas(roundtrip, "px long, py long, val double")
+
+
+ORACLE_GEOTIFF = f"""
+WITH {_PIXGRID}
+SELECT px, py, CAST({_V_A} AS DOUBLE) AS val FROM g
+WHERE {_V_A} != 0
+"""
+
+QUERIES["geotiff_roundtrip"] = (q_geotiff_roundtrip, ORACLE_GEOTIFF)

@@ -1,0 +1,450 @@
+"""Raster file formats re-expressed Spark-first: GeoTIFF (uncompressed
+baseline TIFF + GeoTIFF georeferencing tags) and Arc/Info ASCII Grid.
+
+Reference drivers (semantics only — parsing is re-implemented from the
+public format specifications: the TIFF 6.0 specification, the GeoTIFF
+1.1 OGC standard, and the ESRI ASCII-grid header layout):
+
+- GeoTIFF: gdal/frmts/gtiff/geotiff.cpp (the reference's flagship
+  driver). Scope here is the interchange core: Compression=1 (none),
+  strip- and tile-organized files, PlanarConfiguration=2 band planes,
+  uint8/16/32, int16/32, float32/64, ModelPixelScale + ModelTiepoint
+  georeferencing, GDAL_NODATA tag. Compressed TIFFs raise a clear error
+  (codec libraries are out of scope in this environment).
+- AAIGrid: gdal/frmts/aaigrid/aaigriddataset.cpp (ncols/nrows/xllcorner/
+  cellsize/NODATA_value header + whitespace floats).
+
+Scale model
+-----------
+A .tif is one artifact: the unit of read parallelism is the FILE (one
+Arrow task per file via ``binaryFile``; a 100 TB collection is millions
+of files scanning in parallel). Inside a task the pixel payload moves
+through numpy slicing only. The writer is a single-artifact sink (like
+the GeoPackage writer): tile offsets are computed up front from the
+fixed uncompressed tile size and block rows stream to the file via
+``toLocalIterator`` — one partition in memory at a time, never a full
+collect. AAIGrid reads split by LINE RANGE (plain text source), so one
+huge grid parallelizes across tasks.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.raster.model import TILE_SCHEMA, RasterMeta
+
+# dtype <-> (BitsPerSample, SampleFormat): 1=unsigned, 2=signed, 3=float
+_DTYPES = {"uint8": (8, 1), "uint16": (16, 1), "uint32": (32, 1),
+           "int16": (16, 2), "int32": (32, 2),
+           "float32": (32, 3), "float64": (64, 3)}
+_BACK = {v: k for k, v in _DTYPES.items()}
+
+_SHORT, _LONG, _ASCII, _DOUBLE = 3, 4, 2, 12
+_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8}
+
+
+def _entries_bytes(entries: list[tuple[int, int, bytes, int]],
+                   data_start: int) -> tuple[bytes, bytes]:
+    """Pack IFD entries (tag, type, payload bytes, count); payloads over
+    4 bytes go to the external data area starting at ``data_start``."""
+    entries = sorted(entries)
+    ifd, ext = [], b""
+    for tag, typ, payload, count in entries:
+        if len(payload) <= 4:
+            val = payload.ljust(4, b"\x00")
+        else:
+            val = struct.pack("<I", data_start + len(ext))
+            ext += payload + (b"\x00" if len(payload) % 2 else b"")
+        ifd.append(struct.pack("<HHI", tag, typ, count) + val)
+    return b"".join(ifd), ext
+
+
+def geotiff_bytes(bands: list[np.ndarray], meta: RasterMeta) -> bytes:
+    """Arrays → one tiled uncompressed GeoTIFF (little-endian, planar
+    band organization, tile size = ``meta.block``; edge tiles are padded
+    to the full tile size per the TIFF 6.0 tile rules)."""
+    nb = len(bands)
+    H, W = bands[0].shape
+    tw = th = meta.block
+    bits, sfmt = _DTYPES[meta.dtype]
+    bpp = bits // 8
+    ntx, nty = (W + tw - 1) // tw, (H + th - 1) // th
+    ntiles = ntx * nty * nb
+    tile_bytes = tw * th * bpp
+
+    entries = [
+        (256, _LONG, struct.pack("<I", W), 1),
+        (257, _LONG, struct.pack("<I", H), 1),
+        (258, _SHORT, struct.pack(f"<{nb}H", *([bits] * nb)), nb),
+        (259, _SHORT, struct.pack("<H", 1), 1),
+        (262, _SHORT, struct.pack("<H", 1), 1),
+        (277, _SHORT, struct.pack("<H", nb), 1),
+        (322, _SHORT, struct.pack("<H", tw), 1),
+        (323, _SHORT, struct.pack("<H", th), 1),
+        (325, _LONG, struct.pack(f"<{ntiles}I", *([tile_bytes] * ntiles)),
+         ntiles),
+        (339, _SHORT, struct.pack(f"<{nb}H", *([sfmt] * nb)), nb),
+        (33550, _DOUBLE, struct.pack("<3d", meta.gt[1], -meta.gt[5], 0.0), 3),
+        (33922, _DOUBLE,
+         struct.pack("<6d", 0.0, 0.0, 0.0, meta.gt[0], meta.gt[3], 0.0), 6),
+        # minimal GeoKey directory: model type = geographic
+        (34735, _SHORT, struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 2), 8),
+    ]
+    if nb > 1:
+        entries.append((284, _SHORT, struct.pack("<H", 2), 1))
+    if meta.nodata is not None:
+        nd = f"{meta.nodata:g}".encode("ascii") + b"\x00"
+        entries.append((42113, _ASCII, nd, len(nd)))
+    n_entries = len(entries) + 1  # + TileOffsets below
+
+    # layout: header(8) | count(2) IFD next(4) | external | tiles
+    ifd_size = 2 + 12 * n_entries + 4
+    probe_ifd, probe_ext = _entries_bytes(
+        entries + [(324, _LONG, struct.pack(f"<{ntiles}I", *([0] * ntiles)),
+                    ntiles)], 8 + ifd_size)
+    data_start = 8 + ifd_size + len(probe_ext)
+    offsets = [data_start + i * tile_bytes for i in range(ntiles)]
+    entries.append((324, _LONG, struct.pack(f"<{ntiles}I", *offsets), ntiles))
+    ifd, ext = _entries_bytes(entries, 8 + ifd_size)
+
+    out = [struct.pack("<2sHI", b"II", 42, 8),
+           struct.pack("<H", n_entries), ifd, struct.pack("<I", 0), ext]
+    for b in bands:
+        for ty in range(nty):
+            for tx in range(ntx):
+                tile = np.zeros((th, tw), dtype=meta.dtype)
+                sub = b[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                tile[:sub.shape[0], :sub.shape[1]] = sub
+                out.append(tile.astype(np.dtype(meta.dtype).newbyteorder("<")).tobytes())
+    return b"".join(out)
+
+
+def _read_ifd(data: bytes) -> tuple[dict, str]:
+    if data[:2] == b"II":
+        en = "<"
+    elif data[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, ifd_off = struct.unpack_from(en + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    (count,) = struct.unpack_from(en + "H", data, ifd_off)
+    tags: dict[int, tuple] = {}
+    for i in range(count):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, n = struct.unpack_from(en + "HHI", data, off)
+        size = _TYPE_SIZE.get(typ, 1) * n
+        if size <= 4:
+            payload = data[off + 8:off + 8 + size]
+        else:
+            (doff,) = struct.unpack_from(en + "I", data, off + 8)
+            payload = data[doff:doff + size]
+        if typ == _SHORT:
+            vals = struct.unpack(en + f"{n}H", payload)
+        elif typ == _LONG:
+            vals = struct.unpack(en + f"{n}I", payload)
+        elif typ == _DOUBLE:
+            vals = struct.unpack(en + f"{n}d", payload)
+        elif typ == _ASCII:
+            vals = (payload.rstrip(b"\x00").decode("ascii", "replace"),)
+        else:
+            vals = (payload,)
+        tags[tag] = vals
+    return tags, en
+
+
+def parse_geotiff(data: bytes, raster_id: str = "tif",
+                  block: int = 256) -> tuple[list[np.ndarray], RasterMeta]:
+    """One GeoTIFF payload → (band arrays, RasterMeta). Uncompressed
+    strip- and tile-organized classic TIFFs, little- or big-endian."""
+    tags, en = _read_ifd(data)
+    if tags.get(259, (1,))[0] != 1:
+        raise ValueError(f"compressed TIFF (Compression="
+                         f"{tags[259][0]}) unsupported: no codec libraries "
+                         "in this environment")
+    W, H = int(tags[256][0]), int(tags[257][0])
+    nb = int(tags.get(277, (1,))[0])
+    bits = int(tags[258][0])
+    sfmt = int(tags.get(339, (1,))[0])
+    dtype = _BACK[(bits, sfmt)]
+    bpp = bits // 8
+    planar = int(tags.get(284, (1,))[0])
+    np_dt = np.dtype(dtype).newbyteorder(en)
+    bands = [np.zeros((H, W), dtype=dtype) for _ in range(nb)]
+
+    if 322 in tags:  # tiled
+        tw, th = int(tags[322][0]), int(tags[323][0])
+        ntx, nty = (W + tw - 1) // tw, (H + th - 1) // th
+        offs = tags[324]
+        per_band = ntx * nty
+        for i, off in enumerate(offs):
+            if planar == 2 or nb == 1:
+                bi, ti = divmod(i, per_band)
+                tile = np.frombuffer(data, dtype=np_dt, count=tw * th,
+                                     offset=off).reshape(th, tw)
+                tiles_of = [(bi, tile)]
+            else:  # chunky: samples interleaved within the tile
+                ti = i
+                raw = np.frombuffer(data, dtype=np_dt, count=tw * th * nb,
+                                    offset=off).reshape(th, tw, nb)
+                tiles_of = [(b, raw[:, :, b]) for b in range(nb)]
+            ty, tx = divmod(ti, ntx)
+            h = min(th, H - ty * th)
+            w = min(tw, W - tx * tw)
+            for bi, tile in tiles_of:
+                bands[bi][ty * th:ty * th + h,
+                          tx * tw:tx * tw + w] = tile[:h, :w]
+    else:  # strips
+        rps = int(tags.get(278, (H,))[0])
+        offs = tags[273]
+        nstrips = (H + rps - 1) // rps
+        for i, off in enumerate(offs):
+            if planar == 2 and nb > 1:
+                bi, si = divmod(i, nstrips)
+            else:
+                bi, si = 0, i
+            h = min(rps, H - si * rps)
+            if planar != 2 and nb > 1:
+                raw = np.frombuffer(data, dtype=np_dt, count=h * W * nb,
+                                    offset=off).reshape(h, W, nb)
+                for b in range(nb):
+                    bands[b][si * rps:si * rps + h] = raw[:, :, b]
+            else:
+                bands[bi][si * rps:si * rps + h] = np.frombuffer(
+                    data, dtype=np_dt, count=h * W,
+                    offset=off).reshape(h, W)
+
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    if 33550 in tags and 33922 in tags:
+        sx, sy = tags[33550][0], tags[33550][1]
+        i, j, _k, x, y, _z = tags[33922][:6]
+        gt = (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
+    nodata = None
+    if 42113 in tags:
+        try:
+            nodata = float(tags[42113][0])
+        except ValueError:
+            pass
+    meta = RasterMeta(raster_id, W, H, gt=gt, dtype=dtype, nodata=nodata,
+                      block=block)
+    return bands, meta
+
+
+def geotiff_meta(path: str, block: int = 256) -> RasterMeta:
+    """Driver-side header read (IFD only) → RasterMeta, no pixel I/O."""
+    import os
+
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)
+    tags, _en = _read_ifd(head)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    W, H = int(tags[256][0]), int(tags[257][0])
+    bits = int(tags[258][0])
+    sfmt = int(tags.get(339, (1,))[0])
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    if 33550 in tags and 33922 in tags:
+        sx, sy = tags[33550][0], tags[33550][1]
+        i, j, _k, x, y, _z = tags[33922][:6]
+        gt = (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
+    nodata = float(tags[42113][0]) if 42113 in tags else None
+    return RasterMeta(stem, W, H, gt=gt, dtype=_BACK[(bits, sfmt)],
+                      nodata=nodata, block=block)
+
+
+def read_geotiff(spark: SparkSession, path_glob: str,
+                 block: int = 256) -> DataFrame:
+    """Distributed GeoTIFF scan: one task per FILE (binaryFile), each
+    parsing its payload to standard block rows; raster_id = file stem so
+    a directory of tiles mosaics with the engine's mosaic operator."""
+    files = spark.read.format("binaryFile").load(path_glob) \
+        .select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        for pdf in batches:
+            rows = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                stem = os.path.splitext(os.path.basename(p))[0]
+                bands, meta = parse_geotiff(bytes(c), stem, block)
+                for bi, arr in enumerate(bands):
+                    for by in range(meta.n_block_y):
+                        for bx in range(meta.n_block_x):
+                            sub = np.ascontiguousarray(
+                                arr[by * block:(by + 1) * block,
+                                    bx * block:(bx + 1) * block])
+                            rows.append((stem, bi, bx, by, sub.shape[1],
+                                         sub.shape[0], sub.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA])
+
+    return files.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
+                  bands: int = 1) -> int:
+    """Single-artifact GeoTIFF sink: a .tif is one file, so block rows
+    stream to the driver (``toLocalIterator``, one partition in memory at
+    a time) and land at offsets precomputed from the fixed uncompressed
+    tile size — the write is O(1) memory in raster size. TIFF tile grid =
+    the engine's block grid, zero re-chunking. For distributed output
+    write one .tif per partition-of-rasters instead (file-per-artifact,
+    as the XYZ tile sink does)."""
+    tw = th = meta.block
+    bits, sfmt = _DTYPES[meta.dtype]
+    bpp = bits // 8
+    W, H = meta.width, meta.height
+    ntx, nty = meta.n_block_x, meta.n_block_y
+    ntiles = ntx * nty * bands
+    tile_bytes = tw * th * bpp
+
+    entries = [
+        (256, _LONG, struct.pack("<I", W), 1),
+        (257, _LONG, struct.pack("<I", H), 1),
+        (258, _SHORT, struct.pack(f"<{bands}H", *([bits] * bands)), bands),
+        (259, _SHORT, struct.pack("<H", 1), 1),
+        (262, _SHORT, struct.pack("<H", 1), 1),
+        (277, _SHORT, struct.pack("<H", bands), 1),
+        (322, _SHORT, struct.pack("<H", tw), 1),
+        (323, _SHORT, struct.pack("<H", th), 1),
+        (325, _LONG, struct.pack(f"<{ntiles}I", *([tile_bytes] * ntiles)),
+         ntiles),
+        (339, _SHORT, struct.pack(f"<{bands}H", *([sfmt] * bands)), bands),
+        (33550, _DOUBLE, struct.pack("<3d", meta.gt[1], -meta.gt[5], 0.0), 3),
+        (33922, _DOUBLE,
+         struct.pack("<6d", 0.0, 0.0, 0.0, meta.gt[0], meta.gt[3], 0.0), 6),
+        (34735, _SHORT, struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 2), 8),
+    ]
+    if bands > 1:
+        entries.append((284, _SHORT, struct.pack("<H", 2), 1))
+    if meta.nodata is not None:
+        nd = f"{meta.nodata:g}".encode("ascii") + b"\x00"
+        entries.append((42113, _ASCII, nd, len(nd)))
+    n_entries = len(entries) + 1
+    ifd_size = 2 + 12 * n_entries + 4
+    probe_ifd, probe_ext = _entries_bytes(
+        entries + [(324, _LONG,
+                    struct.pack(f"<{ntiles}I", *([0] * ntiles)), ntiles)],
+        8 + ifd_size)
+    data_start = 8 + ifd_size + len(probe_ext)
+    offsets = [data_start + i * tile_bytes for i in range(ntiles)]
+    entries.append((324, _LONG, struct.pack(f"<{ntiles}I", *offsets), ntiles))
+    ifd, ext = _entries_bytes(entries, 8 + ifd_size)
+
+    per_band = ntx * nty
+    n = 0
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<2sHI", b"II", 42, 8))
+        fh.write(struct.pack("<H", n_entries) + ifd + struct.pack("<I", 0))
+        fh.write(ext)
+        fh.truncate(data_start + ntiles * tile_bytes)  # zero-fill = nodata 0
+        for row in tiles.toLocalIterator():
+            if row["band"] >= bands:
+                continue
+            idx = row["band"] * per_band + row["by"] * ntx + row["bx"]
+            tile = np.zeros((th, tw), dtype=meta.dtype)
+            sub = np.frombuffer(bytes(row["data"]),
+                                dtype=meta.dtype).reshape(row["h"], row["w"])
+            tile[:row["h"], :row["w"]] = sub
+            fh.seek(data_start + idx * tile_bytes)
+            fh.write(tile.astype(np.dtype(meta.dtype).newbyteorder("<")).tobytes())
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Arc/Info ASCII Grid (gdal/frmts/aaigrid/aaigriddataset.cpp layout)
+# ---------------------------------------------------------------------------
+
+def write_aaigrid(arr: np.ndarray, meta: RasterMeta, path: str) -> None:
+    H, W = arr.shape
+    cell = meta.gt[1]
+    yll = meta.gt[3] + H * meta.gt[5]
+    with open(path, "w") as fh:
+        fh.write(f"ncols {W}\nnrows {H}\n"
+                 f"xllcorner {meta.gt[0]:.10g}\nyllcorner {yll:.10g}\n"
+                 f"cellsize {cell:.10g}\n")
+        if meta.nodata is not None:
+            fh.write(f"NODATA_value {meta.nodata:g}\n")
+        for row in arr:
+            fh.write(" ".join(f"{v:.10g}" for v in row) + "\n")
+
+
+def read_aaigrid(spark: SparkSession, path: str, raster_id: str = "aai",
+                 dtype: str = "float64",
+                 block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Distributed ASCII-grid read: the driver reads only the small
+    header; data lines split by byte range (Spark text source) and each
+    task emits full-width row strips re-keyed to the block grid by a
+    single shuffle on (bx, by) — one huge .asc parallelizes, unlike the
+    reference's sequential scan."""
+    header: dict[str, float] = {}
+    n_header = 0
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) == 2 and parts[0].lower() in (
+                    "ncols", "nrows", "xllcorner", "yllcorner", "cellsize",
+                    "nodata_value"):
+                header[parts[0].lower()] = float(parts[1])
+                n_header += 1
+            else:
+                break
+    W, H = int(header["ncols"]), int(header["nrows"])
+    cell = header["cellsize"]
+    gt = (header["xllcorner"], cell, 0.0,
+          header["yllcorner"] + H * cell, 0.0, -cell)
+    meta = RasterMeta(raster_id, W, H, gt=gt, dtype=dtype,
+                      nodata=header.get("nodata_value"), block=block)
+
+    lines = (spark.read.text(path)
+             .select(F.trim("value").alias("v"))
+             .filter(F.length("v") > 0)
+             .filter(~F.col("v").rlike(
+                 r"(?i)^(ncols|nrows|xllcorner|yllcorner|cellsize|"
+                 r"nodata_value)\s")))
+    # line order = row order: key rows by a monotonic index per the text
+    # source's split ordering (zipWithIndex semantics via a window-free
+    # monotonically increasing id is NOT order-stable across splits, so
+    # use the RDD zipWithIndex which is)
+    rdd = lines.rdd.map(lambda r: r["v"]).zipWithIndex()
+    row_df = spark.createDataFrame(rdd, "v string, py long")
+
+    def to_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for v, py in zip(pdf["v"], pdf["py"]):
+                vals = np.array(v.split(), dtype=np.float64).astype(dtype)
+                for bx in range(meta.n_block_x):
+                    sub = vals[bx * block:(bx + 1) * block]
+                    rows.append((raster_id, 0, bx, int(py) // block,
+                                 len(sub), 1, int(py),
+                                 sub.tobytes()))
+            yield pd.DataFrame(rows, columns=["raster_id", "band", "bx",
+                                              "by", "w", "h", "py", "data"])
+
+    strip_schema = ("raster_id string, band int, bx int, by int, "
+                    "w int, h int, py long, data binary")
+    strips = row_df.mapInPandas(to_blocks, schema=strip_schema)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bx, by = int(key[0]), int(key[1])
+        w = int(pdf["w"].iloc[0])
+        h = min(block, H - by * block)
+        out = np.zeros((h, w), dtype=dtype)
+        for r in pdf.itertuples(index=False):
+            out[int(r.py) - by * block] = np.frombuffer(bytes(r.data),
+                                                        dtype=dtype)
+        return pd.DataFrame([(raster_id, 0, bx, by, w, h, out.tobytes())],
+                            columns=[f.name for f in TILE_SCHEMA])
+
+    tiles = strips.groupBy("bx", "by").applyInPandas(merge,
+                                                     schema=TILE_SCHEMA)
+    return tiles, meta
