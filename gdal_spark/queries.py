@@ -3181,3 +3181,48 @@ WHERE {_V_A} != 0
 """
 
 QUERIES["geotiff_roundtrip"] = (q_geotiff_roundtrip, ORACLE_GEOTIFF)
+
+
+def q_vrt_compose(spark, sf_dir):
+    """VRT lifecycle end-to-end (gdal/frmts/vrt + gdalbuildvrt): write two
+    overlapping formula GeoTIFFs, build a .vrt of their union grid, read
+    it back as a lazy plan, materialize sparse pixels. Last-on-top over
+    the 8-px overlap, nodata background — the gdalbuildvrt contract."""
+    import os as _os
+
+    import numpy as _np
+
+    from gdal_spark.raster import vrt as _V
+
+    d = "/tmp/gdal_spark_vrtq"
+    _os.makedirs(d, exist_ok=True)
+    ya, xa = _np.mgrid[0:32, 0:40]
+    a = ((xa * 7 + ya * 13) % 50 + 1).astype(_np.uint8)
+    yb, xb = _np.mgrid[0:32, 0:32]
+    b = ((xb * 3 + yb * 5) % 40 + 1).astype(_np.uint8)
+    ma = RM.RasterMeta("va", 40, 32, gt=(0.0, 1.0, 0.0, 32.0, 0.0, -1.0),
+                       dtype="uint8", nodata=0.0, block=16)
+    mb = RM.RasterMeta("vb", 32, 32, gt=(32.0, 1.0, 0.0, 32.0, 0.0, -1.0),
+                       dtype="uint8", nodata=0.0, block=16)
+    from gdal_spark.raster import formats as _RF_
+
+    _RF_.write_geotiff(RM.from_array(spark, a, ma), ma, f"{d}/va.tif")
+    _RF_.write_geotiff(RM.from_array(spark, b, mb), mb, f"{d}/vb.tif")
+    _V.build_vrt([f"{d}/va.tif", f"{d}/vb.tif"], f"{d}/u.vrt", block=16)
+    tiles, meta = _V.read_vrt(spark, f"{d}/u.vrt", block=16)
+    assert (meta.width, meta.height) == (64, 32)
+    return RM.nonzero_pixels(tiles, meta)
+
+
+ORACLE_VRT = """
+WITH g AS (SELECT px, py
+           FROM (SELECT unnest(generate_series(0, 63)) AS px),
+                (SELECT unnest(generate_series(0, 31)) AS py)),
+v AS (SELECT px, py,
+             CASE WHEN px >= 32 THEN ((px - 32) * 3 + py * 5) % 40 + 1
+                  ELSE (px * 7 + py * 13) % 50 + 1 END AS c
+      FROM g)
+SELECT px, py, CAST(c AS DOUBLE) AS val FROM v WHERE c != 0
+"""
+
+QUERIES["vrt_compose"] = (q_vrt_compose, ORACLE_VRT)

@@ -1,0 +1,182 @@
+"""VRT: GDAL's XML-declared lazy raster composition, mapped onto the
+engine's native lazy form — the DataFrame plan.
+
+The reference's VRT driver (gdal/frmts/vrt/vrtdataset.h:362-848)
+describes a dataset as unevaluated sources over other datasets — the
+closest thing GDAL has to a logical plan (SURVEY.md §1.1). Here a .vrt
+parses directly INTO a logical plan: each SimpleSource/ComplexSource
+becomes a block-pruned warp of the source GeoTIFF onto the VRT grid
+(clipped to its DstRect via the cutline mask), sources compose with the
+last-on-top nodata-aware mosaic overlay, and nothing materializes until
+an action — exactly the VRT contract, with Catalyst as the evaluator.
+
+Supported surface (the gdalbuildvrt output shape): VRTDataset size +
+GeoTransform, VRTRasterBand dataType/NoDataValue, SimpleSource and
+ComplexSource (ScaleRatio/ScaleOffset, vrtsources.cpp ComplexSource
+scaling) with SourceFilename (relativeToVRT), SourceBand, SrcRect and
+DstRect windows. Source files are the engine's raster formats (.tif,
+.asc). Nested VRT sources, KernelFilteredSource and pixel functions are
+out of scope here — pixel functions exist as ``raster.algebra``
+DataFrame transforms, which is the idiomatic Spark spelling.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, replace
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import geometry as G
+from gdal_spark.raster import formats as RF
+from gdal_spark.raster import resample as RS
+from gdal_spark.raster.algebra import map_pixels
+from gdal_spark.raster.model import RasterMeta
+from gdal_spark.raster.mosaic import mosaic
+
+_DT_MAP = {"Byte": "uint8", "UInt16": "uint16", "Int16": "int16",
+           "UInt32": "uint32", "Int32": "int32",
+           "Float32": "float32", "Float64": "float64"}
+_DT_BACK = {v: k for k, v in _DT_MAP.items()}
+
+
+@dataclass(frozen=True)
+class _RectAffine:
+    """Picklable VRT-pixel → source-pixel map of one Simple/ComplexSource:
+    src = src_off + (dst - dst_off) * src_size/dst_size (the
+    vrtsources.cpp window mapping)."""
+    sx_off: float
+    sy_off: float
+    dx_off: float
+    dy_off: float
+    rx: float
+    ry: float
+
+    def __call__(self, px, py):
+        px = np.asarray(px, np.float64)
+        py = np.asarray(py, np.float64)
+        return (self.sx_off + (px - self.dx_off) * self.rx,
+                self.sy_off + (py - self.dy_off) * self.ry)
+
+
+def _rect(el, default) -> tuple[float, float, float, float]:
+    if el is None:
+        return default
+    return (float(el.get("xOff", 0)), float(el.get("yOff", 0)),
+            float(el.get("xSize")), float(el.get("ySize")))
+
+
+def read_vrt(spark: SparkSession, path: str, block: int = 256
+             ) -> tuple[DataFrame, RasterMeta]:
+    """Parse a .vrt into a lazy tile-row plan + RasterMeta."""
+    root = ET.parse(path).getroot()
+    W = int(root.get("rasterXSize"))
+    H = int(root.get("rasterYSize"))
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    gt_el = root.find("GeoTransform")
+    if gt_el is not None:
+        gt = tuple(float(v) for v in gt_el.text.split(","))
+    stem = os.path.splitext(os.path.basename(path))[0]
+    base = os.path.dirname(os.path.abspath(path))
+
+    inputs: list[tuple[DataFrame, RasterMeta]] = []
+    vrt_dtype, vrt_nodata = "uint8", None
+    for bi, band_el in enumerate(root.findall("VRTRasterBand")):
+        vrt_dtype = _DT_MAP.get(band_el.get("dataType", "Byte"), "uint8")
+        nd_el = band_el.find("NoDataValue")
+        if nd_el is not None:
+            vrt_nodata = float(nd_el.text)
+        vrt_meta = RasterMeta(stem, W, H, gt=gt, dtype=vrt_dtype,
+                              nodata=vrt_nodata, block=block)
+        for src_el in list(band_el):
+            if src_el.tag not in ("SimpleSource", "ComplexSource"):
+                continue
+            fn_el = src_el.find("SourceFilename")
+            fn = fn_el.text.strip()
+            if fn_el.get("relativeToVRT", "0") == "1":
+                fn = os.path.join(base, fn)
+            sb = int(src_el.findtext("SourceBand", "1")) - 1
+            if fn.lower().endswith(".asc"):
+                src_tiles, src_meta = RF.read_aaigrid(
+                    spark, fn, raster_id=os.path.basename(fn), block=block)
+            else:
+                src_meta = RF.geotiff_meta(fn, block=block)
+                src_tiles = RF.read_geotiff(spark, fn, block=block)
+            src_tiles = src_tiles.filter(F.col("band") == sb)
+            srect = _rect(src_el.find("SrcRect"),
+                          (0, 0, src_meta.width, src_meta.height))
+            drect = _rect(src_el.find("DstRect"), (0, 0, W, H))
+            tr = _RectAffine(srect[0], srect[1], drect[0], drect[1],
+                             srect[2] / drect[2], srect[3] / drect[3])
+            # clip to DstRect: cutline rectangle in VRT georeferenced
+            # coords (pixel-center containment = the source window rule)
+            x0 = gt[0] + drect[0] * gt[1]
+            x1 = gt[0] + (drect[0] + drect[2]) * gt[1]
+            y0 = gt[3] + (drect[1] + drect[3]) * gt[5]
+            y1 = gt[3] + drect[1] * gt[5]
+            cut = G.encode_polygon([np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])
+            warped = RS.warp(src_tiles, src_meta,
+                             replace(vrt_meta, raster_id=f"{stem}_s"),
+                             method="nearest", src_from_dst=tr, cutline=cut)
+            warped = warped.withColumn("band", F.lit(bi))
+            ratio = float(src_el.findtext("ScaleRatio", "1"))
+            offset = float(src_el.findtext("ScaleOffset", "0"))
+            if src_el.tag == "ComplexSource" and (ratio != 1 or offset != 0):
+                warped, _ = map_pixels(
+                    warped, vrt_meta, f"{stem}_s",
+                    lambda a, _r=ratio, _o=offset: a * _r + _o)
+            inputs.append((warped, vrt_meta))
+    if not inputs:
+        raise ValueError("VRT has no sources")
+    return mosaic(inputs, stem, nodata=vrt_nodata)
+
+
+def build_vrt(paths: list[str], out_path: str, block: int = 256) -> RasterMeta:
+    """gdalbuildvrt (gdal/apps/gdalbuildvrt.cpp): compute the union grid
+    of the input GeoTIFFs from their headers only (no pixel I/O), and
+    write a .vrt whose band composes one SimpleSource per input in
+    argument order (last on top). All inputs must share pixel size and
+    dtype, as gdalbuildvrt requires without -resolution."""
+    metas = [RF.geotiff_meta(p, block=block) for p in paths]
+    ps_x, ps_y = metas[0].gt[1], metas[0].gt[5]
+    dtype = metas[0].dtype
+    for m in metas[1:]:
+        if (m.gt[1], m.gt[5]) != (ps_x, ps_y) or m.dtype != dtype:
+            raise ValueError("buildvrt inputs must share pixel size/dtype")
+    x0 = min(m.gt[0] for m in metas)
+    y1 = max(m.gt[3] for m in metas)
+    x1 = max(m.gt[0] + m.width * m.gt[1] for m in metas)
+    y0 = min(m.gt[3] + m.height * m.gt[5] for m in metas)
+    W = int(round((x1 - x0) / ps_x))
+    H = int(round((y0 - y1) / ps_y))
+    gt = (x0, ps_x, 0.0, y1, 0.0, ps_y)
+    nodata = next((m.nodata for m in metas if m.nodata is not None), None)
+
+    vrt = ET.Element("VRTDataset", rasterXSize=str(W), rasterYSize=str(H))
+    ET.SubElement(vrt, "GeoTransform").text = ", ".join(
+        repr(v) for v in gt)
+    band = ET.SubElement(vrt, "VRTRasterBand",
+                         dataType=_DT_BACK[dtype], band="1")
+    if nodata is not None:
+        ET.SubElement(band, "NoDataValue").text = f"{nodata:g}"
+    out_dir = os.path.dirname(os.path.abspath(out_path))
+    for p, m in zip(paths, metas):
+        src = ET.SubElement(band, "SimpleSource")
+        rel = os.path.relpath(os.path.abspath(p), out_dir)
+        fn = ET.SubElement(src, "SourceFilename", relativeToVRT="1")
+        fn.text = rel
+        ET.SubElement(src, "SourceBand").text = "1"
+        ET.SubElement(src, "SrcRect", xOff="0", yOff="0",
+                      xSize=str(m.width), ySize=str(m.height))
+        dx = (m.gt[0] - x0) / ps_x
+        dy = (m.gt[3] - y1) / ps_y
+        ET.SubElement(src, "DstRect", xOff=repr(dx), yOff=repr(dy),
+                      xSize=str(m.width), ySize=str(m.height))
+    ET.ElementTree(vrt).write(out_path)
+    stem = os.path.splitext(os.path.basename(out_path))[0]
+    return RasterMeta(stem, W, H, gt=gt, dtype=dtype, nodata=nodata,
+                      block=block)
