@@ -368,3 +368,127 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
                   src_from_dst=src_from_dst, cutline=cutline,
                   src_nodata=src_nodata)
     return out, dst_meta
+
+
+# ---------------------------------------------------------------------------
+# raster path plumbing + gdalinfo + gdaltindex
+# ---------------------------------------------------------------------------
+
+def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
+                block: int = 256):
+    """GDALOpen for the raster apps: a (tiles, meta) pair passes through,
+    a .tif path opens via the GeoTIFF driver (header read on the driver,
+    pixels distributed), a .asc via AAIGrid."""
+    from gdal_spark.raster import formats as RFMT
+
+    if isinstance(src, DataFrame):
+        if meta is None:
+            raise ValueError("DataFrame source needs meta=")
+        return src, meta
+    if isinstance(src, tuple):
+        return src
+    low = src.lower()
+    if low.endswith((".tif", ".tiff")):
+        m = RFMT.geotiff_meta(src, block=block)
+        return RFMT.read_geotiff(spark, src, block=block), m
+    if low.endswith(".asc"):
+        return RFMT.read_aaigrid(spark, src, block=block)
+    if low.endswith(".vrt"):
+        from gdal_spark.raster import vrt as VRT
+        return VRT.read_vrt(spark, src, block=block)
+    raise ValueError(f"unrecognized raster source {src!r}")
+
+
+def write_raster(tiles: DataFrame, meta: RasterMeta, dst: str) -> None:
+    from gdal_spark.raster import formats as RFMT
+    from gdal_spark.raster.model import to_array
+
+    low = dst.lower()
+    if low.endswith((".tif", ".tiff")):
+        RFMT.write_geotiff(tiles, meta, dst)
+    elif low.endswith(".asc"):
+        RFMT.write_aaigrid(to_array(tiles, meta), meta, dst)
+    elif low.endswith(".parquet"):
+        tiles.write.mode("overwrite").parquet(dst)
+    else:
+        raise ValueError(f"unrecognized raster sink {dst!r}")
+
+
+def translate_path(spark: SparkSession, src: str, dst: str,
+                   **opts) -> RasterMeta:
+    """gdal_translate with file paths on both ends."""
+    import os as _os
+
+    tiles, meta = open_raster(spark, src)
+    out_id = _os.path.splitext(_os.path.basename(dst))[0]
+    out, om = gdal_translate(tiles, meta, out_id, **opts)
+    write_raster(out, om, dst)
+    return om
+
+
+def warp_path(spark: SparkSession, src: str, dst: str,
+              **opts) -> RasterMeta:
+    """gdalwarp with file paths on both ends."""
+    import os as _os
+
+    tiles, meta = open_raster(spark, src)
+    out_id = _os.path.splitext(_os.path.basename(dst))[0]
+    out, om = gdalwarp(tiles, meta, out_id, **opts)
+    write_raster(out, om, dst)
+    return om
+
+
+def gdalinfo(spark: SparkSession, src, meta: RasterMeta | None = None,
+             stats: bool = False, checksum: bool = False) -> dict:
+    """gdalinfo (gdal/apps/gdalinfo.c): size, geotransform, corner
+    coordinates, dtype, nodata — header-only unless ``stats``/``checksum``
+    ask for the distributed passes."""
+    tiles, m = open_raster(spark, src, meta)
+    info = {
+        "size": [m.width, m.height],
+        "geotransform": list(m.gt),
+        "dtype": m.dtype,
+        "nodata": m.nodata,
+        "block": [m.block, m.block],
+        "corners": {
+            "upperLeft": list(m.pixel_to_geo(0, 0)),
+            "lowerLeft": list(m.pixel_to_geo(0, m.height)),
+            "upperRight": list(m.pixel_to_geo(m.width, 0)),
+            "lowerRight": list(m.pixel_to_geo(m.width, m.height)),
+            "center": list(m.pixel_to_geo(m.width / 2, m.height / 2)),
+        },
+    }
+    if stats:
+        from gdal_spark.raster.stats import compute_statistics
+        rows = compute_statistics(tiles, m).collect()
+        info["stats"] = {int(r["band"]): {
+            "min": r["min"], "max": r["max"],
+            "mean": r["mean"], "stddev": r["stddev"]} for r in rows}
+    if checksum:
+        from gdal_spark.raster.checksum import checksum as _ck
+        rows = _ck(tiles, m).collect()
+        info["checksum"] = {int(r["band"]): int(r["checksum"]) for r in rows}
+    return info
+
+
+def gdaltindex(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """gdaltindex (gdal/apps/gdaltindex.c:311): footprint manifest of
+    raster files — one polygon row per file, from HEADERS only (no pixel
+    I/O). The result is the engine's partition-pruning index: join query
+    bboxes against it to open only intersecting files."""
+    from gdal_spark.raster import formats as RFMT
+
+    rows = []
+    for p in paths:
+        m = RFMT.geotiff_meta(p)
+        x0, y1 = m.gt[0], m.gt[3]
+        x1 = x0 + m.width * m.gt[1]
+        y0 = y1 + m.height * m.gt[5]
+        wkb = G.encode_polygon([np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])
+        rows.append((p, float(min(x0, x1)), float(min(y0, y1)),
+                     float(max(x0, x1)), float(max(y0, y1)),
+                     bytearray(wkb)))
+    return spark.createDataFrame(
+        rows, "location string, xmin double, ymin double, "
+              "xmax double, ymax double, geometry binary")

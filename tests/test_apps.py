@@ -188,3 +188,39 @@ def test_gdalwarp_approx_tolerance(spark):
     pad = np.pad(a, 1, mode="edge")
     for y, x in mismatch:
         assert b[y, x] in pad[y:y + 3, x:x + 3]
+
+
+def test_path_level_apps(spark, tmp_path):
+    """gdal_translate/gdalwarp with file paths on both ends, gdalinfo and
+    gdaltindex over headers — the CLI-equivalent surface."""
+    from gdal_spark.raster import formats as RF
+
+    arr = ((np.arange(32)[:, None] * 7 + np.arange(32)[None, :]) % 50
+           ).astype(np.uint8)
+    meta = M.RasterMeta("p1", 32, 32, gt=(10.0, 1.0, 0.0, 42.0, 0.0, -1.0),
+                        dtype="uint8", block=16)
+    src = str(tmp_path / "p1.tif")
+    RF.write_geotiff(M.from_array(spark, arr, meta), meta, src)
+
+    dst = str(tmp_path / "sub.tif")
+    om = APP.translate_path(spark, src, dst, srcwin=(8, 8, 16, 16))
+    back, bm = APP.open_raster(spark, dst)
+    np.testing.assert_array_equal(M.to_array(back, bm), arr[8:24, 8:24])
+    assert bm.gt == (18.0, 1.0, 0.0, 34.0, 0.0, -1.0)
+
+    wdst = str(tmp_path / "w.asc")
+    APP.warp_path(spark, src, wdst, te=(18.0, 26.0, 34.0, 42.0),
+                  tr=(1.0, 1.0), et=0, ot="float64")
+    wt, wmeta = APP.open_raster(spark, wdst)
+    np.testing.assert_array_equal(M.to_array(wt, wmeta), arr[:16, 8:24])
+
+    info = APP.gdalinfo(spark, src, stats=True, checksum=True)
+    assert info["size"] == [32, 32]
+    assert info["corners"]["upperLeft"] == [10.0, 42.0]
+    assert info["stats"][0]["min"] == 0.0
+    from gdal_spark.raster.checksum import py_checksum
+    assert info["checksum"][0] == py_checksum(arr)
+
+    idx = APP.gdaltindex(spark, [src, dst])
+    rows = {r["location"]: r for r in idx.collect()}
+    assert rows[src]["xmin"] == 10.0 and rows[dst]["xmin"] == 18.0
