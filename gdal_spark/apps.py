@@ -147,12 +147,8 @@ def transform_geometry(df: DataFrame, t_srs, s_srs=None,
     projections (functions/srs.py) or WKT via ``crs_from_wkt`` — the
     composed coordinate transformation of ogr2ogr.cpp:784-796, run as
     numpy over whole Arrow batches."""
-    s = s_srs or SRS.Geographic()
-    t = t_srs
-    if isinstance(s, str):
-        s = SRS.crs_from_wkt(s)
-    if isinstance(t, str):
-        t = SRS.crs_from_wkt(t)
+    s = _crs(s_srs)
+    t = _crs(t_srs)
     gi = df.schema.fieldNames().index(geometry_col)
 
     def tx(arr: np.ndarray) -> np.ndarray:
@@ -297,7 +293,11 @@ def gdal_translate(tiles: DataFrame, meta: RasterMeta, out_id: str, *,
 def _crs(v):
     if v is None:
         return SRS.Geographic()
+    if isinstance(v, int):
+        return SRS.crs_from_epsg(v)
     if isinstance(v, str):
+        if v.upper().startswith("EPSG:"):
+            return SRS.crs_from_epsg(int(v.split(":")[1]))
         return SRS.crs_from_wkt(v)
     return v
 

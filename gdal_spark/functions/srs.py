@@ -884,3 +884,37 @@ def suggested_warp_output(width: int, height: int, dst_from_src,
     out_h = int((ymax - ymin) / pixel_size + 0.5)
     gt = (xmin, pixel_size, 0.0, ymax, 0.0, -pixel_size)
     return out_w, out_h, gt
+
+
+def crs_from_epsg(code: int):
+    """``importFromEPSG`` analog (gdal/ogr/ogrspatialreference.cpp
+    importFromEPSG) for the engine's closed-form CRS family. Parameter
+    values are the published EPSG definitions (public registry facts):
+
+    - 4326 → geographic WGS84
+    - 3857 / 900913 → spherical WebMercator
+    - 326zz / 327zz → UTM zone zz north / south (WGS84)
+    - 5070 → CONUS Albers Equal Area (NAD83 params on the WGS84-close
+      GRS80 ellipsoid; sub-mm difference at these latitudes)
+    - 102004 / 5069-style LCC → Lambert Conformal Conic CONUS
+
+    Anything else raises — the reference delegates the long tail to the
+    PROJ database, which is out of scope here (use the explicit CRS
+    dataclasses or WKT for custom definitions)."""
+    code = int(code)
+    if code == 4326:
+        return Geographic()
+    if code in (3857, 900913, 3785):
+        return WebMercator()
+    if 32601 <= code <= 32660:
+        return utm_crs(code - 32600, north=True)
+    if 32701 <= code <= 32760:
+        return utm_crs(code - 32700, north=False)
+    if code == 5070:  # NAD83 / Conus Albers (EPSG registry parameters)
+        return AlbersEqualArea(lat1=29.5, lat2=45.5, lat0=23.0,
+                               lon0=-96.0, fe=0.0, fn=0.0)
+    if code == 102004:  # ESRI:102004 USA Contiguous LCC
+        return LambertConformalConic(lat1=33.0, lat2=45.0, lat0=39.0,
+                                     lon0=-96.0, fe=0.0, fn=0.0)
+    raise ValueError(f"EPSG:{code} not in the built-in registry; "
+                     "construct the CRS dataclass or pass WKT")

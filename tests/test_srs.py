@@ -388,3 +388,22 @@ def test_geoloc_inverse_roundtrip():
 def test_geoloc_validates_array_shape():
     with pytest.raises(ValueError):
         S.GeolocTransform(np.zeros((1, 5)), np.zeros((1, 5)))
+
+
+def test_crs_from_epsg():
+    import numpy as np
+    import pytest
+
+    from gdal_spark.functions import srs as S
+
+    assert isinstance(S.crs_from_epsg(4326), S.Geographic)
+    assert isinstance(S.crs_from_epsg(3857), S.WebMercator)
+    utm31 = S.crs_from_epsg(32631)
+    assert utm31.lon0 == 3.0 and utm31.fn == 0.0
+    utm33s = S.crs_from_epsg(32733)
+    assert utm33s.lon0 == 15.0 and utm33s.fn > 0
+    alb = S.crs_from_epsg(5070)
+    x, y = alb.forward(np.array([-96.0]), np.array([23.0]))
+    assert abs(float(x[0])) < 1e-6 and abs(float(y[0])) < 1e-6  # origin
+    with pytest.raises(ValueError, match="not in the built-in"):
+        S.crs_from_epsg(27700)
