@@ -182,6 +182,7 @@ def ogr2ogr(spark: SparkSession, src, dst: str | None = None, *,
             sql: str | None = None, where: str | None = None,
             select: list[str] | None = None,
             spat: tuple[float, float, float, float] | None = None,
+            clipdst: tuple[float, float, float, float] | None = None,
             s_srs=None, t_srs=None,
             geometry_col: str = "geometry",
             reader_opts: dict | None = None) -> DataFrame:
@@ -199,6 +200,8 @@ def ogr2ogr(spark: SparkSession, src, dst: str | None = None, *,
             df = df.filter(attribute_filter(df, where, geometry_col))
         if spat is not None:
             df = df.filter(spatial_filter(df, spat, geometry_col))
+    if clipdst is not None:
+        df = clip_to_rect(df, clipdst, geometry_col)
     if t_srs is not None:
         df = transform_geometry(df, t_srs, s_srs, geometry_col)
     if select is not None:
@@ -492,3 +495,107 @@ def gdaltindex(spark: SparkSession, paths: list[str]) -> DataFrame:
     return spark.createDataFrame(
         rows, "location string, xmin double, ymin double, "
               "xmax double, ymax double, geometry binary")
+
+
+# ---------------------------------------------------------------------------
+# -clipdst: true geometry clipping to a rectangle (ogr2ogr.cpp -clipdst;
+# geometry ops per type: S-H polygon clip, Liang-Barsky polyline clip)
+# ---------------------------------------------------------------------------
+
+def _clip_polyline_rect(coords: np.ndarray, rect) -> list[np.ndarray]:
+    """Liang–Barsky clip of each segment against the rect; consecutive
+    surviving pieces stitch back into polyline parts."""
+    xmin, ymin, xmax, ymax = rect
+    parts: list[list] = []
+    cur: list = []
+    for i in range(len(coords) - 1):
+        (x0, y0), (x1, y1) = coords[i], coords[i + 1]
+        dx, dy = x1 - x0, y1 - y0
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in ((-dx, x0 - xmin), (dx, xmax - x0),
+                     (-dy, y0 - ymin), (dy, ymax - y0)):
+            if p == 0.0:
+                if q < 0.0:
+                    ok = False
+                    break
+                continue
+            t = q / p
+            if p < 0.0:
+                t0 = max(t0, t)
+            else:
+                t1 = min(t1, t)
+            if t0 > t1:
+                ok = False
+                break
+        if not ok:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+            continue
+        a = (x0 + t0 * dx, y0 + t0 * dy)
+        b = (x0 + t1 * dx, y0 + t1 * dy)
+        if cur and cur[-1] == a:
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = [a, b]
+    if len(cur) >= 2:
+        parts.append(cur)
+    return [np.asarray(p, np.float64) for p in parts]
+
+
+def _clip_wkb_rect(wkb: bytes, rect) -> bytes | None:
+    xmin, ymin, xmax, ymax = rect
+    import struct as _struct
+    gtype, _en, _off = G._read_header(memoryview(wkb), 0)
+    if gtype == G.WKB_POINT:
+        x, y = G.decode_point(wkb)
+        return wkb if xmin <= x <= xmax and ymin <= y <= ymax else None
+    if gtype == G.WKB_MULTIPOINT:
+        d = FMT.geojson_geom_from_wkb(wkb)
+        pts = np.asarray(d["coordinates"], np.float64)
+        keep = pts[(pts[:, 0] >= xmin) & (pts[:, 0] <= xmax)
+                   & (pts[:, 1] >= ymin) & (pts[:, 1] <= ymax)]
+        return G.encode_multipoint(keep) if len(keep) else None
+    if gtype in (G.WKB_LINESTRING, G.WKB_MULTILINESTRING):
+        if gtype == G.WKB_LINESTRING:
+            lines = [G.decode_linestring(wkb)]
+        else:
+            lines = [np.asarray(ln, np.float64) for ln in
+                     FMT.geojson_geom_from_wkb(wkb)["coordinates"]]
+        parts = [p for ln in lines for p in _clip_polyline_rect(ln, rect)]
+        if not parts:
+            return None
+        return (G.encode_linestring(parts[0]) if len(parts) == 1
+                else G.encode_multilinestring(parts))
+    if gtype in (G.WKB_POLYGON, G.WKB_MULTIPOLYGON):
+        ring = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax],
+                         [xmin, ymax], [xmin, ymin]])
+        return G.polygon_clip_convex(wkb, ring)
+    raise ValueError(f"unsupported geometry type {gtype}")
+
+
+def clip_to_rect(df: DataFrame, rect: tuple[float, float, float, float],
+                 geometry_col: str = "geometry") -> DataFrame:
+    """ogr2ogr -clipdst with a rectangle: per-feature geometry clipping
+    (features whose clipped geometry is empty are dropped, as the app
+    does). Arrow-batched; rectangle clipping is exact for every stored
+    geometry type."""
+    gi = df.schema.fieldNames().index(geometry_col)
+    rect = tuple(float(v) for v in rect)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, keep = [], []
+            for i, w in enumerate(pdf.iloc[:, gi]):
+                c = _clip_wkb_rect(bytes(w), rect) if w is not None else None
+                if c is not None:
+                    out.append(bytearray(c))
+                    keep.append(i)
+            pdf = pdf.iloc[keep].copy()
+            pdf[geometry_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)

@@ -224,3 +224,25 @@ def test_path_level_apps(spark, tmp_path):
     idx = APP.gdaltindex(spark, [src, dst])
     rows = {r["location"]: r for r in idx.collect()}
     assert rows[src]["xmin"] == 10.0 and rows[dst]["xmin"] == 18.0
+
+
+def test_clipdst(spark):
+    """-clipdst: geometry clipping per type — polygon area cut, polyline
+    split into surviving pieces, outside points dropped."""
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    line = np.array([[-5.0, 5], [5, 5], [5, 15], [8, 15], [8, 5], [15, 5]])
+    df = spark.createDataFrame(
+        [(1, bytearray(G.encode_polygon([sq]))),
+         (2, bytearray(G.encode_linestring(line))),
+         (3, bytearray(G.encode_point(2.0, 2.0))),
+         (4, bytearray(G.encode_point(50.0, 50.0)))],
+        "fid long, geometry binary")
+    out = APP.ogr2ogr(spark, df, clipdst=(1.0, 1.0, 9.0, 9.0))
+    rows = {r["fid"]: bytes(r["geometry"]) for r in out.collect()}
+    assert set(rows) == {1, 2, 3}          # outside point dropped
+    assert G.polygon_area(rows[1]) == 64.0  # 8x8 window of the square
+    # the line crosses the rect twice -> two clipped pieces
+    d = FMT.geojson_geom_from_wkb(rows[2])
+    assert d["type"] == "MultiLineString" and len(d["coordinates"]) == 2
+    assert d["coordinates"][0] == [[1.0, 5.0], [5.0, 5.0], [5.0, 9.0]]
+    assert d["coordinates"][1] == [[8.0, 9.0], [8.0, 5.0], [9.0, 5.0]]
