@@ -3226,3 +3226,31 @@ SELECT px, py, CAST(c AS DOUBLE) AS val FROM v WHERE c != 0
 """
 
 QUERIES["vrt_compose"] = (q_vrt_compose, ORACLE_VRT)
+
+
+def q_ogr2ogr_clipdst(spark, sf_dir):
+    """-clipdst geometry clipping through the app pipeline: fixture
+    squares cut to a rect window, clipped areas value-checked."""
+    from gdal_spark import apps as APP
+    from gdal_spark.functions import geometry as _G
+
+    out = APP.ogr2ogr(spark, PG.poly_fixture(spark),
+                      clipdst=(5.0, 2.0, 25.0, 8.0))
+
+    def area(batches):
+        import pandas as _pd
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "fid": pdf["fid"],
+                "clip_area": [_G.polygon_area(bytes(w))
+                              for w in pdf["geometry"]]})
+
+    return out.mapInPandas(area, "fid long, clip_area double").orderBy("fid")
+
+
+ORACLE_CLIPDST = """
+WITH t(fid, clip_area) AS (VALUES (0, 30.0), (1, 30.0))
+SELECT fid, CAST(clip_area AS DOUBLE) AS clip_area FROM t ORDER BY fid
+"""
+
+QUERIES["ogr2ogr_clipdst"] = (q_ogr2ogr_clipdst, ORACLE_CLIPDST)
