@@ -288,3 +288,44 @@ def test_one_shot_helper(spark):
     df = execute_sql(spark, "select count(*) from poly",
                      {"poly": PG.poly_fixture(spark)})
     assert vals(df, "COUNT_*") == [10]
+
+
+def test_quoted_identifiers(spark):
+    """ogr_sql_test.py:1424 shapes: quoted columns, keyword-named column,
+    literal select, aliases in both quote styles, quoted table."""
+    eng2 = OGRSQLEngine(spark)
+    eng2.register("test", spark.createDataFrame(
+        [(1, "from"), (2, "x")], "id long, `from` string"),
+        geometry_col=None)
+    df = eng2.execute_sql(
+        "select id, 'id', \"id\" as id2, id as \"id3\", \"from\" "
+        "from \"test\" where \"from\" = 'from'")
+    assert df.columns[0] == "id" and df.columns[2] == "id2" \
+        and df.columns[3] == "id3" and df.columns[4] == "from"
+    r = df.collect()
+    assert len(r) == 1 and r[0]["id"] == 1 and r[0][1] == "id"
+    # literal DISTINCT collapses to one row (swq DISTINCT_LIST on a const)
+    assert eng2.execute_sql("select distinct 'id' from test").count() == 1
+
+
+def test_datetime_comparison(spark):
+    """Date/Time comparison semantics (the dialect's only datetime ops,
+    gdal/ogr/ogr_sql.dox): string literals compare against timestamp
+    fields through Spark's implicit cast."""
+    import datetime as dt
+
+    eng2 = OGRSQLEngine(spark)
+    eng2.register("ev", spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1, 10)), (2, dt.datetime(2021, 6, 1, 9))],
+        "fid long, ts timestamp"), geometry_col=None)
+    df = eng2.execute_sql("select fid from ev where ts > '2020-06-01'")
+    assert vals(df, "fid") == [2]
+    df = eng2.execute_sql(
+        "select fid from ev where ts between '2019-01-01' and '2020-12-31'")
+    assert vals(df, "fid") == [1]
+
+
+def test_where_arithmetic(spark, eng):
+    df = eng.execute_sql(
+        "select fid from poly where (eas_id - 158) % 7 = 0 and fid * 2 < 10")
+    assert sorted(vals(df, "fid")) == [1, 4]   # eas 179, 172 (+21, +14)
