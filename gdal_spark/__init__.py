@@ -21,6 +21,17 @@ Re-expresses the query and data-processing capabilities of GDAL/OGR
 - ``operators.ann``      — cosine top-k similarity search.
 - ``plans.manifest``     — checkpoint manifest + per-partition lineage
   (reference analog: gdal2tiles.py --resume, :1200-1205).
+- ``ogrsql``             — ExecuteSQL: the OGR SQL dialect parsed into
+  Catalyst Column trees (reference: gdal/ogr/swq_parser.y + ogr_gensql.cpp).
+- ``sources.formats``    — vector format drivers: GeoJSON(Seq), CSV-WKT,
+  ESRI Shapefile, GeoPackage (reference: gdal/ogr/ogrsf_frmts/*).
+- ``raster.formats``     — GeoTIFF (uncompressed classic TIFF) + AAIGrid
+  codecs (reference: gdal/frmts/gtiff, gdal/frmts/aaigrid).
+- ``raster.vrt``         — .vrt XML composition parsed into the lazy
+  DataFrame plan; build_vrt (reference: gdal/frmts/vrt, gdalbuildvrt).
+- ``apps``               — ogr2ogr / gdal_translate / gdalwarp (with
+  SuggestedWarpOutput) / gdalinfo / ogrinfo / gdaltindex pipelines
+  (reference: gdal/apps).
 
 Everything is pyspark.sql DataFrame + Arrow-batched pandas UDFs; no RDDs,
 no per-row Python.

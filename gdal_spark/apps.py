@@ -599,3 +599,55 @@ def clip_to_rect(df: DataFrame, rect: tuple[float, float, float, float],
             yield pdf
 
     return df.mapInPandas(run, df.schema)
+
+
+def ogrinfo(spark: SparkSession, src, layer: str | None = None,
+            geometry_col: str = "geometry", summary: bool = True) -> dict:
+    """ogrinfo -so (gdal/apps/ogrinfo.cpp): layer summary — feature
+    count, extent, geometry type histogram, field schema. One distributed
+    pass (count + envelope aggregate + type histogram in a single job)."""
+    df = read_vector(spark, src, layer=layer)
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields
+              if f.name != geometry_col]
+    info: dict = {"fields": fields, "geometry_column":
+                  geometry_col if geometry_col in df.columns else None}
+    if not summary:
+        return info
+    if geometry_col in df.columns:
+        def env(wkb: pd.Series) -> pd.DataFrame:
+            n = len(wkb)
+            cols = {k: np.full(n, np.nan) for k in ("x0", "y0", "x1", "y1")}
+            for i, b in enumerate(wkb):
+                if b is None:
+                    continue
+                bb = FMT._wkb_bbox(bytes(b))
+                for k, v in zip(("x0", "y0", "x1", "y1"), bb):
+                    cols[k][i] = v
+            return pd.DataFrame(cols)
+
+        def gname(wkb: pd.Series) -> pd.Series:
+            from gdal_spark.functions.ogr_sql import _geometry_fn
+            return _geometry_fn(wkb)
+
+        env_udf = F.pandas_udf(
+            env, "struct<x0:double,y0:double,x1:double,y1:double>")
+        with_env = df.select(
+            env_udf(F.col(geometry_col)).alias("e"),
+            F.pandas_udf(gname, "string")(F.col(geometry_col)).alias("g"))
+        agg = with_env.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("e.x0").alias("xmin"), F.min("e.y0").alias("ymin"),
+            F.max("e.x1").alias("xmax"), F.max("e.y1").alias("ymax"),
+            *[F.sum((F.col("g") == t).cast("long")).alias(f"t_{t}")
+              for t in ("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+                        "MULTILINESTRING", "MULTIPOLYGON")]).collect()[0]
+        info["feature_count"] = agg["n"]
+        info["extent"] = [agg["xmin"], agg["ymin"], agg["xmax"], agg["ymax"]]
+        info["geometry_types"] = {t: int(agg[f"t_{t}"])
+                                  for t in ("POINT", "LINESTRING", "POLYGON",
+                                            "MULTIPOINT", "MULTILINESTRING",
+                                            "MULTIPOLYGON")
+                                  if agg[f"t_{t}"]}
+    else:
+        info["feature_count"] = df.count()
+    return info

@@ -246,3 +246,11 @@ def test_clipdst(spark):
     assert d["type"] == "MultiLineString" and len(d["coordinates"]) == 2
     assert d["coordinates"][0] == [[1.0, 5.0], [5.0, 5.0], [5.0, 9.0]]
     assert d["coordinates"][1] == [[8.0, 9.0], [8.0, 5.0], [9.0, 5.0]]
+
+
+def test_ogrinfo(spark):
+    info = APP.ogrinfo(spark, PG.poly_fixture(spark))
+    assert info["feature_count"] == 10
+    assert info["extent"] == [0.0, 0.0, 190.0, 10.0]
+    assert info["geometry_types"] == {"POLYGON": 10}
+    assert ("eas_id", "bigint") in info["fields"]
