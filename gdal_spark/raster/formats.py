@@ -1,16 +1,19 @@
-"""Raster file formats re-expressed Spark-first: GeoTIFF (uncompressed
-baseline TIFF + GeoTIFF georeferencing tags) and Arc/Info ASCII Grid.
+"""Raster file formats re-expressed Spark-first: GeoTIFF (classic TIFF
+with LZW/Deflate/PackBits codecs + GeoTIFF georeferencing tags) and
+Arc/Info ASCII Grid.
 
 Reference drivers (semantics only — parsing is re-implemented from the
 public format specifications: the TIFF 6.0 specification, the GeoTIFF
 1.1 OGC standard, and the ESRI ASCII-grid header layout):
 
 - GeoTIFF: gdal/frmts/gtiff/geotiff.cpp (the reference's flagship
-  driver). Scope here is the interchange core: Compression=1 (none),
-  strip- and tile-organized files, PlanarConfiguration=2 band planes,
-  uint8/16/32, int16/32, float32/64, ModelPixelScale + ModelTiepoint
-  georeferencing, GDAL_NODATA tag. Compressed TIFFs raise a clear error
-  (codec libraries are out of scope in this environment).
+  driver). Scope here is the interchange core: Compression none/LZW/
+  Deflate/PackBits with Predictor=2 (raster/tiffcodec.py, pure-Python
+  spec re-implementations), strip- and tile-organized files,
+  PlanarConfiguration=2 band planes, uint8/16/32, int16/32, float32/64,
+  ModelPixelScale + ModelTiepoint georeferencing, GDAL_NODATA tag.
+  JPEG-family codecs raise a clear error (no codec libraries in this
+  environment).
 - AAIGrid: gdal/frmts/aaigrid/aaigriddataset.cpp (ncols/nrows/xllcorner/
   cellsize/NODATA_value header + whitespace floats).
 
@@ -39,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gdal_spark.raster import tiffcodec as TC
 from gdal_spark.raster.model import TILE_SCHEMA, RasterMeta
 
 # dtype <-> (BitsPerSample, SampleFormat): 1=unsigned, 2=signed, 3=float
@@ -52,45 +56,71 @@ _TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8}
 
 
 def _entries_bytes(entries: list[tuple[int, int, bytes, int]],
-                   data_start: int) -> tuple[bytes, bytes]:
+                   data_start: int) -> tuple[bytes, bytes, dict[int, int]]:
     """Pack IFD entries (tag, type, payload bytes, count); payloads over
-    4 bytes go to the external data area starting at ``data_start``."""
+    4 bytes go to the external data area starting at ``data_start``.
+    Returns (ifd bytes, external bytes, tag → absolute payload offset for
+    external payloads) so sinks can patch arrays after streaming."""
     entries = sorted(entries)
     ifd, ext = [], b""
+    ext_pos: dict[int, int] = {}
     for tag, typ, payload, count in entries:
         if len(payload) <= 4:
             val = payload.ljust(4, b"\x00")
         else:
+            ext_pos[tag] = data_start + len(ext)
             val = struct.pack("<I", data_start + len(ext))
             ext += payload + (b"\x00" if len(payload) % 2 else b"")
         ifd.append(struct.pack("<HHI", tag, typ, count) + val)
-    return b"".join(ifd), ext
+    return b"".join(ifd), ext, ext_pos
 
 
-def geotiff_bytes(bands: list[np.ndarray], meta: RasterMeta) -> bytes:
-    """Arrays → one tiled uncompressed GeoTIFF (little-endian, planar
-    band organization, tile size = ``meta.block``; edge tiles are padded
-    to the full tile size per the TIFF 6.0 tile rules)."""
+def geotiff_bytes(bands: list[np.ndarray], meta: RasterMeta,
+                  compression: str = "none",
+                  predictor: bool = False) -> bytes:
+    """Arrays → one tiled GeoTIFF (little-endian, planar band
+    organization, tile size = ``meta.block``; edge tiles are padded to
+    the full tile size per the TIFF 6.0 tile rules). ``compression`` is
+    one of none/lzw/deflate/packbits (raster/tiffcodec.py); ``predictor``
+    adds horizontal differencing (Predictor=2, integer dtypes only)."""
+    codec = TC.NAMES[compression]
     nb = len(bands)
     H, W = bands[0].shape
     tw = th = meta.block
     bits, sfmt = _DTYPES[meta.dtype]
     bpp = bits // 8
+    if predictor and (sfmt == 3
+                      or codec not in (TC.COMP_LZW, TC.COMP_DEFLATE)):
+        raise ValueError("Predictor=2 requires an integer dtype and an "
+                         "LZW/Deflate codec (mainstream readers ignore the "
+                         "Predictor tag for other codecs)")
     ntx, nty = (W + tw - 1) // tw, (H + th - 1) // th
     ntiles = ntx * nty * nb
-    tile_bytes = tw * th * bpp
+    le_dt = np.dtype(meta.dtype).newbyteorder("<")
+
+    payloads = []
+    for b in bands:
+        for ty in range(nty):
+            for tx in range(ntx):
+                tile = np.zeros((th, tw), dtype=meta.dtype)
+                sub = b[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                tile[:sub.shape[0], :sub.shape[1]] = sub
+                raw = tile.astype(le_dt).tobytes()
+                if predictor:
+                    raw = TC.predictor_apply(raw, tw, th, le_dt)
+                payloads.append(TC.compress(codec, raw))
+    counts = [len(p) for p in payloads]
 
     entries = [
         (256, _LONG, struct.pack("<I", W), 1),
         (257, _LONG, struct.pack("<I", H), 1),
         (258, _SHORT, struct.pack(f"<{nb}H", *([bits] * nb)), nb),
-        (259, _SHORT, struct.pack("<H", 1), 1),
+        (259, _SHORT, struct.pack("<H", codec), 1),
         (262, _SHORT, struct.pack("<H", 1), 1),
         (277, _SHORT, struct.pack("<H", nb), 1),
         (322, _SHORT, struct.pack("<H", tw), 1),
         (323, _SHORT, struct.pack("<H", th), 1),
-        (325, _LONG, struct.pack(f"<{ntiles}I", *([tile_bytes] * ntiles)),
-         ntiles),
+        (325, _LONG, struct.pack(f"<{ntiles}I", *counts), ntiles),
         (339, _SHORT, struct.pack(f"<{nb}H", *([sfmt] * nb)), nb),
         (33550, _DOUBLE, struct.pack("<3d", meta.gt[1], -meta.gt[5], 0.0), 3),
         (33922, _DOUBLE,
@@ -100,6 +130,8 @@ def geotiff_bytes(bands: list[np.ndarray], meta: RasterMeta) -> bytes:
     ]
     if nb > 1:
         entries.append((284, _SHORT, struct.pack("<H", 2), 1))
+    if predictor:
+        entries.append((317, _SHORT, struct.pack("<H", 2), 1))
     if meta.nodata is not None:
         nd = f"{meta.nodata:g}".encode("ascii") + b"\x00"
         entries.append((42113, _ASCII, nd, len(nd)))
@@ -107,23 +139,21 @@ def geotiff_bytes(bands: list[np.ndarray], meta: RasterMeta) -> bytes:
 
     # layout: header(8) | count(2) IFD next(4) | external | tiles
     ifd_size = 2 + 12 * n_entries + 4
-    probe_ifd, probe_ext = _entries_bytes(
+    _probe_ifd, probe_ext, _pos = _entries_bytes(
         entries + [(324, _LONG, struct.pack(f"<{ntiles}I", *([0] * ntiles)),
                     ntiles)], 8 + ifd_size)
     data_start = 8 + ifd_size + len(probe_ext)
-    offsets = [data_start + i * tile_bytes for i in range(ntiles)]
+    offsets, pos = [], data_start
+    for c in counts:
+        offsets.append(pos)
+        pos += c + (c % 2)  # word-align per TIFF 6.0
     entries.append((324, _LONG, struct.pack(f"<{ntiles}I", *offsets), ntiles))
-    ifd, ext = _entries_bytes(entries, 8 + ifd_size)
+    ifd, ext, _pos = _entries_bytes(entries, 8 + ifd_size)
 
     out = [struct.pack("<2sHI", b"II", 42, 8),
            struct.pack("<H", n_entries), ifd, struct.pack("<I", 0), ext]
-    for b in bands:
-        for ty in range(nty):
-            for tx in range(ntx):
-                tile = np.zeros((th, tw), dtype=meta.dtype)
-                sub = b[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
-                tile[:sub.shape[0], :sub.shape[1]] = sub
-                out.append(tile.astype(np.dtype(meta.dtype).newbyteorder("<")).tobytes())
+    for p in payloads:
+        out.append(p + (b"\x00" if len(p) % 2 else b""))
     return b"".join(out)
 
 
@@ -164,13 +194,12 @@ def _read_ifd(data: bytes) -> tuple[dict, str]:
 
 def parse_geotiff(data: bytes, raster_id: str = "tif",
                   block: int = 256) -> tuple[list[np.ndarray], RasterMeta]:
-    """One GeoTIFF payload → (band arrays, RasterMeta). Uncompressed
-    strip- and tile-organized classic TIFFs, little- or big-endian."""
+    """One GeoTIFF payload → (band arrays, RasterMeta). Strip- and
+    tile-organized classic TIFFs, little- or big-endian; Compression
+    none/LZW/Deflate/PackBits (raster/tiffcodec.py) with Predictor=2."""
     tags, en = _read_ifd(data)
-    if tags.get(259, (1,))[0] != 1:
-        raise ValueError(f"compressed TIFF (Compression="
-                         f"{tags[259][0]}) unsupported: no codec libraries "
-                         "in this environment")
+    codec = int(tags.get(259, (1,))[0])
+    pred = int(tags.get(317, (1,))[0])
     W, H = int(tags[256][0]), int(tags[257][0])
     nb = int(tags.get(277, (1,))[0])
     bits = int(tags[258][0])
@@ -181,21 +210,30 @@ def parse_geotiff(data: bytes, raster_id: str = "tif",
     np_dt = np.dtype(dtype).newbyteorder(en)
     bands = [np.zeros((H, W), dtype=dtype) for _ in range(nb)]
 
+    def chunk(off: int, cnt: int | None, w: int, h: int,
+              spp: int) -> np.ndarray:
+        want = w * h * spp * bpp
+        raw = data[off:off + (cnt if cnt is not None else want)]
+        raw = TC.decompress(codec, raw, want)
+        if pred == 2:
+            raw = TC.predictor_undo(raw[:want], w, h, np_dt, spp)
+        return np.frombuffer(raw, dtype=np_dt,
+                             count=w * h * spp).reshape(h, w, spp)
+
     if 322 in tags:  # tiled
         tw, th = int(tags[322][0]), int(tags[323][0])
         ntx, nty = (W + tw - 1) // tw, (H + th - 1) // th
         offs = tags[324]
+        cnts = tags.get(325, (None,) * len(offs))
         per_band = ntx * nty
         for i, off in enumerate(offs):
             if planar == 2 or nb == 1:
                 bi, ti = divmod(i, per_band)
-                tile = np.frombuffer(data, dtype=np_dt, count=tw * th,
-                                     offset=off).reshape(th, tw)
-                tiles_of = [(bi, tile)]
+                raw = chunk(off, cnts[i], tw, th, 1)
+                tiles_of = [(bi, raw[:, :, 0])]
             else:  # chunky: samples interleaved within the tile
                 ti = i
-                raw = np.frombuffer(data, dtype=np_dt, count=tw * th * nb,
-                                    offset=off).reshape(th, tw, nb)
+                raw = chunk(off, cnts[i], tw, th, nb)
                 tiles_of = [(b, raw[:, :, b]) for b in range(nb)]
             ty, tx = divmod(ti, ntx)
             h = min(th, H - ty * th)
@@ -206,6 +244,7 @@ def parse_geotiff(data: bytes, raster_id: str = "tif",
     else:  # strips
         rps = int(tags.get(278, (H,))[0])
         offs = tags[273]
+        cnts = tags.get(279, (None,) * len(offs))
         nstrips = (H + rps - 1) // rps
         for i, off in enumerate(offs):
             if planar == 2 and nb > 1:
@@ -213,15 +252,13 @@ def parse_geotiff(data: bytes, raster_id: str = "tif",
             else:
                 bi, si = 0, i
             h = min(rps, H - si * rps)
-            if planar != 2 and nb > 1:
-                raw = np.frombuffer(data, dtype=np_dt, count=h * W * nb,
-                                    offset=off).reshape(h, W, nb)
+            spp = nb if (planar != 2 and nb > 1) else 1
+            raw = chunk(off, cnts[i], W, h, spp)
+            if spp > 1:
                 for b in range(nb):
                     bands[b][si * rps:si * rps + h] = raw[:, :, b]
             else:
-                bands[bi][si * rps:si * rps + h] = np.frombuffer(
-                    data, dtype=np_dt, count=h * W,
-                    offset=off).reshape(h, W)
+                bands[bi][si * rps:si * rps + h] = raw[:, :, 0]
 
     gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
     if 33550 in tags and 33922 in tags:
@@ -289,27 +326,38 @@ def read_geotiff(spark: SparkSession, path_glob: str,
 
 
 def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
-                  bands: int = 1) -> int:
+                  bands: int = 1, compression: str = "none",
+                  predictor: bool = False) -> int:
     """Single-artifact GeoTIFF sink: a .tif is one file, so block rows
     stream to the driver (``toLocalIterator``, one partition in memory at
-    a time) and land at offsets precomputed from the fixed uncompressed
-    tile size — the write is O(1) memory in raster size. TIFF tile grid =
-    the engine's block grid, zero re-chunking. For distributed output
-    write one .tif per partition-of-rasters instead (file-per-artifact,
-    as the XYZ tile sink does)."""
+    a time) — the write is O(1) memory in raster size. TIFF tile grid =
+    the engine's block grid, zero re-chunking. Uncompressed tiles land at
+    offsets precomputed from the fixed tile size; compressed tiles append
+    in arrival order and the TileOffsets/TileByteCounts arrays are patched
+    in place afterwards (their external-area positions are deterministic).
+    Absent tiles point at one shared compressed zero tile. For distributed
+    output write one .tif per partition-of-rasters instead
+    (file-per-artifact, as the XYZ tile sink does)."""
+    codec = TC.NAMES[compression]
     tw = th = meta.block
     bits, sfmt = _DTYPES[meta.dtype]
     bpp = bits // 8
+    if predictor and (sfmt == 3
+                      or codec not in (TC.COMP_LZW, TC.COMP_DEFLATE)):
+        raise ValueError("Predictor=2 requires an integer dtype and an "
+                         "LZW/Deflate codec (mainstream readers ignore the "
+                         "Predictor tag for other codecs)")
     W, H = meta.width, meta.height
     ntx, nty = meta.n_block_x, meta.n_block_y
     ntiles = ntx * nty * bands
     tile_bytes = tw * th * bpp
+    le_dt = np.dtype(meta.dtype).newbyteorder("<")
 
     entries = [
         (256, _LONG, struct.pack("<I", W), 1),
         (257, _LONG, struct.pack("<I", H), 1),
         (258, _SHORT, struct.pack(f"<{bands}H", *([bits] * bands)), bands),
-        (259, _SHORT, struct.pack("<H", 1), 1),
+        (259, _SHORT, struct.pack("<H", codec), 1),
         (262, _SHORT, struct.pack("<H", 1), 1),
         (277, _SHORT, struct.pack("<H", bands), 1),
         (322, _SHORT, struct.pack("<H", tw), 1),
@@ -324,38 +372,77 @@ def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
     ]
     if bands > 1:
         entries.append((284, _SHORT, struct.pack("<H", 2), 1))
+    if predictor:
+        entries.append((317, _SHORT, struct.pack("<H", 2), 1))
     if meta.nodata is not None:
         nd = f"{meta.nodata:g}".encode("ascii") + b"\x00"
         entries.append((42113, _ASCII, nd, len(nd)))
     n_entries = len(entries) + 1
     ifd_size = 2 + 12 * n_entries + 4
-    probe_ifd, probe_ext = _entries_bytes(
+    _probe_ifd, probe_ext, _pos = _entries_bytes(
         entries + [(324, _LONG,
                     struct.pack(f"<{ntiles}I", *([0] * ntiles)), ntiles)],
         8 + ifd_size)
     data_start = 8 + ifd_size + len(probe_ext)
-    offsets = [data_start + i * tile_bytes for i in range(ntiles)]
-    entries.append((324, _LONG, struct.pack(f"<{ntiles}I", *offsets), ntiles))
-    ifd, ext = _entries_bytes(entries, 8 + ifd_size)
+    entries.append((324, _LONG,
+                    struct.pack(f"<{ntiles}I",
+                                *([data_start + i * tile_bytes
+                                   for i in range(ntiles)]
+                                  if codec == TC.COMP_NONE
+                                  else [0] * ntiles)), ntiles))
+    ifd, ext, ext_pos = _entries_bytes(entries, 8 + ifd_size)
+
+    def encode(tile: np.ndarray) -> bytes:
+        raw = tile.astype(le_dt).tobytes()
+        if predictor:
+            raw = TC.predictor_apply(raw, tw, th, le_dt)
+        return TC.compress(codec, raw)
 
     per_band = ntx * nty
     n = 0
-    with open(path, "wb") as fh:
+    with open(path, "w+b") as fh:
         fh.write(struct.pack("<2sHI", b"II", 42, 8))
         fh.write(struct.pack("<H", n_entries) + ifd + struct.pack("<I", 0))
         fh.write(ext)
-        fh.truncate(data_start + ntiles * tile_bytes)  # zero-fill = nodata 0
+        if codec == TC.COMP_NONE:
+            fh.truncate(data_start + ntiles * tile_bytes)  # zero = nodata 0
+            for row in tiles.toLocalIterator():
+                if row["band"] >= bands:
+                    continue
+                idx = row["band"] * per_band + row["by"] * ntx + row["bx"]
+                tile = np.zeros((th, tw), dtype=meta.dtype)
+                sub = np.frombuffer(bytes(row["data"]), dtype=meta.dtype
+                                    ).reshape(row["h"], row["w"])
+                tile[:row["h"], :row["w"]] = sub
+                fh.seek(data_start + idx * tile_bytes)
+                fh.write(tile.astype(le_dt).tobytes())
+                n += 1
+            return n
+        # compressed: shared zero tile first, then tiles in arrival order
+        zero = encode(np.zeros((th, tw), dtype=meta.dtype))
+        offsets = np.full(ntiles, data_start, dtype=np.uint32)
+        counts = np.full(ntiles, len(zero), dtype=np.uint32)
+        fh.write(zero + (b"\x00" if len(zero) % 2 else b""))
+        pos = data_start + len(zero) + (len(zero) % 2)
         for row in tiles.toLocalIterator():
             if row["band"] >= bands:
                 continue
             idx = row["band"] * per_band + row["by"] * ntx + row["bx"]
             tile = np.zeros((th, tw), dtype=meta.dtype)
-            sub = np.frombuffer(bytes(row["data"]),
-                                dtype=meta.dtype).reshape(row["h"], row["w"])
+            sub = np.frombuffer(bytes(row["data"]), dtype=meta.dtype
+                                ).reshape(row["h"], row["w"])
             tile[:row["h"], :row["w"]] = sub
-            fh.seek(data_start + idx * tile_bytes)
-            fh.write(tile.astype(np.dtype(meta.dtype).newbyteorder("<")).tobytes())
+            payload = encode(tile)
+            fh.seek(pos)
+            fh.write(payload + (b"\x00" if len(payload) % 2 else b""))
+            offsets[idx], counts[idx] = pos, len(payload)
+            pos += len(payload) + (len(payload) % 2)
             n += 1
+        order = sorted(t for t, *_ in entries)
+        for tag, arr in ((324, offsets), (325, counts)):
+            # ntiles==1 → the 4-byte payload sits inline in the IFD entry
+            fh.seek(ext_pos.get(tag, 10 + 12 * order.index(tag) + 8))
+            fh.write(arr.astype("<u4").tobytes())
     return n
 
 

@@ -1,5 +1,5 @@
-"""GeoTIFF / AAIGrid codecs (gdal/frmts/gtiff + aaigrid driver parity on
-the uncompressed interchange core)."""
+"""GeoTIFF / AAIGrid codecs (gdal/frmts/gtiff + aaigrid driver parity:
+classic TIFF container, LZW/Deflate/PackBits codecs, Predictor=2)."""
 
 from __future__ import annotations
 
@@ -59,7 +59,7 @@ def test_geotiff_strip_reader():
     ]
     n = len(entries) + 1
     ifd_size = 2 + 12 * n + 4
-    _probe, ext = RF._entries_bytes(
+    _probe, ext, _pos = RF._entries_bytes(
         entries + [(273, RF._LONG, struct.pack("<3I", 0, 0, 0), 3)],
         8 + ifd_size)
     data_start = 8 + ifd_size + len(ext)
@@ -69,27 +69,80 @@ def test_geotiff_strip_reader():
         offs.append(pos)
         pos += len(s)
     entries.append((273, RF._LONG, struct.pack("<3I", *offs), 3))
-    ifd, ext = RF._entries_bytes(entries, 8 + ifd_size)
+    ifd, ext, _pos = RF._entries_bytes(entries, 8 + ifd_size)
     data = (struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", n)
             + ifd + struct.pack("<I", 0) + ext + b"".join(strips))
     bands, meta = RF.parse_geotiff(data, "s")
     np.testing.assert_array_equal(bands[0], arr)
 
 
-def test_geotiff_compressed_rejected():
+def test_geotiff_jpeg_rejected():
     arr = np.zeros((4, 4), dtype=np.uint8)
     data = bytearray(RF.geotiff_bytes([arr], _meta("c", 4, 4, block=4)))
-    # flip the Compression tag value to 5 (LZW)
+    # flip the Compression tag value to 7 (JPEG — no codec libs here)
     import struct
-    tags, _ = RF._read_ifd(bytes(data))
     (count,) = struct.unpack_from("<H", data, 8)
     for i in range(count):
         off = 10 + 12 * i
         tag = struct.unpack_from("<H", data, off)[0]
         if tag == 259:
-            struct.pack_into("<H", data, off + 8, 5)
-    with pytest.raises(ValueError, match="compressed"):
+            struct.pack_into("<H", data, off + 8, 7)
+    with pytest.raises(ValueError, match="Compression=7"):
         RF.parse_geotiff(bytes(data), "c")
+
+
+@pytest.mark.parametrize("comp,pred", [("lzw", False), ("lzw", True),
+                                       ("deflate", False),
+                                       ("deflate", True),
+                                       ("packbits", False)])
+def test_geotiff_codec_roundtrip(comp, pred):
+    """Compression codecs (raster/tiffcodec.py — TIFF 6.0 sections 9/13/
+    14 + Adobe Deflate) through the full container round-trip."""
+    arr = ((np.arange(20)[:, None] * 7 + np.arange(19)[None, :] * 13)
+           % 251).astype(np.uint16)
+    meta = _meta("cc", 19, 20, dtype="uint16", nodata=7.0)
+    data = RF.geotiff_bytes([arr], meta, compression=comp, predictor=pred)
+    bands, back = RF.parse_geotiff(data, "cc", block=8)
+    np.testing.assert_array_equal(bands[0], arr)
+    assert back.gt == meta.gt and back.nodata == 7.0
+    # compressible content must actually shrink
+    flat = np.zeros((64, 64), dtype=np.uint16)
+    fm = _meta("f", 64, 64, dtype="uint16", block=64)
+    assert len(RF.geotiff_bytes([flat], fm, compression=comp)) < \
+        len(RF.geotiff_bytes([flat], fm)) / 4
+
+
+def test_geotiff_javaio_lzw_golden():
+    """Independent-writer golden: big-endian strip LZW TIFF produced by
+    javax.imageio's TIFF plugin (libtiff-compatible early-change LZW).
+    Pixel (x, y) = (7x + 13y) mod 251, 90x70 gray8."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "javaio_lzw.tif")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    bands, meta = RF.parse_geotiff(data, "j")
+    expect = np.fromfunction(lambda y, x: (x * 7 + y * 13) % 251,
+                             (70, 90)).astype(np.uint8)
+    np.testing.assert_array_equal(bands[0], expect)
+
+
+def test_tiffcodec_packbits_spec_golden():
+    """The worked PackBits example from TIFF 6.0 section 13."""
+    from gdal_spark.raster import tiffcodec as TC
+    enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    expect = (b"\xAA" * 3 + b"\x80\x00\x2A" + b"\xAA" * 4 +
+              b"\x80\x00\x2A\x22" + b"\xAA" * 10)
+    assert TC.packbits_decode(enc, 1 << 20) == expect
+    assert TC.packbits_decode(TC.packbits_encode(expect), 1 << 20) == expect
+
+
+def test_tiffcodec_lzw_table_clear():
+    """LZW round-trip through multiple 12-bit table resets."""
+    from gdal_spark.raster import tiffcodec as TC
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    assert TC.lzw_decode(TC.lzw_encode(data), len(data) + 16) == data
 
 
 def test_geotiff_spark_roundtrip(spark, tmp_path):
@@ -110,6 +163,25 @@ def test_geotiff_spark_roundtrip(spark, tmp_path):
     c1 = checksum(back, hm).collect()[0]["checksum"]
     c2 = checksum(tiles, meta).collect()[0]["checksum"]
     assert c1 == c2
+
+
+def test_geotiff_spark_compressed_sink(spark, tmp_path):
+    """Compressed streaming sink: tiles append in arrival order, the
+    offset/count arrays are patched afterwards, absent tiles share one
+    zero tile."""
+    arr = ((np.arange(40)[:, None] * 7 + np.arange(36)[None, :] * 13)
+           % 50 + 1).astype(np.uint8)
+    arr[16:32, 0:16] = 0  # one all-zero block -> exercised zero-tile path
+    meta = _meta("gtc", 36, 40, block=16, nodata=0.0)
+    tiles = M.from_array(spark, arr, meta).filter(
+        "not (bx = 0 and by = 1)")  # drop the zero block entirely
+    p = str(tmp_path / "gtc.tif")
+    n = RF.write_geotiff(tiles, meta, p, compression="deflate",
+                         predictor=True)
+    assert n == meta.n_block_x * meta.n_block_y - 1
+    back = RF.read_geotiff(spark, p, block=16)
+    got = M.to_array(back, RF.geotiff_meta(p, block=16))
+    np.testing.assert_array_equal(got, arr)
 
 
 def test_aaigrid_roundtrip(spark, tmp_path):
