@@ -3,16 +3,18 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, exactly like the ``html:binary`` column of the pages table
 (BASELINE.json input_hint). The Spark-side plumbing — schema, Arrow batch
-shape, partitioning — is real and tested; the *codec* step is stubbed
-behind ``NotImplementedError`` (no image/audio libraries in this
-container) with a deterministic fake for tests.
+shape, partitioning — is real and tested; the codec step is REAL for
+PNG/BMP/PGM/PPM/TIFF images and PCM WAV audio (pure-numpy spec
+re-implementations in raster/imagecodec.py) and stubbed with an honest
+``NotImplementedError`` only for entropy-coded formats (JPEG/GIF/video).
 
 Operators:
-- ``byte_features``   — real: vectorized per-blob statistics (length, byte
+- ``byte_features``   — vectorized per-blob statistics (length, byte
   sum, distinct bytes, entropy) via one Arrow pass.
-- ``decode_image``    — stub: raises unless ``fake=True``, in which case a
-  deterministic pseudo-decode (hash-seeded byte grid) exercises the full
-  (blob → H×W array → tile rows) path.
+- ``decode_image``    — real decode for PNG/BMP/PNM/TIFF → 8-bit luma
+  grid rows; ``fake=True`` keeps the deterministic pseudo-decode for
+  plumbing-only tests.
+- ``audio_features``  — real WAV decode → integer-exact signal features.
 - ``frame_sample``    — stub codec, real sampling plumbing: picks every
   k-th "frame" offset from a fake container layout.
 """
@@ -67,28 +69,77 @@ IMG_TILE_SCHEMA = T.StructType([
 def decode_image(df: DataFrame, blob: str = "blob", id_col: str = "doc_id",
                  fake: bool = False, size: tuple[int, int] = (16, 16)
                  ) -> DataFrame:
-    """blob → grayscale pixel grid rows. REAL CODEC NOT AVAILABLE in this
-    container — ``fake=True`` substitutes a deterministic pseudo-decode
-    (first bytes tiled into an H×W uint8 grid) so the downstream plumbing
-    (schema, batch shape, resize/feature ops) is fully exercised."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake=True for the deterministic test decode")
-    h, w = size
+    """blob → grayscale pixel grid rows. REAL for PNG/BMP/PGM/PPM/TIFF
+    (pure-numpy codecs, raster/imagecodec.py); color images are reduced
+    to 8-bit luma via the BT.601 integer weights. JPEG/GIF blobs raise
+    the honest NotImplementedError (entropy codecs stay out of scope in
+    this container). ``fake=True`` keeps the old deterministic
+    pseudo-decode (first bytes tiled into an H×W grid) for plumbing
+    tests that don't want real image bytes."""
     idx_blob = df.schema.fieldNames().index(blob)
     idx_id = df.schema.fieldNames().index(id_col)
+
+    if fake:
+        h, w = size
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for did, b in zip(pdf.iloc[:, idx_id], pdf.iloc[:, idx_blob]):
+                    a = np.frombuffer(bytes(b), dtype=np.uint8)
+                    grid = np.resize(a, (h, w))  # deterministic tile/repeat
+                    rows.append((int(did), h, w, grid.tobytes()))
+                yield pd.DataFrame(rows,
+                                   columns=[f.name for f in IMG_TILE_SCHEMA])
+
+        return df.mapInPandas(run, schema=IMG_TILE_SCHEMA)
+
+    from gdal_spark.raster import imagecodec as IC
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, b in zip(pdf.iloc[:, idx_id], pdf.iloc[:, idx_blob]):
-                a = np.frombuffer(bytes(b), dtype=np.uint8)
-                grid = np.resize(a, (h, w))  # deterministic tile/repeat
-                rows.append((int(did), h, w, grid.tobytes()))
+                img = IC.to_gray(IC.decode_any(bytes(b)))
+                rows.append((int(did), img.shape[0], img.shape[1],
+                             img.tobytes()))
             yield pd.DataFrame(rows, columns=[f.name for f in IMG_TILE_SCHEMA])
 
     return df.mapInPandas(run, schema=IMG_TILE_SCHEMA)
+
+
+def audio_features(df: DataFrame, blob: str = "blob",
+                   id_col: str = "doc_id") -> DataFrame:
+    """WAV blob → (id, rate, channels, n_samples, duration_s, sq_sum,
+    zero_crossings). Real decode (raster/imagecodec.py RIFF parser);
+    features are integer-exact so oracles can verify them closed-form."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sq_sum", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ])
+    idx_blob = df.schema.fieldNames().index(blob)
+    idx_id = df.schema.fieldNames().index(id_col)
+
+    from gdal_spark.raster import imagecodec as IC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf.iloc[:, idx_id], pdf.iloc[:, idx_blob]):
+                a, rate = IC.wav_decode(bytes(b))
+                n, ch = a.shape
+                mono = a[:, 0].astype(np.int64)
+                zc = int(((mono[1:] >= 0) != (mono[:-1] >= 0)).sum())
+                rows.append((int(did), rate, ch, n, round(n / rate, 6),
+                             int((a.astype(np.int64) ** 2).sum()), zc))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def resize_image(imgs: DataFrame, out_size: tuple[int, int]) -> DataFrame:

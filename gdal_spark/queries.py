@@ -3254,3 +3254,99 @@ SELECT fid, CAST(clip_area AS DOUBLE) AS clip_area FROM t ORDER BY fid
 """
 
 QUERIES["ogr2ogr_clipdst"] = (q_ogr2ogr_clipdst, ORACLE_CLIPDST)
+
+
+def q_image_decode(spark, sf_dir):
+    """REAL image decode on the driver gate: every doc synthesizes a
+    deterministic 17x24 gray PNG (pixel = (doc_id*7 + y*13 + x) % 251),
+    the pure-numpy PNG codec (raster/imagecodec.py) decodes it back, and
+    byte_features over the decoded pixel grid proves bit-exactness
+    against the closed-form oracle. Composes the two public operators a
+    multimodal pipeline chains: decode_image -> byte_features."""
+    import numpy as _np
+    import pandas as _pd
+
+    from gdal_spark.operators import multimodal as MM
+    from gdal_spark.raster import imagecodec as IC
+
+    H, W = 17, 24
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        y, x = _np.mgrid[0:H, 0:W]
+        for pdf in batches:
+            out = [(int(did),
+                    IC.png_encode(((int(did) * 7 + y * 13 + x) % 251
+                                   ).astype(_np.uint8)))
+                   for did in pdf["doc_id"]]
+            yield _pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(make, schema="doc_id long, blob binary")
+    imgs = MM.decode_image(blobs)
+    feats = MM.byte_features(imgs.select("doc_id", "pixels"), blob="pixels")
+    return (imgs.select("doc_id", "h", "w")
+            .join(feats.select("doc_id", "n_bytes",
+                               F.col("byte_sum").alias("px_sum")),
+                  on="doc_id"))
+
+
+ORACLE_IMAGE_DECODE = """
+WITH grid AS (SELECT y.y AS y, x.x AS x
+              FROM generate_series(0, 16) y(y), generate_series(0, 23) x(x))
+SELECT d.doc_id, CAST(17 AS INTEGER) AS h, CAST(24 AS INTEGER) AS w,
+       CAST(408 AS BIGINT) AS n_bytes,
+       CAST(sum((d.doc_id * 7 + g.y * 13 + g.x) % 251) AS BIGINT) AS px_sum
+FROM documents d, grid g
+GROUP BY d.doc_id
+"""
+
+QUERIES["image_decode"] = (q_image_decode, ORACLE_IMAGE_DECODE)
+
+
+def q_audio_decode(spark, sf_dir):
+    """REAL audio decode on the driver gate: every doc synthesizes a
+    deterministic 400-sample 8 kHz PCM WAV (v_i = (doc_id*31 + i*17) %
+    1999 - 999), the RIFF parser decodes it, and the integer-exact
+    features (energy, zero crossings) match the closed-form oracle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from gdal_spark.operators import multimodal as MM
+    from gdal_spark.raster import imagecodec as IC
+
+    N, RATE = 400, 8000
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        i = _np.arange(N, dtype=_np.int64)
+        for pdf in batches:
+            out = [(int(did),
+                    IC.wav_encode(((int(did) * 31 + i * 17) % 1999 - 999
+                                   ).astype(_np.int16), RATE))
+                   for did in pdf["doc_id"]]
+            yield _pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(make, schema="doc_id long, blob binary")
+    return MM.audio_features(blobs)
+
+
+ORACLE_AUDIO_DECODE = """
+WITH s AS (SELECT d.doc_id, i.i AS i,
+                  (d.doc_id * 31 + i.i * 17) % 1999 - 999 AS v
+           FROM documents d, generate_series(0, 399) i(i)),
+z AS (SELECT doc_id, v,
+             CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i)
+                       IS NOT NULL
+                   AND ((v >= 0) !=
+                        (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0))
+                  THEN 1 ELSE 0 END AS zc
+      FROM s)
+SELECT doc_id, CAST(8000 AS INTEGER) AS rate, CAST(1 AS INTEGER) AS channels,
+       CAST(400 AS BIGINT) AS n_samples,
+       CAST(0.05 AS DOUBLE) AS duration_s,
+       CAST(sum(v * v) AS BIGINT) AS sq_sum,
+       CAST(sum(zc) AS BIGINT) AS zero_crossings
+FROM z GROUP BY doc_id
+"""
+
+QUERIES["audio_decode"] = (q_audio_decode, ORACLE_AUDIO_DECODE)

@@ -128,6 +128,68 @@ def build_xyz_pyramid(src_tiles: DataFrame, src_meta: RasterMeta,
     return levels
 
 
+def write_xyz_png(levels, out_dir: str,
+                  dtypes_ok: tuple = ("uint8",)) -> DataFrame:
+    """Materialize a pyramid as gdal2tiles' on-disk layout —
+    ``{out_dir}/{z}/{x}/{y}.png`` — with the pure-numpy PNG encoder
+    (raster/imagecodec.py), fully distributed: each executor partition
+    encodes and writes its own tiles (``out_dir`` must be a shared
+    filesystem on a real cluster, exactly like gdal2tiles' target dir),
+    the driver never sees pixel bytes. 1 band → gray PNG, 3 bands → RGB.
+    Edge tiles are padded to the full 256² with the nodata value (0 when
+    unset), matching the reference's fixed tile size (gdal2tiles.py
+    :1451-1490). Returns the written-file manifest (zoom, x, y, path,
+    n_bytes) — the resume/skip listing (:1200-1205)."""
+    import os
+
+    import pandas as pd
+
+    from gdal_spark.raster import imagecodec as IC
+
+    outs = []
+    for z, df, meta in levels:
+        if meta.dtype not in dtypes_ok:
+            raise ValueError(f"PNG tiles need dtype in {dtypes_ok}, "
+                             f"got {meta.dtype} at z{z}")
+        fill = int(meta.nodata) if meta.nodata is not None else 0
+        block, dt = meta.block, meta.dtype
+
+        def make_render(_z, _fill, _block, _dt):
+            def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+                x, y = int(key[0]), int(key[1])
+                bands = {}
+                for r in pdf.itertuples(index=False):
+                    tile = np.full((_block, _block), _fill, dtype=_dt)
+                    a = np.frombuffer(bytes(r.data), dtype=_dt
+                                      ).reshape(r.h, r.w)
+                    tile[:r.h, :r.w] = a
+                    bands[int(r.band)] = tile
+                if len(bands) >= 3:
+                    img = np.stack([bands[b] for b in sorted(bands)[:3]],
+                                   axis=-1)
+                else:
+                    img = bands[sorted(bands)[0]]
+                payload = IC.png_encode(img.astype(np.uint8))
+                d = os.path.join(out_dir, str(_z), str(x))
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"{y}.png")
+                with open(path, "wb") as fh:
+                    fh.write(payload)
+                return pd.DataFrame([(_z, x, y, path, len(payload))],
+                                    columns=["zoom", "x", "y", "path",
+                                             "n_bytes"])
+            return render
+
+        outs.append(df.groupBy("bx", "by").applyInPandas(
+            make_render(z, fill, block, dt),
+            schema="zoom int, x int, y int, path string, n_bytes long"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def tile_manifest(levels) -> DataFrame:
     """(zoom, x, y, tms_y, quadkey) rows for every produced tile — the
     gdal2tiles output listing / resume manifest shape."""

@@ -1,0 +1,235 @@
+"""Pure-numpy image/audio codecs (raster/imagecodec.py): PNG per the W3C
+spec (filters 0-4), BMP, PNM, RIFF WAV — plus the real decode_image /
+audio_features operators over Spark."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster import imagecodec as IC
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _img(h, w, c=None, seed=7):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(33, 47), (20, 31, 3), (16, 16, 4),
+                                   (5, 9, 2), (1, 1), (2, 3, 3)])
+def test_png_roundtrip(shape):
+    a = _img(*shape[:2], c=shape[2] if len(shape) == 3 else None)
+    d = IC.png_decode(IC.png_encode(a))
+    assert d.shape == a.shape and d.dtype == a.dtype
+    np.testing.assert_array_equal(d, a)
+
+
+def test_png_roundtrip_16bit():
+    a = np.random.default_rng(3).integers(0, 65536, (9, 13),
+                                          dtype=np.uint16)
+    d = IC.png_decode(IC.png_encode(a))
+    assert d.dtype == np.uint16
+    np.testing.assert_array_equal(d, a)
+
+
+def _wrap_png(W, H, depth, ctype, scanlines, plte=None):
+    """Assemble a PNG from pre-filtered scanline bytes (test-side forward
+    filtering, independent of the encoder under test)."""
+    ihdr = struct.pack(">IIBBBBB", W, H, depth, ctype, 0, 0, 0)
+    out = IC.PNG_SIG + IC._chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += IC._chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += IC._chunk(b"IDAT", zlib.compress(scanlines))
+    return out + IC._chunk(b"IEND", b"")
+
+
+def _forward_filter(flat, ft, bpp):
+    """Reference forward filtering, written independently of _unfilter:
+    straight from the spec's Filt() equations, scalar loops."""
+    H, rb = flat.shape
+    out = bytearray()
+    recon = flat.astype(np.int64)
+    for y in range(H):
+        out.append(ft)
+        for x in range(rb):
+            a = recon[y, x - bpp] if x >= bpp else 0
+            b = recon[y - 1, x] if y else 0
+            c = recon[y - 1, x - bpp] if (y and x >= bpp) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+            out.append((int(recon[y, x]) - pred) % 256)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_all_filters_gray(ft):
+    a = _img(11, 17, seed=ft)
+    data = _wrap_png(17, 11, 8, 0, _forward_filter(a, ft, 1))
+    np.testing.assert_array_equal(IC.png_decode(data), a)
+
+
+@pytest.mark.parametrize("ft", [1, 3, 4])
+def test_png_all_filters_rgb(ft):
+    a = _img(7, 9, c=3, seed=ft + 10)
+    data = _wrap_png(9, 7, 8, 2, _forward_filter(a.reshape(7, 27), ft, 3))
+    np.testing.assert_array_equal(IC.png_decode(data), a)
+
+
+def test_png_palette_and_subbyte():
+    # 8-bit palette
+    pal = _img(1, 16, c=3, seed=1).reshape(16, 3)
+    idx = _img(6, 10, seed=2) % 16
+    data = _wrap_png(10, 6, 8, 3, _forward_filter(idx, 0, 1), plte=pal)
+    np.testing.assert_array_equal(IC.png_decode(data), pal[idx])
+    # 1-bit gray: packed MSB-first, scaled to 0/255
+    bits = (_img(5, 12, seed=3) > 127).astype(np.uint8)
+    packed = np.packbits(bits, axis=1)
+    data = _wrap_png(12, 5, 1, 0, _forward_filter(packed, 0, 1))
+    np.testing.assert_array_equal(IC.png_decode(data), bits * 255)
+    # 4-bit palette
+    idx4 = _img(4, 6, seed=4) % 16
+    nib = (idx4[:, 0::2] << 4) | idx4[:, 1::2]
+    data = _wrap_png(6, 4, 4, 3, _forward_filter(nib, 0, 1), plte=pal)
+    np.testing.assert_array_equal(IC.png_decode(data), pal[idx4])
+
+
+def test_png_javaio_goldens():
+    """Independent-writer goldens (javax.imageio PNG plugin), formula
+    pixels: gray (7x+13y)%251; rgb channels %251/%241/%239."""
+    y, x = np.mgrid[0:70, 0:90]
+    img = IC.png_decode(open(f"{DATA}/javaio_gray.png", "rb").read())
+    np.testing.assert_array_equal(img, ((x * 7 + y * 13) % 251
+                                        ).astype(np.uint8))
+    rgb = IC.png_decode(open(f"{DATA}/javaio_rgb.png", "rb").read())
+    np.testing.assert_array_equal(rgb[:, :, 0], ((x * 7 + y * 13) % 251
+                                                 ).astype(np.uint8))
+    np.testing.assert_array_equal(rgb[:, :, 1], ((x * 3 + y * 5) % 241
+                                                 ).astype(np.uint8))
+    np.testing.assert_array_equal(rgb[:, :, 2], ((x * 11 + y * 2) % 239
+                                                 ).astype(np.uint8))
+
+
+def test_bmp_golden_and_roundtrip():
+    y, x = np.mgrid[0:23, 0:37]
+    img = IC.bmp_decode(open(f"{DATA}/javaio_24.bmp", "rb").read())
+    np.testing.assert_array_equal(img[:, :, 0], ((x * 7 + y * 13) % 251
+                                                 ).astype(np.uint8))
+    a = _img(13, 21, c=3, seed=9)
+    np.testing.assert_array_equal(IC.bmp_decode(IC.bmp_encode(a)), a)
+    g = _img(8, 5, seed=10)
+    np.testing.assert_array_equal(IC.bmp_decode(IC.bmp_encode(g)),
+                                  np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_pnm_roundtrip_and_comments():
+    g = _img(6, 11, seed=11)
+    np.testing.assert_array_equal(IC.pnm_decode(IC.pnm_encode(g)), g)
+    c = _img(4, 7, c=3, seed=12)
+    np.testing.assert_array_equal(IC.pnm_decode(IC.pnm_encode(c)), c)
+    manual = b"P5\n# a comment\n 3 2\n255\n" + bytes(range(6))
+    np.testing.assert_array_equal(
+        IC.pnm_decode(manual),
+        np.arange(6, dtype=np.uint8).reshape(2, 3))
+
+
+def test_wav_roundtrip():
+    s = (np.sin(np.arange(4000) * 0.03) * 9000).astype(np.int16)
+    a, rate = IC.wav_decode(IC.wav_encode(s, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(a[:, 0], s)
+    stereo = np.stack([s, -s], axis=1)
+    a2, _ = IC.wav_decode(IC.wav_encode(stereo, 44100))
+    np.testing.assert_array_equal(a2, stereo)
+    u8 = _img(1, 300, seed=13).reshape(-1)
+    a3, _ = IC.wav_decode(IC.wav_encode(u8, 8000))
+    np.testing.assert_array_equal(a3[:, 0], u8)
+
+
+def test_detect_and_decode_any():
+    g = _img(5, 7, seed=14)
+    assert IC.detect_format(IC.png_encode(g)) == "png"
+    assert IC.detect_format(IC.bmp_encode(g)) == "bmp"
+    assert IC.detect_format(IC.pnm_encode(g)) == "pnm"
+    assert IC.detect_format(IC.wav_encode(g.reshape(-1), 8000)) == "wav"
+    assert IC.detect_format(b"\xff\xd8\xff\xe0xxxx") == "jpeg"
+    with pytest.raises(NotImplementedError):
+        IC.decode_any(b"\xff\xd8\xff\xe0 not really a jpeg")
+    # TIFF dispatch goes through the GeoTIFF parser
+    from gdal_spark.raster.formats import geotiff_bytes
+    from gdal_spark.raster.model import RasterMeta
+    meta = RasterMeta("t", 7, 5, dtype="uint8", block=8)
+    np.testing.assert_array_equal(
+        IC.decode_any(geotiff_bytes([g], meta)), g)
+
+
+def test_to_gray_bt601():
+    rgb = np.zeros((1, 3, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    rgb[0, 1] = (0, 255, 0)
+    rgb[0, 2] = (255, 255, 255)
+    got = IC.to_gray(rgb)[0]
+    assert list(got) == [(77 * 255 + 128) >> 8, (150 * 255 + 128) >> 8, 255]
+
+
+def test_decode_image_operator_real(spark):
+    """Spark-side real decode: PNG and BMP blobs in one column, luma
+    grids out, exact against the closed-form pixel formula."""
+    import pandas as pd
+
+    from gdal_spark.operators import multimodal as MM
+
+    y, x = np.mgrid[0:9, 0:12]
+    blobs = []
+    for did in range(6):
+        px = ((did * 7 + y * 13 + x) % 251).astype(np.uint8)
+        blobs.append((did, IC.png_encode(px) if did % 2 == 0
+                      else IC.bmp_encode(px)))
+    df = spark.createDataFrame(pd.DataFrame(blobs,
+                                            columns=["doc_id", "blob"]))
+    out = {r["doc_id"]: r for r in MM.decode_image(df).collect()}
+    assert len(out) == 6
+    for did in range(6):
+        r = out[did]
+        assert (r["h"], r["w"]) == (9, 12)
+        got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(9, 12)
+        np.testing.assert_array_equal(
+            got, ((did * 7 + y * 13 + x) % 251).astype(np.uint8))
+
+
+def test_audio_features_operator(spark):
+    import pandas as pd
+
+    from gdal_spark.operators import multimodal as MM
+
+    i = np.arange(200, dtype=np.int64)
+    rows = [(did, IC.wav_encode(((did * 31 + i * 17) % 1999 - 999
+                                 ).astype(np.int16), 8000))
+            for did in range(4)]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["doc_id", "blob"]))
+    out = {r["doc_id"]: r for r in MM.audio_features(df).collect()}
+    for did in range(4):
+        v = (did * 31 + i * 17) % 1999 - 999
+        r = out[did]
+        assert r["n_samples"] == 200 and r["rate"] == 8000
+        assert r["sq_sum"] == int((v ** 2).sum())
+        assert r["zero_crossings"] == int(((v[1:] >= 0)
+                                           != (v[:-1] >= 0)).sum())

@@ -24,9 +24,21 @@ def test_byte_features(spark, blobs):
     assert rows[0]["entropy"] == pytest.approx(-(p * np.log2(p)).sum(), abs=1e-6)
 
 
-def test_decode_image_stub_raises(spark, blobs):
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(blobs)
+def test_decode_image_rejects_unknown_and_jpeg(spark, blobs):
+    """Real decode path: non-image bytes fail with a clear error at
+    execution; entropy-coded formats stay an honest NotImplementedError
+    (raised inside the executor, surfaced via PythonException)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError),
+                       match="unrecognized image format"):
+        MM.decode_image(blobs).collect()
+    jpeg = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0 no"))],
+                                 "doc_id long, blob binary")
+    with pytest.raises((PythonException, Py4JJavaError),
+                       match="jpeg decode needs an entropy codec"):
+        MM.decode_image(jpeg).collect()
 
 
 def test_decode_fake_and_resize(spark, blobs):

@@ -97,3 +97,28 @@ def test_geodetic_profile_pyramid(spark):
     # tile addressing agrees with the GlobalGeodetic twin (TMS y flip)
     gtx, gty_tms = TM.py_geodetic_tile(-45.0, 45.0, 1)
     assert (gtx, (1 << 1) - 1 - gty_tms) == (1, 0)
+
+
+def test_write_xyz_png_sink(spark, merc_src, tmp_path):
+    """Distributed PNG tile sink: gdal2tiles' {z}/{x}/{y}.png layout,
+    written by executors, decodable with any PNG reader, byte-exact
+    against the tile DataFrame."""
+    from gdal_spark.raster import imagecodec as IC
+
+    tiles_df, meta, arr = merc_src
+    levels = XT.build_xyz_pyramid(tiles_df, meta, zmin=3, zmax=4,
+                                  base_method="nearest")
+    man = {(r["zoom"], r["x"], r["y"]): r
+           for r in XT.write_xyz_png(levels, str(tmp_path)).collect()}
+    assert len(man) == 4 + 2  # 2x2 base window + z3 parents (2,2),(2,3)
+    # file layout + content check against the in-plan tile rows
+    z, base, _m = levels[0]
+    for r in base.collect():
+        key = (4, r["bx"], r["by"])
+        assert key in man
+        img = IC.png_decode(open(man[key]["path"], "rb").read())
+        want = np.zeros((256, 256), dtype=np.uint8)
+        want[:r["h"], :r["w"]] = np.frombuffer(
+            bytes(r["data"]), dtype=np.uint8).reshape(r["h"], r["w"])
+        np.testing.assert_array_equal(img, want)
+    assert man[(4, 4, 5)]["path"].endswith("4/4/5.png")
