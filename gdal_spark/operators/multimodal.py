@@ -4,9 +4,9 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, exactly like the ``html:binary`` column of the pages table
 (BASELINE.json input_hint). The Spark-side plumbing — schema, Arrow batch
 shape, partitioning — is real and tested; the codec step is REAL for
-PNG/BMP/PGM/PPM/TIFF images and PCM WAV audio (pure-numpy spec
+PNG/BMP/PGM/PPM/GIF/TIFF images and PCM WAV audio (pure-numpy spec
 re-implementations in raster/imagecodec.py) and stubbed with an honest
-``NotImplementedError`` only for entropy-coded formats (JPEG/GIF/video).
+``NotImplementedError`` only for JPEG and video containers.
 
 Operators:
 - ``byte_features``   — vectorized per-blob statistics (length, byte
@@ -69,9 +69,9 @@ IMG_TILE_SCHEMA = T.StructType([
 def decode_image(df: DataFrame, blob: str = "blob", id_col: str = "doc_id",
                  fake: bool = False, size: tuple[int, int] = (16, 16)
                  ) -> DataFrame:
-    """blob → grayscale pixel grid rows. REAL for PNG/BMP/PGM/PPM/TIFF
+    """blob → grayscale pixel grid rows. REAL for PNG/BMP/PGM/PPM/GIF/TIFF
     (pure-numpy codecs, raster/imagecodec.py); color images are reduced
-    to 8-bit luma via the BT.601 integer weights. JPEG/GIF blobs raise
+    to 8-bit luma via the BT.601 integer weights. JPEG blobs raise
     the honest NotImplementedError (entropy codecs stay out of scope in
     this container). ``fake=True`` keeps the old deterministic
     pseudo-decode (first bytes tiled into an H×W grid) for plumbing

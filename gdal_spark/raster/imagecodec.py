@@ -1,4 +1,4 @@
-"""Pure-Python/numpy image + audio codecs: PNG, BMP, PPM/PGM, WAV.
+"""Pure-Python/numpy image + audio codecs: PNG, BMP, PPM/PGM, GIF, WAV.
 
 Round 2/3 carried ``operators/multimodal.decode_image`` as an honest
 stub ("no codec libraries in this container"). These formats need no
@@ -16,6 +16,9 @@ Everything is re-implemented from the public specifications:
 - BMP: BITMAPINFOHEADER layout (reference: gdal/frmts/bmp/bmpdataset.cpp
   semantics — bottom-up rows, BGR order, 4-byte row stride padding).
 - PPM/PGM: netpbm P5/P6 binary headers.
+- GIF: GIF89a spec (LZW with LSB-first variable-width codes — the
+  no-early-change sibling of tiffcodec.py's TIFF LZW — interlace,
+  local color tables); encoder verified read-back by javax.imageio.
 - WAV: RIFF/WAVE canonical PCM layout (fmt + data chunks).
 
 Scale model: codecs run inside Arrow batches on executors, one blob per
@@ -323,6 +326,201 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# GIF (GIF89a; LZW per the spec appendix — LSB-first variable-width codes,
+# no early change, 12-bit ceiling with deferred clear)
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(data: bytes, min_code: int, max_out: int) -> bytes:
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    nbits = min_code + 1
+    out = bytearray()
+    prev = b""
+    acc = n = 0
+    for byte in data:
+        acc |= byte << n
+        n += 8
+        while n >= nbits:
+            code = acc & ((1 << nbits) - 1)
+            acc >>= nbits
+            n -= nbits
+            if code == clear:
+                table, nbits, prev = fresh(), min_code + 1, b""
+                continue
+            if code == eoi:
+                return bytes(out)
+            if not prev:
+                entry = table[code]
+            else:
+                entry = table[code] if code < len(table) else prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+                    if len(table) == (1 << nbits) and nbits < 12:
+                        nbits += 1
+            out += entry
+            prev = entry
+            if len(out) >= max_out:
+                return bytes(out)
+    return bytes(out)
+
+
+def _gif_lzw_encode(data: bytes, min_code: int) -> bytes:
+    """Width sync: the DECODER appends its table entry while processing
+    the 2nd..Nth code after a clear (never the 1st), so the width bump
+    lands one code later than TIFF's early-change convention — track the
+    decoder's table size by emit count, not by our dict size."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = n = 0
+    nbits = min_code + 1
+
+    def put(code: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += nbits
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    def widen_after_emit() -> None:
+        nonlocal nbits
+        if emit_count >= 2:
+            dec_size = clear + 2 + (emit_count - 1)
+            if dec_size == (1 << nbits) and nbits < 12:
+                nbits += 1
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit_count = 0
+    put(clear)
+    run = b""
+    for i in range(len(data)):
+        cand = run + data[i:i + 1]
+        if cand in table:
+            run = cand
+            continue
+        put(table[run])
+        emit_count += 1
+        widen_after_emit()
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            put(clear)  # table full: reset both sides (nbits is 12 here)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = eoi + 1
+            nbits = min_code + 1
+            emit_count = 0
+        run = data[i:i + 1]
+    if run:
+        put(table[run])
+        emit_count += 1
+        widen_after_emit()
+    put(eoi)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → (H,W,3) uint8 (or (H,W) when the
+    active palette is pure gray). Handles local color tables, interlace,
+    sub-block reassembly; animation frames beyond the first are ignored."""
+    if data[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    W, H = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        ncol = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, ncol * 3, pos).reshape(ncol, 3)
+        pos += ncol * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h = struct.unpack_from("<4H", data, pos + 1)
+            ipk = data[pos + 9]
+            pos += 10
+            ct = gct
+            if ipk & 0x80:
+                ncol = 2 << (ipk & 7)
+                ct = np.frombuffer(data, np.uint8, ncol * 3,
+                                   pos).reshape(ncol, 3)
+                pos += ncol * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            comp = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                comp += data[pos + 1:pos + 1 + ln]
+                pos += ln + 1
+            idx = np.frombuffer(_gif_lzw_decode(bytes(comp), min_code,
+                                                w * h),
+                                dtype=np.uint8, count=w * h).reshape(h, w)
+            if ipk & 0x40:  # interlace: rows arrive in 4-pass order
+                order = np.concatenate(
+                    [np.arange(s, h, step) for s, step in _GIF_INTERLACE])
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            rgb = ct[idx]
+            if (rgb[:, :, 0] == rgb[:, :, 1]).all() \
+                    and (rgb[:, :, 1] == rgb[:, :, 2]).all():
+                return rgb[:, :, 0]
+            return rgb
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contained no image frame")
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """(H,W) gray (256-gray palette) or (H,W,3) with ≤256 distinct colors
+    → single-frame GIF89a. More colors raise (quantize first —
+    raster/color.py median_cut is the engine's palette builder)."""
+    if arr.ndim == 2:
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        idx = arr.astype(np.uint8)
+    else:
+        flat = arr.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(f"{len(pal)} colors: quantize to ≤256 first "
+                             "(raster/color.py median_cut)")
+        pal = np.vstack([pal, np.zeros((256 - len(pal), 3), np.uint8)])
+        idx = inv.astype(np.uint8).reshape(arr.shape[:2])
+    H, W = idx.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", W, H, 0x80 | 7, 0, 0)  # GCT, 256 entries
+    out += pal.astype(np.uint8).tobytes()
+    out += b"\x2C" + struct.pack("<4HB", 0, 0, W, H, 0) + b"\x08"
+    comp = _gif_lzw_encode(idx.tobytes(), 8)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -355,7 +553,7 @@ def to_gray(img: np.ndarray) -> np.ndarray:
 
 
 def decode_any(data: bytes) -> np.ndarray:
-    """Sniff + decode one image blob to an array. JPEG/GIF raise the same
+    """Sniff + decode one image blob to an array. JPEG raises the same
     honest NotImplementedError the old stub did — entropy-coded formats
     stay out of scope in this container."""
     kind = detect_format(bytes(data))
@@ -369,7 +567,9 @@ def decode_any(data: bytes) -> np.ndarray:
         from gdal_spark.raster.formats import parse_geotiff
         bands, _meta = parse_geotiff(bytes(data), "blob")
         return bands[0] if len(bands) == 1 else np.stack(bands, axis=-1)
-    if kind in ("gif", "jpeg"):
+    if kind == "gif":
+        return gif_decode(bytes(data))
+    if kind == "jpeg":
         raise NotImplementedError(
-            f"{kind} decode needs an entropy codec not available here")
+            "jpeg decode needs an entropy codec not available here")
     raise ValueError("unrecognized image format")

@@ -233,3 +233,46 @@ def test_audio_features_operator(spark):
         assert r["sq_sum"] == int((v ** 2).sum())
         assert r["zero_crossings"] == int(((v[1:] >= 0)
                                            != (v[:-1] >= 0)).sum())
+
+
+def test_gif_golden_javaio():
+    """Independent-writer golden (javax.imageio GIF plugin), gray
+    formula pixels (7x+13y)%251 on a 61x43 grid."""
+    img = IC.gif_decode(open(f"{DATA}/javaio_gray.gif", "rb").read())
+    y, x = np.mgrid[0:43, 0:61]
+    np.testing.assert_array_equal(img, ((x * 7 + y * 13) % 251
+                                        ).astype(np.uint8))
+
+
+def test_gif_roundtrip():
+    g = _img(70, 90, seed=20)
+    np.testing.assert_array_equal(IC.gif_decode(IC.gif_encode(g)), g)
+    # ≤256-color RGB keeps exact colors through the palette
+    rgb = np.array([[(10, 20, 30), (200, 100, 50)],
+                    [(10, 20, 30), (0, 0, 0)]], dtype=np.uint8)
+    np.testing.assert_array_equal(IC.gif_decode(IC.gif_encode(rgb)), rgb)
+    # large random frame forces 12-bit codes + table clears
+    big = _img(300, 400, seed=21)
+    np.testing.assert_array_equal(IC.gif_decode(IC.gif_encode(big)), big)
+    with pytest.raises(ValueError, match="quantize"):
+        IC.gif_encode(_img(40, 40, c=3, seed=22))
+    assert IC.detect_format(IC.gif_encode(g)) == "gif"
+    np.testing.assert_array_equal(IC.decode_any(IC.gif_encode(g)), g)
+
+
+def test_gif_interlaced():
+    """Interlaced frame: rows arrive in the 4-pass order; synthesize one
+    by forward-permuting rows and setting the interlace flag."""
+    import struct as _s
+    g = _img(19, 8, seed=23)
+    plain = bytearray(IC.gif_encode(g))
+    # encode the row-permuted image, then flip the interlace bit
+    order = np.concatenate([np.arange(s, 19, t)
+                            for s, t in IC._GIF_INTERLACE])
+    permuted = IC.gif_encode(g[order])
+    buf = bytearray(permuted)
+    # image descriptor starts after header(6)+lsd(7)+gct(768): 0x2C at 781
+    assert buf[781] == 0x2C
+    buf[781 + 9] |= 0x40
+    np.testing.assert_array_equal(IC.gif_decode(bytes(buf)), g)
+    assert len(plain) > 0  # keep the non-interlaced artifact exercised
