@@ -5,8 +5,9 @@ metadata, exactly like the ``html:binary`` column of the pages table
 (BASELINE.json input_hint). The Spark-side plumbing — schema, Arrow batch
 shape, partitioning — is real and tested; the codec step is REAL for
 PNG/BMP/PGM/PPM/GIF/TIFF images and PCM WAV audio (pure-numpy spec
-re-implementations in raster/imagecodec.py) and stubbed with an honest
-``NotImplementedError`` only for JPEG and video containers.
+re-implementations in raster/imagecodec.py + raster/jpegcodec.py) and
+for video via the two containers those codecs can express (animated GIF,
+MJPEG AVI); other video containers raise clearly.
 
 Operators:
 - ``byte_features``   — vectorized per-blob statistics (length, byte
@@ -15,8 +16,10 @@ Operators:
   grid rows; ``fake=True`` keeps the deterministic pseudo-decode for
   plumbing-only tests.
 - ``audio_features``  — real WAV decode → integer-exact signal features.
-- ``frame_sample``    — stub codec, real sampling plumbing: picks every
-  k-th "frame" offset from a fake container layout.
+- ``video_frames``    — real frame sampling: animated GIF + MJPEG AVI →
+  every k-th frame as a luma grid.
+- ``frame_sample``    — raw fixed-size-frame layout sampler (kept for
+  opaque byte streams with a known stride).
 """
 
 from __future__ import annotations
@@ -69,11 +72,12 @@ IMG_TILE_SCHEMA = T.StructType([
 def decode_image(df: DataFrame, blob: str = "blob", id_col: str = "doc_id",
                  fake: bool = False, size: tuple[int, int] = (16, 16)
                  ) -> DataFrame:
-    """blob → grayscale pixel grid rows. REAL for PNG/BMP/PGM/PPM/GIF/TIFF
+    """blob → grayscale pixel grid rows. REAL for PNG/BMP/PGM/PPM/GIF/
+    JPEG(baseline)/TIFF
     (pure-numpy codecs, raster/imagecodec.py); color images are reduced
-    to 8-bit luma via the BT.601 integer weights. JPEG blobs raise
-    the honest NotImplementedError (entropy codecs stay out of scope in
-    this container). ``fake=True`` keeps the old deterministic
+    to 8-bit luma via the BT.601 integer weights; JPEG is the pure-numpy
+    baseline decoder (raster/jpegcodec.py, libjpeg-parity goldens).
+    ``fake=True`` keeps the old deterministic
     pseudo-decode (first bytes tiled into an H×W grid) for plumbing
     tests that don't want real image bytes."""
     idx_blob = df.schema.fieldNames().index(blob)
@@ -159,6 +163,48 @@ def resize_image(imgs: DataFrame, out_size: tuple[int, int]) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in IMG_TILE_SCHEMA])
 
     return imgs.mapInPandas(run, schema=IMG_TILE_SCHEMA)
+
+
+def video_frames(df: DataFrame, blob: str = "blob", id_col: str = "doc_id",
+                 every: int = 1) -> DataFrame:
+    """REAL video frame sampling: animated GIF and MJPEG AVI containers
+    (raster/imagecodec.py) → every k-th frame as an 8-bit luma grid row
+    (id, frame_no, h, w, pixels). The two containers expressible with
+    the pure-numpy codecs; other containers raise clearly."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ])
+    idx_blob = df.schema.fieldNames().index(blob)
+    idx_id = df.schema.fieldNames().index(id_col)
+
+    from gdal_spark.raster import imagecodec as IC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.jpegcodec import jpeg_decode
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf.iloc[:, idx_id], pdf.iloc[:, idx_blob]):
+                bb = bytes(b)
+                kind = IC.detect_format(bb)
+                if kind == "gif":
+                    frames = IC.gif_decode_frames(bb)
+                elif kind == "avi":
+                    frames = [jpeg_decode(p)
+                              for p in IC.avi_decode_frames(bb)]
+                else:
+                    raise ValueError(
+                        f"unsupported video container ({kind})")
+                for fno in range(0, len(frames), every):
+                    g = IC.to_gray(frames[fno])
+                    rows.append((int(did), fno, g.shape[0], g.shape[1],
+                                 g.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def frame_sample(df: DataFrame, blob: str = "blob", id_col: str = "doc_id",

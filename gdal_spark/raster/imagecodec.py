@@ -4,8 +4,8 @@ Round 2/3 carried ``operators/multimodal.decode_image`` as an honest
 stub ("no codec libraries in this container"). These formats need no
 library — PNG is zlib (stdlib) + per-row filters (numpy), BMP/PPM/WAV
 are plain structs — so the decode step is now real for the formats a
-web-crawl pipeline actually meets in bulk. JPEG/video stay stubbed
-(DCT entropy coding is a genuinely separate project).
+web-crawl pipeline actually meets in bulk; baseline JPEG decode lives
+in raster/jpegcodec.py. Only video containers stay stubbed.
 
 Everything is re-implemented from the public specifications:
 
@@ -432,10 +432,12 @@ def _gif_lzw_encode(data: bytes, min_code: int) -> bytes:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_decode(data: bytes) -> np.ndarray:
-    """First frame of a GIF87a/89a → (H,W,3) uint8 (or (H,W) when the
-    active palette is pure gray). Handles local color tables, interlace,
-    sub-block reassembly; animation frames beyond the first are ignored."""
+def gif_decode_frames(data: bytes,
+                      max_frames: int | None = None) -> list[np.ndarray]:
+    """All frames of a GIF87a/89a, composited onto the logical screen →
+    list of (H,W,3) uint8 arrays. Honors local color tables, interlace,
+    frame offsets, GCE transparency, and disposal methods 0/1 (leave),
+    2 (restore background) and 3 (restore previous)."""
     if data[:4] != b"GIF8":
         raise ValueError("not a GIF")
     W, H = struct.unpack_from("<HH", data, 6)
@@ -445,15 +447,23 @@ def gif_decode(data: bytes) -> np.ndarray:
         ncol = 2 << (packed & 7)
         gct = np.frombuffer(data, np.uint8, ncol * 3, pos).reshape(ncol, 3)
         pos += ncol * 3
+    canvas = np.zeros((H, W, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    disposal, transp = 0, None
     while pos < len(data):
         b = data[pos]
-        if b == 0x21:  # extension: skip sub-blocks
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            if label == 0xF9 and data[pos + 2] >= 4:  # GCE
+                flags = data[pos + 3]
+                disposal = (flags >> 2) & 7
+                transp = data[pos + 6] if (flags & 1) else None
             pos += 2
             while data[pos] != 0:
                 pos += data[pos] + 1
             pos += 1
         elif b == 0x2C:  # image descriptor
-            _l, _t, w, h = struct.unpack_from("<4H", data, pos + 1)
+            left, top, w, h = struct.unpack_from("<4H", data, pos + 1)
             ipk = data[pos + 9]
             pos += 10
             ct = gct
@@ -471,6 +481,7 @@ def gif_decode(data: bytes) -> np.ndarray:
                 ln = data[pos]
                 comp += data[pos + 1:pos + 1 + ln]
                 pos += ln + 1
+            pos += 1
             idx = np.frombuffer(_gif_lzw_decode(bytes(comp), min_code,
                                                 w * h),
                                 dtype=np.uint8, count=w * h).reshape(h, w)
@@ -480,16 +491,86 @@ def gif_decode(data: bytes) -> np.ndarray:
                 deinter = np.empty_like(idx)
                 deinter[order] = idx
                 idx = deinter
-            rgb = ct[idx]
-            if (rgb[:, :, 0] == rgb[:, :, 1]).all() \
-                    and (rgb[:, :, 1] == rgb[:, :, 2]).all():
-                return rgb[:, :, 0]
-            return rgb
+            before = canvas.copy() if disposal == 3 else None
+            piece = ct[idx]
+            win = canvas[top:top + h, left:left + w]
+            if transp is None:
+                win[:] = piece
+            else:
+                mask = idx != transp
+                win[mask] = piece[mask]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top:top + h, left:left + w] = 0
+            elif disposal == 3 and before is not None:
+                canvas = before
+            disposal, transp = 0, None
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         elif b == 0x3B:
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-    raise ValueError("GIF contained no image frame")
+    if not frames:
+        raise ValueError("GIF contained no image frame")
+    return frames
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First frame of a GIF → (H,W,3) uint8, collapsed to (H,W) when the
+    frame is pure gray."""
+    rgb = gif_decode_frames(data, max_frames=1)[0]
+    if (rgb[:, :, 0] == rgb[:, :, 1]).all() \
+            and (rgb[:, :, 1] == rgb[:, :, 2]).all():
+        return rgb[:, :, 0]
+    return rgb
+
+
+def gif_encode_frames(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
+    """Animated GIF89a from full-size frames — gray (H,W) frames share
+    the 256-gray palette; RGB frames need a ≤256-color union palette.
+    Every frame is a full-screen replace (disposal 1) with a NETSCAPE2.0
+    infinite-loop block, the layout mainstream writers emit."""
+    H, W = frames[0].shape[:2]
+    if all(f.ndim == 2 for f in frames):
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        idxs = [f.astype(np.uint8) for f in frames]
+    else:
+        rgbs = [f if f.ndim == 3 else np.repeat(f[:, :, None], 3, axis=2)
+                for f in frames]
+        colors = np.unique(np.vstack([f.reshape(-1, 3) for f in rgbs]),
+                           axis=0)
+        if len(colors) > 256:
+            raise ValueError(f"{len(colors)} colors across frames: "
+                             "quantize to ≤256 first")
+        key = colors.astype(np.uint32)
+        keyv = (key[:, 0] << 16) | (key[:, 1] << 8) | key[:, 2]
+        order = np.argsort(keyv)
+        sorted_keys = keyv[order]
+        idxs = []
+        for f in rgbs:
+            fk = f.astype(np.uint32)
+            fv = (fk[:, :, 0] << 16) | (fk[:, :, 1] << 8) | fk[:, :, 2]
+            idxs.append(order[np.searchsorted(sorted_keys, fv)
+                              ].astype(np.uint8))
+        pal = np.vstack([colors,
+                         np.zeros((256 - len(colors), 3), np.uint8)])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", W, H, 0x80 | 7, 0, 0)
+    out += pal.astype(np.uint8).tobytes()
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx in idxs:
+        out += (b"\x21\xf9\x04" + bytes([1 << 2])
+                + struct.pack("<H", delay_cs) + b"\x00\x00")
+        out += b"\x2C" + struct.pack("<4HB", 0, 0, W, H, 0) + b"\x08"
+        comp = _gif_lzw_encode(idx.tobytes(), 8)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
 
 
 def gif_encode(arr: np.ndarray) -> bytes:
@@ -521,6 +602,70 @@ def gif_encode(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF 'AVI ' container, MJPEG video stream — the one video container
+# expressible with the codecs above: each '00dc' chunk is a baseline JPEG)
+# ---------------------------------------------------------------------------
+
+def avi_encode_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Minimal spec-conformant single-stream MJPEG AVI (OpenDML layout:
+    hdrl(avih + strl(strh+strf)) + movi + idx1)."""
+    n = len(jpeg_frames)
+    maxlen = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack("<10I16x", 1_000_000 // fps, maxlen * fps, 0,
+                       0x10, n, 0, 1, maxlen, width, height)
+    strh = (b"vidsMJPG" + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1,
+                                      fps, 0, n, maxlen, 0xFFFFFFFF, 0,
+                                      0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        return (ckid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) % 2 else b""))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for f in jpeg_frames:
+        idx += b"00dc" + struct.pack("<III", 0x10,
+                                     len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"AVI " + hdrl + chunk(b"LIST", bytes(movi_body)) \
+        + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode_frames(data: bytes) -> list[bytes]:
+    """Video frame payloads ('##dc'/'##db' chunks inside LIST movi) of an
+    AVI container; MJPEG payloads decode with jpegcodec.jpeg_decode."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        p = start
+        while p + 8 <= end:
+            ckid = data[p:p + 4]
+            (ln,) = struct.unpack_from("<I", data, p + 4)
+            body_start = p + 8
+            if ckid == b"LIST":
+                kind = data[body_start:body_start + 4]
+                if kind in (b"movi", b"rec ", b"hdrl"):
+                    walk(body_start + 4, body_start + ln)
+            elif len(ckid) == 4 and ckid[2:4] in (b"dc", b"db"):
+                frames.append(bytes(data[body_start:body_start + ln]))
+            p = body_start + ln + (ln % 2)
+
+    walk(12, len(data))
+    return frames
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -534,6 +679,8 @@ def detect_format(data: bytes) -> str:
         return "pnm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
     if data[:4] == b"GIF8":
@@ -553,9 +700,8 @@ def to_gray(img: np.ndarray) -> np.ndarray:
 
 
 def decode_any(data: bytes) -> np.ndarray:
-    """Sniff + decode one image blob to an array. JPEG raises the same
-    honest NotImplementedError the old stub did — entropy-coded formats
-    stay out of scope in this container."""
+    """Sniff + decode one image blob to an array (PNG/BMP/PNM/GIF/TIFF
+    here, baseline JPEG via raster/jpegcodec.py)."""
     kind = detect_format(bytes(data))
     if kind == "png":
         return png_decode(data)
@@ -570,6 +716,6 @@ def decode_any(data: bytes) -> np.ndarray:
     if kind == "gif":
         return gif_decode(bytes(data))
     if kind == "jpeg":
-        raise NotImplementedError(
-            "jpeg decode needs an entropy codec not available here")
+        from gdal_spark.raster.jpegcodec import jpeg_decode
+        return jpeg_decode(bytes(data))
     raise ValueError("unrecognized image format")

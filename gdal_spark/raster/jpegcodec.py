@@ -1,0 +1,314 @@
+"""Baseline JPEG decoder in pure Python/numpy (ITU-T T.81 / ISO 10918-1).
+
+Scope: baseline sequential DCT (SOF0), 8-bit samples, gray or YCbCr with
+arbitrary 1/2× sampling factors, restart intervals. Progressive (SOF2),
+arithmetic coding and 12-bit precision raise a clear NotImplementedError.
+
+Re-implemented from the public specification — the reference's JPEG
+driver (gdal/frmts/jpeg/jpgdataset.cpp) delegates to libjpeg; no code is
+shared. Decoder accuracy: the spec does not mandate a bit-exact IDCT
+(T.81 Annex A defines accuracy bounds); this implementation uses the
+exact separable float DCT-III, so outputs can differ from libjpeg-family
+decoders by ±1 per sample (goldens assert that tolerance).
+
+Execution shape: Huffman entropy decode is a per-symbol Python loop (the
+format is inherently bit-serial), everything after it — dequantize,
+un-zigzag, IDCT, upsample, color convert — is batched numpy across ALL
+blocks of a component at once. Runs per blob inside Arrow batches on
+executors; fine for crawl-pipeline thumbnails/sampling, not tuned for
+megapixel throughput.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag order: index i of the scan → (row, col) in the 8x8 block
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# DCT-III (inverse DCT) basis: C[u, x] = c(u)/2 * cos((2x+1)uπ/16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _cu = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _C[_u, _x] = 0.5 * _cu * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+class _Huff:
+    """Canonical Huffman table → (maxlen, {(length, code): symbol})."""
+
+    def __init__(self, counts: bytes, symbols: bytes) -> None:
+        self.map: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                self.map[(ln, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _Bits:
+    """MSB-first bit reader over a destuffed entropy-coded segment."""
+
+    __slots__ = ("d", "p", "acc", "n")
+
+    def __init__(self, d: bytes) -> None:
+        self.d = d
+        self.p = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                return 0  # pad past the end per T.81 F.2.2.5
+            self.acc = self.d[self.p]
+            self.p += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: _Huff) -> int:
+        code, ln = 0, 0
+        for _ in range(16):
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s-bit magnitude to its signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes from ``start`` to the next non-RST marker:
+    drop 0xFF00 stuffing, split at RSTn. Returns (segments, end_pos)."""
+    segs, cur = [], bytearray()
+    p = start
+    while p < len(data):
+        b = data[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        m = data[p + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, p
+
+
+def _fancy_h2(a: np.ndarray) -> np.ndarray:
+    """libjpeg-compatible 2× horizontal "fancy" (triangle) upsample:
+    out[2i] = (3·in[i] + in[i-1] + 1)/4, out[2i+1] = (3·in[i] + in[i+1]
+    + 2)/4, edges replicated — matches jdsample.c h2v1 so goldens decoded
+    by libjpeg-family readers agree within IDCT rounding."""
+    prev = np.concatenate([a[:, :1], a[:, :-1]], axis=1)
+    nxt = np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    out = np.empty((a.shape[0], a.shape[1] * 2), dtype=np.int32)
+    out[:, 0::2] = (3 * a + prev + 1) >> 2
+    out[:, 1::2] = (3 * a + nxt + 2) >> 2
+    out[:, 0] = a[:, 0]
+    out[:, -1] = a[:, -1]
+    return out
+
+
+def _fancy_h2v2(a: np.ndarray) -> np.ndarray:
+    """2×2 triangle upsample (jdsample.c h2v2): vertical 3:1 column sums,
+    then horizontal 3:1 over the 10-bit sums with /16 rounding."""
+    H, W = a.shape
+    out = np.empty((2 * H, 2 * W), dtype=np.int32)
+    up = np.concatenate([a[:1], a[:-1]], axis=0)
+    dn = np.concatenate([a[1:], a[-1:]], axis=0)
+    for adj, rows in ((up, out[0::2]), (dn, out[1::2])):
+        s = 3 * a + adj
+        prev = np.concatenate([s[:, :1], s[:, :-1]], axis=1)
+        nxt = np.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+        rows[:, 0::2] = (3 * s + prev + 8) >> 4
+        rows[:, 1::2] = (3 * s + nxt + 7) >> 4
+        rows[:, 0] = (s[:, 0] * 4 + 8) >> 4
+        rows[:, -1] = (s[:, -1] * 4 + 7) >> 4
+    return out
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """JPEG bytes → (H,W) gray or (H,W,3) RGB uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    comps = None  # [(cid, h, v, qid)]
+    W = H = 0
+    restart = 0
+    p = 2
+    while p < len(data):
+        if data[p] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[p + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", data, p + 2)
+        body = data[p + 4:p + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            q = 0
+            while q < len(body):
+                prec, tid = body[q] >> 4, body[q] & 15
+                n = 64 * (2 if prec else 1)
+                raw = body[q + 1:q + 1 + n]
+                tbl = (np.frombuffer(raw, dtype=">u2")
+                       if prec else np.frombuffer(raw, dtype=np.uint8))
+                qt[tid] = tbl.astype(np.int32)
+                q += 1 + n
+        elif marker == 0xC4:  # DHT
+            q = 0
+            while q < len(body):
+                cls, tid = body[q] >> 4, body[q] & 15
+                counts = body[q + 1:q + 17]
+                nsym = sum(counts)
+                syms = body[q + 17:q + 17 + nsym]
+                (huff_ac if cls else huff_dc)[tid] = _Huff(counts, syms)
+                q += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            H, W = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, qid = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, qid))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS → entropy-coded data follows
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tables[cid] = (tt >> 4, tt & 15)
+            segs, _end = _destuff(data, p + 2 + ln)
+            return _decode_scan(W, H, comps, scan_tables, qt, huff_dc,
+                                huff_ac, segs, restart)
+        p += 2 + ln
+    raise ValueError("JPEG contained no scan")
+
+
+def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
+                 segs, restart) -> np.ndarray:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    # per component: coefficient store (n_blocks, 64) + block grid dims
+    store, bw = {}, {}
+    for cid, h, v, _q in comps:
+        bw[cid] = (mcux * h, mcuy * v)
+        store[cid] = np.zeros((mcux * h * mcuy * v, 64), dtype=np.int32)
+
+    seg_i = 0
+    bits = _Bits(segs[0])
+    pred = {c[0]: 0 for c in comps}
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            bits = _Bits(segs[seg_i] if seg_i < len(segs) else b"")
+            pred = {c[0]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for cid, h, v, _q in comps:
+            tdc, tac = scan_tables[cid]
+            dc_tbl, ac_tbl = huff_dc[tdc], huff_ac[tac]
+            for by in range(v):
+                for bx in range(h):
+                    coef = np.zeros(64, dtype=np.int32)
+                    s = bits.huff(dc_tbl)
+                    diff = _extend(bits.bits(s), s) if s else 0
+                    pred[cid] += diff
+                    coef[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = bits.huff(ac_tbl)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[k] = _extend(bits.bits(sz), sz)
+                        k += 1
+                    bi = ((my * v + by) * (mcux * h)) + (mx * h + bx)
+                    store[cid][bi] = coef
+
+    # batched dequantize → un-zigzag → IDCT per component
+    planes = {}
+    for cid, h, v, qid in comps:
+        nbx, nby = bw[cid]
+        blocks = (store[cid] * qt[qid][None, :]).astype(np.float64)
+        grid = np.zeros((len(blocks), 64))
+        grid[:, _ZZ] = blocks  # zigzag index i lands at raster position
+        grid = grid.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _C, grid, _C)
+        spatial = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+        plane = (spatial.reshape(nby, nbx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+        # crop to the component's true downsampled size (edge replication
+        # in the fancy filter must see image edges, not MCU padding),
+        # upsample to full resolution, crop to (H, W)
+        cw = (W * h + hmax - 1) // hmax
+        chh = (H * v + vmax - 1) // vmax
+        plane = plane[:chh, :cw].astype(np.int32)
+        fx, fy = hmax // h, vmax // v
+        if (fx, fy) == (2, 2):
+            plane = _fancy_h2v2(plane)
+        elif (fx, fy) == (2, 1):
+            plane = _fancy_h2(plane)
+        elif (fx, fy) == (1, 2):
+            plane = _fancy_h2(plane.T).T
+        elif (fx, fy) != (1, 1):
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes[cid] = plane[:H, :W].astype(np.float64)
+
+    if len(comps) == 1:
+        return planes[comps[0][0]].astype(np.uint8)
+    ids = [c[0] for c in comps]
+    Y, Cb, Cr = planes[ids[0]], planes[ids[1]], planes[ids[2]]
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)

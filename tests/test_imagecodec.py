@@ -170,7 +170,7 @@ def test_detect_and_decode_any():
     assert IC.detect_format(IC.pnm_encode(g)) == "pnm"
     assert IC.detect_format(IC.wav_encode(g.reshape(-1), 8000)) == "wav"
     assert IC.detect_format(b"\xff\xd8\xff\xe0xxxx") == "jpeg"
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="JPEG"):
         IC.decode_any(b"\xff\xd8\xff\xe0 not really a jpeg")
     # TIFF dispatch goes through the GeoTIFF parser
     from gdal_spark.raster.formats import geotiff_bytes
@@ -276,3 +276,134 @@ def test_gif_interlaced():
     buf[781 + 9] |= 0x40
     np.testing.assert_array_equal(IC.gif_decode(bytes(buf)), g)
     assert len(plain) > 0  # keep the non-interlaced artifact exercised
+
+
+# ---------------------------------------------------------------------------
+# JPEG (raster/jpegcodec.py) — baseline decode vs libjpeg-family goldens
+# ---------------------------------------------------------------------------
+
+def _jpeg_golden(name, shape):
+    """Our decode of a javax.imageio-written JPEG vs javax.imageio's OWN
+    decode of the same file. T.81 doesn't mandate a bit-exact IDCT, so
+    parity is a ±tolerance contract, not equality."""
+    from gdal_spark.raster import jpegcodec as JC
+    ours = JC.jpeg_decode(open(f"{DATA}/{name}.jpg", "rb").read())
+    ref = np.frombuffer(open(f"{DATA}/{name}_jpg.raw", "rb").read(),
+                        dtype=np.uint8).reshape(shape)
+    assert ours.shape == ref.shape
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    return diff
+
+
+def test_jpeg_gray_golden():
+    diff = _jpeg_golden("javaio_gray", (64, 96))
+    assert diff.max() <= 1 and (diff == 0).mean() > 0.97
+
+
+def test_jpeg_rgb_420_golden():
+    """4:2:0 chroma, fancy (triangle) upsampling parity."""
+    diff = _jpeg_golden("javaio_rgb", (64, 96, 3))
+    assert diff.max() <= 2 and (diff == 0).mean() > 0.95
+
+
+def test_jpeg_odd_dims_golden():
+    """Non-multiple-of-16 dims: MCU padding cropped, edge-replicated
+    fancy upsample."""
+    diff = _jpeg_golden("javaio_odd", (43, 65, 3))
+    assert diff.max() <= 3 and (diff == 0).mean() > 0.95
+
+
+def test_jpeg_destuff_and_guards():
+    from gdal_spark.raster import jpegcodec as JC
+    # 0xFF00 destuffing + RSTn segment split
+    segs, end = JC._destuff(
+        b"\x01\xff\x00\x02\xff\xd0\x03\xff\xd7\x04\xff\xd9", 0)
+    assert segs == [b"\x01\xff\x02", b"\x03", b"\x04"]
+    with pytest.raises(ValueError, match="SOI"):
+        JC.jpeg_decode(b"not a jpeg")
+    # progressive must raise a clear error, not garbage
+    data = bytearray(open(f"{DATA}/javaio_gray.jpg", "rb").read())
+    pos = data.find(b"\xff\xc0")
+    data[pos + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        JC.jpeg_decode(bytes(data))
+    # decode_any dispatches jpeg now
+    IC.decode_any(open(f"{DATA}/javaio_gray.jpg", "rb").read())
+
+
+# ---------------------------------------------------------------------------
+# video containers: animated GIF + MJPEG AVI
+# ---------------------------------------------------------------------------
+
+def test_gif_animated_golden():
+    """4-frame javax.imageio animation: our composited frames match the
+    formula AND Java's own frame-by-frame reader dump."""
+    frames = IC.gif_decode_frames(
+        open(f"{DATA}/javaio_anim.gif", "rb").read())
+    assert len(frames) == 4
+    y, x = np.mgrid[0:25, 0:40]
+    ref = np.frombuffer(open(f"{DATA}/javaio_anim_gif.raw", "rb").read(),
+                        dtype=np.uint8).reshape(4, 25, 40)
+    for f, fr in enumerate(frames):
+        np.testing.assert_array_equal(
+            fr[:, :, 0], ((x * 7 + y * 13 + f * 31) % 251
+                          ).astype(np.uint8))
+        np.testing.assert_array_equal(fr[:, :, 0], ref[f])
+
+
+def test_gif_animated_writer_roundtrip():
+    rng = np.random.default_rng(9)
+    fs = [rng.integers(0, 256, (30, 47), dtype=np.uint8) for _ in range(5)]
+    back = IC.gif_decode_frames(IC.gif_encode_frames(fs))
+    assert len(back) == 5
+    for a, b in zip(fs, back):
+        np.testing.assert_array_equal(a, b[:, :, 0])
+
+
+def test_gif_transparency_composite():
+    """GCE transparent index: later frames leave transparent pixels
+    showing the prior frame."""
+    base = IC.gif_encode_frames(
+        [np.full((4, 6), 9, np.uint8), np.full((4, 6), 200, np.uint8)])
+    # patch frame 2's GCE to transparency on index 200
+    buf = bytearray(base)
+    pos = buf.find(b"\x21\xf9", buf.find(b"\x21\xf9") + 1)
+    buf[pos + 2 + 1] |= 1          # transparency flag
+    buf[pos + 2 + 4] = 200         # transparent index
+    frames = IC.gif_decode_frames(bytes(buf))
+    np.testing.assert_array_equal(frames[1], frames[0])  # all masked
+
+
+def test_avi_mjpeg_roundtrip():
+    jfs = [open(f"{DATA}/javaio_gray.jpg", "rb").read(),
+           open(f"{DATA}/javaio_rgb.jpg", "rb").read()]
+    avi = IC.avi_encode_mjpeg(jfs, 96, 64, fps=5)
+    assert IC.detect_format(avi) == "avi"
+    assert IC.avi_decode_frames(avi) == jfs
+    with pytest.raises(ValueError, match="AVI"):
+        IC.avi_decode_frames(b"RIFFxxxxWAVE")
+
+
+def test_video_frames_operator(spark):
+    """Real video sampling over Spark: one animated GIF + one MJPEG AVI
+    blob, every-2nd frame, luma grids out."""
+    import pandas as pd
+
+    from gdal_spark.operators import multimodal as MM
+
+    y, x = np.mgrid[0:9, 0:12]
+    gif_frames = [((y * 13 + x + f * 31) % 251).astype(np.uint8)
+                  for f in range(4)]
+    gif_blob = IC.gif_encode_frames(gif_frames)
+    jpg = open(f"{DATA}/javaio_gray.jpg", "rb").read()
+    avi_blob = IC.avi_encode_mjpeg([jpg] * 3, 96, 64)
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, gif_blob), (2, avi_blob)],
+                     columns=["doc_id", "blob"]))
+    rows = MM.video_frames(df, every=2).collect()
+    got = {(r["doc_id"], r["frame_no"]): r for r in rows}
+    assert set(got) == {(1, 0), (1, 2), (2, 0), (2, 2)}
+    g = np.frombuffer(bytes(got[(1, 2)]["pixels"]),
+                      dtype=np.uint8).reshape(9, 12)
+    np.testing.assert_array_equal(g, gif_frames[2])
+    assert (got[(2, 0)]["h"], got[(2, 0)]["w"]) == (64, 96)

@@ -24,10 +24,10 @@ def test_byte_features(spark, blobs):
     assert rows[0]["entropy"] == pytest.approx(-(p * np.log2(p)).sum(), abs=1e-6)
 
 
-def test_decode_image_rejects_unknown_and_jpeg(spark, blobs):
-    """Real decode path: non-image bytes fail with a clear error at
-    execution; entropy-coded formats stay an honest NotImplementedError
-    (raised inside the executor, surfaced via PythonException)."""
+def test_decode_image_rejects_unknown_and_truncated(spark, blobs):
+    """Real decode path: non-image bytes and truncated JPEG fail with a
+    clear error at execution (raised inside the executor, surfaced via
+    PythonException)."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import PythonException
 
@@ -37,7 +37,7 @@ def test_decode_image_rejects_unknown_and_jpeg(spark, blobs):
     jpeg = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0 no"))],
                                  "doc_id long, blob binary")
     with pytest.raises((PythonException, Py4JJavaError),
-                       match="jpeg decode needs an entropy codec"):
+                       match="JPEG"):
         MM.decode_image(jpeg).collect()
 
 
