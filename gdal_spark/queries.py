@@ -3350,3 +3350,66 @@ FROM z GROUP BY doc_id
 """
 
 QUERIES["audio_decode"] = (q_audio_decode, ORACLE_AUDIO_DECODE)
+
+
+def q_video_decode(spark, sf_dir):
+    """REAL video sampling on the driver gate: every doc synthesizes a
+    3-frame animated GIF (frame f pixel = (doc_id*7 + y*13 + x + f*31)
+    % 251, 11x16 gray), video_frames samples every 2nd frame, and the
+    per-frame integer pixel sum is verified closed-form — GIF is
+    lossless, so decode must be bit-exact."""
+    import numpy as _np
+    import pandas as _pd
+
+    from gdal_spark.operators import multimodal as MM
+    from gdal_spark.raster import imagecodec as IC
+
+    H, W, NF = 11, 16, 3
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        y, x = _np.mgrid[0:H, 0:W]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                frames = [((int(did) * 7 + y * 13 + x + f * 31) % 251
+                           ).astype(_np.uint8) for f in range(NF)]
+                out.append((int(did), IC.gif_encode_frames(frames)))
+            yield _pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(make, schema="doc_id long, blob binary")
+    return _video_sums(MM.video_frames(blobs, every=2))
+
+
+def _video_sums(frames):
+    """(doc_id, frame_no, h, w, px_sum) with the sum computed in the same
+    Arrow pass (no base64 detour)."""
+    import numpy as _np
+    import pandas as _pd
+
+    def agg(batches):
+        for pdf in batches:
+            rows = [(int(r.doc_id), int(r.frame_no), int(r.h), int(r.w),
+                     int(_np.frombuffer(bytes(r.pixels), _np.uint8)
+                         .sum(dtype=_np.int64)))
+                    for r in pdf.itertuples(index=False)]
+            yield _pd.DataFrame(rows, columns=["doc_id", "frame_no", "h",
+                                               "w", "px_sum"])
+
+    return frames.mapInPandas(
+        agg, schema="doc_id long, frame_no int, h int, w int, px_sum long")
+
+
+ORACLE_VIDEO_DECODE = """
+WITH grid AS (SELECT y.y AS y, x.x AS x
+              FROM generate_series(0, 10) y(y), generate_series(0, 15) x(x)),
+fr AS (SELECT 0 AS frame_no UNION ALL SELECT 2)
+SELECT d.doc_id, CAST(f.frame_no AS INTEGER) AS frame_no,
+       CAST(11 AS INTEGER) AS h, CAST(16 AS INTEGER) AS w,
+       CAST(sum((d.doc_id * 7 + g.y * 13 + g.x + f.frame_no * 31) % 251)
+            AS BIGINT) AS px_sum
+FROM documents d, fr f, grid g
+GROUP BY d.doc_id, f.frame_no
+"""
+
+QUERIES["video_decode"] = (q_video_decode, ORACLE_VIDEO_DECODE)
