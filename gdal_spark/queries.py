@@ -3413,3 +3413,118 @@ GROUP BY d.doc_id, f.frame_no
 """
 
 QUERIES["video_decode"] = (q_video_decode, ORACLE_VIDEO_DECODE)
+
+
+# ---------------------------------------------------------------------------
+# H3-style hex cell index (functions/h3.py — the hexagonal half of the
+# north rule's "H3/S2 index").
+
+def q_h3_cells(spark, sf_dir):
+    """Aperture-7 hex cell id at res 9 + res-5 ancestor per doc point,
+    one vectorized Arrow pass, no shuffle. The res-5 ancestor is pure
+    integer column math over the same id (S2-style prefix rollup).
+    DuckDB twin replays the icosahedral gnomonic projection + cube
+    rounding + the 9-step aperture-7 digit walk as a recursive CTE."""
+    from gdal_spark.functions import h3 as H3
+    pts = doc_points(spark, sf_dir)
+    return (H3.with_h3_columns(pts, res=9, parent_res=5)
+            .select("doc_id", "h3_id", "h3_id_r5"))
+
+
+def _h3_oracle() -> str:
+    from gdal_spark.functions import h3 as H3
+
+    def rnd(v: str) -> str:
+        return (f"(CASE WHEN ({v}) >= 0 THEN floor(({v}) + 0.5) "
+                f"ELSE -floor(0.5 - ({v})) END)")
+
+    rows = ",\n       ".join(
+        f"({f}, {H3.FACE_XYZ[f,0]!r}, {H3.FACE_XYZ[f,1]!r}, "
+        f"{H3.FACE_XYZ[f,2]!r}, {H3.FACE_LAT[f]!r}, {H3.FACE_LON[f]!r}, "
+        f"{H3.FACE_AZ0[f]!r})"
+        for f in range(20))
+    res = 9
+    digit = """CASE WHEN d_i = 0 AND d_j = 0 THEN 0
+                 WHEN d_i = -1 AND d_j = -1 THEN 1
+                 WHEN d_i = 0 AND d_j = 1 THEN 2
+                 WHEN d_i = -1 AND d_j = 0 THEN 3
+                 WHEN d_i = 1 AND d_j = 0 THEN 4
+                 WHEN d_i = 0 AND d_j = -1 THEN 5
+                 WHEN d_i = 1 AND d_j = 1 THEN 6 END"""
+    return f"""
+WITH RECURSIVE pts AS ({POINTS_SQL}),
+rad AS (SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi FROM pts),
+xyz AS (SELECT doc_id, lam, phi,
+               cos(phi) * cos(lam) AS x, cos(phi) * sin(lam) AS y,
+               sin(phi) AS z
+        FROM rad),
+faces(face, fx, fy, fz, flat, flon, az0) AS (VALUES
+       {rows}),
+scored AS (SELECT doc_id, lam, phi, face, flat, flon, az0,
+                  x * fx + y * fy + z * fz AS dot,
+                  row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY x * fx + y * fy + z * fz DESC, face) AS rn
+           FROM xyz CROSS JOIN faces),
+hex AS (SELECT doc_id, face,
+               tan(acos(least(greatest(dot, -1.0), 1.0)))
+                 / {H3.RES0_U_GNOMONIC!r} * {H3._pow7(res)!r} AS rg,
+               (az0 - atan2(cos(phi) * sin(lam - flon),
+                            cos(flat) * sin(phi)
+                            - sin(flat) * cos(phi) * cos(lam - flon)))
+                 - {H3.AP7_ROT!r} AS theta
+        FROM scored WHERE rn = 1),
+axf AS (SELECT doc_id, face,
+               rg * cos(theta) + 0.5 * (rg * sin(theta) / {H3.SQRT3_2!r})
+                 AS fi,
+               rg * sin(theta) / {H3.SQRT3_2!r} AS fj
+        FROM hex),
+cr AS (SELECT doc_id, face, fi, fj, -fi - fj AS fc,
+              {rnd('fi')} AS ri, {rnd('fj')} AS rj,
+              {rnd('-fi - fj')} AS rc
+       FROM axf),
+fixed AS (SELECT doc_id, face,
+       CAST(CASE WHEN abs(ri - fi) > abs(rj - fj)
+                      AND abs(ri - fi) > abs(rc - fc)
+                 THEN -rj - rc ELSE ri END AS BIGINT) AS ci,
+       CAST(CASE WHEN NOT (abs(ri - fi) > abs(rj - fj)
+                           AND abs(ri - fi) > abs(rc - fc))
+                      AND abs(rj - fj) > abs(rc - fc)
+                 THEN -ri - rc ELSE rj END AS BIGINT) AS cj
+   FROM cr),
+walk AS (
+  SELECT doc_id, face, ci, cj, {res} AS k, CAST(0 AS BIGINT) AS acc
+  FROM fixed
+  UNION ALL
+  SELECT doc_id, face, pi, pj, k - 1,
+         acc + (CAST({digit} AS BIGINT) << (3 * (15 - k)))
+  FROM (
+    SELECT doc_id, face, k, acc, pi, pj,
+           ci - (CASE WHEN k % 2 = 1 THEN pi * 2 + pj
+                      ELSE pi * 3 - pj END) AS d_i,
+           cj - (CASE WHEN k % 2 = 1 THEN -pi + pj * 3
+                      ELSE pi + pj * 2 END) AS d_j
+    FROM (
+      SELECT doc_id, face, k, acc, ci, cj,
+             CAST(CASE WHEN k % 2 = 1
+                  THEN {rnd('(3.0 * ci - cj) / 7.0')}
+                  ELSE {rnd('(2.0 * ci + cj) / 7.0')} END AS BIGINT) AS pi,
+             CAST(CASE WHEN k % 2 = 1
+                  THEN {rnd('(ci + 2.0 * cj) / 7.0')}
+                  ELSE {rnd('(3.0 * cj - ci) / 7.0')} END AS BIGINT) AS pj
+      FROM walk WHERE k >= 1) a) b
+),
+ids AS (SELECT doc_id,
+               (CAST({res} AS BIGINT) << 58)
+               | (CAST(face AS BIGINT) << 53)
+               | ((ci + 8) << 49) | ((cj + 8) << 45)
+               | acc | {(1 << (3 * (15 - res))) - 1} AS h3_id
+        FROM walk WHERE k = 0)
+SELECT doc_id, h3_id,
+       (h3_id - (CAST(4 AS BIGINT) << 58))
+       | ((CAST(1 AS BIGINT) << 30) - 1) AS h3_id_r5
+FROM ids
+"""
+
+
+QUERIES["h3_cells"] = (q_h3_cells, _h3_oracle())
