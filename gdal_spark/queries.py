@@ -3528,3 +3528,47 @@ FROM ids
 
 
 QUERIES["h3_cells"] = (q_h3_cells, _h3_oracle())
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: candidate pairs -> connected components -> cluster label
+# ---------------------------------------------------------------------------
+
+def q_dedup_cluster(spark, sf_dir):
+    """Near-dup clustering, the stage after pair generation: LSH candidate
+    pairs verified by exact n-gram Jaccard (>= 0.1) become an edge list;
+    alternating large-star / small-star connected components
+    (operators/graph.py, Kiveris et al. SoCC'14) labels every document
+    with its cluster's minimum doc_id.  Non-edge documents come back as
+    their own singleton cluster, so the output is one row per document.
+
+    Scale shape: each CC round is two narrow shuffles over a monotonically
+    shrinking edge list, O(log n) rounds — no driver-side union-find, no
+    collect of edges.  The oracle's recursive-CTE closure is O(n*m) and
+    exists only for the small-SF gate."""
+    from gdal_spark.operators.graph import connected_components
+    docs = load(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    pairs = DD.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2).cache()
+    pairs.count()
+    jac = DD.ngram_jaccard_pairs(docs, pairs, shingle_n=3)
+    edges = (jac.filter(F.col("jaccard") >= 0.1)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    return connected_components(
+        edges, vertices=docs.select(F.col("doc_id").alias("id")),
+        id_col="id")
+
+
+ORACLE_DEDUP_CLUSTER = f"""
+WITH RECURSIVE
+e AS (SELECT id_a AS u, id_b AS v FROM ({ORACLE_MINHASH}) p),
+sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.dst
+)
+SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+"""
+
+QUERIES["dedup_cluster"] = (q_dedup_cluster, ORACLE_DEDUP_CLUSTER)
