@@ -3572,3 +3572,60 @@ SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
 """
 
 QUERIES["dedup_cluster"] = (q_dedup_cluster, ORACLE_DEDUP_CLUSTER)
+
+
+# ---------------------------------------------------------------------------
+# SURF image matching (GDALComputeMatchingPoints, gdal/alg/gdalmatching.cpp)
+# ---------------------------------------------------------------------------
+
+def q_image_matching(spark, sf_dir):
+    """SURF-style correlator (raster/matching.py — Fast-Hessian detection,
+    64-d Haar descriptors, greedy ratio-test matching; semantics from
+    gdal/alg/gdal_octave.cpp + gdal_simplesurf.cpp + gdalmatching.cpp).
+
+    Fixture: 60 documents rows become distinctive additive blobs at
+    doc_id-derived positions (pure column math, identical at every SF);
+    image 2 is the same scene translated by (+7, +5) px.  The GCPs must
+    be translation-equivariant: x = pixel + 7, y = line + 5 for every
+    match.  SURF itself is not SQL-expressible, so the oracle pins the
+    translation invariant exactly and the full matched-point set as a
+    literal (the same autotest-golden style as the reference's alg
+    tests); kernel-level parity vs a scalar transcription of the C++ is
+    held in tests/test_matching.py."""
+    from gdal_spark.raster import matching as MT
+
+    blobs = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 60)
+             .select(
+                 F.col("doc_id").alias("d"),
+                 (48 + (F.col("doc_id") * 73) % 148).cast("int").alias("px"),
+                 (48 + (F.col("doc_id") * 131) % 148).cast("int").alias("py"),
+                 (5 + F.col("doc_id") % 7).cast("int").alias("side"),
+                 (0.35 + 0.6 * ((F.col("doc_id") * 37) % 19) / 19.0).alias("val"),
+             ))
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+        img1 = np.zeros((256, 256))
+        img2 = np.zeros((256, 256))
+        for r in pdf.itertuples(index=False):
+            img1[r.py:r.py + r.side, r.px:r.px + r.side] += r.val
+            img2[r.py + 5:r.py + 5 + r.side,
+                 r.px + 7:r.px + 7 + r.side] += r.val
+        return pd.DataFrame({
+            "pair_id": [0], "w1": [256], "h1": [256],
+            "img1": [img1.tobytes()],
+            "w2": [256], "h2": [256], "img2": [img2.tobytes()]})
+
+    pair_schema = ("pair_id long, w1 int, h1 int, img1 binary, "
+                   "w2 int, h2 int, img2 binary")
+    pairs = (blobs.withColumn("_p", F.lit(0)).groupBy("_p")
+             .applyInPandas(lambda _k, pdf: build(pdf), schema=pair_schema))
+    return (MT.matching_points(pairs)
+            .select("gcp_id", "pixel", "line", "x", "y"))
+
+
+ORACLE_IMAGE_MATCHING = """SELECT CAST(gcp_id AS INTEGER) AS gcp_id, CAST(pixel AS DOUBLE) AS pixel, CAST(line AS DOUBLE) AS line, CAST(pixel + 7.0 AS DOUBLE) AS x, CAST(line + 5.0 AS DOUBLE) AS y FROM (VALUES (0, 161.5, 58.5), (1, 93.5, 62.5), (2, 157.5, 65.5), (3, 179.5, 68.5), (4, 92.5, 70.5), (5, 86.5, 71.5), (6, 88.5, 71.5), (7, 64.5, 72.5), (8, 193.5, 74.5), (9, 167.5, 81.5), (10, 84.5, 82.5), (11, 167.5, 83.5), (12, 79.5, 84.5), (13, 104.5, 84.5), (14, 106.5, 84.5), (15, 163.5, 87.5), (16, 186.5, 87.5), (17, 98.5, 94.5), (18, 72.5, 97.5), (19, 85.5, 99.5), (20, 159.5, 99.5), (21, 209.5, 99.5), (22, 181.5, 100.5), (23, 153.5, 101.5), (24, 196.5, 102.5), (25, 112.5, 103.5), (26, 129.5, 106.5), (27, 86.5, 110.5), (28, 151.5, 111.5), (29, 173.5, 111.5), (30, 135.5, 113.5), (31, 147.5, 113.5), (32, 195.5, 113.5), (33, 112.5, 114.5), (34, 83.5, 116.5), (35, 85.5, 116.5), (36, 107.5, 116.5), (37, 79.5, 118.5), (38, 188.5, 121.5), (39, 104.5, 126.5), (40, 165.5, 126.5), (41, 78.5, 127.5), (42, 152.5, 128.5), (43, 74.5, 129.5), (44, 99.5, 129.5), (45, 127.5, 129.5), (46, 115.5, 131.5), (47, 187.5, 131.5), (48, 181.5, 132.5), (49, 183.5, 132.5), (50, 209.5, 132.5), (51, 128.5, 136.5), (52, 153.5, 139.5), (53, 131.5, 140.5), (54, 90.5, 142.5), (55, 114.5, 142.5), (56, 179.5, 143.5), (57, 114.5, 144.5), (58, 152.5, 145.5), (59, 174.5, 145.5), (60, 110.5, 148.5), (61, 198.5, 153.5), (62, 84.5, 155.5), (63, 71.5, 157.5), (64, 167.5, 158.5), (65, 180.5, 160.5), (66, 102.5, 161.5), (67, 72.5, 168.5), (68, 72.5, 170.5), (69, 124.5, 170.5), (70, 157.5, 171.5), (71, 159.5, 171.5), (72, 181.5, 171.5), (73, 98.5, 172.5), (74, 93.5, 174.5), (75, 116.5, 174.5), (76, 132.5, 174.5), (77, 146.5, 174.5), (78, 132.5, 176.5), (79, 177.5, 177.5), (80, 112.5, 184.5), (81, 86.5, 187.5), (82, 99.5, 189.5), (83, 167.5, 190.5), (84, 126.5, 193.5), (85, 104.5, 200.5), (86, 162.5, 49.5), (87, 158.5, 51.5), (88, 95.5, 54.5), (89, 93.5, 56.5), (90, 168.5, 59.5), (91, 168.5, 62.5), (92, 173.5, 62.5), (93, 64.5, 68.5), (94, 147.5, 72.5), (95, 82.5, 78.5), (96, 84.5, 78.5), (97, 103.5, 79.5), (98, 190.5, 81.5), (99, 195.5, 81.5), (100, 100.5, 88.5), (101, 102.5, 88.5), (102, 108.5, 88.5), (103, 157.5, 95.5), (104, 159.5, 95.5), (105, 125.5, 98.5), (106, 129.5, 98.5), (107, 68.5, 101.5), (108, 175.5, 104.5), (109, 177.5, 104.5), (110, 96.5, 107.5), (111, 139.5, 117.5), (112, 101.5, 120.5), (113, 104.5, 120.5), (114, 154.5, 120.5), (115, 159.5, 120.5), (116, 154.5, 122.5), (117, 115.5, 123.5), (118, 120.5, 123.5), (119, 79.5, 133.5), (120, 132.5, 133.5), (121, 68.5, 136.5), (122, 79.5, 137.5), (123, 87.5, 137.5), (124, 89.5, 137.5), (125, 177.5, 138.5), (126, 179.5, 139.5), (127, 198.5, 140.5), (128, 72.5, 147.5), (129, 73.5, 149.5), (130, 78.5, 149.5), (131, 168.5, 149.5), (132, 195.5, 149.5), (133, 200.5, 149.5), (134, 203.5, 149.5), (135, 142.5, 152.5), (136, 140.5, 153.5), (137, 123.5, 157.5), (138, 147.5, 163.5), (139, 133.5, 165.5), (140, 148.5, 166.5), (141, 152.5, 166.5), (142, 156.5, 166.5), (143, 96.5, 168.5), (144, 98.5, 168.5), (145, 67.5, 172.5), (146, 114.5, 178.5), (147, 75.5, 183.5), (148, 78.5, 183.5), (149, 184.5, 186.5), (150, 188.5, 186.5), (151, 139.5, 188.5), (152, 184.5, 188.5), (153, 155.5, 200.5), (154, 119.5, 203.5)) AS t(gcp_id, pixel, line)"""
+
+QUERIES["image_matching"] = (q_image_matching, ORACLE_IMAGE_MATCHING)

@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-coalesce the output partitioning of cached plans:
+        # materialized small frames (LSH candidate pairs, layer manifests)
+        # otherwise pin shuffle-partition-count partitions and every
+        # downstream stage pays 64 near-empty tasks (measured: the minhash
+        # query drops ~2x steady-state with this on)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
