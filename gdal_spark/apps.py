@@ -651,3 +651,168 @@ def ogrinfo(spark: SparkSession, src, layer: str | None = None,
     else:
         info["feature_count"] = df.count()
     return info
+
+
+# ---------------------------------------------------------------------------
+# small utility apps: gdal2xyz / gdalcompare / gdalmove / pct2rgb /
+# mkgraticule / ogrtindex
+# ---------------------------------------------------------------------------
+
+def gdal2xyz(tiles: DataFrame, meta: RasterMeta, band: int = 0,
+             srcwin: tuple[int, int, int, int] | None = None,
+             skip: int = 1) -> DataFrame:
+    """gdal2xyz.py (gdal/swig/python/scripts/gdal2xyz.py:126-170): one row
+    per sampled pixel with geotransformed CENTER coordinates
+    ``geo = gt[0] + (x+0.5)*gt[1] + (y+0.5)*gt[2]``; ``skip`` subsamples
+    relative to the window origin; window defaults to the full raster.
+    Distributed: per-tile pixel explode in one Arrow pass, no shuffle.
+    (The reference emits all pixels including zeros; the sparse block
+    model stores only materialized blocks, so absent blocks — all
+    background — are not emitted.  Callers needing dense export write
+    from a densified raster.)"""
+    from gdal_spark.raster import model as RM
+
+    x0, y0, w, h = srcwin or (0, 0, meta.width, meta.height)
+    g = meta.gt
+    px = RM.nonzero_pixels(tiles, meta, band=band)
+    win = px.filter((F.col("px") >= x0) & (F.col("px") < x0 + w)
+                    & (F.col("py") >= y0) & (F.col("py") < y0 + h)
+                    & ((F.col("px") - x0) % skip == 0)
+                    & ((F.col("py") - y0) % skip == 0))
+    geo_x = F.lit(g[0]) + (F.col("px") + 0.5) * g[1] + (F.col("py") + 0.5) * g[2]
+    geo_y = F.lit(g[3]) + (F.col("px") + 0.5) * g[4] + (F.col("py") + 0.5) * g[5]
+    return win.select(geo_x.alias("geo_x"), geo_y.alias("geo_y"), "val")
+
+
+def gdalcompare(tiles1: DataFrame, meta1: RasterMeta,
+                tiles2: DataFrame, meta2: RasterMeta) -> dict:
+    """gdalcompare.py (gdal/swig/python/scripts/gdalcompare.py): count the
+    differences between two rasters — size, geotransform, dtype, nodata,
+    and per-band checksum (the reference's primary pixel comparison).
+    Checksums run distributed; everything else is header metadata."""
+    from gdal_spark.raster import checksum as CK
+
+    found = 0
+    report: dict = {}
+    if (meta1.width, meta1.height) != (meta2.width, meta2.height):
+        report["size"] = [(meta1.width, meta1.height),
+                          (meta2.width, meta2.height)]
+        found += 1
+    if tuple(meta1.gt) != tuple(meta2.gt):
+        report["geotransform"] = [list(meta1.gt), list(meta2.gt)]
+        found += 1
+    if meta1.dtype != meta2.dtype:
+        report["dtype"] = [meta1.dtype, meta2.dtype]
+        found += 1
+    if meta1.nodata != meta2.nodata:
+        report["nodata"] = [meta1.nodata, meta2.nodata]
+        found += 1
+    c1 = {r["band"]: r["checksum"]
+          for r in CK.checksum(tiles1, meta1).collect()}
+    c2 = {r["band"]: r["checksum"]
+          for r in CK.checksum(tiles2, meta2).collect()}
+    if c1 != c2:
+        report["checksum"] = [c1, c2]
+        found += 1
+    report["differences"] = found
+    return report
+
+
+def gdalmove(meta: RasterMeta, affine: tuple[float, float, float,
+                                             float, float, float]) -> RasterMeta:
+    """gdalmove.py: rewrite the geotransform by composing an affine
+    (xoff, s1, s2, yoff, s4, s5) — header-only, pixels untouched
+    (gdal/swig/python/scripts/gdalmove.py:12-160 fits the affine from
+    transformed corners; here the caller supplies it directly)."""
+    g = meta.gt
+    new_gt = (
+        affine[0] + affine[1] * g[0] + affine[2] * g[3],
+        affine[1] * g[1] + affine[2] * g[4],
+        affine[1] * g[2] + affine[2] * g[5],
+        affine[3] + affine[4] * g[0] + affine[5] * g[3],
+        affine[4] * g[1] + affine[5] * g[4],
+        affine[4] * g[2] + affine[5] * g[5],
+    )
+    return replace(meta, gt=new_gt)
+
+
+def pct2rgb(tiles: DataFrame, meta: RasterMeta, palette: np.ndarray,
+            out_id: str | None = None) -> tuple[DataFrame, RasterMeta]:
+    """pct2rgb.py: expand a palette-index band to 3 RGB bands via the
+    color-table LUT (gdal/swig/python/scripts/pct2rgb.py:73-107 —
+    ``lookup[band].take(index_array)`` per channel).  One Arrow pass,
+    3 output rows per input block, no shuffle."""
+    from gdal_spark.raster.model import TILE_SCHEMA
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    rid = out_id or (meta.raster_id + "_rgb")
+    dtype = meta.dtype
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                idx = np.frombuffer(bytes(r.data), dtype=dtype).reshape(
+                    r.h, r.w).astype(np.int64)
+                idx = np.clip(idx, 0, len(pal) - 1)
+                for b in range(3):
+                    rows.append((rid, b, r.bx, r.by, r.w, r.h,
+                                 pal[idx, b].astype(np.uint8).tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              TILE_SCHEMA.fields])
+
+    out_meta = replace(meta, raster_id=rid, dtype="uint8")
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA), out_meta
+
+
+def mkgraticule(spark: SparkSession, step: float = 5.0,
+                lon_min: float = -180.0, lon_max: float = 180.0,
+                lat_min: float = -90.0, lat_max: float = 90.0,
+                densify: float = 1.0) -> DataFrame:
+    """mkgraticule.py: graticule polylines every ``step`` degrees,
+    densified so reprojection bends them smoothly.  Pure generator —
+    rows (kind, value, wkb)."""
+    rows = []
+    v = lon_min
+    while v <= lon_max + 1e-9:
+        lats = np.arange(lat_min, lat_max + densify / 2, densify)
+        coords = np.column_stack([np.full(len(lats), v), lats])
+        rows.append(("meridian", float(v),
+                     bytearray(G.encode_linestring(coords))))
+        v += step
+    v = lat_min
+    while v <= lat_max + 1e-9:
+        lons = np.arange(lon_min, lon_max + densify / 2, densify)
+        coords = np.column_stack([lons, np.full(len(lons), v)])
+        rows.append(("parallel", float(v),
+                     bytearray(G.encode_linestring(coords))))
+        v += step
+    return spark.createDataFrame(rows, "kind string, value double, wkb binary")
+
+
+def ogrtindex(spark: SparkSession, paths: list[str],
+              geometry_col: str = "geometry") -> DataFrame:
+    """ogrtindex (gdal/apps/ogrtindex.cpp): one envelope polygon per
+    vector file — the pruning manifest for layer-partitioned reads,
+    mirroring gdaltindex for rasters.  Envelopes aggregate distributed
+    per file; only the per-file summary row returns."""
+    out = []
+    for path in paths:
+        df = read_vector(spark, path)
+        def envs(wkb: pd.Series) -> pd.DataFrame:
+            vals = [G.geometry_envelope(bytes(w)) for w in wkb]
+            return pd.DataFrame(vals, columns=["x0", "y0", "x1", "y1"])
+
+        env_udf = F.pandas_udf(
+            envs, "x0 double, y0 double, x1 double, y1 double")
+        agg = (df.select(env_udf(F.col(geometry_col)).alias("e"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.min("e.x0").alias("x0"), F.min("e.y0").alias("y0"),
+                    F.max("e.x1").alias("x1"), F.max("e.y1").alias("y1"))
+               .collect()[0])
+        ring = np.array([[agg["x0"], agg["y0"]], [agg["x1"], agg["y0"]],
+                         [agg["x1"], agg["y1"]], [agg["x0"], agg["y1"]],
+                         [agg["x0"], agg["y0"]]])
+        out.append((path, int(agg["n"]),
+                    bytearray(G.encode_polygon([ring]))))
+    return spark.createDataFrame(out, "location string, n long, wkb binary")

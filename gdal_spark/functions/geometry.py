@@ -329,6 +329,40 @@ def polygon_envelope(wkb: bytes) -> tuple[float, float, float, float]:
     return float(ax.min()), float(ay.min()), float(ax.max()), float(ay.max())
 
 
+def geometry_envelope(wkb: bytes) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) for any of the six supported WKB types
+    (OGRGeometry::getEnvelope dispatch)."""
+    gtype, _e, _off = _read_header(memoryview(wkb), 0)
+    if gtype == WKB_POINT:
+        x, y = decode_point(wkb)
+        return x, y, x, y
+    if gtype in (WKB_POLYGON, WKB_MULTIPOLYGON):
+        return polygon_envelope(wkb)
+    if gtype == WKB_LINESTRING:
+        c = decode_linestring(wkb)
+        return (float(c[:, 0].min()), float(c[:, 1].min()),
+                float(c[:, 0].max()), float(c[:, 1].max()))
+    buf = memoryview(wkb)
+    _gt, endian, off = _read_header(buf, 0)
+    n = struct.unpack_from(endian + "I", buf, off)[0]
+    off += 4
+    xs, ys = [], []
+    for _ in range(n):
+        gt2, e2, body = _read_header(buf, off)
+        if gt2 == WKB_POINT:
+            x, y = struct.unpack_from(e2 + "dd", buf, body)
+            xs.append(np.array([x]))
+            ys.append(np.array([y]))
+            off = body + 16
+        else:  # linestring member
+            coords, off = _decode_ring(buf, e2, body)
+            xs.append(coords[:, 0])
+            ys.append(coords[:, 1])
+    ax = np.concatenate(xs)
+    ay = np.concatenate(ys)
+    return float(ax.min()), float(ay.min()), float(ax.max()), float(ay.max())
+
+
 # ---------------------------------------------------------------------------
 # Constructive ops (no GEOS: exact numpy/python implementations)
 # ---------------------------------------------------------------------------

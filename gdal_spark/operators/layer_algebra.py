@@ -397,3 +397,55 @@ def layer_constructive(features: DataFrame, feat_id: str = "fid",
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return features.select(feat_id, feat_wkb).mapInPandas(run, schema=schema)
+
+
+def layer_dissolve(features: DataFrame, key: str = "key",
+                   feat_wkb: str = "geometry") -> DataFrame:
+    """ogrdissolve (gdal/apps/ogrdissolve.cpp): merge all geometries that
+    share an attribute value into one (multi)polygon per value via
+    cascaded union.  Two-stage distributed fold: a map-side combine
+    unions each key's features within every partition (no shuffle), then
+    one shuffle groups the per-partition partials by key for the final
+    union — the same partial/final shape as layer_union_cascaded, so a
+    hot key costs one task, not a driver collect.  Returns
+    (key, union_wkb, union_area, n_pieces, n_features)."""
+    part_schema = T.StructType([
+        T.StructField("_k", features.schema[key].dataType, True),
+        T.StructField("pwkb", T.BinaryType(), True),
+        T.StructField("n", T.LongType(), True),
+    ])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            for k, w in zip(pdf[key], pdf[feat_wkb]):
+                if w is not None:
+                    acc.setdefault(k, []).append(bytes(w))
+        rows = []
+        for k, wkbs in acc.items():
+            out = CL.wkb_union_cascaded(wkbs)
+            if out is not None:
+                rows.append((k, out[0], len(wkbs)))
+        yield pd.DataFrame(rows, columns=["_k", "pwkb", "n"])
+
+    partials = features.select(key, feat_wkb).mapInPandas(
+        partial, schema=part_schema)
+
+    final_schema = T.StructType([
+        T.StructField(key, features.schema[key].dataType, True),
+        T.StructField("union_wkb", T.BinaryType(), True),
+        T.StructField("union_area", T.DoubleType(), True),
+        T.StructField("n_pieces", T.IntegerType(), True),
+        T.StructField("n_features", T.LongType(), True),
+    ])
+
+    def final(kv, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = CL.wkb_union_cascaded([bytes(w) for w in pdf["pwkb"]])
+        if out is None:
+            return pd.DataFrame(columns=[f.name for f in final_schema])
+        pieces = len(G.decode_polygons(out[0]))
+        return pd.DataFrame([(kv[0], out[0], out[1], pieces,
+                              int(pdf["n"].sum()))],
+                            columns=[f.name for f in final_schema])
+
+    return partials.groupBy("_k").applyInPandas(final, schema=final_schema)

@@ -3629,3 +3629,242 @@ def q_image_matching(spark, sf_dir):
 ORACLE_IMAGE_MATCHING = """SELECT CAST(gcp_id AS INTEGER) AS gcp_id, CAST(pixel AS DOUBLE) AS pixel, CAST(line AS DOUBLE) AS line, CAST(pixel + 7.0 AS DOUBLE) AS x, CAST(line + 5.0 AS DOUBLE) AS y FROM (VALUES (0, 161.5, 58.5), (1, 93.5, 62.5), (2, 157.5, 65.5), (3, 179.5, 68.5), (4, 92.5, 70.5), (5, 86.5, 71.5), (6, 88.5, 71.5), (7, 64.5, 72.5), (8, 193.5, 74.5), (9, 167.5, 81.5), (10, 84.5, 82.5), (11, 167.5, 83.5), (12, 79.5, 84.5), (13, 104.5, 84.5), (14, 106.5, 84.5), (15, 163.5, 87.5), (16, 186.5, 87.5), (17, 98.5, 94.5), (18, 72.5, 97.5), (19, 85.5, 99.5), (20, 159.5, 99.5), (21, 209.5, 99.5), (22, 181.5, 100.5), (23, 153.5, 101.5), (24, 196.5, 102.5), (25, 112.5, 103.5), (26, 129.5, 106.5), (27, 86.5, 110.5), (28, 151.5, 111.5), (29, 173.5, 111.5), (30, 135.5, 113.5), (31, 147.5, 113.5), (32, 195.5, 113.5), (33, 112.5, 114.5), (34, 83.5, 116.5), (35, 85.5, 116.5), (36, 107.5, 116.5), (37, 79.5, 118.5), (38, 188.5, 121.5), (39, 104.5, 126.5), (40, 165.5, 126.5), (41, 78.5, 127.5), (42, 152.5, 128.5), (43, 74.5, 129.5), (44, 99.5, 129.5), (45, 127.5, 129.5), (46, 115.5, 131.5), (47, 187.5, 131.5), (48, 181.5, 132.5), (49, 183.5, 132.5), (50, 209.5, 132.5), (51, 128.5, 136.5), (52, 153.5, 139.5), (53, 131.5, 140.5), (54, 90.5, 142.5), (55, 114.5, 142.5), (56, 179.5, 143.5), (57, 114.5, 144.5), (58, 152.5, 145.5), (59, 174.5, 145.5), (60, 110.5, 148.5), (61, 198.5, 153.5), (62, 84.5, 155.5), (63, 71.5, 157.5), (64, 167.5, 158.5), (65, 180.5, 160.5), (66, 102.5, 161.5), (67, 72.5, 168.5), (68, 72.5, 170.5), (69, 124.5, 170.5), (70, 157.5, 171.5), (71, 159.5, 171.5), (72, 181.5, 171.5), (73, 98.5, 172.5), (74, 93.5, 174.5), (75, 116.5, 174.5), (76, 132.5, 174.5), (77, 146.5, 174.5), (78, 132.5, 176.5), (79, 177.5, 177.5), (80, 112.5, 184.5), (81, 86.5, 187.5), (82, 99.5, 189.5), (83, 167.5, 190.5), (84, 126.5, 193.5), (85, 104.5, 200.5), (86, 162.5, 49.5), (87, 158.5, 51.5), (88, 95.5, 54.5), (89, 93.5, 56.5), (90, 168.5, 59.5), (91, 168.5, 62.5), (92, 173.5, 62.5), (93, 64.5, 68.5), (94, 147.5, 72.5), (95, 82.5, 78.5), (96, 84.5, 78.5), (97, 103.5, 79.5), (98, 190.5, 81.5), (99, 195.5, 81.5), (100, 100.5, 88.5), (101, 102.5, 88.5), (102, 108.5, 88.5), (103, 157.5, 95.5), (104, 159.5, 95.5), (105, 125.5, 98.5), (106, 129.5, 98.5), (107, 68.5, 101.5), (108, 175.5, 104.5), (109, 177.5, 104.5), (110, 96.5, 107.5), (111, 139.5, 117.5), (112, 101.5, 120.5), (113, 104.5, 120.5), (114, 154.5, 120.5), (115, 159.5, 120.5), (116, 154.5, 122.5), (117, 115.5, 123.5), (118, 120.5, 123.5), (119, 79.5, 133.5), (120, 132.5, 133.5), (121, 68.5, 136.5), (122, 79.5, 137.5), (123, 87.5, 137.5), (124, 89.5, 137.5), (125, 177.5, 138.5), (126, 179.5, 139.5), (127, 198.5, 140.5), (128, 72.5, 147.5), (129, 73.5, 149.5), (130, 78.5, 149.5), (131, 168.5, 149.5), (132, 195.5, 149.5), (133, 200.5, 149.5), (134, 203.5, 149.5), (135, 142.5, 152.5), (136, 140.5, 153.5), (137, 123.5, 157.5), (138, 147.5, 163.5), (139, 133.5, 165.5), (140, 148.5, 166.5), (141, 152.5, 166.5), (142, 156.5, 166.5), (143, 96.5, 168.5), (144, 98.5, 168.5), (145, 67.5, 172.5), (146, 114.5, 178.5), (147, 75.5, 183.5), (148, 78.5, 183.5), (149, 184.5, 186.5), (150, 188.5, 186.5), (151, 139.5, 188.5), (152, 184.5, 188.5), (153, 155.5, 200.5), (154, 119.5, 203.5)) AS t(gcp_id, pixel, line)"""
 
 QUERIES["image_matching"] = (q_image_matching, ORACLE_IMAGE_MATCHING)
+
+
+# ---------------------------------------------------------------------------
+# linear referencing (ogrlineref, gdal/apps/ogrlineref.cpp)
+# ---------------------------------------------------------------------------
+
+def _lineref_lines(spark, sf_dir):
+    """Five deterministic polylines built from documents rows: group
+    g = doc_id % 5, vertices at doc_id-derived coordinates in doc_id
+    order (pure column math — identical at every SF)."""
+    import pandas as pd
+
+    from gdal_spark.functions.geometry import encode_linestring
+
+    verts = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 40)
+             .select((F.col("doc_id") % 5).cast("int").alias("g"),
+                     F.col("doc_id").alias("ord"),
+                     ((F.col("doc_id") * 73) % 148).cast("double").alias("x"),
+                     ((F.col("doc_id") * 131) % 148).cast("double").alias("y")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ord")
+        import numpy as np
+        coords = np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
+        return pd.DataFrame({"g": [int(pdf["g"].iloc[0])],
+                             "wkb": [encode_linestring(coords)]})
+
+    return verts.groupBy("g").applyInPandas(
+        lambda _k, pdf: build(pdf), schema="g int, wkb binary")
+
+
+_LINEREF_VERTS_SQL = """
+verts AS (SELECT CAST(doc_id % 5 AS INTEGER) AS g,
+                 row_number() OVER (PARTITION BY doc_id % 5 ORDER BY doc_id) AS seq,
+                 CAST((doc_id * 73) % 148 AS DOUBLE) AS x,
+                 CAST((doc_id * 131) % 148 AS DOUBLE) AS y
+          FROM documents WHERE doc_id < 40),
+segs AS (SELECT a.g, a.seq, a.x AS x1, a.y AS y1, b.x - a.x AS dx,
+                b.y - a.y AS dy,
+                sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS sl
+         FROM verts a JOIN verts b ON b.g = a.g AND b.seq = a.seq + 1),
+cums AS (SELECT *,
+                coalesce(sum(sl) OVER (PARTITION BY g ORDER BY seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM segs),
+lens AS (SELECT g, sum(sl) AS total FROM segs GROUP BY g)
+"""
+
+
+def q_lineref_parts(spark, sf_dir):
+    """ogrlineref -c create-parts (gdal/apps/ogrlineref.cpp:413-545) over
+    the deterministic doc polylines: uniform mileposts of step 40 with
+    begin/end measures, exact sub-line length, and the part midpoint
+    interpolated at part_len/2 (the app's reper-point Value call,
+    ogrlineref.cpp:679)."""
+    from gdal_spark.operators import lineref as LRF
+
+    lines = _lineref_lines(spark, sf_dir)
+    parts = LRF.milepost_parts(lines, step=40.0, wkb="wkb")
+    mids = LRF.with_point_at(
+        parts.withColumn("m", F.col("part_len") / 2.0),
+        wkb="part_wkb", measure="m", out_x="mid_x", out_y="mid_y")
+    return mids.select(
+        "g", "part_id", F.round("begin", 6).alias("begin"),
+        F.round("end", 6).alias("end"),
+        F.round("part_len", 6).alias("part_len"),
+        F.round("mid_x", 6).alias("mid_x"),
+        F.round("mid_y", 6).alias("mid_y"))
+
+
+ORACLE_LINEREF_PARTS = f"""
+WITH {_LINEREF_VERTS_SQL},
+parts AS (SELECT l.g, CAST(k AS INTEGER) AS part_id,
+                 CAST(k * 40.0 AS DOUBLE) AS begin_m,
+                 CAST(least((k + 1) * 40.0, l.total) AS DOUBLE) AS end_m
+          FROM lens l, (SELECT unnest(generate_series(0, 63)) AS k)
+          WHERE k * 40.0 < l.total),
+mid AS (SELECT g, part_id, begin_m, end_m,
+               begin_m + (end_m - begin_m) / 2 AS m FROM parts),
+interp AS (SELECT m.g, m.part_id, m.begin_m, m.end_m,
+                  c.x1 + (m.m - c.cum) / c.sl * c.dx AS mx,
+                  c.y1 + (m.m - c.cum) / c.sl * c.dy AS my,
+                  row_number() OVER (PARTITION BY m.g, m.part_id
+                                     ORDER BY c.seq) AS rn
+           FROM mid m JOIN cums c
+             ON c.g = m.g AND c.cum <= m.m AND c.cum + c.sl >= m.m)
+SELECT g, part_id, round(begin_m, 6) AS begin, round(end_m, 6) AS "end",
+       round(end_m - begin_m, 6) AS part_len,
+       round(mx, 6) AS mid_x, round(my, 6) AS mid_y
+FROM interp WHERE rn = 1
+"""
+
+
+def q_lineref_position(spark, sf_dir):
+    """ogrlineref get-position mode: measure along the g-th polyline of
+    each test point's nearest-point projection (OGRSimpleCurve::Project
+    via gdal/apps/ogrlineref.cpp:547 — first minimal segment wins)."""
+    from gdal_spark.operators import lineref as LRF
+
+    pts = (load(spark, sf_dir, "documents")
+           .filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+           .select("doc_id", (F.col("doc_id") % 5).cast("int").alias("g"),
+                   ((F.col("doc_id") * 53) % 160 + 0.5).cast("double").alias("x"),
+                   ((F.col("doc_id") * 97) % 160 + 0.5).cast("double").alias("y")))
+    lines = _lineref_lines(spark, sf_dir)
+    joined = pts.join(F.broadcast(lines), on="g")
+    return (LRF.with_measure(joined, wkb="wkb")
+            .select("doc_id", "g", F.round("measure", 6).alias("measure")))
+
+
+ORACLE_LINEREF_POSITION = f"""
+WITH {_LINEREF_VERTS_SQL},
+pts AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS g,
+               CAST((doc_id * 53) % 160 + 0.5 AS DOUBLE) AS px,
+               CAST((doc_id * 97) % 160 + 0.5 AS DOUBLE) AS py
+        FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+proj AS (SELECT p.doc_id, p.g, c.seq, c.cum, c.sl,
+                greatest(0.0, least(1.0,
+                  ((p.px - c.x1) * c.dx + (p.py - c.y1) * c.dy) / (c.sl * c.sl)
+                )) AS t
+         FROM pts p JOIN cums c ON c.g = p.g),
+dist AS (SELECT doc_id, g, seq, cum + t * sl AS m,
+                (SELECT px FROM pts WHERE pts.doc_id = proj.doc_id) AS px,
+                t, sl, cum
+         FROM proj),
+scored AS (SELECT p.doc_id, p.g, p.seq, p.cum + p.t * p.sl AS m,
+                  (q.px - (c.x1 + p.t * c.dx)) * (q.px - (c.x1 + p.t * c.dx))
+                + (q.py - (c.y1 + p.t * c.dy)) * (q.py - (c.y1 + p.t * c.dy)) AS d2
+           FROM proj p
+           JOIN pts q ON q.doc_id = p.doc_id
+           JOIN cums c ON c.g = p.g AND c.seq = p.seq)
+SELECT doc_id, g, round(m, 6) AS measure
+FROM (SELECT doc_id, g, m,
+             row_number() OVER (PARTITION BY doc_id ORDER BY d2, seq) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+QUERIES["lineref_parts"] = (q_lineref_parts, ORACLE_LINEREF_PARTS)
+QUERIES["lineref_position"] = (q_lineref_position, ORACLE_LINEREF_POSITION)
+
+
+# ---------------------------------------------------------------------------
+# histogram equalization (gdalenhance, gdal/apps/gdalenhance.cpp)
+# ---------------------------------------------------------------------------
+
+def q_enhance_equalize(spark, sf_dir):
+    """gdalenhance -equalize over the burned doc raster: distributed
+    256-bin histogram -> reference LUT math (cum + hist/2 halves,
+    (cum*bins)//total clamp) -> per-tile LUT apply (raster/enhance.py).
+    Output: pixel count per equalized value (eq > 0; LUT-zero pixels
+    are indistinguishable from background in the sparse block model,
+    mirrored by the oracle's WHERE)."""
+    from gdal_spark.raster import enhance as EN
+
+    tiles = _doc_tiles(spark, sf_dir)
+    out = EN.enhance(tiles, DOC_META)
+    return (RM.nonzero_pixels(out, DOC_META)
+            .groupBy(F.col("val").cast("int").alias("val"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("val"))
+
+
+ORACLE_ENHANCE_EQUALIZE = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL},
+hist AS (SELECT burn AS v, count(*) AS cnt FROM pix GROUP BY burn),
+cums AS (SELECT v, cnt,
+                coalesce(sum(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt // 2 AS c,
+                sum(cnt) OVER () AS total
+         FROM hist),
+lut AS (SELECT v, cnt,
+               greatest(0, least(255, (c * 256) // total)) AS eq
+        FROM cums)
+SELECT CAST(eq AS INTEGER) AS val, CAST(sum(cnt) AS BIGINT) AS n
+FROM lut WHERE eq > 0 GROUP BY eq
+"""
+
+QUERIES["enhance_equalize"] = (q_enhance_equalize, ORACLE_ENHANCE_EQUALIZE)
+
+
+# ---------------------------------------------------------------------------
+# dissolve (ogrdissolve, gdal/apps/ogrdissolve.cpp)
+# ---------------------------------------------------------------------------
+
+def q_dissolve_layer(spark, sf_dir):
+    """ogrdissolve: merge the admin-grid cells by attribute
+    key = cell_id % 6.  Because the grid is 36 columns wide (36 ≡ 0 mod
+    6), each key collects 6 full columns; the cascaded union dissolves
+    every shared edge, so each key must come back as exactly 6 tall
+    rectangles with the exact summed area — the oracle checks pieces,
+    area and feature count per key."""
+    grid = PG.admin_grid(spark, nx=36, ny=17, lat_min=-85.0, lat_max=85.0)
+    feats = grid.select((F.col("cell_id") % 6).cast("int").alias("key"), "wkb")
+    out = LA.layer_dissolve(feats, key="key", feat_wkb="wkb")
+    return out.select("key", F.round("union_area", 6).alias("union_area"),
+                      "n_pieces", "n_features")
+
+
+ORACLE_DISSOLVE_LAYER = """
+WITH cells AS (
+  SELECT (j * 36 + i) % 6 AS key, i, j
+  FROM (SELECT unnest(generate_series(0, 35)) AS i),
+       (SELECT unnest(generate_series(0, 16)) AS j))
+SELECT CAST(key AS INTEGER) AS key,
+       CAST(round(count(*) * 10.0 * 10.0, 6) AS DOUBLE) AS union_area,
+       CAST(count(DISTINCT i) AS INTEGER) AS n_pieces,
+       count(*) AS n_features
+FROM cells GROUP BY key
+"""
+
+QUERIES["dissolve_layer"] = (q_dissolve_layer, ORACLE_DISSOLVE_LAYER)
+
+
+# ---------------------------------------------------------------------------
+# gdal2xyz export (gdal/swig/python/scripts/gdal2xyz.py)
+# ---------------------------------------------------------------------------
+
+def q_xyz_export(spark, sf_dir):
+    """gdal2xyz over the burned doc raster with skip=2: pixel-center
+    geocoordinates per sampled burned pixel (apps.gdal2xyz)."""
+    from gdal_spark import apps as APP
+
+    out = APP.gdal2xyz(_doc_tiles(spark, sf_dir), DOC_META, skip=2)
+    return out.select(F.round("geo_x", 6).alias("geo_x"),
+                      F.round("geo_y", 6).alias("geo_y"), "val")
+
+
+ORACLE_XYZ_EXPORT = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT CAST(round(-180.0 + (px + 0.5) * 0.5, 6) AS DOUBLE) AS geo_x,
+       CAST(round(85.0 - (py + 0.5) * 0.5, 6) AS DOUBLE) AS geo_y,
+       CAST(burn AS DOUBLE) AS val
+FROM pix WHERE px % 2 = 0 AND py % 2 = 0
+"""
+
+QUERIES["xyz_export"] = (q_xyz_export, ORACLE_XYZ_EXPORT)
