@@ -3868,3 +3868,91 @@ FROM pix WHERE px % 2 = 0 AND py % 2 = 0
 """
 
 QUERIES["xyz_export"] = (q_xyz_export, ORACLE_XYZ_EXPORT)
+
+
+# ---------------------------------------------------------------------------
+# rasterize MERGE_ALG=ADD and ALL_TOUCHED (gdal/alg/gdalrasterize.cpp)
+# ---------------------------------------------------------------------------
+
+def q_rasterize_add(spark, sf_dir):
+    """gdal_rasterize MERGE_ALG=ADD point burn (gvBurnPoint +=,
+    gdalrasterize.cpp:141): per-pixel accumulated burn with Byte
+    wraparound, summarized per 256-pixel block."""
+    pts = doc_points(spark, sf_dir).withColumn(
+        "burn", (F.col("doc_id") % 199 + 1).cast("double"))
+    px = RZ.rasterize_points(pts, DOC_META, burn="burn", merge_alg="add")
+    return (px.groupBy((F.floor(F.col("px") / 256)).cast("int").alias("bx"),
+                       (F.floor(F.col("py") / 256)).cast("int").alias("by"))
+            .agg(F.count(F.lit(1)).alias("n_burned"),
+                 F.sum("burn_val").cast("double").alias("sum_burn")))
+
+
+ORACLE_RASTERIZE_ADD = f"""
+WITH pts AS ({POINTS_SQL}),
+pxr AS (SELECT doc_id, CAST(floor((lon + 180.0) / 0.5) AS BIGINT) AS px,
+               CAST(floor((lat - 85.0) / (-0.5)) AS BIGINT) AS py
+        FROM pts),
+pix AS (SELECT px, py, CAST(sum((doc_id % 199) + 1) % 256 AS DOUBLE) AS burn
+        FROM pxr WHERE px >= 0 AND px < 720 AND py >= 0 AND py < 340
+        GROUP BY px, py)
+SELECT CAST(px // 256 AS INTEGER) AS bx, CAST(py // 256 AS INTEGER) AS by,
+       count(*) AS n_burned, CAST(sum(burn) AS DOUBLE) AS sum_burn
+FROM pix GROUP BY 1, 2
+"""
+
+
+def q_rasterize_alltouched(spark, sf_dir):
+    """gdal_rasterize -at (GDALdllImageLineAllTouched over each ring,
+    gdalrasterize.cpp:392-441): fractional-edge rectangles where the
+    all-touched footprint is strictly wider than the scanline-center
+    fill.  20 rects at doc_id-derived grid slots (x edges at +0.6/+9.2,
+    so centers give cols 1..8 but touched gives 0..9); output per burn
+    value: pixel count and coordinate sums."""
+    meta = RM.RasterMeta("at", 64, 64, gt=(0.0, 1.0, 0.0, 64.0, 0.0, -1.0),
+                         dtype="uint16", block=32)
+    d = F.col("doc_id")
+    rects = (load(spark, sf_dir, "documents")
+             .filter(d < 20)
+             .select(d.alias("geom_id"),
+                     (12.0 * (d % 5) + 0.6).alias("x0"),
+                     (12.0 * (d % 5) + 9.2).alias("x1"),
+                     (64.0 - (12.0 * (d / 5).cast("int") + 9.2)).alias("y0"),
+                     (64.0 - (12.0 * (d / 5).cast("int") + 0.6)).alias("y1"),
+                     (d + 1).cast("double").alias("burn")))
+
+    def mk(pdf):
+        import pandas as pd
+
+        from gdal_spark.functions.geometry import encode_polygon
+        rows = []
+        for r in pdf.itertuples(index=False):
+            ring = np.array([[r.x0, r.y0], [r.x1, r.y0], [r.x1, r.y1],
+                             [r.x0, r.y1], [r.x0, r.y0]])
+            rows.append((r.geom_id, bytearray(encode_polygon([ring])), r.burn))
+        return pd.DataFrame(rows, columns=["geom_id", "wkb", "burn"])
+
+    geoms = rects.mapInPandas(lambda it: (mk(p) for p in it),
+                              schema="geom_id long, wkb binary, burn double")
+    tiles = RZ.rasterize(geoms, meta, all_touched=True)
+    return (RM.nonzero_pixels(tiles, meta)
+            .groupBy(F.col("val").cast("int").alias("burn"))
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("px").alias("sum_px"), F.sum("py").alias("sum_py")))
+
+
+ORACLE_RASTERIZE_ALLTOUCHED = """
+WITH rects AS (
+  SELECT doc_id, 12 * (doc_id % 5) AS cx, 12 * (doc_id // 5) AS cy
+  FROM documents WHERE doc_id < 20),
+px AS (SELECT doc_id, cx + i AS px, cy + j AS py
+       FROM rects,
+            (SELECT unnest(generate_series(0, 9)) AS i),
+            (SELECT unnest(generate_series(0, 9)) AS j))
+SELECT CAST(doc_id + 1 AS INTEGER) AS burn, count(*) AS n_px,
+       sum(px) AS sum_px, sum(py) AS sum_py
+FROM px GROUP BY doc_id
+"""
+
+QUERIES["rasterize_add"] = (q_rasterize_add, ORACLE_RASTERIZE_ADD)
+QUERIES["rasterize_alltouched"] = (q_rasterize_alltouched,
+                                   ORACLE_RASTERIZE_ALLTOUCHED)

@@ -177,14 +177,34 @@ def find_nearest_color(pal: np.ndarray, r: int, g: int, b: int) -> int:
     return int(np.argmin(d))
 
 
+def colormap_5bit(pal: np.ndarray) -> np.ndarray:
+    """The public GDALDitherRGB2PCT's precomputed 32^3 nearest-color cube
+    (gdaldither.cpp:628-651 FindNearestColor map builder, nBits=5): each
+    cell's representative is ``(i*255)//31`` and the metric is Manhattan
+    with first-minimum tie-break.  Vectorized; shape (32, 32, 32)."""
+    rep = (np.arange(32, dtype=np.int64) * 255) // 31
+    pr = pal[:, 0].astype(np.int64)
+    pg = pal[:, 1].astype(np.int64)
+    pb = pal[:, 2].astype(np.int64)
+    dr = np.abs(rep[:, None] - pr[None, :])        # (32, n)
+    dg = np.abs(rep[:, None] - pg[None, :])
+    db = np.abs(rep[:, None] - pb[None, :])
+    # (r, g, b, n) Manhattan distances, argmin over palette
+    d = (dr[:, None, None, :] + dg[None, :, None, :] + db[None, None, :, :])
+    return d.argmin(axis=3).astype(np.uint8)
+
+
 def dither_kernel(r: np.ndarray, g: np.ndarray, b: np.ndarray,
                   pal: np.ndarray) -> np.ndarray:
     """Exact sequential GDALDitherRGB2PCT scanline loop (driver-portable
-    twin; runs inside the per-raster Arrow group at scale)."""
+    twin; runs inside the per-raster Arrow group at scale).  Nearest
+    color resolves through the 5-bit colormap cube exactly as the public
+    entry point does (gdaldither.cpp:316-320: ``iRed = v*32/256`` cell
+    lookup), not per exact RGB."""
     H, W = r.shape
+    cube = colormap_5bit(pal)
     out = np.zeros((H, W), dtype=np.uint8)
     err = np.zeros((W + 2) * 3, dtype=np.int64)
-    memo: dict[tuple, int] = {}
     for y in range(H):
         rr = np.clip(r[y].astype(np.int64) + err[3:3 + W * 3:3], 0, 255)
         gg = np.clip(g[y].astype(np.int64) + err[4:4 + W * 3:3], 0, 255)
@@ -195,11 +215,7 @@ def dither_kernel(r: np.ndarray, g: np.ndarray, b: np.ndarray,
             rv = max(0, min(255, int(rr[i]) + last[0]))
             gv = max(0, min(255, int(gg[i]) + last[1]))
             bv = max(0, min(255, int(bb[i]) + last[2]))
-            key = (rv, gv, bv)
-            idx = memo.get(key)
-            if idx is None:
-                idx = find_nearest_color(pal, rv, gv, bv)
-                memo[key] = idx
+            idx = int(cube[rv >> 3, gv >> 3, bv >> 3])
             out[y, i] = idx
             for c, val in enumerate((rv, gv, bv)):
                 n_err = val - int(pal[idx, c])

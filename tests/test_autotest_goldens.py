@@ -1,0 +1,269 @@
+"""Ports of the reference's own alg test suite (autotest/alg/*.py),
+run against the DISTRIBUTED operators over the reference's own data
+files, asserting the reference's own golden checksums / feature sets.
+
+Skipped when the reference checkout is not present (the fixtures are
+read in place; nothing is copied into this repo)."""
+
+import os
+
+import numpy as np
+import pytest
+
+AUTOTEST = "/root/reference/autotest/alg/data"
+pytestmark = pytest.mark.skipif(not os.path.isdir(AUTOTEST),
+                                reason="reference autotest data not present")
+
+
+def _pat(spark):
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    bands, meta = FM.parse_geotiff(open(os.path.join(AUTOTEST, "pat.tif"),
+                                        "rb").read())
+    return RM.from_array(spark, bands[0], meta), meta, bands[0]
+
+
+def _f32_to_byte(a):
+    """GDALCopyWords Float32 -> Byte (clamp + round-half-up)."""
+    return np.clip(np.floor(a.astype(np.float64) + 0.5), 0, 255).astype(
+        np.uint8)
+
+
+def test_proximity_1(spark):
+    """autotest/alg/proximity.py:proximity_1 — default options, Byte
+    output, golden checksum 1941."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import proximity as PX
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta, _ = _pat(spark)
+    out, out_meta = PX.proximity(tiles, meta,
+                                 max_distance=meta.width + meta.height,
+                                 nodata=65535.0)
+    arr = RM.to_array(out, out_meta, fill=65535.0)
+    assert py_checksum(_f32_to_byte(arr)) == 1941
+
+
+def test_proximity_2(spark):
+    """proximity_2 — VALUES=65,64 MAXDIST=12 NODATA=-1 FIXED_BUF_VAL=255,
+    Float32 output, golden checksum 3256."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import proximity as PX
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta, _ = _pat(spark)
+    out, out_meta = PX.proximity(tiles, meta, max_distance=12.0,
+                                 target_values=[65.0, 64.0], nodata=-1.0)
+    arr = RM.to_array(out, out_meta, fill=-1.0)
+    arr = np.where(arr > 0, np.float32(255.0), arr).astype(np.float32)
+    assert py_checksum(arr) == 3256
+
+
+def test_proximity_3(spark):
+    """proximity_3 — USE_INPUT_NODATA=YES NODATA=0, Byte output, golden
+    checksum 1465 (src nodata 255 pixels forced to the out nodata)."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import proximity as PX
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta, src = _pat(spark)
+    out, out_meta = PX.proximity(tiles, meta, max_distance=12.0,
+                                 target_values=[65.0, 64.0], nodata=0.0)
+    arr = RM.to_array(out, out_meta, fill=0.0)
+    arr = np.where(src == meta.nodata, np.float32(0.0), arr)
+    assert py_checksum(_f32_to_byte(arr)) == 1465
+
+
+def _grd_tiles(spark, name, nodata):
+    from dataclasses import replace
+
+    from gdal_spark.raster import formats as FM
+    tiles, meta = FM.read_aaigrid(spark, os.path.join(AUTOTEST, name),
+                                  raster_id=name, dtype="uint8")
+    return tiles, replace(meta, nodata=nodata)
+
+
+def test_sieve_1(spark):
+    """autotest/alg/sieve.py:sieve_1 — threshold 2, 4-connected, no mask
+    (all pixels participate): golden checksum 364."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import sieve as SV
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta = _grd_tiles(spark, "sieve_src.grd", nodata=None)
+    out = SV.sieve(tiles, meta, threshold=2)
+    assert py_checksum(RM.to_array(out, meta)) == 364
+
+
+def test_sieve_4(spark):
+    """sieve_4 — sieve_2634.grd (the #2634 regression grid), threshold 2,
+    4-connected: golden checksum 98."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import sieve as SV
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta = _grd_tiles(spark, "sieve_2634.grd", nodata=None)
+    out = SV.sieve(tiles, meta, threshold=2)
+    assert py_checksum(RM.to_array(out, meta)) == 98
+
+
+def test_polygonize_1(spark):
+    """autotest/alg/polygonize.py:polygonize_1 — nodata-masked polygonize
+    of polygonize_in.grd: 13 features with the expected DN multiset and
+    the documented two-ring geometry for DN=156."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.raster import polygonize as PZ
+    tiles, meta = _grd_tiles(spark, "polygonize_in.grd", nodata=132.0)
+    out = PZ.region_geometries(tiles, meta).collect()
+    assert len(out) == 13
+    expect = sorted([107, 123, 115, 115, 140, 148, 123, 140, 156,
+                     100, 101, 102, 103])
+    assert sorted(int(r["value"]) for r in out) == expect
+    # the DN=156 region: outer ring + one hole, exact geo coordinates
+    r156 = [r for r in out if r["value"] == 156]
+    assert len(r156) == 1
+    rings = G.decode_polygons(bytes(r156[0]["wkb"]))[0]
+    assert len(rings) == 2
+    outer = {(x, y) for x, y in rings[0][:-1]}
+    hole = {(x, y) for x, y in rings[1][:-1]}
+    assert outer == {(440720.0, 3751200.0), (440720.0, 3751020.0),
+                     (440900.0, 3751020.0), (440900.0, 3751200.0)}
+    assert hole == {(440780.0, 3751140.0), (440840.0, 3751140.0),
+                    (440840.0, 3751080.0), (440780.0, 3751080.0)}
+
+
+def test_polygonize_2(spark):
+    """polygonize_2 — unmasked variant: 17 features including the nodata
+    (132) regions."""
+    from gdal_spark.raster import polygonize as PZ
+    tiles, meta = _grd_tiles(spark, "polygonize_in.grd", nodata=None)
+    out = PZ.polygonize(tiles, meta).collect()
+    assert len(out) == 17
+    expect = sorted([107, 123, 115, 132, 115, 132, 140, 132, 148, 123,
+                     140, 132, 156, 100, 101, 102, 103])
+    assert sorted(int(r["value"]) for r in out) == expect
+
+
+def test_dither_1(spark):
+    """autotest/alg/dither.py:dither_1 — 8-color median-cut palette over
+    rgbsmall.tif must equal the reference's color table exactly, and the
+    error-diffusion dither must hit golden checksum 8803."""
+    from gdal_spark.raster import color as CO
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    path = "/root/reference/autotest/gdrivers/data/rgbsmall.tif"
+    if not os.path.exists(path):
+        pytest.skip("rgbsmall.tif not present")
+    bands, meta = FM.parse_geotiff(open(path, "rb").read())
+    tiles = None
+    for b in range(3):
+        t = RM.from_array(spark, bands[b], meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    pal = CO.median_cut_pct(tiles, meta, n_colors=8)
+    ref_ct = [(36, 48, 32), (92, 120, 20), (88, 96, 20), (92, 132, 56),
+              (0, 0, 0), (96, 152, 24), (60, 112, 32), (164, 164, 108)]
+    assert [tuple(int(v) for v in row) for row in pal] == ref_ct
+    out = CO.dither_rgb_to_pct(tiles, meta, pal)
+    from dataclasses import replace
+    arr = RM.to_array(out, replace(meta, raster_id=meta.raster_id + "_pct"))
+    assert py_checksum(arr) == 8803
+
+
+def _contour_fixture():
+    size = 160
+    arr = np.zeros((size, size), dtype=np.int16)
+    q, e, s = size // 4, size // 8, size // 16
+    arr[q:q + size // 2, q:q + size // 2] = 10
+    arr[q + e:q + e + q, q + e:q + e + q] = 20
+    arr[q + e + s:q + e + s + e, q + e + s:q + e + s + e] = 25
+    return arr, 1.0 / size
+
+
+def _contour_envelopes(spark, levels):
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.raster import contour as CT
+    from gdal_spark.raster import model as RM
+    arr, precision = _contour_fixture()
+    meta = RM.RasterMeta("ct", 160, 160,
+                         gt=(1.0, precision, 0.0, 50.0, 0.0, -precision),
+                         dtype="int16", block=64)
+    tiles = RM.from_array(spark, arr, meta)
+    rows = CT.contour_lines(tiles, meta, levels).collect()
+    env = {}
+    for r in rows:
+        c = G.decode_linestring(bytes(r["wkb"]))  # geo coords
+        gx = c[:, 0]
+        gy = c[:, 1]
+        lv = r["level"]
+        cur = env.get(lv)
+        box = [gx.min(), gx.max(), gy.min(), gy.max()]
+        if cur is None:
+            env[lv] = box
+        else:
+            env[lv] = [min(cur[0], box[0]), max(cur[1], box[1]),
+                       min(cur[2], box[2]), max(cur[3], box[3])]
+    return env, precision
+
+
+def test_contour_1(spark):
+    """autotest/alg/contour.py:contour_1 — interval-10 contours of the
+    nested-plateau raster: levels 10 and 20 with the documented
+    envelopes (tolerance precision/2)."""
+    env, precision = _contour_envelopes(spark, [10.0, 20.0])
+    expected = {10.0: [1.25, 1.75, 49.25, 49.75],
+                20.0: [1.375, 1.625, 49.375, 49.625]}
+    assert sorted(env) == sorted(expected)
+    for lv, exp in expected.items():
+        for a, b in zip(env[lv], exp):
+            assert abs(a - b) <= precision / 2 * 1.001, (lv, env[lv], exp)
+
+
+def test_contour_2(spark):
+    """contour_2 — fixed levels [10, 20, 25], adds the innermost plateau
+    envelope."""
+    env, precision = _contour_envelopes(spark, [10.0, 20.0, 25.0])
+    expected = {10.0: [1.25, 1.75, 49.25, 49.75],
+                20.0: [1.375, 1.625, 49.375, 49.625],
+                25.0: [1.4375, 1.5625, 49.4375, 49.5625]}
+    assert sorted(env) == sorted(expected)
+    for lv, exp in expected.items():
+        for a, b in zip(env[lv], exp):
+            assert abs(a - b) <= precision / 2 * 1.001, (lv, env[lv], exp)
+
+
+def test_rasterize_1(spark):
+    """autotest/alg/rasterize.py:rasterize_1 — polygon fill + default
+    Bresenham line burn into a 100x100 grid, golden checksum 6452."""
+    from gdal_spark.functions.geometry import encode_linestring, encode_polygon
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import rasterize as RZ
+    from gdal_spark.raster.checksum import py_checksum
+    meta = RM.RasterMeta("r1", 100, 100,
+                         gt=(1000.0, 1.0, 0.0, 1100.0, 0.0, -1.0),
+                         dtype="uint8", block=64)
+    ring = np.array([[1020, 1030], [1020, 1045], [1050, 1045],
+                     [1050, 1030], [1020, 1030]], float)
+    line = np.array([[1000, 1000], [1100, 1050]], float)
+    geoms = spark.createDataFrame(
+        [(0, bytearray(encode_polygon([ring])), 220.0),
+         (1, bytearray(encode_linestring(line)), 220.0)],
+        "geom_id long, wkb binary, burn double")
+    tiles = RZ.rasterize(geoms, meta)
+    assert py_checksum(RM.to_array(tiles, meta)) == 6452
+
+
+def test_rasterize_2(spark):
+    """rasterize_2 — ALL_TOUCHED=TRUE burn of the cutline.csv polygons
+    into a 12x12 grid, golden checksum 121."""
+    from gdal_spark.functions.geometry import wkb_from_wkt
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import rasterize as RZ
+    from gdal_spark.raster.checksum import py_checksum
+    meta = RM.RasterMeta("r2", 12, 12, gt=(0.0, 1.0, 0.0, 12.0, 0.0, -1.0),
+                         dtype="uint8", block=12)
+    wkts = [
+        "POLYGON((6.25 1.25,7.25 1.25,7.25 2.25,6.25 2.25,6.25 1.25))",
+        "POLYGON((4.25 4.25,6.25 4.25,6.25 6.25,4.25 6.25,4.25 4.25))",
+        "POLYGON((1.001 1.001,3.999 3.999,3.2 1.6,1.001 1.001))",
+    ]
+    geoms = spark.createDataFrame(
+        [(i, bytearray(wkb_from_wkt(w)), 220.0) for i, w in enumerate(wkts)],
+        "geom_id long, wkb binary, burn double")
+    tiles = RZ.rasterize(geoms, meta, all_touched=True)
+    assert py_checksum(RM.to_array(tiles, meta)) == 121

@@ -152,3 +152,57 @@ def test_rasterize_multipolygon(spark):
     ])
     got = M.to_array(R.rasterize(_geom_df(spark, [(mp, 3)]), meta), meta)
     assert got[4, 4] == 3 and got[24, 24] == 3 and got[15, 15] == 0
+
+
+def test_merge_alg_add_points(spark):
+    from gdal_spark.raster import rasterize as RZ
+    from gdal_spark.raster.model import RasterMeta
+    meta = RasterMeta("add", 4, 4, gt=(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+                      dtype="uint8")
+    pts = spark.createDataFrame(
+        [(1.5, 2.5, 200.0), (1.7, 2.2, 100.0), (3.5, 0.5, 7.0)],
+        "lon double, lat double, burn double")
+    rows = {(r["px"], r["py"]): r["burn_val"]
+            for r in RZ.rasterize_points(pts, meta, merge_alg="add").collect()}
+    assert rows[(1, 1)] == (200 + 100) % 256  # unsigned-char wraparound
+    assert rows[(3, 3)] == 7.0
+
+
+def test_merge_alg_add_polygons(spark):
+    import numpy as np
+
+    from gdal_spark.functions.geometry import encode_polygon
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import rasterize as RZ
+    meta = RM.RasterMeta("addp", 8, 8, gt=(0.0, 1.0, 0.0, 8.0, 0.0, -1.0),
+                         dtype="uint16", block=8)
+    ring = lambda x0, y0, x1, y1: np.array(  # noqa: E731
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    geoms = spark.createDataFrame(
+        [(0, bytearray(encode_polygon([ring(0, 0, 4, 4)])), 3.0),
+         (1, bytearray(encode_polygon([ring(2, 2, 6, 6)])), 5.0)],
+        "geom_id long, wkb binary, burn double")
+    arr = RM.to_array(RZ.rasterize(geoms, meta, merge_alg="add"), meta)
+    assert arr[6, 1] == 3         # first rect only (py = 8 - y)
+    assert arr[3, 5] == 5         # second rect only
+    assert arr[4, 2] == 8         # overlap accumulates (py 4..5, px 2..3)
+
+
+def test_all_touched_wider_than_fill(spark):
+    import numpy as np
+
+    from gdal_spark.functions.geometry import encode_polygon
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import rasterize as RZ
+    meta = RM.RasterMeta("at", 12, 12, gt=(0.0, 1.0, 0.0, 12.0, 0.0, -1.0),
+                         dtype="uint8", block=12)
+    ring = np.array([[0.6, 0.6], [9.2, 0.6], [9.2, 9.2], [0.6, 9.2],
+                     [0.6, 0.6]])
+    geoms = spark.createDataFrame(
+        [(0, bytearray(encode_polygon([ring])), 1.0)],
+        "geom_id long, wkb binary, burn double")
+    fill = RM.to_array(RZ.rasterize(geoms, meta), meta)
+    at = RM.to_array(RZ.rasterize(geoms, meta, all_touched=True), meta)
+    assert fill.sum() == 8 * 8     # centers only
+    assert at.sum() == 10 * 10     # every touched pixel
+    assert ((at - fill) >= 0).all()
