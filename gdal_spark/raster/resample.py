@@ -113,6 +113,7 @@ def resample_grid(src: np.ndarray, ox: int, oy: int, src_w: int, src_h: int,
         return src[iyc, ixc].astype(np.float64), invalid
 
     kern, radius = KERNELS[method]
+    upsample = xscale >= 1.0 and yscale >= 1.0
     xscale = min(xscale, 1.0)
     yscale = min(yscale, 1.0)
     rx = int(math.ceil(radius / xscale)) if xscale < 1.0 else radius
@@ -141,6 +142,22 @@ def resample_grid(src: np.ndarray, ox: int, oy: int, src_w: int, src_h: int,
     invalid = wacc == 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
         val = acc / wacc
+    if method == "cubic" and upsample:
+        # GWKCubicResampleNoMasks4SampleT (gdalwarpkernel.cpp:2223-2234):
+        # in the non-downsampling path, any dst pixel whose 4x4 stencil
+        # leaves the source raster is resampled BILINEARLY instead of with
+        # weight-normalized clipped cubic taps.
+        border = ((isx - 1 < 0) | (isx + 2 > src_w - 1) |
+                  (isy - 1 < 0) | (isy + 2 > src_h - 1)) & ~invalid
+        if border.any():
+            bval, binv = resample_grid(src, ox, oy, src_w, src_h,
+                                       sx[border], sy[border], "bilinear",
+                                       nodata=nodata)
+            val = val.copy()
+            val[border] = bval
+            inv2 = invalid.copy()
+            inv2[border] = binv
+            invalid = inv2
     return np.where(invalid, nodata, val), invalid
 
 
@@ -168,6 +185,67 @@ def average_grid(src: np.ndarray, ox: int, oy: int, src_w: int, src_h: int,
     with np.errstate(divide="ignore", invalid="ignore"):
         val = tot / cnt
     return np.where(invalid, nodata, val), invalid
+
+
+def cutline_density(cutline_px: bytes, ox: int, oy: int, h: int, w: int,
+                    blend: float = 0.0) -> np.ndarray:
+    """Source validity density for a cutline, over the source window
+    [ox, ox+w) × [oy, oy+h) in *source pixel* coordinates.
+
+    GDALWarpCutlineMasker (gdal/alg/gdalcutline.cpp:318-420): the polygon
+    is scanline-rasterized into a byte mask; with no blend distance the
+    density is that mask. BlendMaskGenerator (:45-230) then ramps pixels
+    within ``blend`` of the polygon boundary: distance is measured from
+    the pixel center to the boundary treated as a multilinestring, and
+    density = 0.5 + (d/blend)/2 inside, 0.5 - (d/blend)/2 outside.
+    """
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.raster.rasterize import fill_polygon_mask
+    rings = [np.asarray(r, dtype=np.float64)
+             for part in G.decode_polygons(cutline_px) for r in part]
+    dens = fill_polygon_mask(rings, oy, oy + h, ox, ox + w).astype(np.float64)
+    if blend <= 0.0:
+        return dens
+    segs = []
+    for r in rings:
+        rr = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+        segs.append(np.stack([rr[:-1], rr[1:]], axis=1))
+    S = np.concatenate(segs)
+    allpts = np.concatenate(rings)
+    ex0, ey0 = allpts.min(0)
+    ex1, ey1 = allpts.max(0)
+    # envelope band (gdalcutline.cpp:160-165 iXMin..iYMax)
+    jx0 = max(0, int(math.floor(ex0 - blend - ox)))
+    jx1 = min(w, int(math.ceil(ex1 + blend - ox)))
+    jy0 = max(0, int(math.floor(ey0 - blend - oy)))
+    jy1 = min(h, int(math.ceil(ey1 + blend - oy)))
+    if jx0 >= jx1 or jy0 >= jy1:
+        return dens
+    Y, X = np.mgrid[jy0:jy1, jx0:jx1]
+    P = np.stack([(X + ox + 0.5).ravel(), (Y + oy + 0.5).ravel()], axis=1)
+    A, B = S[:, 0], S[:, 1]
+    AB = B - A
+    ab2 = (AB * AB).sum(1)
+    ab2 = np.where(ab2 == 0.0, 1.0, ab2)
+    dmin = np.empty(len(P))
+    step = max(1, 4_000_000 // max(len(S), 1))
+    for s in range(0, len(P), step):
+        Pc = P[s:s + step]
+        t = np.clip(((Pc[:, None, :] - A[None]) * AB[None]).sum(2)
+                    / ab2[None], 0.0, 1.0)
+        proj = A[None] + t[..., None] * AB[None]
+        dmin[s:s + step] = np.sqrt(
+            ((Pc[:, None, :] - proj) ** 2).sum(2)).min(1)
+    dist = dmin.reshape(jy1 - jy0, jx1 - jx0)
+    sub = dens[jy0:jy1, jx0:jx1]
+    ratio = np.where(sub > 0.0, 0.5 + (dist / blend) * 0.5,
+                     0.5 - (dist / blend) * 0.5)
+    # the reference accumulates the mask in float32 (pafValidityMask is
+    # float*; `*= (float)dfRatio`, gdalcutline.cpp:218) — the precision
+    # loss is observable in rounded Byte output, so replicate it
+    dens[jy0:jy1, jx0:jx1] = np.where(dist <= blend,
+                                      ratio.astype(np.float32), sub)
+    return dens
 
 
 AOM_METHODS = ("mode", "min", "max", "med", "q1", "q3")
@@ -279,7 +357,9 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
          lattice: int = 8,
          dst_window: tuple[int, int, int, int] | None = None,
          cutline: bytes | None = None,
-         src_nodata: float | None = None) -> DataFrame:
+         src_nodata: float | None = None,
+         src_cutline: bytes | None = None,
+         cutline_blend: float = 0.0) -> DataFrame:
     """Warp ``src_tiles`` onto ``dst_meta``'s grid. ``src_from_dst`` maps
     arrays of dst pixel coords → src pixel coords (default: affine via the
     two geotransforms); it must be picklable and numpy-vectorized.
@@ -302,6 +382,15 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     equal to this value get zero kernel weight; the result is the
     density-normalized blend of valid pixels (dfDensity semantics), and
     a dst pixel with no valid source support becomes dst nodata.
+    Supported for nearest and the convolution kernels.
+
+    ``src_cutline`` + ``cutline_blend``: the reference's own cutline
+    shape (GDALWarpCutlineMasker, gdal/alg/gdalcutline.cpp:318): a WKB
+    polygon in *source pixel/line* coordinates becomes a per-source-pixel
+    validity density (scanline polymask, blend-distance ramp), and dst
+    values mix with INIT_DEST by that density per GWKSetPixelValue
+    (gdalwarpkernel.cpp:1206-1270): d<0.0001 → dst stays nodata,
+    d≥0.9999 → source value, else ``v*d + nodata*(1-d)``.
     Supported for nearest and the convolution kernels.
     """
     if src_from_dst is None:
@@ -446,6 +535,44 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
                 with np.errstate(divide="ignore", invalid="ignore"):
                     val = np.where(dens > 1e-9, vsum / dens, nodata)
                 inv = inv | (dens <= 1e-9)
+            elif src_cutline is not None:
+                dens_win = cutline_density(src_cutline, sx0, sy0,
+                                           sy1 - sy0, sx1 - sx0,
+                                           cutline_blend)
+                if method == "nearest":
+                    val, inv = resample_grid(buf, sx0, sy0, sW, sH, sx, sy,
+                                             method, xscale, yscale, nodata)
+                    ix = np.trunc(sx + 1e-10).astype(np.int64)
+                    iy = np.trunc(sy + 1e-10).astype(np.int64)
+                    lx = np.clip(ix - sx0, 0, dens_win.shape[1] - 1)
+                    ly = np.clip(iy - sy0, 0, dens_win.shape[0] - 1)
+                    d = np.where(inv, 0.0, dens_win[ly, lx])
+                    if src_nodata is not None:
+                        inv = inv | (val == src_nodata)
+                else:
+                    # GWKResample (gdalwarpkernel.cpp:2700+): taps with
+                    # zero density are skipped; value is the weight-
+                    # normalized sum over surviving taps, density the
+                    # weight-normalized mean of tap densities. Ratios of
+                    # two same-kernel runs cancel the weight normalizer.
+                    m = dens_win > 1e-9
+                    vsum, inv = resample_grid(
+                        np.where(m, buf, 0).astype(buf.dtype), sx0, sy0,
+                        sW, sH, sx, sy, method, xscale, yscale, nodata)
+                    msum, _ = resample_grid(m.astype(np.float64), sx0, sy0,
+                                            sW, sH, sx, sy, method,
+                                            xscale, yscale, nodata)
+                    dsum, _ = resample_grid(dens_win, sx0, sy0, sW, sH,
+                                            sx, sy, method, xscale, yscale,
+                                            nodata)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        val = np.where(msum > 1e-9, vsum / msum, nodata)
+                        d = np.where(msum > 1e-9, dsum / msum, 0.0)
+                    inv = inv | (msum <= 1e-9)
+                d = np.clip(d, 0.0, 1.0)
+                val = np.where(d >= 0.9999, val,
+                               val * d + nodata * (1.0 - d))
+                inv = inv | (d < 0.0001)
             else:
                 val, inv = resample_grid(buf, sx0, sy0, sW, sH, sx, sy,
                                          method, xscale, yscale, nodata)

@@ -69,10 +69,62 @@ def _rect(el, default) -> tuple[float, float, float, float]:
             float(el.get("xSize")), float(el.get("ySize")))
 
 
+_RESAMPLE_ALG = {
+    "NearestNeighbour": "nearest", "Bilinear": "bilinear", "Cubic": "cubic",
+    "CubicSpline": "cubicspline", "Lanczos": "lanczos", "Average": "average",
+    "Mode": "mode", "Maximum": "max", "Minimum": "min", "Median": "med",
+    "Quartile1": "q1", "Quartile3": "q3",
+}
+
+
+def _read_warped_vrt(spark: SparkSession, root, path: str, block: int
+                     ) -> tuple[DataFrame, RasterMeta]:
+    """VRTWarpedDataset (gdal/frmts/vrt/vrtwarped.cpp): the serialized
+    GDALWarpOptions become one lazy warp node — ResampleAlg maps to the
+    engine's kernel and the GenImgProjTransformer's Src/Dst geotransforms
+    drive the default affine ``src_from_dst``."""
+    W = int(root.get("rasterXSize"))
+    H = int(root.get("rasterYSize"))
+    gt = tuple(float(v) for v in root.find("GeoTransform").text.split(","))
+    stem = os.path.splitext(os.path.basename(path))[0]
+    base = os.path.dirname(os.path.abspath(path))
+    band_el = root.find("VRTRasterBand")
+    dtype = _DT_MAP.get(band_el.get("dataType", "Byte"), "uint8")
+    opts = root.find("GDALWarpOptions")
+    method = _RESAMPLE_ALG[opts.findtext("ResampleAlg", "NearestNeighbour")]
+    fn_el = opts.find("SourceDataset")
+    fn = fn_el.text.strip()
+    if fn_el.get("relativeToVRT", "0") == "1":
+        fn = os.path.normpath(os.path.join(base, fn))
+    src_meta = RF.geotiff_meta(fn, block=block)
+    src_tiles = RF.read_geotiff(spark, fn, block=block)
+    gip = opts.find(".//GenImgProjTransformer")
+    if gip is not None and gip.find("SrcGeoTransform") is not None:
+        src_gt = tuple(float(v) for v in
+                       gip.findtext("SrcGeoTransform").split(","))
+        src_meta = replace(src_meta, gt=src_gt)
+    dst_meta = RasterMeta(stem, W, H, gt=gt, dtype=dtype, block=block)
+    nd = opts.findtext(".//DstNoDataReal")
+    if nd is not None:
+        dst_meta = replace(dst_meta, nodata=float(nd))
+    src_cutline = None
+    cut_wkt = opts.findtext("Cutline")
+    if cut_wkt is not None:
+        # GDALWarpOptions cutlines are serialized in *source pixel/line*
+        # coordinates (gdal/alg/gdalwarper.cpp GDALSerializeWarpOptions)
+        from gdal_spark.functions.geometry import wkb_from_wkt
+        src_cutline = wkb_from_wkt(cut_wkt.strip())
+    blend = float(opts.findtext("CutlineBlendDist", "0"))
+    return RS.warp(src_tiles, src_meta, dst_meta, method=method,
+                   src_cutline=src_cutline, cutline_blend=blend), dst_meta
+
+
 def read_vrt(spark: SparkSession, path: str, block: int = 256
              ) -> tuple[DataFrame, RasterMeta]:
     """Parse a .vrt into a lazy tile-row plan + RasterMeta."""
     root = ET.parse(path).getroot()
+    if root.get("subClass") == "VRTWarpedDataset":
+        return _read_warped_vrt(spark, root, path, block)
     W = int(root.get("rasterXSize"))
     H = int(root.get("rasterYSize"))
     gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)

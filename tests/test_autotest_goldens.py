@@ -267,3 +267,72 @@ def test_rasterize_2(spark):
         "geom_id long, wkb binary, burn double")
     tiles = RZ.rasterize(geoms, meta, all_touched=True)
     assert py_checksum(RM.to_array(tiles, meta)) == 121
+
+
+# --- warp kernel goldens (autotest/alg/warp.py warp_1..warp_24 family) ---
+
+_WARP_CASES = [
+    # (vrt, golden) pairs compared with the autotest contract maxdiff <= 1
+    ("utmsmall_near.vrt", "utmsmall_near.tiff"),
+    ("utmsmall_blinear.vrt", "utmsmall_blinear.tiff"),
+    ("utmsmall_cubic.vrt", "utmsmall_cubic.tiff"),
+    ("utmsmall_cubicspline.vrt", "utmsmall_cubicspline.tiff"),
+    ("utmsmall_lanczos.vrt", "utmsmall_lanczos.tiff"),
+    ("utmsmall_ds_cubicspline.vrt", "utmsmall_ds_cubicspline.tiff"),
+    ("utmsmall_ds_lanczos.vrt", "utmsmall_ds_lanczos.tiff"),
+    ("utmsmall_average.vrt", "utmsmall_average.tiff"),
+    ("utmsmall_mode.vrt", "utmsmall_mode.tiff"),
+    ("utmsmall_max.vrt", "utmsmall_max.tif"),
+    ("utmsmall_min.vrt", "utmsmall_min.tif"),
+    ("utmsmall_med.vrt", "utmsmall_med.tif"),
+    ("utmsmall_Q1.vrt", "utmsmall_Q1.tif"),
+    ("utmsmall_Q3.vrt", "utmsmall_Q3.tif"),
+    ("utmsmall-int16-neg_max.vrt", "utmsmall-int16-neg_max.tif"),
+    ("utmsmall-int16-neg_min.vrt", "utmsmall-int16-neg_min.tif"),
+    ("utmsmall-int16-neg_med.vrt", "utmsmall-int16-neg_med.tif"),
+    ("utmsmall-int16-neg_Q1.vrt", "utmsmall-int16-neg_Q1.tif"),
+    ("utmsmall-int16-neg_Q3.vrt", "utmsmall-int16-neg_Q3.tif"),
+    ("utmsmall-int16-neg_mode.vrt", "utmsmall-int16-neg_mode.tiff"),
+]
+
+
+# --- cutline goldens (autotest/alg/cutline.py cutline_1..cutline_3) ---
+
+_CUTLINE_CASES = [
+    ("cutline_noblend.vrt", 11409),
+    ("cutline_blend.vrt", 21395),
+    ("cutline_multipolygon.vrt", 20827),
+]
+
+
+@pytest.mark.parametrize("vrt,cksum", _CUTLINE_CASES,
+                         ids=[v[:-4] for v, _ in _CUTLINE_CASES])
+def test_cutline_golden(spark, vrt, cksum):
+    """autotest/alg/cutline.py — warped VRTs carrying a <Cutline> (source
+    pixel/line WKT), with and without CutlineBlendDist and with a holed
+    multipolygon, must reproduce the reference checksum bit-exactly."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import vrt as VRT
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta = VRT.read_vrt(spark, os.path.join(AUTOTEST, vrt))
+    assert py_checksum(RM.to_array(tiles, meta)) == cksum
+
+
+@pytest.mark.parametrize("vrt,golden", _WARP_CASES,
+                         ids=[v[:-4] for v, _ in _WARP_CASES])
+def test_warp_golden(spark, vrt, golden):
+    """autotest/alg/warp.py — each warped VRT (one per resampling kernel,
+    upsample and downsample, byte and negative-int16) opened through the
+    engine's VRT driver must match the reference's golden raster within
+    the autotest tolerance (max |diff| <= 1)."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import vrt as VRT
+    tiles, meta = VRT.read_vrt(spark, os.path.join(AUTOTEST, vrt))
+    got = RM.to_array(tiles, meta).astype(np.float64)
+    ref_bands, _m = FM.parse_geotiff(
+        open(os.path.join(AUTOTEST, golden), "rb").read())
+    ref = ref_bands[0].astype(np.float64)
+    maxdiff = np.abs(got - ref).max()
+    assert maxdiff <= 1, (vrt, maxdiff,
+                          int((np.abs(got - ref) > 1).sum()))
