@@ -296,6 +296,72 @@ _WARP_CASES = [
 ]
 
 
+# --- reproject goldens (autotest/alg/reproject.py reproject_1..3) ---
+
+GCORE = "/root/reference/autotest/gcore/data"
+
+
+def test_reproject_1(spark):
+    """reproject_1: identity reprojection (same grid, same SRS) must
+    round-trip byte.tif exactly (checksum equality with the source)."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import resample as RS
+    from gdal_spark.raster.checksum import py_checksum
+    meta = FM.geotiff_meta(os.path.join(GCORE, "byte.tif"))
+    tiles = FM.read_geotiff(spark, os.path.join(GCORE, "byte.tif"))
+    out = RM.to_array(RS.warp(tiles, meta, meta, method="nearest"), meta)
+    src = FM.parse_geotiff(
+        open(os.path.join(GCORE, "byte.tif"), "rb").read())[0][0]
+    assert py_checksum(out) == py_checksum(src)
+    assert np.array_equal(out, src)
+
+
+def test_reproject_2(spark):
+    """reproject_2: byte.tif forced to EPSG:32611 (WGS84 / UTM 11N),
+    reprojected to EPSG:4326 on the autotest's 22x18 geographic grid;
+    the reference expects checksum 4727 (nearest)."""
+    from dataclasses import replace
+    from gdal_spark.functions.srs import (GenImgProjTransform, Geographic,
+                                          utm_crs)
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import resample as RS
+    from gdal_spark.raster.checksum import py_checksum
+    src_meta = FM.geotiff_meta(os.path.join(GCORE, "byte.tif"))
+    tiles = FM.read_geotiff(spark, os.path.join(GCORE, "byte.tif"))
+    dst_meta = RM.RasterMeta(
+        "byte_4326", 22, 18,
+        gt=(-117.641169915168746, 0.000598105625684, 0,
+            33.900668703925191, 0, -0.000598105625684), dtype="uint8")
+    tr = GenImgProjTransform(src_meta.gt, dst_meta.gt,
+                             src_crs=utm_crs(11), dst_crs=Geographic())
+    out = RM.to_array(
+        RS.warp(tiles, src_meta, dst_meta, method="nearest",
+                src_from_dst=tr), dst_meta)
+    assert py_checksum(out) == 4727
+
+
+def test_reproject_3(spark):
+    """reproject_3: bilinear with src nodata 2 / dst nodata 3 — nodata
+    source taps get zero weight (density normalization) and unsupported
+    dst pixels take the dst nodata; exact byte-for-byte expectation."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import resample as RS
+    src = np.array([[2, 127, 127, 2]] * 3, dtype=np.uint8)
+    src_meta = RM.RasterMeta("rp3src", 4, 3, gt=(10, 1, 0, 10, 0, -1),
+                             dtype="uint8", nodata=2.0)
+    dst_meta = RM.RasterMeta("rp3dst", 6, 3,
+                             gt=(10, 2.0 / 3.0, 0, 10, 0, -1),
+                             dtype="uint8", nodata=3.0)
+    tiles = RM.from_array(spark, src, src_meta)
+    out = RM.to_array(
+        RS.warp(tiles, src_meta, dst_meta, method="bilinear",
+                src_nodata=2.0), dst_meta)
+    assert np.array_equal(out, np.array([[3, 127, 127, 127, 127, 3]] * 3,
+                                        dtype=np.uint8))
+
+
 # --- cutline goldens (autotest/alg/cutline.py cutline_1..cutline_3) ---
 
 _CUTLINE_CASES = [
