@@ -918,3 +918,117 @@ def crs_from_epsg(code: int):
                                      lon0=-96.0, fe=0.0, fn=0.0)
     raise ValueError(f"EPSG:{code} not in the built-in registry; "
                      "construct the CRS dataclass or pass WKT")
+
+
+# ---------------------------------------------------------------------------
+# GCPs -> affine geotransform (GDALGCPsToGeoTransform,
+# gdal/gcore/gdal_misc.cpp:1903-2186)
+# ---------------------------------------------------------------------------
+
+def _apply_gt(gt, x, y):
+    return (gt[0] + gt[1] * x + gt[2] * y, gt[3] + gt[4] * x + gt[5] * y)
+
+
+def inv_geotransform(gt):
+    """GDALInvGeoTransform: invert an affine geotransform (None if
+    singular)."""
+    det = gt[1] * gt[5] - gt[2] * gt[4]
+    if det == 0.0:
+        return None
+    inv_det = 1.0 / det
+    g1 = gt[5] * inv_det
+    g2 = -gt[2] * inv_det
+    g4 = -gt[4] * inv_det
+    g5 = gt[1] * inv_det
+    return (-gt[0] * g1 - gt[3] * g2, g1, g2,
+            -gt[0] * g4 - gt[3] * g5, g4, g5)
+
+
+def compose_geotransforms(gt1, gt2):
+    """GDALComposeGeoTransforms: gt(p) = gt2(gt1(p))."""
+    return (gt2[1] * gt1[0] + gt2[2] * gt1[3] + gt2[0],
+            gt2[1] * gt1[1] + gt2[2] * gt1[4],
+            gt2[1] * gt1[2] + gt2[2] * gt1[5],
+            gt2[4] * gt1[0] + gt2[5] * gt1[3] + gt2[3],
+            gt2[4] * gt1[1] + gt2[5] * gt1[4],
+            gt2[4] * gt1[2] + gt2[5] * gt1[5])
+
+
+def gcps_to_geotransform(gcps, approx_ok: bool = True):
+    """First-order fit of an affine geotransform to GCPs
+    (GDALGCPsToGeoTransform, gdal/gcore/gdal_misc.cpp:1903): 2-GCP
+    offset+scale special case, exact TL-TR-BR-BL 4-corner special case,
+    otherwise a range-normalized least-squares fit; with
+    ``approx_ok=False`` the fit is rejected (returns None) if any GCP
+    deviates by more than 0.25 pixel. ``gcps`` is a sequence of
+    (pixel, line, geo_x, geo_y). Returns a 6-tuple or None."""
+    g = [(float(p), float(l), float(x), float(y)) for p, l, x, y in gcps]
+    n = len(g)
+    if n < 2:
+        return None
+    if n == 2:
+        (p0, l0, x0, y0), (p1, l1, x1, y1) = g
+        if p1 == p0 or l1 == l0:
+            return None
+        a1 = (x1 - x0) / (p1 - p0)
+        a5 = (y1 - y0) / (l1 - l0)
+        return (x0 - p0 * a1, a1, 0.0, y0 - l0 * a5, 0.0, a5)
+    if (n == 4
+            and g[0][1] == g[1][1] and g[2][1] == g[3][1]
+            and g[0][0] == g[3][0] and g[1][0] == g[2][0]
+            and g[0][1] != g[2][1] and g[0][0] != g[1][0]
+            and g[0][3] == g[1][3] and g[2][3] == g[3][3]
+            and g[0][2] == g[3][2] and g[1][2] == g[2][2]
+            and g[0][3] != g[2][3] and g[0][2] != g[1][2]):
+        a1 = (g[1][2] - g[0][2]) / (g[1][0] - g[0][0])
+        a5 = (g[2][3] - g[1][3]) / (g[2][1] - g[1][1])
+        return (g[0][2] - g[0][0] * a1, a1, 0.0,
+                g[0][3] - g[0][1] * a5, 0.0, a5)
+    arr = np.asarray(g)
+    min_p, max_p = arr[:, 0].min(), arr[:, 0].max()
+    min_l, max_l = arr[:, 1].min(), arr[:, 1].max()
+    min_x, max_x = arr[:, 2].min(), arr[:, 2].max()
+    min_y, max_y = arr[:, 3].min(), arr[:, 3].max()
+    eps = 1.0e-12
+    if (abs(max_p - min_p) < eps or abs(max_l - min_l) < eps
+            or abs(max_x - min_x) < eps or abs(max_y - min_y) < eps):
+        return None
+    pl_norm = (-min_p / (max_p - min_p), 1.0 / (max_p - min_p), 0.0,
+               -min_l / (max_l - min_l), 0.0, 1.0 / (max_l - min_l))
+    geo_norm = (-min_x / (max_x - min_x), 1.0 / (max_x - min_x), 0.0,
+                -min_y / (max_y - min_y), 0.0, 1.0 / (max_y - min_y))
+    px, ln = _apply_gt(pl_norm, arr[:, 0], arr[:, 1])
+    gx, gy = _apply_gt(geo_norm, arr[:, 2], arr[:, 3])
+    sx, sy = px.sum(), ln.sum()
+    sxy, sxx, syy = (px * ln).sum(), (px * px).sum(), (ln * ln).sum()
+    s_lon, s_lonx, s_lony = gx.sum(), (gx * px).sum(), (gx * ln).sum()
+    s_lat, s_latx, s_laty = gy.sum(), (gy * px).sum(), (gy * ln).sum()
+    divisor = (n * (sxx * syy - sxy * sxy) + 2 * sx * sy * sxy
+               - sy * sy * sxx - sx * sx * syy)
+    if divisor == 0.0:
+        return None
+    gtn = (
+        (s_lon * (sxx * syy - sxy * sxy) + s_lonx * (sy * sxy - sx * syy)
+         + s_lony * (sx * sxy - sy * sxx)) / divisor,
+        (s_lon * (sy * sxy - sx * syy) + s_lonx * (n * syy - sy * sy)
+         + s_lony * (sx * sy - sxy * n)) / divisor,
+        (s_lon * (sx * sxy - sy * sxx) + s_lonx * (sx * sy - n * sxy)
+         + s_lony * (n * sxx - sx * sx)) / divisor,
+        (s_lat * (sxx * syy - sxy * sxy) + s_latx * (sy * sxy - sx * syy)
+         + s_laty * (sx * sxy - sy * sxx)) / divisor,
+        (s_lat * (sy * sxy - sx * syy) + s_latx * (n * syy - sy * sy)
+         + s_laty * (sx * sy - sxy * n)) / divisor,
+        (s_lat * (sx * sxy - sy * sxx) + s_latx * (sx * sy - n * sxy)
+         + s_laty * (n * sxx - sx * sx)) / divisor,
+    )
+    inv_geo = inv_geotransform(geo_norm)
+    if inv_geo is None:
+        return None
+    gt = compose_geotransforms(compose_geotransforms(pl_norm, gtn), inv_geo)
+    if not approx_ok:
+        px_size = 0.5 * (abs(gt[1]) + abs(gt[2]) + abs(gt[4]) + abs(gt[5]))
+        ex, ey = _apply_gt(gt, arr[:, 0], arr[:, 1])
+        if (np.abs(ex - arr[:, 2]) > 0.25 * px_size).any() \
+                or (np.abs(ey - arr[:, 3]) > 0.25 * px_size).any():
+            return None
+    return gt

@@ -104,6 +104,7 @@ class _E(NamedTuple):
     col: Column
     kind: str          # 'str' | 'num' | 'other'
     lit: object = None
+    int_: bool = False  # integer-typed numeric (drives swq integer division)
 
 
 _SPECIAL = {"FID", "OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA",
@@ -125,8 +126,10 @@ def _kind_of(dtype) -> str:
     from pyspark.sql import types as T
     if isinstance(dtype, T.StringType):
         return "str"
-    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                          T.FloatType, T.DoubleType, T.DecimalType)):
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return "int"
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         return "num"
     return "other"
 
@@ -245,8 +248,12 @@ def _spark_type(name: str, width: int = 0, prec: int = 0) -> str:
     n = name.upper()
     if n in ("CHARACTER", "STRING", "TEXT"):
         return "string"
-    if n == "INTEGER":
+    if n in ("INTEGER", "SMALLINT"):
         return "long"
+    if n == "BOOLEAN":
+        return "boolean"
+    if n == "NUMERIC" and width > 0 and prec == 0:
+        return "long"   # NUMERIC(w,0) is integral (swq_parser.y field_type)
     if n in ("FLOAT", "NUMERIC", "REAL", "DOUBLE"):
         return "double"
     if n == "BIGINT":
@@ -446,7 +453,9 @@ class _Parser:
         for t in cands:
             internal = t.colmap.get(name.lower())
             if internal is not None:
-                return _E(F.col(internal), t.kinds[internal])
+                k = t.kinds[internal]
+                return _E(F.col(internal), "num" if k == "int" else k,
+                          int_=k == "int")
         raise ValueError(f"unknown field {name!r}")
 
     # -- expressions (swq grammar precedence) -------------------------------
@@ -547,7 +556,8 @@ class _Parser:
             if op is None:
                 return e
             r = self._mul()
-            e = _E(e.col + r.col if op == "+" else e.col - r.col, "num")
+            e = _E(e.col + r.col if op == "+" else e.col - r.col, "num",
+                   int_=e.int_ and r.int_)
 
     def _mul(self) -> _E:
         e = self._unary()
@@ -556,15 +566,19 @@ class _Parser:
             if op is None:
                 return e
             r = self._unary()
-            col = (e.col * r.col if op == "*" else
-                   e.col / r.col if op == "/" else e.col % r.col)
-            e = _E(col, "num")
+            both_int = e.int_ and r.int_
+            if op == "/" and both_int:
+                col = ((e.col - (e.col % r.col)) / r.col).cast("long")
+            else:
+                col = (e.col * r.col if op == "*" else
+                       e.col / r.col if op == "/" else e.col % r.col)
+            e = _E(col, "num", int_=both_int)
 
     def _unary(self) -> _E:
         if self.accept_op("-"):
             e = self._unary()
             return _E(-e.col, "num", -e.lit if isinstance(e.lit, (int, float))
-                      else None)
+                      else None, int_=e.int_)
         return self._primary()
 
     def _primary(self) -> _E:
@@ -575,7 +589,7 @@ class _Parser:
         if k == "num":
             self.i += 1
             val = float(v) if ("." in v or "e" in v.lower()) else int(v)
-            return _E(F.lit(val), "num", val)
+            return _E(F.lit(val), "num", val, int_=isinstance(val, int))
         if k == "op" and v == "(":
             self.i += 1
             e = self.expr()
@@ -606,7 +620,7 @@ class _Parser:
         typ = _spark_type(tname, width, prec)
         kind = "str" if typ == "string" else (
             "num" if typ in ("long", "double") else "other")
-        return _E(e.col.cast(typ), kind)
+        return _E(e.col.cast(typ), kind, int_=typ == "long")
 
     def _func(self, name: str) -> _E:
         self.next()

@@ -47,6 +47,9 @@ def compute_statistics(tiles: DataFrame, meta: RasterMeta) -> DataFrame:
             rows = []
             for r, arr in _iter_blocks(pdf, dtype):
                 v = arr.astype(np.float64).ravel()
+                # NaN pixels never enter statistics (ComputeStatistics'
+                # CPLIsNan skip, gdal/gcore/gdalrasterband.cpp:3887)
+                v = v[~np.isnan(v)]
                 if nodata is not None:
                     v = v[v != nodata]
                 if v.size == 0:
@@ -88,6 +91,7 @@ def histogram(tiles: DataFrame, meta: RasterMeta, lo: float, hi: float,
             rows = []
             for r, arr in _iter_blocks(pdf, dtype):
                 v = arr.astype(np.float64).ravel()
+                v = v[~np.isnan(v)]  # GetHistogram skips NaN like stats
                 if nodata is not None:
                     v = v[v != nodata]
                 b = np.floor((v - lo) / width).astype(np.int64)

@@ -402,3 +402,248 @@ def test_warp_golden(spark, vrt, golden):
     maxdiff = np.abs(got - ref).max()
     assert maxdiff <= 1, (vrt, maxdiff,
                           int((np.abs(got - ref) > 1).sum()))
+
+
+# --- transformer goldens (autotest/gcore/transformer.py 1..5) ---
+
+_GCPS_CORNER = [(0.0, 0.0, 440720.0, 3751320.0),
+                (100.0, 0.0, 446720.0, 3751320.0),
+                (0.0, 100.0, 440720.0, 3745320.0),
+                (100.0, 100.0, 446720.0, 3745320.0)]   # gcore/data/gcps.vrt
+
+
+def test_transformer_1_affine():
+    """transformer_1: byte.tif's geotransform, forward and inverse."""
+    from gdal_spark.functions.srs import GenImgProjTransform as G
+    gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    x, y = G._px_to_geo(gt, 20.0, 10.0)
+    assert abs(x - 441920) <= 1e-8 and abs(y - 3750720) <= 1e-8
+    px, py = G._geo_to_px(gt, x, y)
+    assert abs(px - 20) <= 1e-8 and abs(py - 10) <= 1e-8
+
+
+def test_transformer_2_gcp_polynomial():
+    """transformer_2: order-1 polynomial fitted to the 4 corner GCPs."""
+    from gdal_spark.functions.srs import GCPTransform
+    t = GCPTransform(_GCPS_CORNER, order=1)
+    x, y = t.forward(np.array([20.0]), np.array([10.0]))
+    assert abs(x[0] - 441920) <= 0.001 and abs(y[0] - 3750720) <= 0.001
+    px, py = t.inverse(x, y)
+    assert abs(px[0] - 20) <= 0.001 and abs(py[0] - 10) <= 0.001
+
+
+def test_transformer_3_gcp_tps():
+    """transformer_3: thin-plate-spline through the same corner GCPs."""
+    from gdal_spark.functions.srs import TPSTransform
+    t = TPSTransform(_GCPS_CORNER)
+    x, y = t.forward(np.array([20.0]), np.array([10.0]))
+    assert abs(x[0] - 441920) <= 0.001 and abs(y[0] - 3750720) <= 0.001
+    px, py = t.inverse(x, y)
+    assert abs(px[0] - 20) <= 0.001 and abs(py[0] - 10) <= 0.001
+
+
+def test_transformer_4_geoloc():
+    """transformer_4: geolocation arrays from gcore/data/sstgeo.tif
+    (bands 1/2 are per-pixel lon/lat). Forward matches the reference to
+    1e-6. Deviation: the reference's inverse backmap is approximate
+    (its own golden is (19.55, 9.19) for a point generated from (20, 10));
+    the engine's Newton inverse recovers the true pixel, so we assert the
+    exact round-trip instead."""
+    from gdal_spark.functions.srs import GeolocTransform
+    from gdal_spark.raster import formats as FM
+    bands, _m = FM.parse_geotiff(
+        open(os.path.join(GCORE, "sstgeo.tif"), "rb").read())
+    t = GeolocTransform(bands[0], bands[1])
+    lon, lat = t.forward(np.array([20.0]), np.array([10.0]))
+    assert abs(lon[0] - -81.961341857910156) <= 1e-6
+    assert abs(lat[0] - 29.612689971923828) <= 1e-6
+    px, py = t.inverse(lon, lat)
+    assert abs(px[0] - 20) <= 1e-4 and abs(py[0] - 10) <= 1e-4
+
+
+def _rpc_vrt_model():
+    import xml.etree.ElementTree as ET
+    from gdal_spark.functions.srs import RPCModel
+    root = ET.parse(os.path.join(GCORE, "rpc.vrt")).getroot()
+    md = {m.get("key"): m.text for m in root.findall("Metadata/MDI")
+          if m.get("key")}
+    co = lambda k: tuple(float(v) for v in md[k].split())
+    return RPCModel(
+        line_off=float(md["LINE_OFF"]), samp_off=float(md["SAMP_OFF"]),
+        lat_off=float(md["LAT_OFF"]), long_off=float(md["LONG_OFF"]),
+        height_off=float(md["HEIGHT_OFF"]),
+        line_scale=float(md["LINE_SCALE"]),
+        samp_scale=float(md["SAMP_SCALE"]),
+        lat_scale=float(md["LAT_SCALE"]), long_scale=float(md["LONG_SCALE"]),
+        height_scale=float(md["HEIGHT_SCALE"]),
+        line_num=co("LINE_NUM_COEFF"), line_den=co("LINE_DEN_COEFF"),
+        samp_num=co("SAMP_NUM_COEFF"), samp_den=co("SAMP_DEN_COEFF"))
+
+
+def test_transformer_5_rpc():
+    """transformer_5: RPC00B from gcore/data/rpc.vrt at heights 0 and 30."""
+    from gdal_spark.functions.srs import RPCTransform
+    t = RPCTransform(_rpc_vrt_model())
+    lon, lat = t.forward(np.array([20.0]), np.array([10.0]))
+    assert abs(lon[0] - 125.64830100509131) <= 1e-6
+    assert abs(lat[0] - 39.869433991997553) <= 1e-6
+    px, py = t.inverse(lon, lat)
+    assert abs(px[0] - 20) <= 0.001 and abs(py[0] - 10) <= 0.001
+    t30 = RPCTransform(_rpc_vrt_model(), height=30.0)
+    lon, lat = t30.forward(np.array([20.0]), np.array([10.0]))
+    assert abs(lon[0] - 125.64828521533849) <= 1e-6
+    assert abs(lat[0] - 39.869345204440144) <= 1e-6
+
+
+# --- gcps2geotransform goldens (autotest/gcore/gcps2geotransform.py) ---
+
+def _gt_eq(gt, want, tol):
+    return gt is not None and all(abs(a - b) <= tol for a, b in zip(gt, want))
+
+
+def test_gcps2gt_goldens():
+    """gcps2gt_1..8: exact 3-point fit, non-exact least squares, approx_ok
+    rejection, degenerate single point, 2-point special case, 4-corner
+    special cases (both orderings), and the messy real-world fit."""
+    from gdal_spark.functions.srs import gcps_to_geotransform as g2gt
+    assert _gt_eq(g2gt([(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+                        (100, 200, 410000, 368000)]),
+                  (400000.0, 100.0, 0.0, 370000.0, 0.0, -10.0), 1e-6)
+    assert _gt_eq(g2gt([(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+                        (100, 200, 410000, 368000),
+                        (0, 200, 400000, 368000.01)]),
+                  (400000.0, 100.0, 0.0, 370000.0025, -5e-05, -9.999975),
+                  1e-6)
+    assert g2gt([(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+                 (100, 200, 410000, 368000), (0, 200, 400000, 360000)],
+                approx_ok=False) is None
+    assert g2gt([(0, 0, 400000, 370000)]) is None
+    assert _gt_eq(g2gt([(0, 0, 400000, 370000),
+                        (100, 200, 410000, 368000)]),
+                  (400000.0, 100.0, 0.0, 370000.0, 0.0, -10.0), 1e-6)
+    assert _gt_eq(g2gt([(400000, 370000, 400000, 370000),
+                        (410000, 370000, 410000, 370000),
+                        (410000, 368000, 410000, 368000),
+                        (400000, 368000, 400000, 368000)]),
+                  (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), 1e-6)
+    assert _gt_eq(g2gt([(400000, 370000, 400000, 370000),
+                        (410000, 368000, 410000, 368000),
+                        (410000, 370000, 410000, 370000),
+                        (400000, 368000, 400000, 368000)]),
+                  (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), 1e-6)
+    assert _gt_eq(g2gt([(0.01, 0.04, -87.05528672907, 39.22759504228),
+                        (0.01, 2688.02, -86.97079900719, 39.27075713986),
+                        (4031.99, 2688.04, -87.05960736744, 39.37569137000),
+                        (1988.16, 1540.80,
+                         -87.055069186699924, 39.304963106777514),
+                        (1477.41, 2400.83,
+                         -87.013419295885001, 39.304705030894979),
+                        (1466.02, 2376.92,
+                         -87.013906298363295, 39.304056190007913)]),
+                  (-87.056612873288, -2.232795668658e-05, 3.178617809303e-05,
+                   39.227856615716, 2.6091510188921e-05,
+                   1.596921026218e-05), 1e-5)
+
+
+# --- statistics goldens (autotest/gcore/gdal_stats.py) ---
+
+def _stats_row(spark, path=None, arr=None, meta=None):
+    from dataclasses import replace
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import stats as ST
+    if path is not None:
+        arr, meta = None, FM.geotiff_meta(path)
+        tiles = FM.read_geotiff(spark, path)
+    else:
+        tiles = RM.from_array(spark, arr, meta)
+    return ST.compute_statistics(tiles, meta).collect()[0]
+
+
+@pytest.mark.parametrize("fixture,exp", [
+    ("nan32.tif", (50.0, 58.0, 54.0, 2.5819888974716)),
+    ("nan64.tif", (50.0, 58.0, 54.0, 2.5819888974716)),
+], ids=["nan32", "nan64"])
+def test_stats_nan(spark, fixture, exp):
+    """stats_nan_1/2: NaN pixels are excluded from statistics entirely
+    (Float32 and Float64 rasters)."""
+    r = _stats_row(spark, path=os.path.join(GCORE, fixture))
+    got = (r["min"], r["max"], r["mean"], r["stddev"])
+    assert got == pytest.approx(exp, abs=1e-10)
+
+
+def test_stats_approx_nodata(spark):
+    """stats_approx_nodata (#3573): minfloat.tif's -FLT_MAX nodata tag is
+    honored; stats/minmax over the remaining pixels are [-3, 5, 1, 4]."""
+    from gdal_spark.raster import formats as FM
+    meta = FM.geotiff_meta(os.path.join(GCORE, "minfloat.tif"))
+    assert meta.nodata == -3.4028234663852886e+38
+    r = _stats_row(spark, path=os.path.join(GCORE, "minfloat.tif"))
+    assert (r["min"], r["max"], r["mean"], r["stddev"]) == (-3.0, 5.0,
+                                                            1.0, 4.0)
+
+
+def test_stats_nodata_inf(spark):
+    """stats_nodata_inf: -inf as the nodata value filters exactly."""
+    from gdal_spark.raster import model as RM
+    meta = RM.RasterMeta("inf1", 3, 1, dtype="float32",
+                         nodata=float("-inf"))
+    arr = np.array([[float("-inf"), 1.0, -2.0]], dtype=np.float32)
+    r = _stats_row(spark, arr=arr, meta=meta)
+    assert (r["min"], r["max"], r["mean"], r["stddev"]) == (-2.0, 1.0,
+                                                            -0.5, 1.5)
+
+
+# --- histogram goldens (autotest/gcore/histogram.py 1..4) ---
+
+def _hist_list(spark, tiles, meta, lo, hi, n, include_oor=False):
+    from gdal_spark.raster import stats as ST
+    rows = ST.histogram(tiles, meta, lo, hi, n,
+                        include_out_of_range=include_oor).collect()
+    out = [0] * n
+    for r in rows:
+        out[r["bucket"]] = r["count"]
+    return out
+
+
+_UTMSMALL_HIST = [
+    2, 0, 0, 0, 0, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 23, 0, 0, 0, 0, 0, 0,
+    0, 0, 29, 0, 0, 0, 0, 0, 0, 0, 46, 0, 0, 0, 0, 0, 0, 0, 69, 0, 0, 0,
+    0, 0, 0, 0, 99, 0, 0, 0, 0, 0, 0, 0, 0, 120, 0, 0, 0, 0, 0, 0, 0, 178,
+    0, 0, 0, 0, 0, 0, 0, 193, 0, 0, 0, 0, 0, 0, 0, 212, 0, 0, 0, 0, 0, 0,
+    0, 281, 0, 0, 0, 0, 0, 0, 0, 0, 365, 0, 0, 0, 0, 0, 0, 0, 460, 0, 0,
+    0, 0, 0, 0, 0, 533, 0, 0, 0, 0, 0, 0, 0, 544, 0, 0, 0, 0, 0, 0, 0, 0,
+    626, 0, 0, 0, 0, 0, 0, 0, 653, 0, 0, 0, 0, 0, 0, 0, 673, 0, 0, 0, 0,
+    0, 0, 0, 629, 0, 0, 0, 0, 0, 0, 0, 0, 586, 0, 0, 0, 0, 0, 0, 0, 541,
+    0, 0, 0, 0, 0, 0, 0, 435, 0, 0, 0, 0, 0, 0, 0, 348, 0, 0, 0, 0, 0, 0,
+    0, 341, 0, 0, 0, 0, 0, 0, 0, 0, 284, 0, 0, 0, 0, 0, 0, 0, 225, 0, 0,
+    0, 0, 0, 0, 0, 237, 0, 0, 0, 0, 0, 0, 0, 172, 0, 0, 0, 0, 0, 0, 0, 0,
+    159, 0, 0, 0, 0, 0, 0, 0, 105, 0, 0, 0, 0, 0, 0, 0, 824]
+
+
+def test_histogram_1_2(spark):
+    """histogram_1/2: default 256-bucket [-0.5, 255.5) histogram of
+    utmsmall.tif, then the keyword 16-bucket variant."""
+    from gdal_spark.raster import formats as FM
+    path = os.path.join(GCORE, "utmsmall.tif")
+    meta = FM.geotiff_meta(path)
+    tiles = FM.read_geotiff(spark, path)
+    assert _hist_list(spark, tiles, meta, -0.5, 255.5, 256) == _UTMSMALL_HIST
+    assert _hist_list(spark, tiles, meta, -0.5, 255.5, 16) == [
+        10, 52, 115, 219, 371, 493, 825, 1077, 1279, 1302, 1127, 783,
+        625, 462, 331, 929]
+
+
+def test_histogram_3_4(spark):
+    """histogram_3/4: Int32 grid with negatives, 21 buckets over
+    [-100, 100], with and without out-of-range clamping."""
+    from gdal_spark.raster import formats as FM
+    tiles, meta = FM.read_aaigrid(
+        spark, os.path.join(AUTOTEST, "..", "..", "gcore", "data",
+                            "int32_withneg.grd"),
+        raster_id="int32neg", dtype="int32")
+    base = [0, 0, 0, 0, 0, 1, 0, 1, 1, 3, 3, 2, 0, 5, 3, 4, 0, 1, 1, 2]
+    assert _hist_list(spark, tiles, meta, -100, 100, 21,
+                      include_oor=True) == base + [3]
+    assert _hist_list(spark, tiles, meta, -100, 100, 21,
+                      include_oor=False) == base + [0]

@@ -329,3 +329,59 @@ def test_where_arithmetic(spark, eng):
     df = eng.execute_sql(
         "select fid from poly where (eas_id - 158) % 7 = 0 and fid * 2 < 10")
     assert sorted(vals(df, "fid")) == [1, 4]   # eas 179, 172 (+21, +14)
+
+
+# --- ogr_sql_rfc28.py ports -------------------------------------------------
+
+def test_rfc28_negative_substr(eng):           # ogr_rfc28_27
+    df = eng.execute_sql(
+        "SELECT SUBSTR(PRFEDEA,-2) from poly where eas_id in (168,179)")
+    assert sorted(vals(df, df.columns[0])) == ["11", "23"]
+
+
+def test_rfc28_unary_minus(eng):               # ogr_rfc28_8
+    df = eng.execute_sql(
+        "SELECT -1, 3--1,3*-1,2e-1,3-1 from poly where eas_id = 168")
+    assert [tuple(r) for r in df.collect()] == [(-1, 4, -3, 0.2, 2)]
+
+
+def test_rfc28_integer_division(eng):          # ogr_rfc28_9
+    """swq '/' on two integers is C integer division (truncating); any
+    float operand promotes to float division."""
+    df = eng.execute_sql(
+        "SELECT 5/2, 5.0/2.0, 5/2.0, 5.0/2 from poly where eas_id = 168")
+    assert [tuple(r) for r in df.collect()] == [(2, 2.5, 2.5, 2.5)]
+    df = eng.execute_sql("SELECT -5/2 from poly where eas_id = 168")
+    assert vals(df, df.columns[0]) == [-2]     # trunc toward zero, not floor
+
+
+def test_rfc28_big_float_literal(eng):         # ogr_rfc28_28
+    df = eng.execute_sql("SELECT * FROM poly WHERE 4000000000. > 2000000000.")
+    assert df.count() == 10
+
+
+def test_rfc28_count_distinct_alias(eng):      # ogr_rfc28_11
+    df = eng.execute_sql('SELECT COUNT(distinct eas_id), '
+                         'COUNT(distinct eas_id) as "xx" from poly')
+    assert df.columns[1] == "xx"
+    assert [tuple(r) for r in df.collect()] == [(10, 10)]
+
+
+def test_rfc28_cast_int_types(eng):            # ogr_rfc28_37 / _38
+    df = eng.execute_sql(
+        "SELECT CAST(1 AS BOOLEAN), CAST(1 AS SMALLINT), "
+        "CAST(1 AS bigint), CAST(1 AS numeric(15,0)) "
+        "from poly where eas_id = 168")
+    assert [tuple(r) for r in df.collect()] == [(True, 1, 1, 1)]
+
+
+def test_rfc28_count_empty_result(eng):        # ogr_rfc28_32
+    df = eng.execute_sql("SELECT COUNT(*) from poly where 0 = 1")
+    assert [tuple(r) for r in df.collect()] == [(0,)]
+
+
+def test_rfc28_constant_select(eng):           # ogr_rfc28_4
+    df = eng.execute_sql("SELECT 'constant string', 'other' as abc, eas_id "
+                         "from poly where eas_id = 165")
+    assert [tuple(r) for r in df.collect()] == [("constant string",
+                                                 "other", 165)]
