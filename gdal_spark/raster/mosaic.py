@@ -123,3 +123,110 @@ def reblock(tiles: DataFrame, meta: RasterMeta, new_block: int,
     out = frags.groupBy("tbx", "tby", "band").applyInPandas(assemble,
                                                             schema=TILE_SCHEMA)
     return out, out_meta
+
+
+_FRAGP = T.StructType(list(_FRAG) + [T.StructField("_prio", T.IntegerType())])
+
+
+def gdal_merge(inputs: list[tuple[DataFrame, RasterMeta]], out_id: str,
+               nodata: float | None = None,
+               ul_lr: tuple[float, float, float, float] | None = None
+               ) -> tuple[DataFrame, RasterMeta]:
+    """gdal_merge.py semantics (gdal/swig/python/scripts/gdal_merge.py:259
+    names_to_fileinfos + :55 raster_copy): the output grid is the union
+    extent of all inputs at the first input's pixel size; each input is
+    copied into place in argument order (last wins; with a nodata value,
+    nodata pixels don't overwrite). Inputs may sit anywhere on the shared
+    resolution grid — unlike :func:`mosaic` they need not share origins.
+
+    Spark shape: every input block shatters into output-block fragments
+    (pure arithmetic, no shuffle), one groupBy(out block) paints fragments
+    in priority order. One shuffle keyed by output block.
+    """
+    base = inputs[0][1]
+    psx, psy = base.gt[1], base.gt[5]
+    if ul_lr is not None:
+        ulx, uly, lrx, lry = ul_lr
+    else:
+        ulx = min(m.gt[0] for _t, m in inputs)
+        uly = max(m.gt[3] for _t, m in inputs)
+        lrx = max(m.gt[0] + m.width * m.gt[1] for _t, m in inputs)
+        lry = min(m.gt[3] + m.height * m.gt[5] for _t, m in inputs)
+    W = int((lrx - ulx) / psx + 0.5)
+    H = int((lry - uly) / psy + 0.5)
+    out_gt = (ulx, psx, base.gt[2], uly, base.gt[4], psy)
+    block = base.block
+    dtype = base.dtype
+    nd = nodata if nodata is not None else (base.nodata
+                                            if base.nodata is not None
+                                            else 0.0)
+    out_meta = RasterMeta(out_id, W, H, gt=out_gt, dtype=dtype, block=block,
+                          nodata=base.nodata)
+
+    frag_parts = []
+    for prio, (tiles, meta) in enumerate(inputs):
+        if abs(meta.gt[1] - psx) > 1e-12 or abs(meta.gt[5] - psy) > 1e-12:
+            raise ValueError("gdal_merge inputs must share pixel size; "
+                             "warp first")
+        # integer placement of this input on the output grid
+        # (raster_copy window math, gdal_merge.py:55-116)
+        xoff = int((meta.gt[0] - ulx) / psx + 0.1)
+        yoff = int((meta.gt[3] - uly) / psy + 0.1)
+        in_block, in_dtype = meta.block, meta.dtype
+
+        def shatter(batches, xoff=xoff, yoff=yoff, in_block=in_block,
+                    in_dtype=in_dtype, prio=prio):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    arr = np.frombuffer(bytes(r.data),
+                                        dtype=in_dtype).reshape(r.h, r.w)
+                    gx0 = r.bx * in_block + xoff
+                    gy0 = r.by * in_block + yoff
+                    x_lo = max(gx0, 0)
+                    y_lo = max(gy0, 0)
+                    x_hi = min(gx0 + r.w, W)
+                    y_hi = min(gy0 + r.h, H)
+                    if x_lo >= x_hi or y_lo >= y_hi:
+                        continue
+                    for tby in range(y_lo // block, (y_hi - 1) // block + 1):
+                        for tbx in range(x_lo // block,
+                                         (x_hi - 1) // block + 1):
+                            x0 = max(x_lo, tbx * block)
+                            x1 = min(x_hi, (tbx + 1) * block)
+                            y0 = max(y_lo, tby * block)
+                            y1 = min(y_hi, (tby + 1) * block)
+                            sub = arr[y0 - gy0:y1 - gy0, x0 - gx0:x1 - gx0]
+                            rows.append((tbx, tby, r.band,
+                                         x0 - tbx * block, y0 - tby * block,
+                                         x1 - x0, y1 - y0,
+                                         np.ascontiguousarray(sub).astype(
+                                             dtype).tobytes(), prio))
+                yield pd.DataFrame(rows,
+                                   columns=[f.name for f in _FRAGP])
+
+        frag_parts.append(tiles.mapInPandas(shatter, schema=_FRAGP))
+
+    frags = frag_parts[0]
+    for p in frag_parts[1:]:
+        frags = frags.unionByName(p)
+
+    def paint(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tbx, tby, band = int(key[0]), int(key[1]), int(key[2])
+        w = min(block, W - tbx * block)
+        h = min(block, H - tby * block)
+        out = np.full((h, w), nd, dtype=dtype)
+        for r in pdf.sort_values("_prio").itertuples(index=False):
+            sub = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
+            if nodata is not None:
+                hit = sub != nd
+                out[r.oy:r.oy + r.h, r.ox:r.ox + r.w][hit] = sub[hit]
+            else:
+                out[r.oy:r.oy + r.h, r.ox:r.ox + r.w] = sub
+        return pd.DataFrame([(out_id, band, tbx, tby, w, h, out.tobytes())],
+                            columns=["raster_id", "band", "bx", "by",
+                                     "w", "h", "data"])
+
+    out = frags.groupBy("tbx", "tby", "band").applyInPandas(
+        paint, schema=TILE_SCHEMA)
+    return out, out_meta

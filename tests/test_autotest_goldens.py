@@ -647,3 +647,90 @@ def test_histogram_3_4(spark):
                       include_oor=True) == base + [3]
     assert _hist_list(spark, tiles, meta, -100, 100, 21,
                       include_oor=False) == base + [0]
+
+
+# --- gdal_merge goldens (autotest/pyscripts/test_gdal_merge.py) ---
+
+def test_gdal_merge_1(spark):
+    """test_gdal_merge_1: single-input merge round-trips byte.tif
+    (checksum 4672)."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import mosaic as MO
+    from gdal_spark.raster.checksum import py_checksum
+    path = os.path.join(GCORE, "byte.tif")
+    meta = FM.geotiff_meta(path)
+    tiles = FM.read_geotiff(spark, path)
+    out, om = MO.gdal_merge([(tiles, meta)], "m1")
+    assert (om.width, om.height) == (20, 20)
+    assert py_checksum(RM.to_array(out, om)) == 4672
+
+
+def test_gdal_merge_2(spark):
+    """test_gdal_merge_2: four 10x10 tiles at 2x2 grid positions merge to
+    a 20x20 union-extent raster, checksum 3508."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import mosaic as MO
+    from gdal_spark.raster.checksum import py_checksum
+    ins = []
+    for gt, fill in [((2, 0.1, 0, 49, 0, -0.1), 0),
+                     ((3, 0.1, 0, 49, 0, -0.1), 63),
+                     ((2, 0.1, 0, 48, 0, -0.1), 127),
+                     ((3, 0.1, 0, 48, 0, -0.1), 255)]:
+        meta = RM.RasterMeta(f"in{fill}", 10, 10, gt=gt, dtype="uint8")
+        arr = np.full((10, 10), fill, dtype=np.uint8)
+        ins.append((RM.from_array(spark, arr, meta), meta))
+    out, om = MO.gdal_merge(ins, "m2")
+    assert (om.width, om.height) == (20, 20)
+    assert om.gt == (2, 0.1, 0, 49, 0, -0.1)
+    assert py_checksum(RM.to_array(out, om)) == 3508
+
+
+# --- rgb2pct / pct2rgb goldens (autotest/pyscripts/test_rgb2pct.py) ---
+
+def _rgbsmall(spark):
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    path = "/root/reference/autotest/gcore/data/rgbsmall.tif"
+    bands, meta = FM.parse_geotiff(open(path, "rb").read())
+    tiles = None
+    for b in range(3):
+        t = RM.from_array(spark, bands[b], meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta, bands
+
+
+def test_rgb2pct_1_and_pct2rgb_1(spark):
+    """test_rgb2pct_1 + test_pct2rgb_1: 256-color median-cut dither of
+    rgbsmall.tif hits checksum 31231; expanding it back through the
+    palette hits checksum 20963 on band 1 and stays within maxdiff 18 of
+    the original."""
+    from dataclasses import replace
+    from gdal_spark.raster import color as CO
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta, bands = _rgbsmall(spark)
+    pal = CO.median_cut_pct(tiles, meta, n_colors=256)
+    pct = CO.dither_rgb_to_pct(tiles, meta, pal)
+    pct_meta = replace(meta, raster_id=meta.raster_id + "_pct")
+    arr = RM.to_array(pct, pct_meta)
+    assert py_checksum(arr) == 31231
+    rgb = CO.pct_to_rgb(RM.from_array(spark, arr, pct_meta), pct_meta, pal)
+    rgb_meta = replace(pct_meta, raster_id=pct_meta.raster_id + "_rgb")
+    r0 = RM.to_array(rgb, rgb_meta, band=0)
+    assert py_checksum(r0) == 20963
+    # gdaltest.compare_ds examines band 1 only (pymod/gdaltest.py:1128)
+    assert np.abs(r0.astype(np.int64) - bands[0].astype(np.int64)).max() <= 18
+
+
+def test_rgb2pct_2(spark):
+    """test_rgb2pct_2: -n 16 variant, checksum 16596."""
+    from dataclasses import replace
+    from gdal_spark.raster import color as CO
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta, _bands = _rgbsmall(spark)
+    pal = CO.median_cut_pct(tiles, meta, n_colors=16)
+    pct = CO.dither_rgb_to_pct(tiles, meta, pal)
+    arr = RM.to_array(pct, replace(meta, raster_id=meta.raster_id + "_pct"))
+    assert py_checksum(arr) == 16596
