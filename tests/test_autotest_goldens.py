@@ -734,3 +734,42 @@ def test_rgb2pct_2(spark):
     pct = CO.dither_rgb_to_pct(tiles, meta, pal)
     arr = RM.to_array(pct, replace(meta, raster_id=meta.raster_id + "_pct"))
     assert py_checksum(arr) == 16596
+
+
+# --- gdal_calc / fillnodata goldens (autotest/pyscripts) ---
+
+def test_gdal_calc_1_2(spark):
+    """test_gdal_calc_py_1/2 over stefan_full_rgba.tif: band copy, band
+    select, A+B and A*B (uint8 wraparound), driven through the
+    distributed pixel-algebra operators."""
+    from gdal_spark.raster import algebra as AL
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    path = "/root/reference/autotest/gcore/data/stefan_full_rgba.tif"
+    bands, meta = FM.parse_geotiff(open(path, "rb").read())
+    tA = RM.from_array(spark, bands[0], meta)
+    tB = RM.from_array(spark, bands[1], meta)
+    out1, m1 = AL.map_pixels(tA, meta, "calc1", lambda a: a)
+    assert py_checksum(RM.to_array(out1, m1)) == 12603
+    out2, m2 = AL.map_pixels(tB, meta, "calc2", lambda a: a)
+    assert py_checksum(RM.to_array(out2, m2)) == 58561
+    add, ma = AL.zip_pixels(tA, tB, meta, "calcadd", lambda a, b: a + b)
+    assert py_checksum(RM.to_array(add, ma)) == 12368
+    mul, mm = AL.zip_pixels(tA, tB, meta, "calcmul", lambda a, b: a * b)
+    assert py_checksum(RM.to_array(mul, mm)) == 62785
+
+
+def test_gdal_fillnodata_1(spark):
+    """test_gdal_fillnodata_1: with no nodata in the source, fillnodata
+    must be the identity (byte.tif checksum 4672)."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import proximity as PX
+    from gdal_spark.raster.checksum import py_checksum
+    path = os.path.join(GCORE, "byte.tif")
+    meta = FM.geotiff_meta(path)
+    tiles = FM.read_geotiff(spark, path)
+    out, om = PX.fillnodata(tiles, meta, max_search=100)
+    arr = RM.to_array(out, om).astype(np.uint8)
+    assert py_checksum(arr) == 4672
