@@ -24,10 +24,13 @@ from pyspark.sql import functions as F
 from gdal_spark.raster.model import BLOCK, TILE_SCHEMA, RasterMeta
 
 
-def downsample2x_average(arr: np.ndarray) -> np.ndarray:
+def downsample2x_average(arr: np.ndarray,
+                         nodata: float | None = None) -> np.ndarray:
     """Exact reference average-2x2: integer accumulate, (sum + n/2) / n
     (overview.cpp:340-355 fast path / :379-395 general). Odd edges fall
-    back to 1x2 / 2x1 / 1x1 boxes with the same rounding."""
+    back to 1x2 / 2x1 / 1x1 boxes with the same rounding. With ``nodata``
+    set, nodata source pixels are excluded and an all-nodata box emits
+    nodata (overview.cpp:360-382 pabyChunkNodataMask path)."""
     h, w = arr.shape
     oh, ow = (h + 1) // 2, (w + 1) // 2
     if arr.dtype.kind in "ui":
@@ -36,23 +39,36 @@ def downsample2x_average(arr: np.ndarray) -> np.ndarray:
         for dy in (0, 1):
             for dx in (0, 1):
                 sub = arr[dy::2, dx::2].astype(np.int64)
-                acc[:sub.shape[0], :sub.shape[1]] += sub
-                cnt[:sub.shape[0], :sub.shape[1]] += 1
+                valid = (sub != int(nodata)) if nodata is not None \
+                    else np.ones(sub.shape, dtype=bool)
+                acc[:sub.shape[0], :sub.shape[1]] += np.where(valid, sub, 0)
+                cnt[:sub.shape[0], :sub.shape[1]] += valid
+        empty = cnt == 0
+        cnt1 = np.where(empty, 1, cnt)
         # C truncating division (reference: (nTotal + nCount/2)/nCount
         # truncates toward zero) — floor division would round signed
         # negative box sums off-by-one (e.g. int16 DEMs).
-        num = acc + cnt // 2
-        q = num // cnt
-        q += (num < 0) & (num % cnt != 0)
+        num = acc + cnt1 // 2
+        q = num // cnt1
+        q += (num < 0) & (num % cnt1 != 0)
+        if nodata is not None:
+            q = np.where(empty, int(nodata), q)
         return q.astype(arr.dtype)
     acc = np.zeros((oh, ow), dtype=np.float64)
     cnt = np.zeros((oh, ow), dtype=np.int64)
     for dy in (0, 1):
         for dx in (0, 1):
             sub = arr[dy::2, dx::2].astype(np.float64)
-            acc[:sub.shape[0], :sub.shape[1]] += sub
-            cnt[:sub.shape[0], :sub.shape[1]] += 1
-    return (acc / cnt).astype(arr.dtype)
+            valid = (sub != nodata) if nodata is not None \
+                else np.ones(sub.shape, dtype=bool)
+            acc[:sub.shape[0], :sub.shape[1]] += np.where(valid, sub, 0.0)
+            cnt[:sub.shape[0], :sub.shape[1]] += valid
+    empty = cnt == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = acc / np.where(empty, 1, cnt)
+    if nodata is not None:
+        out = np.where(empty, nodata, out)
+    return out.astype(arr.dtype)
 
 
 def downsample2x_nearest(arr: np.ndarray) -> np.ndarray:
@@ -146,8 +162,14 @@ GAUSS_3X3 = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
 
 
 def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
-                   method: str = "average") -> tuple[DataFrame, RasterMeta]:
-    """One /2 overview level. Returns (tiles_df, out_meta)."""
+                   method: str = "average",
+                   nodata: float | None = None) -> tuple[DataFrame, RasterMeta]:
+    """One /2 overview level. Returns (tiles_df, out_meta).
+
+    ``nodata``: pass the band's nodata to replicate gdaladdo on a
+    nodata-carrying band (average skips nodata inputs, all-nodata boxes
+    stay nodata — overview.cpp:360-382). Kept explicit rather than read
+    from ``meta`` so existing no-masking pipelines are unchanged."""
     if method == "gauss":
         return _overview_gauss(tiles, meta, out_id)
     if method not in ("average", "nearest", "mode", "average_magphase",
@@ -176,7 +198,7 @@ def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
         return downsample2x_average(out)
 
     down = {"average": (downsample2x_average_complex if is_complex
-                        else downsample2x_average),
+                        else (lambda a: downsample2x_average(a, nodata))),
             "nearest": downsample2x_nearest,
             "mode": downsample2x_mode,
             "average_magphase": downsample2x_magphase,

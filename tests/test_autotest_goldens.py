@@ -773,3 +773,54 @@ def test_gdal_fillnodata_1(spark):
     out, om = PX.fillnodata(tiles, meta, max_search=100)
     arr = RM.to_array(out, om).astype(np.uint8)
     assert py_checksum(arr) == 4672
+
+
+# --- overview goldens (autotest/gcore/tiff_ovr.py 1, 5, 7) ---
+
+def test_tiff_ovr_1(spark):
+    """tiff_ovr_1: nearest /2 and /4 overviews of the 20x20 Float32 image
+    (checksums 1087 and 328)."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import pyramid as PY
+    from gdal_spark.raster.checksum import py_checksum
+    path = os.path.join(GCORE, "float32.tif")
+    meta = FM.geotiff_meta(path)
+    tiles = FM.read_geotiff(spark, path)
+    ov1, m1 = PY.overview_level(tiles, meta, "ovr1", method="nearest")
+    assert (m1.width, m1.height) == (10, 10)
+    assert py_checksum(RM.to_array(ov1, m1)) == 1087
+    ov2, m2 = PY.overview_level(ov1, m1, "ovr2", method="nearest")
+    assert (m2.width, m2.height) == (5, 5)
+    assert py_checksum(RM.to_array(ov2, m2)) == 328
+
+
+def test_tiff_ovr_5(spark):
+    """tiff_ovr_5: AVERAGE overview honoring the band's 0 nodata
+    (checksum 1130) — nodata inputs are excluded, all-nodata boxes stay
+    nodata."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import pyramid as PY
+    from gdal_spark.raster.checksum import py_checksum
+    path = os.path.join(GCORE, "nodata_byte.tif")
+    meta = FM.geotiff_meta(path)
+    assert meta.nodata == 0.0
+    tiles = FM.read_geotiff(spark, path)
+    ov, om = PY.overview_level(tiles, meta, "ovr5", method="average",
+                               nodata=meta.nodata)
+    assert py_checksum(RM.to_array(ov, om)) == 1130
+
+
+def test_tiff_ovr_7(spark):
+    """tiff_ovr_7: nearest overview of the black/white palette
+    chessboard samples only index 0 — checksum 0."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import pyramid as PY
+    from gdal_spark.raster.checksum import py_checksum
+    path = os.path.join(GCORE, "test_average_palette.tif")
+    meta = FM.geotiff_meta(path)
+    tiles = FM.read_geotiff(spark, path)
+    ov, om = PY.overview_level(tiles, meta, "ovr7", method="nearest")
+    assert py_checksum(RM.to_array(ov, om)) == 0
