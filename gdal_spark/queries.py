@@ -976,6 +976,37 @@ FROM nz GROUP BY 1, 2
 """
 
 
+def q_gdal_merge(spark, sf_dir):
+    """gdal_merge.py union-extent composition (gdal_merge.py:259): the doc
+    raster split into west/east halves on their own grids, merged back to
+    the union grid; per-block nonzero count + sum must equal the one-shot
+    rasterize. Exercises the fragment-shatter + one output-block shuffle."""
+    from dataclasses import replace
+
+    from gdal_spark.raster import mosaic as MO
+    px = _doc_pixels(spark, sf_dir)
+    west_meta = replace(DOC_META, raster_id="docs_w", width=360)
+    east_meta = replace(DOC_META, raster_id="docs_e", width=360,
+                        gt=(0.0, 0.5, 0.0, 85.0, 0.0, -0.5))
+    west = RZ.pixels_to_blocks(px.filter(F.col("px") < 360), west_meta)
+    east = RZ.pixels_to_blocks(
+        px.filter(F.col("px") >= 360)
+          .withColumn("px", F.col("px") - 360), east_meta)
+    merged, m_meta = MO.gdal_merge([(west, west_meta), (east, east_meta)],
+                                   "docs_merged", nodata=0.0)
+    assert (m_meta.width, m_meta.height) == (DOC_META.width, DOC_META.height)
+    return (RST.block_summary(merged, m_meta)
+            .filter(F.col("n_nonzero") > 0)
+            .select("bx", "by", "n_nonzero", "sum_vals"))
+
+
+ORACLE_GDAL_MERGE = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT CAST(px // 256 AS INTEGER) AS bx, CAST(py // 256 AS INTEGER) AS by,
+       count(*) AS n_nonzero, CAST(sum(burn) AS DOUBLE) AS sum_vals
+FROM pix GROUP BY 1, 2
+"""
+
 WARP_DST = RM.RasterMeta("wb", 128, 128,
                          gt=(-74.25, 0.25, 0.0, 41.0, 0.0, -0.25),
                          dtype="uint8", nodata=0)
@@ -3956,3 +3987,5 @@ FROM px GROUP BY doc_id
 QUERIES["rasterize_add"] = (q_rasterize_add, ORACLE_RASTERIZE_ADD)
 QUERIES["rasterize_alltouched"] = (q_rasterize_alltouched,
                                    ORACLE_RASTERIZE_ALLTOUCHED)
+
+QUERIES["gdal_merge"] = (q_gdal_merge, ORACLE_GDAL_MERGE)

@@ -267,32 +267,6 @@ def dither_rgb_to_pct(tiles: DataFrame, meta: RasterMeta,
     return tiles.groupBy("raster_id").applyInPandas(run, schema=TILE_SCHEMA)
 
 
-def pct_to_rgb(tiles: DataFrame, meta: RasterMeta,
-               pal: np.ndarray) -> DataFrame:
-    """pct2rgb.py: expand a palette-index band to 3 RGB bands by color
-    table lookup (gdal/swig/python/scripts/pct2rgb.py lookup arrays —
-    one numpy take per band, embarrassingly parallel per block)."""
-    spark = tiles.sparkSession
-    bc = spark.sparkContext.broadcast(np.asarray(pal, dtype=np.uint8))
-    dtype = meta.dtype
-
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                idx = np.frombuffer(bytes(r.data),
-                                    dtype=dtype).reshape(r.h, r.w)
-                for b in range(3):
-                    lut = np.zeros(256, dtype=np.uint8)
-                    p = bc.value
-                    lut[:len(p)] = p[:, b]
-                    rows.append((r.raster_id + "_rgb", b, r.bx, r.by,
-                                 r.w, r.h, lut[idx].tobytes()))
-            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA])
-
-    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
-
-
 # ---------------------------------------------------------------------------
 # nearblack
 # ---------------------------------------------------------------------------

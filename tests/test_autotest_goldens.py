@@ -715,8 +715,9 @@ def test_rgb2pct_1_and_pct2rgb_1(spark):
     pct_meta = replace(meta, raster_id=meta.raster_id + "_pct")
     arr = RM.to_array(pct, pct_meta)
     assert py_checksum(arr) == 31231
-    rgb = CO.pct_to_rgb(RM.from_array(spark, arr, pct_meta), pct_meta, pal)
-    rgb_meta = replace(pct_meta, raster_id=pct_meta.raster_id + "_rgb")
+    from gdal_spark import apps as APP
+    rgb, rgb_meta = APP.pct2rgb(RM.from_array(spark, arr, pct_meta),
+                                pct_meta, pal)
     r0 = RM.to_array(rgb, rgb_meta, band=0)
     assert py_checksum(r0) == 20963
     # gdaltest.compare_ds examines band 1 only (pymod/gdaltest.py:1128)
