@@ -816,3 +816,56 @@ def ogrtindex(spark: SparkSession, paths: list[str],
         out.append((path, int(agg["n"]),
                     bytearray(G.encode_polygon([ring]))))
     return spark.createDataFrame(out, "location string, n long, wkb binary")
+
+
+def gdaltransform(df: DataFrame, transform, x: str = "x", y: str = "y",
+                  inverse: bool = False,
+                  out_x: str = "tx", out_y: str = "ty") -> DataFrame:
+    """gdaltransform (gdal/apps/gdaltransform.cpp): batch point
+    reprojection. The CLI reads stdin points through one transformer;
+    here the same picklable transform (GenImgProjTransform / CRS class /
+    GCP / TPS / RPC / geoloc) maps whole Arrow batches per partition —
+    a narrow map over any number of rows, no shuffle."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {out_x} double, {out_y} double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            xs = pdf[x].to_numpy(dtype=np.float64)
+            ys = pdf[y].to_numpy(dtype=np.float64)
+            if hasattr(transform, "forward") and not inverse:
+                ox, oy = transform.forward(xs, ys)
+            elif hasattr(transform, "inverse") and inverse:
+                ox, oy = transform.inverse(xs, ys)
+            else:
+                ox, oy = transform(xs, ys)
+            out = pdf.copy()
+            out[out_x] = ox
+            out[out_y] = oy
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def gcps2wld(gcps) -> tuple[float, float, float, float, float, float]:
+    """gcps2wld.py: fit a world file (ESRI .wld line order: xpixel,
+    yline-rot, xcol-rot, ypixel, x-origin-center, y-origin-center) from
+    GCPs via the first-order geotransform fit."""
+    from gdal_spark.functions.srs import gcps_to_geotransform
+    gt = gcps_to_geotransform(gcps)
+    if gt is None:
+        raise ValueError("cannot fit a geotransform to these GCPs")
+    return (gt[1], gt[4], gt[2], gt[5],
+            gt[0] + 0.5 * gt[1] + 0.5 * gt[2],
+            gt[3] + 0.5 * gt[4] + 0.5 * gt[5])
+
+
+def gdalsrsinfo(crs) -> dict:
+    """gdalsrsinfo (gdal/apps/gdalsrsinfo.cpp -o all): report the CRS in
+    the engine's supported output encodings."""
+    from gdal_spark.functions.srs import crs_to_wkt
+    wkt = crs_to_wkt(crs)
+    name = getattr(crs, "name", type(crs).__name__)
+    return {"wkt": wkt, "proj_class": name,
+            "is_geographic": name in ("geographic", "Geographic")}

@@ -29,6 +29,7 @@ WKB_POLYGON = 3
 WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
+WKB_GEOMETRYCOLLECTION = 7
 
 _LE = b"\x01"
 
@@ -79,6 +80,57 @@ def _read_header(buf: memoryview, off: int) -> tuple[int, str, int]:
     (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
     gtype = gtype & 0xFF  # strip 2.5D / SRID flag variants
     return gtype, endian, off + 5
+
+
+def encode_geometrycollection(parts: list[bytes]) -> bytes:
+    """WKB GeometryCollection (type 7): count + concatenated sub-WKBs
+    (OGRGeometryCollection::exportToWkb)."""
+    out = [_LE, struct.pack("<I", WKB_GEOMETRYCOLLECTION),
+           struct.pack("<I", len(parts))]
+    out.extend(parts)
+    return b"".join(out)
+
+
+def _geom_end(buf: memoryview, off: int) -> int:
+    """Byte offset one past the geometry starting at ``off`` (walks
+    nested types so collections can be split without a registry)."""
+    gtype, endian, body = _read_header(buf, off)
+    if gtype == WKB_POINT:
+        return body + 16
+    if gtype == WKB_LINESTRING:
+        (n,) = struct.unpack_from(endian + "I", buf, body)
+        return body + 4 + 16 * n
+    if gtype == WKB_POLYGON:
+        (nr,) = struct.unpack_from(endian + "I", buf, body)
+        p = body + 4
+        for _ in range(nr):
+            (n,) = struct.unpack_from(endian + "I", buf, p)
+            p += 4 + 16 * n
+        return p
+    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                 WKB_GEOMETRYCOLLECTION):
+        (ng,) = struct.unpack_from(endian + "I", buf, body)
+        p = body + 4
+        for _ in range(ng):
+            p = _geom_end(buf, p)
+        return p
+    raise ValueError(f"unsupported geometry type {gtype}")
+
+
+def decode_collection(wkb: bytes) -> list[bytes]:
+    """Sub-geometry WKBs of a GeometryCollection."""
+    buf = memoryview(wkb)
+    gtype, endian, off = _read_header(buf, 0)
+    if gtype != WKB_GEOMETRYCOLLECTION:
+        raise ValueError(f"not a collection: type {gtype}")
+    (n,) = struct.unpack_from(endian + "I", buf, off)
+    p = off + 4
+    parts = []
+    for _ in range(n):
+        end = _geom_end(buf, p)
+        parts.append(bytes(buf[p:end]))
+        p = end
+    return parts
 
 
 def decode_point(wkb: bytes) -> tuple[float, float]:
@@ -203,6 +255,11 @@ def wkt_from_wkb(wkb: bytes) -> str:
             coords, off = _decode_ring(buf, e2, body)
             parts.append(f"({_wkt_coords(coords)})")
         return "MULTILINESTRING (" + ",".join(parts) + ")"
+    if gtype == WKB_GEOMETRYCOLLECTION:
+        parts = [wkt_from_wkb(g) for g in decode_collection(wkb)]
+        if not parts:
+            return "GEOMETRYCOLLECTION EMPTY"
+        return "GEOMETRYCOLLECTION (" + ",".join(parts) + ")"
     raise ValueError(f"unsupported geometry type {gtype}")
 
 
@@ -226,6 +283,24 @@ def _split_groups(s: str) -> list[str]:
             depth -= 1
             if depth == 0:
                 out.append(s[start:i])
+    return out
+
+
+def _split_top_geoms(s: str) -> list[str]:
+    """Split a GEOMETRYCOLLECTION body into sub-geometry WKTs (commas at
+    paren depth 0 separate members; members may themselves be EMPTY)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
     return out
 
 
@@ -269,6 +344,11 @@ def wkb_from_wkt(wkt: str) -> bytes:
         for g in _split_groups(body):
             polys.append([_parse_coord_list(r) for r in _split_groups(g)])
         return encode_multipolygon(polys)
+    if kind == "GEOMETRYCOLLECTION":
+        if not body.strip():
+            return encode_geometrycollection([])
+        return encode_geometrycollection(
+            [wkb_from_wkt(g) for g in _split_top_geoms(body)])
     raise ValueError(f"unsupported WKT kind {kind!r}")
 
 
@@ -297,18 +377,42 @@ def geometry_length(wkb: bytes) -> float:
             total += float(np.hypot(np.diff(coords[:, 0]),
                                     np.diff(coords[:, 1])).sum())
         return total
+    if gtype == WKB_GEOMETRYCOLLECTION:
+        # OGRGeometryCollection::get_Length sums curve members only
+        # (ogrgeometrycollection.cpp:1032); surfaces/points contribute 0
+        total = 0.0
+        for g in decode_collection(wkb):
+            k = _read_header(memoryview(g), 0)[0]
+            if k in (WKB_LINESTRING, WKB_MULTILINESTRING,
+                     WKB_GEOMETRYCOLLECTION):
+                total += geometry_length(g)
+        return total
     return 0.0
 
 
 def ring_area(ring: np.ndarray) -> float:
-    """Unsigned shoelace area of one ring (OGRLinearRing::get_Area)."""
-    x, y = ring[:, 0], ring[:, 1]
+    """Unsigned shoelace area of one ring (OGRLinearRing::get_Area,
+    gdal/ogr/ogrlinearring.cpp:403 post-#3556 form): coordinates are
+    shifted by the first vertex before the cross sum, so rings offset by
+    huge constants (1e11) don't cancel to zero in float64."""
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))) / 2.0
 
 
 def polygon_area(wkb: bytes) -> float:
     """Exterior minus holes, summed over parts (OGRPolygon::get_Area,
-    gdal/ogr/ogrcurvepolygon.cpp:556)."""
+    gdal/ogr/ogrcurvepolygon.cpp:556). GeometryCollections sum their
+    surface members; curve/point members contribute 0
+    (OGRGeometryCollection::get_Area, ogrgeometrycollection.cpp:1071)."""
+    gtype = _read_header(memoryview(wkb), 0)[0]
+    if gtype == WKB_GEOMETRYCOLLECTION:
+        total = 0.0
+        for g in decode_collection(wkb):
+            k = _read_header(memoryview(g), 0)[0]
+            if k in (WKB_POLYGON, WKB_MULTIPOLYGON, WKB_GEOMETRYCOLLECTION):
+                total += polygon_area(g)
+        return total
     total = 0.0
     for rings in decode_polygons(wkb):
         if not rings:
@@ -370,14 +474,15 @@ def geometry_envelope(wkb: bytes) -> tuple[float, float, float, float]:
 def ring_centroid_area(ring: np.ndarray) -> tuple[float, float, float]:
     """(cx, cy, signed_area) of one ring — shoelace centroid, the formula
     behind OGRPolygon::Centroid (ogrgeometry.cpp:3985, GEOS-backed there)."""
-    x, y = ring[:-1, 0], ring[:-1, 1]
-    x1, y1 = ring[1:, 0], ring[1:, 1]
+    ox, oy = float(ring[0, 0]), float(ring[0, 1])   # #3556-style shift
+    x, y = ring[:-1, 0] - ox, ring[:-1, 1] - oy
+    x1, y1 = ring[1:, 0] - ox, ring[1:, 1] - oy
     cross = x * y1 - x1 * y
     a = cross.sum() / 2.0
     if a == 0.0:
-        return float(x.mean()), float(y.mean()), 0.0
-    cx = ((x + x1) * cross).sum() / (6.0 * a)
-    cy = ((y + y1) * cross).sum() / (6.0 * a)
+        return float(x.mean() + ox), float(y.mean() + oy), 0.0
+    cx = ((x + x1) * cross).sum() / (6.0 * a) + ox
+    cy = ((y + y1) * cross).sum() / (6.0 * a) + oy
     return float(cx), float(cy), float(a)
 
 
@@ -917,7 +1022,8 @@ def simplify_preserve_topology(coords: np.ndarray,
 
 def _ring_area_signed(ring: np.ndarray) -> float:
     r = ring if not np.array_equal(ring[0], ring[-1]) else ring[:-1]
-    x, y = r[:, 0], r[:, 1]
+    x = r[:, 0] - r[0, 0]   # shift by the first vertex (#3556 stability)
+    y = r[:, 1] - r[0, 1]
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 

@@ -225,3 +225,51 @@ def test_bit2grayscale_overview(spark):
                         dtype=np.uint8).reshape(2, 2)
     assert got2[0, 0] == 0 and got2[1, 1] == 0
     assert got2[1, 0] == 255
+
+
+# --- ogr_geom.py golden ports (autotest/ogr/ogr_geom.py) ---
+
+def test_ogr_geom_area_goldens():
+    """ogr_geom_area / _geometrycollection / _linearring_big_offset:
+    holed multipolygon area 99.5; collections sum surface members only;
+    rings offset by 1e11 keep exact area (the #3556 stability fix)."""
+    import numpy as np
+
+    from gdal_spark.functions import geometry as G
+    w = G.wkb_from_wkt(
+        "MULTIPOLYGON( ((0 0,1 1,1 0,0 0)),"
+        "((0 0,10 0, 10 10, 0 10),(1 1,1 2,2 2,2 1)) )")
+    assert abs(G.polygon_area(w) - 99.5) <= 1e-11
+    w = G.wkb_from_wkt(
+        "GEOMETRYCOLLECTION( POLYGON((0 0,1 1,1 0,0 0)),"
+        " MULTIPOLYGON(((0 0,1 1,1 0,0 0))), LINESTRING(0 0,1 1),"
+        " POINT(0 0), GEOMETRYCOLLECTION EMPTY )")
+    assert abs(G.polygon_area(w) - 1.0) <= 1e-11
+    B = 100000000000.0
+    ring = np.array([(B, B), (B + 10, B), (B + 10, B + 10),
+                     (B, B + 10), (B, B)])
+    assert abs(G.ring_area(ring) - 100.0) <= 1e-11
+
+
+def test_ogr_geom_length_goldens():
+    """ogr_geom_length_point / _multilinestring / _geometrycollection:
+    points measure 0; collections sum curve members only (the polygon
+    member contributes nothing)."""
+    from gdal_spark.functions import geometry as G
+    assert G.geometry_length(G.wkb_from_wkt("POINT(0 0)")) == 0.0
+    w = G.wkb_from_wkt("MULTILINESTRING((0 0,0 1),(0 0,0 1))")
+    assert abs(G.geometry_length(w) - 2.0) <= 1e-11
+    w = G.wkb_from_wkt(
+        "GEOMETRYCOLLECTION( POLYGON((0 0,0 1,1 1,1 0,0 0)),"
+        " MULTILINESTRING((0 0,0 1),(0 0,0 1)), LINESTRING(0 0,0 1),"
+        " LINESTRING(0 0,0 1), POINT(0 0), GEOMETRYCOLLECTION EMPTY )")
+    assert abs(G.geometry_length(w) - 4.0) <= 1e-11
+
+
+def test_geometrycollection_wkt_roundtrip():
+    """GEOMETRYCOLLECTION WKT <-> WKB round-trip, including EMPTY."""
+    from gdal_spark.functions import geometry as G
+    wkt = "GEOMETRYCOLLECTION (POINT (1 2),LINESTRING (0 0,1 1))"
+    assert G.wkt_from_wkb(G.wkb_from_wkt(wkt)) == wkt
+    assert G.wkt_from_wkb(G.wkb_from_wkt("GEOMETRYCOLLECTION EMPTY")) \
+        == "GEOMETRYCOLLECTION EMPTY"

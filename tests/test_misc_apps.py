@@ -87,3 +87,41 @@ def test_ogrtindex(spark, tmp_path):
     assert len(idx) == 1 and idx[0]["n"] == 2
     env = G.polygon_envelope(bytes(idx[0]["wkb"]))
     assert env == (-1.0, 3.0, 2.0, 7.0)
+
+
+def test_gdaltransform_batch(spark):
+    """gdaltransform: UTM->geographic point batch through the composed
+    chain, exact against the transformer_1 affine expectations."""
+    from gdal_spark import apps as APP
+    from gdal_spark.functions.srs import GenImgProjTransform
+    gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    df = spark.createDataFrame([(20.0, 10.0), (0.0, 0.0)],
+                               "x double, y double")
+    out = {(r["x"], r["y"]): (r["tx"], r["ty"])
+           for r in APP.gdaltransform(
+               df, lambda x, y: GenImgProjTransform._px_to_geo(gt, x, y)
+           ).collect()}
+    assert out[(20.0, 10.0)] == (441920.0, 3750720.0)
+    assert out[(0.0, 0.0)] == (440720.0, 3751320.0)
+
+
+def test_gcps2wld():
+    """gcps2wld.py: world-file coefficients from the gcps2gt_1 fixture
+    (pixel-center origin per the .wld convention)."""
+    from gdal_spark import apps as APP
+    w = APP.gcps2wld([(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+                      (100, 200, 410000, 368000)])
+    assert w == (100.0, 0.0, 0.0, -10.0, 400050.0, 369995.0)
+
+
+def test_gdalsrsinfo_report():
+    from gdal_spark import apps as APP
+    from gdal_spark.functions.srs import crs_from_wkt, utm_crs
+    info = APP.gdalsrsinfo(utm_crs(11))
+    assert info["wkt"].startswith("PROJCS")
+    # the emitted WKT must round-trip through the engine's own codec
+    crs2 = crs_from_wkt(info["wkt"])
+    import numpy as np
+    lon = np.array([-117.5]); lat = np.array([33.9])
+    np.testing.assert_allclose(crs2.forward(lon, lat),
+                               utm_crs(11).forward(lon, lat), atol=1e-6)
