@@ -124,7 +124,7 @@ def _unfilter(raw: np.ndarray, H: int, row_bytes: int,
     return out
 
 
-def png_decode(data: bytes) -> np.ndarray:
+def png_decode(data: bytes, _return_index: bool = False) -> np.ndarray:
     """PNG → (H,W) or (H,W,C) uint8/uint16 array. Color types 0/2/3/4/6,
     bit depths 1/2/4/8 (palette/gray) and 16 (gray/RGB/RGBA), no
     interlace (Adam7 rejected with a clear error)."""
@@ -179,9 +179,20 @@ def png_decode(data: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
+        if _return_index:
+            return px[:, :, 0], plte
         px = plte[px[:, :, 0]]
         ch = 3
+    if _return_index:
+        raise ValueError("not a palette PNG")
     return px[:, :, 0] if ch == 1 else px
+
+
+def png_decode_indexed(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Palette PNG (color type 3) -> (index band, (N,3) palette) — the
+    GDAL view: GDALDataset exposes the index band plus a color table
+    (frmts/png PNG color-table path), so checksums run over indices."""
+    return png_decode(data, _return_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -220,19 +231,50 @@ def bmp_decode(data: bytes) -> np.ndarray:
                              offset=off).reshape(H, stride)
         img = rows[:, :W * 3].reshape(H, W, 3)[:, :, ::-1]
         return img[::-1] if flip else img
-    if bits == 8:
-        (used,) = struct.unpack_from("<I", data, 46)
-        n_pal = used or 256
-        pal = np.frombuffer(data, dtype=np.uint8, count=n_pal * 4,
-                            offset=14 + size).reshape(n_pal, 4)[:, :3][:, ::-1]
-        stride = (W + 3) & ~3
-        rows = np.frombuffer(data, dtype=np.uint8, count=H * stride,
-                             offset=off).reshape(H, stride)[:, :W]
+    if bits in (1, 4, 8):
+        rows, pal = _bmp_indices(data, off, size, W, H, bits)
         img = pal[rows]
         if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
             img = img[:, :, 0]  # gray palette → single band
         return img[::-1] if flip else img
     raise ValueError(f"{bits}-bit BMP unsupported")
+
+
+def _bmp_indices(data: bytes, off: int, size: int, W: int, H: int,
+                 bits: int) -> tuple[np.ndarray, np.ndarray]:
+    (used,) = struct.unpack_from("<I", data, 46)
+    n_pal = used or (1 << bits)
+    pal = np.frombuffer(data, dtype=np.uint8, count=n_pal * 4,
+                        offset=14 + size).reshape(n_pal, 4)[:, :3][:, ::-1]
+    stride = ((W * bits + 7) // 8 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=H * stride,
+                        offset=off).reshape(H, stride)
+    if bits == 8:
+        rows = raw[:, :W]
+    else:
+        per = 8 // bits
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * bits
+        mask = (1 << bits) - 1
+        rows = ((raw[:, :, None] >> shifts[None, None, :]) & mask
+                ).reshape(H, -1)[:, :W]
+    return rows, pal
+
+
+def bmp_decode_indexed(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Paletted BMP (1/4/8-bit) -> (index band, (N,3) palette) — GDAL's
+    view of palette BMPs (frmts/bmp exposes indices + color table)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack_from("<I", data, 10)
+    size, W, H, planes, bits, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if comp != 0:
+        raise ValueError(f"compressed BMP (method {comp}) unsupported")
+    if bits not in (1, 4, 8):
+        raise ValueError(f"{bits}-bit BMP has no palette")
+    flip = H > 0
+    H = abs(H)
+    rows, pal = _bmp_indices(data, off, size, W, H, bits)
+    return (rows[::-1] if flip else rows), pal
 
 
 # ---------------------------------------------------------------------------
@@ -265,9 +307,14 @@ def pnm_decode(data: bytes) -> np.ndarray:
         pos = end
     pos += 1  # single whitespace after maxval
     W, H, maxval = vals
-    if maxval != 255:
-        raise ValueError("only maxval=255 PNM supported")
-    px = np.frombuffer(data, dtype=np.uint8, count=H * W * ch, offset=pos)
+    if maxval > 65535:
+        raise ValueError("PNM maxval out of range")
+    if maxval > 255:   # 2-byte big-endian samples (netpbm "plain raster")
+        px = np.frombuffer(data, dtype=">u2", count=H * W * ch,
+                           offset=pos).astype(np.uint16)
+    else:
+        px = np.frombuffer(data, dtype=np.uint8, count=H * W * ch,
+                           offset=pos)
     return px.reshape(H, W) if ch == 1 else px.reshape(H, W, 3)
 
 
@@ -524,6 +571,60 @@ def gif_decode(data: bytes) -> np.ndarray:
             and (rgb[:, :, 1] == rgb[:, :, 2]).all():
         return rgb[:, :, 0]
     return rgb
+
+
+def gif_decode_indexed(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """First GIF frame as (index band, (N,3) color table) — GDAL's view
+    (frmts/gif exposes the palette index band)."""
+    if data[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    packed = data[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        ncol = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, ncol * 3, pos).reshape(ncol, 3)
+        pos += ncol * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h = struct.unpack_from("<4H", data, pos + 1)
+            ipk = data[pos + 9]
+            pos += 10
+            ct = gct
+            if ipk & 0x80:
+                ncol = 2 << (ipk & 7)
+                ct = np.frombuffer(data, np.uint8, ncol * 3,
+                                   pos).reshape(ncol, 3)
+                pos += ncol * 3
+            min_code = data[pos]
+            pos += 1
+            comp = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                comp += data[pos + 1:pos + 1 + ln]
+                pos += ln + 1
+            idx = np.frombuffer(_gif_lzw_decode(bytes(comp), min_code,
+                                                w * h),
+                                dtype=np.uint8, count=w * h).reshape(h, w)
+            if ipk & 0x40:
+                order = np.concatenate(
+                    [np.arange(s, h, step) for s, step in _GIF_INTERLACE])
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            return idx, ct
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contained no image frame")
 
 
 def gif_encode_frames(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:

@@ -825,3 +825,42 @@ def test_tiff_ovr_7(spark):
     tiles = FM.read_geotiff(spark, path)
     ov, om = PY.overview_level(tiles, meta, "ovr7", method="nearest")
     assert py_checksum(RM.to_array(ov, om)) == 0
+
+
+# --- format-driver read goldens (gcore/{pnm,bmp,aaigrid}_read.py,
+#     gdrivers/{png,gif}.py) ---
+
+GDRIVERS = "/root/reference/autotest/gdrivers/data"
+
+
+def test_format_read_goldens(spark):
+    """Each format decoder reproduces the reference's band checksum on
+    its own fixtures. Paletted formats (BMP/GIF/indexed PNG) checksum
+    the palette-index band like GDAL does."""
+    from gdal_spark.raster import imagecodec as IC
+    from gdal_spark.raster.checksum import py_checksum
+    rd = lambda p: open(p, "rb").read()
+    assert py_checksum(IC.pnm_decode(rd(os.path.join(GCORE,
+                                                     "byte.pnm")))) == 4672
+    assert py_checksum(IC.pnm_decode(rd(os.path.join(GCORE,
+                                                     "uint16.pnm")))) == 4672
+    for f, want in [("1bit.bmp", 200), ("4bit_pal.bmp", 2587),
+                    ("8bit_pal.bmp", 4672)]:
+        idx, _pal = IC.bmp_decode_indexed(rd(os.path.join(GCORE, f)))
+        assert py_checksum(idx) == want, f
+    idx, _pal = IC.png_decode_indexed(rd(os.path.join(GDRIVERS, "test.png")))
+    assert py_checksum(idx) == 57921
+    idx, _pal = IC.gif_decode_indexed(rd(os.path.join(GDRIVERS,
+                                                      "bug407.gif")))
+    assert py_checksum(idx) == 57921
+
+
+def test_aaigrid_read_golden(spark):
+    """aaigrid_read: byte.tif.grd opens to checksum 4672 through the
+    distributed AAIGrid reader."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta = FM.read_aaigrid(spark, os.path.join(GCORE, "byte.tif.grd"),
+                                  raster_id="bg", dtype="uint8")
+    assert py_checksum(RM.to_array(tiles, meta)) == 4672
