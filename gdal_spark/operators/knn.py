@@ -123,8 +123,13 @@ def knn_cell_ring(queries: DataFrame, points: DataFrame, k: int,
             F.when(F.col("_qty") + r >= zmax_t, big).otherwise(box_lat_hi - F.col("_qlat")),
         )
         settled_ids = kth.filter((F.col("_nc") >= k) & (F.col("_kth") <= safe * safe)).select(q_id)
+        prev_unsettled = unsettled
         unsettled = unsettled.join(settled_ids, on=q_id, how="left_anti").persist()
-        if unsettled.isEmpty():
+        empty = unsettled.isEmpty()   # materializes the new frame
+        if prev_unsettled is not q0:  # old iteration's cache is now dead
+            prev_unsettled.unpersist()
+        if empty:
+            unsettled.unpersist()
             break
         r_lo, width = r + 1, min(width * 2, 16)
 
