@@ -47,13 +47,21 @@ def ci_like(col: Column, pattern: str, escape: str | None = None) -> Column:
     uppercase escape char (e.g. 'X' in ``'100X%' ESCAPE 'X'``) into a
     different character, silently re-activating the escaped wildcard."""
     if escape:
+        # swq's Like treats escape-char + ANY char as that literal char
+        # (swq_op_general.cpp:42). Spark only allows escaping %/_/the
+        # escape char itself, so escapes of ordinary chars are folded to
+        # the bare literal here.
         out = []
         i = 0
         while i < len(pattern):
             ch = pattern[i]
             if ch == escape and i + 1 < len(pattern):
-                out.append(escape)
-                out.append(pattern[i + 1].lower())
+                nxt = pattern[i + 1]
+                if nxt in ("%", "_", escape):
+                    out.append(escape)
+                    out.append(nxt.lower())
+                else:
+                    out.append(nxt.lower())
                 i += 2
             else:
                 out.append(ch.lower())

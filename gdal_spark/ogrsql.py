@@ -347,6 +347,9 @@ class _Parser:
 
     def _maybe_alias(self) -> str | None:
         k, v = self.peek()
+        if k == "id" and v.upper() == "AS":   # FROM t AS alias (swq)
+            self.i += 1
+            return self.next()[1]
         if k in ("id", "qid") and (k == "qid" or v.upper() not in (
                 "LEFT", "JOIN", "WHERE", "ORDER", "UNION", "ON")):
             self.i += 1
@@ -595,6 +598,9 @@ class _Parser:
             e = self.expr()
             self.expect_op(")")
             return e
+        if k == "id" and v.upper() == "NULL":
+            self.i += 1
+            return _E(F.lit(None), "other", None)
         if k == "id" and v.upper() == "CAST":
             return self._cast()
         if k == "id" and v.upper() in _FUNCS and self.peek(1) == ("op", "("):
@@ -708,7 +714,8 @@ class _Parser:
             terminator = (not rest or rest[0] in (("op", ","), ("op", ")"))
                           or (rest[0][0] == "id"
                               and rest[0][1].upper() == "AS"))
-            if terminator and name.upper() not in _AGGS:
+            if terminator and name.upper() not in _AGGS \
+                    and name.upper() != "NULL":   # bare NULL is anonymous
                 return name
         self._anon += 1
         return f"FIELD_{self._anon}"

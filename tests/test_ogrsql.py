@@ -385,3 +385,47 @@ def test_rfc28_constant_select(eng):           # ogr_rfc28_4
                          "from poly where eas_id = 165")
     assert [tuple(r) for r in df.collect()] == [("constant string",
                                                  "other", 165)]
+
+
+def test_rfc28_null_select(eng):                # ogr_rfc28_24
+    """Bare NULL, aliased NULL, and CAST(null AS type) select as unset
+    (null) fields; 'NULL IS NULL' keeps every row."""
+    df = eng.execute_sql("select *, NULL, NULL as nullstrfield, "
+                         "CAST(null as integer) as nullintfield "
+                         "from poly where NULL IS NULL")
+    rows = df.collect()
+    assert len(rows) == 10
+    anon = [c for c in df.columns if c.startswith("FIELD_")][0]
+    assert all(r[anon] is None and r["nullstrfield"] is None
+               and r["nullintfield"] is None for r in rows)
+
+
+def test_rfc28_like_escape_plain_char(eng):     # ogr_rfc28_25
+    """ESCAPE before a non-wildcard char means that literal char."""
+    df = eng.execute_sql(
+        "select * from poly where prfedea LIKE 'x35043408' ESCAPE 'x'")
+    assert df.count() == 1
+
+
+def test_rfc28_null_arithmetic(eng):            # ogr_rfc28_29
+    """Binary ops with a NULL operand yield NULL (never match)."""
+    df = eng.execute_sql(
+        "select * from idlink where (eas_id + cast(null as integer)) "
+        "is not null or eas_id = 170 + cast(null as integer) or "
+        "(eas_id + cast(null as float)) is not null or "
+        "eas_id = 170.0 + cast(null as float)")
+    assert df.count() == 0
+
+
+def test_rfc28_as_table_alias(eng):             # ogr_rfc28 'AS' alias
+    df = eng.execute_sql(
+        "select eas_id from idlink as il where il.eas_id = 166")
+    assert vals(df, "eas_id") == [166]
+
+
+def test_rfc28_not_like(eng):
+    a = eng.execute_sql(
+        "select * from poly where PRFEDEA NOT LIKE '35043413'").count()
+    b = eng.execute_sql(
+        "select * from poly where NOT (PRFEDEA LIKE '35043413')").count()
+    assert a == b == 9
