@@ -687,6 +687,12 @@ class _Parser:
         fns = {"MIN": F.min, "MAX": F.max, "AVG": F.avg, "SUM": F.sum}
         if op == "COUNT":
             col = F.count_distinct(e.col) if distinct else F.count(e.col)
+        elif op == "AVG" and e.kind == "other":
+            # AVG over a date/timestamp is the average unix time rendered
+            # back as a timestamp (swq.cpp summary accumulate on SWQ_DATE
+            # — ogr_rfc28_33 expects '2013/07/02 11:59:59.500')
+            col = F.timestamp_seconds(
+                F.avg(e.col.cast("timestamp").cast("double")))
         else:
             col = fns[op](e.col)
         return (col, name, True)

@@ -429,3 +429,25 @@ def test_rfc28_not_like(eng):
     b = eng.execute_sql(
         "select * from poly where NOT (PRFEDEA LIKE '35043413')").count()
     assert a == b == 9
+
+
+def test_rfc28_date_aggregates(spark):         # ogr_rfc28_33
+    """MIN/MAX over datetimes keep the extreme instants; AVG is the
+    average unix time ('2013/07/02 11:59:59.500' in the autotest)."""
+    import datetime as dt
+    eng3 = OGRSQLEngine(spark)
+    eng3.register("test", spark.createDataFrame(
+        [(1, dt.datetime(2013, 12, 31, 23, 59, 59)),
+         (2, dt.datetime(2013, 1, 1))],
+        "fid long, date timestamp"), geometry_col=None)
+    r = eng3.execute_sql(
+        "SELECT MIN(DATE), MAX(DATE), AVG(DATE) from test").collect()[0]
+    assert r["MIN_DATE"] == dt.datetime(2013, 1, 1)
+    assert r["MAX_DATE"] == dt.datetime(2013, 12, 31, 23, 59, 59)
+    assert r["AVG_DATE"] == dt.datetime(2013, 7, 2, 11, 59, 59, 500000)
+
+
+def test_rfc28_union_all_selects(eng):         # ogr_rfc28_31
+    df = eng.execute_sql(
+        "select * from idlink union all select * from idlink")
+    assert df.count() == 14
