@@ -535,3 +535,16 @@ def read_aaigrid(spark: SparkSession, path: str, raster_id: str = "aai",
     tiles = strips.groupBy("bx", "by").applyInPandas(merge,
                                                      schema=TILE_SCHEMA)
     return tiles, meta
+
+
+def geotiff_color_table(data: bytes) -> np.ndarray | None:
+    """TIFF ColorMap (tag 320, 3*2^bits 16-bit values, R-plane then G
+    then B) → (N,3) uint8 palette scaled /256 as GDAL's GTiff driver
+    does; None when the file carries no color table."""
+    tags, _en = _read_ifd(data)
+    cm = tags.get(320)
+    if cm is None:
+        return None
+    n = len(cm) // 3
+    arr = np.asarray(cm, dtype=np.int64).reshape(3, n).T
+    return (arr // 256).astype(np.uint8)

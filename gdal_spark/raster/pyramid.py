@@ -77,6 +77,40 @@ def downsample2x_nearest(arr: np.ndarray) -> np.ndarray:
     return arr[::2, ::2].copy()
 
 
+def _best_entries(pal: np.ndarray, rgb: np.ndarray) -> np.ndarray:
+    """Nearest color-table entry per RGB row (GDALFindBestEntry,
+    overview.cpp:180-198: squared RGB distance, first minimum wins)."""
+    d = ((rgb[:, None, :].astype(np.int64)
+          - pal[None, :, :].astype(np.int64)) ** 2).sum(2)
+    return d.argmin(1)
+
+
+def downsample2x_average_palette(arr: np.ndarray,
+                                 pal: np.ndarray) -> np.ndarray:
+    """AVERAGE overview of a palette band (overview.cpp:396-427): average
+    the color-table RGB of in-range indices per 2x2 box with the
+    (total + count/2)/count integer rounding, then requantize to the
+    nearest table entry."""
+    pal = np.asarray(pal, np.int64)[:, :3]
+    h, w = arr.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    tot = np.zeros((oh, ow, 3), dtype=np.int64)
+    cnt = np.zeros((oh, ow), dtype=np.int64)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            sub = arr[dy::2, dx::2].astype(np.int64)
+            ok = (sub >= 0) & (sub < len(pal))
+            rgb = pal[np.clip(sub, 0, len(pal) - 1)]
+            tot[:sub.shape[0], :sub.shape[1]] += np.where(ok[..., None],
+                                                          rgb, 0)
+            cnt[:sub.shape[0], :sub.shape[1]] += ok
+    cnt1 = np.where(cnt == 0, 1, cnt)
+    n = (tot + (cnt1 // 2)[..., None]) // cnt1[..., None]
+    out = _best_entries(pal, n.reshape(-1, 3)).reshape(oh, ow)
+    out = np.where(cnt == 0, 0, out)
+    return out.astype(arr.dtype)
+
+
 def downsample2x_average_complex(arr: np.ndarray) -> np.ndarray:
     """Complex AVERAGE (GDALResampleChunkC32R "AVER" branch,
     overview.cpp:1894-1920): per-component double accumulate, float32
@@ -163,15 +197,22 @@ GAUSS_3X3 = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
 
 def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
                    method: str = "average",
-                   nodata: float | None = None) -> tuple[DataFrame, RasterMeta]:
+                   nodata: float | None = None,
+                   palette: np.ndarray | None = None
+                   ) -> tuple[DataFrame, RasterMeta]:
     """One /2 overview level. Returns (tiles_df, out_meta).
 
     ``nodata``: pass the band's nodata to replicate gdaladdo on a
     nodata-carrying band (average skips nodata inputs, all-nodata boxes
     stay nodata — overview.cpp:360-382). Kept explicit rather than read
-    from ``meta`` so existing no-masking pipelines are unchanged."""
+    from ``meta`` so existing no-masking pipelines are unchanged.
+
+    ``palette``: (N,3) color table for a palette-index band — AVERAGE and
+    GAUSS then average RGB through the table and requantize to the
+    nearest entry (overview.cpp palette branches + GDALFindBestEntry);
+    NEAREST passes indices through untouched."""
     if method == "gauss":
-        return _overview_gauss(tiles, meta, out_id)
+        return _overview_gauss(tiles, meta, out_id, palette=palette)
     if method not in ("average", "nearest", "mode", "average_magphase",
                       "average_bit2grayscale",
                       "average_bit2grayscale_miniswhite"):
@@ -197,8 +238,13 @@ def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
         out[arr == 0] = 255
         return downsample2x_average(out)
 
-    down = {"average": (downsample2x_average_complex if is_complex
-                        else (lambda a: downsample2x_average(a, nodata))),
+    if palette is not None and method == "average":
+        avg = lambda a: downsample2x_average_palette(a, palette)
+    elif is_complex:
+        avg = downsample2x_average_complex
+    else:
+        avg = lambda a: downsample2x_average(a, nodata)
+    down = {"average": avg,
             "nearest": downsample2x_nearest,
             "mode": downsample2x_mode,
             "average_magphase": downsample2x_magphase,
@@ -235,7 +281,9 @@ def overview_level(tiles: DataFrame, meta: RasterMeta, out_id: str,
 
 
 def _overview_gauss(tiles: DataFrame, meta: RasterMeta,
-                    out_id: str) -> tuple[DataFrame, RasterMeta]:
+                    out_id: str,
+                    palette: np.ndarray | None = None
+                    ) -> tuple[DataFrame, RasterMeta]:
     """GAUSS /2 overview (GDALResampleChunk32R_Gauss, overview.cpp:509-700):
     each dst pixel g convolves source window [2g, 2g+3) with the binomial
     3x3 matrix, normalizing by the sum of in-raster weights at edges.
@@ -282,6 +330,29 @@ def _overview_gauss(tiles: DataFrame, meta: RasterMeta,
         ch, cw = min(wh, 2 * oh + 1), min(ww, 2 * ow + 1)
         VP[:ch, :cw] = V[:ch, :cw]
         MP[:ch, :cw] = Mk[:ch, :cw]
+        if palette is not None:
+            # palette branch (overview.cpp:699-747): weight the table RGB
+            # of in-range indices, integer-round, requantize
+            pal = np.asarray(palette, np.int64)[:, :3]
+            tot = np.zeros((oh, ow, 3), dtype=np.int64)
+            wsum = np.zeros((oh, ow), dtype=np.int64)
+            for j in range(3):
+                for i in range(3):
+                    wgt = int(GAUSS_3X3[j, i])
+                    sub = VP[j:j + 2 * oh:2, i:i + 2 * ow:2].astype(np.int64)
+                    ok = ((MP[j:j + 2 * oh:2, i:i + 2 * ow:2] > 0)
+                          & (sub >= 0) & (sub < len(pal)))
+                    rgb = pal[np.clip(sub, 0, len(pal) - 1)]
+                    tot += np.where(ok[..., None], rgb, 0) * wgt
+                    wsum += ok * wgt
+            w1 = np.where(wsum == 0, 1, wsum)
+            n = (tot + (w1 // 2)[..., None]) // w1[..., None]
+            idx = _best_entries(pal, n.reshape(-1, 3)).reshape(oh, ow)
+            out = np.where(wsum == 0, 0, idx).astype(dtype)
+            return pd.DataFrame([(out_id, band, int(obx), int(oby),
+                                  ow, oh, out.tobytes())],
+                                columns=["raster_id", "band", "bx", "by",
+                                         "w", "h", "data"])
         acc = np.zeros((oh, ow))
         cnt = np.zeros((oh, ow))
         for j in range(3):

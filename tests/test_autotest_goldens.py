@@ -864,3 +864,23 @@ def test_aaigrid_read_golden(spark):
     tiles, meta = FM.read_aaigrid(spark, os.path.join(GCORE, "byte.tif.grd"),
                                   raster_id="bg", dtype="uint8")
     assert py_checksum(RM.to_array(tiles, meta)) == 4672
+
+
+def test_tiff_ovr_8_14_palette(spark):
+    """tiff_ovr_8/14: AVERAGE and GAUSS overviews of a palette band
+    average the color-table RGB and requantize to the nearest entry —
+    the black/white chessboard becomes uniform grey index (checksum 200
+    for both resamplers)."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import pyramid as PY
+    from gdal_spark.raster.checksum import py_checksum
+    path = os.path.join(GCORE, "test_average_palette.tif")
+    pal = FM.geotiff_color_table(open(path, "rb").read())
+    assert pal is not None and len(pal) == 256
+    meta = FM.geotiff_meta(path)
+    tiles = FM.read_geotiff(spark, path)
+    for method in ("average", "gauss"):
+        ov, om = PY.overview_level(tiles, meta, "p_" + method,
+                                   method=method, palette=pal)
+        assert py_checksum(RM.to_array(ov, om)) == 200, method
