@@ -505,9 +505,25 @@ class _Parser:
         b = self._add()
         return self._compare(op, a, b)
 
+    @staticmethod
+    def _dt_literal(e: _E) -> _E:
+        """OGR datetime literals use slashes ('2010/04/01 00:00:00',
+        ogr_sql.dox datetime examples); Spark's timestamp cast rejects
+        them, so normalize before the implicit cast."""
+        import re
+        if e.kind == "str" and isinstance(e.lit, str) \
+                and re.match(r"^\d{4}/\d{2}/\d{2}([ T]|$)", e.lit):
+            v = e.lit.replace("/", "-")
+            return _E(F.lit(v), "str", v)
+        return e
+
     def _promote(self, a: _E, b: _E) -> tuple[_E, _E]:
         """Numeric field vs string literal: atoi/atof leading-number
         promotion (SWQGeneralEvaluator); symmetric."""
+        if a.kind == "other" and b.kind == "str":
+            b = self._dt_literal(b)
+        elif b.kind == "other" and a.kind == "str":
+            a = self._dt_literal(a)
         if a.kind == "num" and b.kind == "str" and b.lit is not None:
             v = _leading_num(str(b.lit))
             b = _E(F.lit(v), "num", v)

@@ -451,3 +451,26 @@ def test_rfc28_union_all_selects(eng):         # ogr_rfc28_31
     df = eng.execute_sql(
         "select * from idlink union all select * from idlink")
     assert df.count() == 14
+
+
+def test_sql27_datetime_filter_orderby(spark):  # ogr_sql_27
+    """Datetime comparisons + ORDER BY DESC over the testdatetime.csv
+    values (reference expects foo5, foo4)."""
+    import datetime as dt
+    rows = [("foo1", dt.datetime(2010, 5, 15, 12)),
+            ("foo1bis", dt.datetime(2010, 5, 15, 12)),
+            ("foo2", dt.datetime(2009, 12, 31, 23)),
+            ("foo3", dt.datetime(2010, 6, 15, 12)),
+            ("foo4", dt.datetime(2009, 11, 15, 12)),
+            ("foo5", dt.datetime(2009, 12, 30, 23)),
+            ("foo2bis", dt.datetime(2009, 12, 31, 23))]
+    eng4 = OGRSQLEngine(spark)
+    eng4.register("testdatetime", spark.createDataFrame(
+        rows, "name string, timestamp timestamp"), geometry_col=None)
+    df = eng4.execute_sql(
+        "SELECT * FROM testdatetime WHERE "
+        "timestamp < '2010/04/01 00:00:00' AND "
+        "timestamp > '2009/11/15 11:59:59' AND "
+        "timestamp != '2009/12/31 23:00:00' "
+        "ORDER BY timestamp DESC")
+    assert vals(df, "name") == ["foo5", "foo4"]
