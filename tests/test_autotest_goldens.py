@@ -884,3 +884,60 @@ def test_tiff_ovr_8_14_palette(spark):
         ov, om = PY.overview_level(tiles, meta, "p_" + method,
                                    method=method, palette=pal)
         assert py_checksum(RM.to_array(ov, om)) == 200, method
+
+
+def _canon_ring(pts):
+    """Ring vertex chain canonicalized up to rotation, direction, and
+    collinear-vertex elision (the reference's tracer keeps occasional
+    redundant collinear vertices that the engine's merges)."""
+    p = [tuple(v) for v in pts]
+    if p[0] == p[-1]:
+        p = p[:-1]
+    out = []
+    n = len(p)
+    for i in range(n):
+        a, b, c = p[i - 1], p[i], p[(i + 1) % n]
+        if (b[0] - a[0]) * (c[1] - a[1]) != (b[1] - a[1]) * (c[0] - a[0]):
+            out.append(b)
+    p = out
+    best = None
+    for seq in (p, p[::-1]):
+        i = seq.index(min(seq))
+        cand = tuple(seq[i:] + seq[:i])
+        best = cand if best is None or cand < best else best
+    return best
+
+
+def test_polygonize_3(spark):
+    """polygonize_3 — polygonize_in_2.grd without masking: 125 features,
+    and the DN=0 region's exact three-ring geometry (outer + two holes).
+    Rings compare canonicalized: the engine traces the same pixel-edge
+    chains as the reference but may start/orient them differently."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import polygonize as PZ
+    tiles, meta = FM.read_aaigrid(
+        spark, os.path.join(AUTOTEST, "polygonize_in_2.grd"),
+        raster_id="p2", dtype="uint8")
+    rows = PZ.region_geometries(tiles, meta).collect()
+    assert len(rows) == 125
+    zero = [r for r in rows if r["value"] == 0]
+    assert len(zero) == 1
+    got = [_canon_ring(r) for r in G.decode_polygons(bytes(zero[0]["wkb"]))[0]]
+    exp_wkt = (
+        "POLYGON ((6 -3,6 -40,19 -40,19 -39,24 -39,25 -39,25 -38,26 -38,"
+        "27 -38,27 -37,28 -37,28 -36,29 -36,29 -35,30 -35,30 -34,31 -34,"
+        "31 -25,30 -25,30 -24,29 -24,29 -23,28 -23,28 -22,27 -22,27 -21,"
+        "24 -21,24 -20,23 -20,23 -19,25 -19,26 -19,26 -18,27 -18,27 -17,"
+        "28 -17,28 -16,29 -16,29 -8,28 -8,28 -7,27 -7,27 -6,26 -6,26 -5,"
+        "24 -5,24 -4,18 -4,18 -3,6 -3),"
+        "(24 -35,25 -35,26 -35,26 -33,27 -33,27 -25,26 -25,26 -23,24 -23,"
+        "24 -22,11 -22,11 -36,24 -36,24 -35),"
+        "(11 -7,11 -18,23 -18,23 -17,24 -17,24 -16,25 -16,25 -9,24 -9,"
+        "24 -8,23 -8,23 -7,11 -7))")
+    exp = [_canon_ring(r)
+           for r in G.decode_polygons(G.wkb_from_wkt(exp_wkt))[0]]
+    # same ring count; outer ring matches; hole set matches
+    assert len(got) == len(exp) == 3
+    assert got[0] == exp[0]
+    assert sorted(got[1:]) == sorted(exp[1:])
