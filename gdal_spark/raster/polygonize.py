@@ -45,10 +45,13 @@ from gdal_spark.raster.model import RasterMeta
 # local labeling (numpy union-find over runs)
 # ---------------------------------------------------------------------------
 
-def label_block(arr: np.ndarray, nodata=None) -> tuple[np.ndarray, int]:
-    """4-connected equal-value labeling. Returns (labels int32 (-1 = nodata),
-    n_labels). Row-run RLE + union-find — the reference's 2-row rolling
-    algorithm (gdalrasterpolygonenumerator.cpp) over the whole block."""
+def label_block(arr: np.ndarray, nodata=None,
+                connectedness: int = 4) -> tuple[np.ndarray, int]:
+    """Equal-value labeling, 4- or 8-connected. Returns (labels int32
+    (-1 = nodata), n_labels). Row-run RLE + union-find — the reference's
+    2-row rolling algorithm (gdalrasterpolygonenumerator.cpp; the
+    8CONNECTED=8 option widens the run-overlap test by one pixel each
+    side, ProcessPair semantics)."""
     h, w = arr.shape
     labels = np.full((h, w), -1, dtype=np.int64)
     parent: list[int] = []
@@ -74,8 +77,10 @@ def label_block(arr: np.ndarray, nodata=None) -> tuple[np.ndarray, int]:
             lab = len(parent)
             parent.append(lab)
             # merge with overlapping runs of the previous row
+            # (8-connected: runs touching diagonally also merge)
+            pad = 1 if connectedness == 8 else 0
             for ps, pe, plab, pv in prev_runs:
-                if ps < e and s < pe and pv == v:
+                if ps < e + pad and s < pe + pad and pv == v:
                     ra, rb = find(lab), find(plab)
                     if ra != rb:
                         parent[max(ra, rb)] = min(ra, rb)
@@ -200,16 +205,18 @@ def _node_base(bx: int, by: int, nbx: int) -> int:
 
 
 def polygonize(tiles: DataFrame, meta: RasterMeta, band: int = 0,
-               max_iters: int = 50) -> DataFrame:
+               max_iters: int = 50, connectedness: int = 4) -> DataFrame:
     """Global region table: (region, value, n_pixels, pxmin, pymin, pxmax,
     pymax). ``region`` is a stable global id (min node id of the component).
-    Follow with :func:`region_geometries` for exact WKB rings."""
-    regions, _lab = _polygonize_full(tiles, meta, band, max_iters)
+    ``connectedness=8`` reproduces the 8CONNECTED=8 option. Follow with
+    :func:`region_geometries` for exact WKB rings."""
+    regions, _lab = _polygonize_full(tiles, meta, band, max_iters,
+                                     connectedness)
     return regions
 
 
 def _polygonize_full(tiles: DataFrame, meta: RasterMeta, band: int = 0,
-                     max_iters: int = 50):
+                     max_iters: int = 50, connectedness: int = 4):
     dtype, block, nodata = meta.dtype, meta.block, meta.nodata
     nbx, width, height = meta.n_block_x, meta.width, meta.height
 
@@ -221,7 +228,7 @@ def _polygonize_full(tiles: DataFrame, meta: RasterMeta, band: int = 0,
             erows: list = []
             for r in pdf.itertuples(index=False):
                 arr = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
-                labels, n = label_block(arr, nodata)
+                labels, n = label_block(arr, nodata, connectedness)
                 base = _node_base(r.bx, r.by, nbx)
                 px0, py0 = r.bx * block, r.by * block
                 flat = labels.ravel()
@@ -251,24 +258,49 @@ def _polygonize_full(tiles: DataFrame, meta: RasterMeta, band: int = 0,
                 # cannot collide with the right edge of column width-1 on the
                 # previous row.  Edges on the raster's outer border are not
                 # emitted — there is no neighbor block to join with.
+                diag = connectedness == 8
                 for x in range(r.w):          # top row ↔ block above's bottom
                     lab = labels[0, x]
                     if lab >= 0 and py0 > 0:
-                        erows.append(("h", (py0 - 1) * width + px0 + x,
-                                      float(arr[0, x]), int(base + lab)))
+                        k = (py0 - 1) * width + px0 + x
+                        erows.append(("h", k, float(arr[0, x]),
+                                      int(base + lab)))
+                        # 8-conn: a +1-shifted twin key matches the
+                        # neighbor column's direct key across the border
+                        # (both diagonal directions covered because the
+                        # other side emits its own twin); guarded against
+                        # the x = width-1 row-wrap collision
+                        if diag and px0 + x + 1 < width:
+                            erows.append(("h", k + 1, float(arr[0, x]),
+                                          int(base + lab)))
                     lab = labels[r.h - 1, x]  # bottom row (its own key)
                     if lab >= 0 and py0 + r.h < height:
-                        erows.append(("h", (py0 + r.h - 1) * width + px0 + x,
-                                      float(arr[r.h - 1, x]), int(base + lab)))
+                        k = (py0 + r.h - 1) * width + px0 + x
+                        erows.append(("h", k, float(arr[r.h - 1, x]),
+                                      int(base + lab)))
+                        if diag and px0 + x + 1 < width:
+                            erows.append(("h", k + 1,
+                                          float(arr[r.h - 1, x]),
+                                          int(base + lab)))
                 for y in range(r.h):
                     lab = labels[y, 0]
                     if lab >= 0 and px0 > 0:
-                        erows.append(("v", (py0 + y) * (width + 1) + px0 - 1,
-                                      float(arr[y, 0]), int(base + lab)))
+                        k = (py0 + y) * (width + 1) + px0 - 1
+                        erows.append(("v", k, float(arr[y, 0]),
+                                      int(base + lab)))
+                        if diag and py0 + y + 1 < height:
+                            erows.append(("v", k + width + 1,
+                                          float(arr[y, 0]),
+                                          int(base + lab)))
                     lab = labels[y, r.w - 1]
                     if lab >= 0 and px0 + r.w < width:
-                        erows.append(("v", (py0 + y) * (width + 1) + px0 + r.w - 1,
-                                      float(arr[y, r.w - 1]), int(base + lab)))
+                        k = (py0 + y) * (width + 1) + px0 + r.w - 1
+                        erows.append(("v", k, float(arr[y, r.w - 1]),
+                                      int(base + lab)))
+                        if diag and py0 + y + 1 < height:
+                            erows.append(("v", k + width + 1,
+                                          float(arr[y, r.w - 1]),
+                                          int(base + lab)))
             cols = [f.name for f in _COMBINED]
             rows = [("s", n, v, np_, x0, y0, x1, y1, None, None)
                     for n, v, np_, x0, y0, x1, y1 in srows]

@@ -6,14 +6,12 @@ comparison :103), repeating until no small polygon remains.
 
 Spark decomposition: reuse the polygonize 2-phase CC (region per pixel),
 build the region adjacency graph (within-block neighbor pairs + cross-
-block border joins), then run merge rounds on the *region* tables (tiny
-relative to pixels): every small region retargets to its largest neighbor.
-To keep simultaneous merging acyclic, a merge is applied only when the
-target orders strictly greater by (size, -id) — smaller always flows into
-larger, ties into the smaller id; remaining small regions merge in later
-rounds once their neighbors have grown. This is deterministic and
-partition-independent; it can differ from the reference's sequential
-raster-order processing only on exotic ties, which the fixtures avoid.
+block border joins), then make the reference's SINGLE merge decision on
+the region table (tiny relative to pixels): a small region takes the
+value of its largest neighbor, and only when that neighbor is at least
+threshold-sized (gdalsievefilter.cpp:423-478 — the chain-following
+variant is #ifdef'd out in the reference, so clusters of mutually-small
+polygons stay untouched). Deterministic and partition-independent.
 
 Output: relabeled block rows where each merged region takes its target
 region's pixel value.
@@ -43,8 +41,9 @@ _COMBINED = T.StructType([T.StructField("kind", T.StringType())]
 
 
 def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
-          max_rounds: int = 20) -> DataFrame:
-    regions, lab = _polygonize_full(tiles, meta, band)
+          connectedness: int = 4) -> DataFrame:
+    regions, lab = _polygonize_full(tiles, meta, band,
+                                    connectedness=connectedness)
     dtype, block, nodata = meta.dtype, meta.block, meta.nodata
     nbx, width, height = meta.n_block_x, meta.width, meta.height
     tiles_b = tiles.filter(F.col("band") == band)
@@ -56,10 +55,14 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
             rows = []
             for r in pdf.itertuples(index=False):
                 arr = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
-                labels, _ = label_block(arr, nodata)
+                labels, _ = label_block(arr, nodata, connectedness)
                 base = _node_base(r.bx, r.by, nbx)
-                for la, lb in ((labels[:, :-1], labels[:, 1:]),
-                               (labels[:-1, :], labels[1:, :])):
+                pairs = [(labels[:, :-1], labels[:, 1:]),
+                         (labels[:-1, :], labels[1:, :])]
+                if connectedness == 8:
+                    pairs += [(labels[:-1, :-1], labels[1:, 1:]),
+                              (labels[:-1, 1:], labels[1:, :-1])]
+                for la, lb in pairs:
                     m = (la != lb) & (la >= 0) & (lb >= 0)
                     pa = la[m] + base
                     pb = lb[m] + base
@@ -72,23 +75,39 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
                 # same non-wrapping key scheme as polygonize: v keys use a
                 # width+1 multiplier; outer-border edges are never emitted
                 for x in range(r.w):
+                    diag = connectedness == 8
                     if labels[0, x] >= 0 and py0 > 0:
-                        rows.append(("e", None, None, "h",
-                                     (py0 - 1) * width + px0 + x,
+                        k = (py0 - 1) * width + px0 + x
+                        rows.append(("e", None, None, "h", k,
                                      int(base + labels[0, x])))
+                        if diag and px0 + x + 1 < width:
+                            rows.append(("e", None, None, "h", k + 1,
+                                         int(base + labels[0, x])))
                     if labels[r.h - 1, x] >= 0 and py0 + r.h < height:
-                        rows.append(("e", None, None, "h",
-                                     (py0 + r.h - 1) * width + px0 + x,
+                        k = (py0 + r.h - 1) * width + px0 + x
+                        rows.append(("e", None, None, "h", k,
                                      int(base + labels[r.h - 1, x])))
+                        if diag and px0 + x + 1 < width:
+                            rows.append(("e", None, None, "h", k + 1,
+                                         int(base + labels[r.h - 1, x])))
                 for y in range(r.h):
+                    diag = connectedness == 8
                     if labels[y, 0] >= 0 and px0 > 0:
-                        rows.append(("e", None, None, "v",
-                                     (py0 + y) * (width + 1) + px0 - 1,
+                        k = (py0 + y) * (width + 1) + px0 - 1
+                        rows.append(("e", None, None, "v", k,
                                      int(base + labels[y, 0])))
+                        if diag and py0 + y + 1 < height:
+                            rows.append(("e", None, None, "v",
+                                         k + width + 1,
+                                         int(base + labels[y, 0])))
                     if labels[y, r.w - 1] >= 0 and px0 + r.w < width:
-                        rows.append(("e", None, None, "v",
-                                     (py0 + y) * (width + 1) + px0 + r.w - 1,
+                        k = (py0 + y) * (width + 1) + px0 + r.w - 1
+                        rows.append(("e", None, None, "v", k,
                                      int(base + labels[y, r.w - 1])))
+                        if diag and py0 + y + 1 < height:
+                            rows.append(("e", None, None, "v",
+                                         k + width + 1,
+                                         int(base + labels[y, r.w - 1])))
             yield pd.DataFrame(rows, columns=[f.name for f in _COMBINED])
 
     cached = tiles_b.cache()
@@ -111,46 +130,34 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
     sym_adj = comp_adj.unionByName(
         comp_adj.select(F.col("cb").alias("ca"), F.col("ca").alias("cb")))
 
-    # ---- merge rounds on the region table --------------------------------
-    # mapping: original comp → current target comp
-    mapping = regions.select(F.col("region").alias("comp"),
-                             F.col("region").alias("tgt"))
+    # ---- single-pass merge decision (gdalsievefilter.cpp:423-478) ----
+    # The reference makes ONE decision per polygon from the ORIGINAL
+    # region table: a polygon smaller than the threshold takes the VALUE
+    # of its largest neighbour, and only if that neighbour is itself at
+    # least threshold-sized ("polygons smaller than the threshold with no
+    # neighbours that are as large as the threshold will not be
+    # altered"). No iteration, no cascading growth — unmergable clusters
+    # of small polygons stay untouched (autotest/alg/sieve.py sieve_3).
+    # Tie rule: the reference keeps the first equal-sized neighbour in
+    # scan order; the distributed twin picks (size desc, id asc), which
+    # coincides on the fixtures (ids are scan-ordered).
     base_sizes = regions.select(F.col("region").alias("comp"),
                                 F.col("n_pixels"), F.col("value"))
-    for _ in range(max_rounds):
-        cur_sizes = (base_sizes.join(mapping, on="comp")
-                     .groupBy("tgt").agg(F.sum("n_pixels").alias("size")))
-        # current-level adjacency
-        ma = mapping.withColumnRenamed("comp", "ca").withColumnRenamed("tgt", "ta")
-        mb = mapping.withColumnRenamed("comp", "cb").withColumnRenamed("tgt", "tb")
-        cur_adj = (sym_adj.join(ma, on="ca").join(mb, on="cb")
-                   .select("ta", "tb").filter(F.col("ta") != F.col("tb"))
-                   .distinct())
-        sa = cur_sizes.withColumnRenamed("tgt", "ta").withColumnRenamed("size", "sza")
-        sb = cur_sizes.withColumnRenamed("tgt", "tb").withColumnRenamed("size", "szb")
-        scored = cur_adj.join(sa, on="ta").join(sb, on="tb")
-        # small region ta picks largest neighbor tb; acyclic order guard
-        best = (scored.filter(F.col("sza") < threshold)
-                .withColumn("_ord", F.struct(F.col("szb"), -F.col("tb")))
-                .groupBy("ta", "sza")
-                .agg(F.max_by("tb", F.col("_ord")).alias("new_tgt"),
-                     F.max("szb").alias("bsz"), F.min("tb").alias("btb")))
-        moves = (best.filter((F.col("bsz") > F.col("sza"))
-                             | ((F.col("bsz") == F.col("sza"))
-                                & (F.col("new_tgt") < F.col("ta"))))
-                 .select(F.col("ta").alias("tgt"), "new_tgt"))
-        n_moves = moves.limit(1).count()
-        if n_moves == 0:
-            break
-        mapping = (mapping.join(moves, on="tgt", how="left")
-                   .select("comp", F.coalesce("new_tgt", "tgt").alias("tgt")))
-        # pointer-jump chains created this round
-        m2 = mapping.select(F.col("comp").alias("tgt"), F.col("tgt").alias("t2"))
-        mapping = (mapping.join(m2, on="tgt", how="left")
-                   .select("comp", F.coalesce("t2", "tgt").alias("tgt")))
-        # truncate lineage — iterated self-joins otherwise grow the plan
-        # exponentially (and wall time with it)
-        mapping = mapping.localCheckpoint(eager=True)
+    sa = base_sizes.select(F.col("comp").alias("ca"),
+                           F.col("n_pixels").alias("sza"))
+    sb = base_sizes.select(F.col("comp").alias("cb"),
+                           F.col("n_pixels").alias("szb"))
+    best = (sym_adj.join(sa, on="ca").join(sb, on="cb")
+            .filter(F.col("sza") < threshold)
+            .withColumn("_ord", F.struct(F.col("szb"), -F.col("cb")))
+            .groupBy("ca")
+            .agg(F.max_by("cb", F.col("_ord")).alias("tgt"),
+                 F.max("szb").alias("bsz")))
+    moves = (best.filter(F.col("bsz") >= threshold)
+             .select(F.col("ca").alias("comp"), "tgt"))
+    mapping = (base_sizes.select("comp")
+               .join(moves, on="comp", how="left")
+               .select("comp", F.coalesce("tgt", "comp").alias("tgt")))
 
     # ---- relabel pixels ---------------------------------------------------
     # Distributed relabel: the (node → new value) table is grouped per block
@@ -178,7 +185,9 @@ def sieve(tiles: DataFrame, meta: RasterMeta, threshold: int, band: int = 0,
                 relab = r.relab
                 if relab is not None and not (isinstance(relab, float)
                                               and np.isnan(relab)):
-                    labels, _ = label_block(arr, nodata)
+                    # must re-derive with the SAME connectedness as the
+                    # region pass or node ids won't line up
+                    labels, _ = label_block(arr, nodata, connectedness)
                     base = _node_base(r.bx, r.by, nbx)
                     for item in relab:
                         out[labels == int(item["node"] - base)] = item["tval"]

@@ -941,3 +941,62 @@ def test_polygonize_3(spark):
     assert len(got) == len(exp) == 3
     assert got[0] == exp[0]
     assert sorted(got[1:]) == sorted(exp[1:])
+
+
+def test_polygonize_4_8connected(spark):
+    """polygonize_4 — 8CONNECTED=8 without masking: 16 features with the
+    expected DN multiset; verified block-size independent (diagonal
+    components crossing block borders merge via the shifted edge keys)."""
+    from dataclasses import replace
+
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import polygonize as PZ
+    expect = sorted([107, 123, 132, 115, 132, 115, 140, 148,
+                     123, 140, 132, 156, 100, 101, 102, 103])
+    for blk in (256, 4):
+        tiles, meta = FM.read_aaigrid(
+            spark, os.path.join(AUTOTEST, "polygonize_in.grd"),
+            raster_id=f"p8b{blk}", dtype="uint8", block=blk)
+        meta = replace(meta, nodata=None)
+        rows = PZ.polygonize(tiles, meta, connectedness=8).collect()
+        assert len(rows) == 16, blk
+        assert sorted(int(r["value"]) for r in rows) == expect, blk
+
+
+@pytest.mark.parametrize("fixture,conn,want", [
+    ("sieve_src.grd", 8, 370),      # sieve_2
+    ("unmergable.grd", 8, 472),     # sieve_3: mutually-small clusters
+    ("sieve_src.grd", 4, 364),      # sieve_5 (mask = all-valid)
+], ids=["sieve_2", "sieve_3", "sieve_5"])
+def test_sieve_2_3_5(spark, fixture, conn, want):
+    """sieve_2/3/5 — 8-connected sieve and the unmergable-cluster rule:
+    a small polygon is only rewritten when its largest neighbour is at
+    least threshold-sized (single decision, no cascading)."""
+    from dataclasses import replace
+
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import sieve as SV
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta = FM.read_aaigrid(
+        spark, os.path.join(AUTOTEST, fixture),
+        raster_id=f"{fixture}-{conn}", dtype="uint8")
+    meta = replace(meta, nodata=None)
+    out = SV.sieve(tiles, meta, threshold=2, connectedness=conn)
+    assert py_checksum(RM.to_array(out, meta)) == want
+
+
+def test_sieve_8conn_block_independent(spark):
+    """The 8-connected sieve result must not depend on block size."""
+    from dataclasses import replace
+
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import sieve as SV
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta = FM.read_aaigrid(
+        spark, os.path.join(AUTOTEST, "sieve_src.grd"),
+        raster_id="s8small", dtype="uint8", block=4)
+    meta = replace(meta, nodata=None)
+    out = SV.sieve(tiles, meta, threshold=2, connectedness=8)
+    assert py_checksum(RM.to_array(out, meta)) == 370
