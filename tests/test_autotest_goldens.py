@@ -1000,3 +1000,69 @@ def test_sieve_8conn_block_independent(spark):
     meta = replace(meta, nodata=None)
     out = SV.sieve(tiles, meta, threshold=2, connectedness=8)
     assert py_checksum(RM.to_array(out, meta)) == 370
+
+
+# --- gdal_translate utility goldens (autotest/utilities) ---
+
+def test_gdal_translate_goldens(spark):
+    """test_gdal_translate_3/5/6: -ot Int16 keeps checksum 4672;
+    -expand rgb on bug407.gif gives band checksums 20615/59147/63052;
+    -outsize 40 40 (nearest 2x) gives 18784."""
+    from gdal_spark import apps as APP
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import imagecodec as IC
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    path = os.path.join(GCORE, "byte.tif")
+    meta = FM.geotiff_meta(path)
+    tiles = FM.read_geotiff(spark, path)
+    o, m = APP.gdal_translate(tiles, meta, "t3", ot="int16")
+    assert m.dtype == "int16"
+    assert py_checksum(RM.to_array(o, m)) == 4672
+    o, m = APP.gdal_translate(tiles, meta, "t6", outsize=(40, 40))
+    assert py_checksum(RM.to_array(o, m)) == 18784
+    idx, pal = IC.gif_decode_indexed(
+        open(os.path.join(GDRIVERS, "bug407.gif"), "rb").read())
+    gmeta = RM.RasterMeta("g407", idx.shape[1], idx.shape[0], dtype="uint8")
+    rgb, rmeta = APP.pct2rgb(RM.from_array(spark, idx, gmeta), gmeta,
+                             np.asarray(pal, np.uint8))
+    for b, want in [(0, 20615), (1, 59147), (2, 63052)]:
+        assert py_checksum(RM.to_array(rgb, rmeta, band=b)) == want, b
+
+
+# --- gdalwarp utility goldens (autotest/utilities test_gdalwarp_10..14) ---
+
+def test_gdalwarp_ts40_kernels(spark):
+    """test_gdalwarp_10..14: byte.tif (via the corner-GCP fit, the same
+    grid) warped -ts 40 40 with each kernel: nearest hits checksum 18784;
+    bilinear/cubic/cubicspline/lanczos match the reference rasters within
+    maxdiff 1."""
+    from gdal_spark.functions.srs import gcps_to_geotransform
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import resample as RS
+    from gdal_spark.raster.checksum import py_checksum
+    path = os.path.join(GCORE, "byte.tif")
+    meta = FM.geotiff_meta(path)
+    # the fixture replaces the geotransform with 4 corner GCPs; the warp
+    # app refits it (approx-OK first-order fit == the original grid)
+    gcps = [(0, 0, 440720.0, 3751320.0), (20, 0, 441920.0, 3751320.0),
+            (20, 20, 441920.0, 3750120.0), (0, 20, 440720.0, 3750120.0)]
+    assert gcps_to_geotransform(gcps) == meta.gt
+    tiles = FM.read_geotiff(spark, path)
+    dst = RM.RasterMeta("w40", 40, 40,
+                        gt=(440720.0, 30.0, 0.0, 3751320.0, 0.0, -30.0),
+                        dtype="uint8")
+    got = RM.to_array(RS.warp(tiles, meta, dst, method="nearest"), dst)
+    assert py_checksum(got) == 18784
+    ref_dir = "/root/reference/autotest/utilities/ref_data"
+    for method, ref in [("bilinear", "testgdalwarp11.tif"),
+                        ("cubic", "testgdalwarp12.tif"),
+                        ("cubicspline", "testgdalwarp13.tif"),
+                        ("lanczos", "testgdalwarp14.tif")]:
+        got = RM.to_array(RS.warp(tiles, meta, dst, method=method), dst)
+        refa = FM.parse_geotiff(
+            open(os.path.join(ref_dir, ref), "rb").read())[0][0]
+        maxdiff = np.abs(got.astype(np.int64)
+                         - refa.astype(np.int64)).max()
+        assert maxdiff <= 1, (method, maxdiff)
