@@ -1066,3 +1066,56 @@ def test_gdalwarp_ts40_kernels(spark):
         maxdiff = np.abs(got.astype(np.int64)
                          - refa.astype(np.int64)).max()
         assert maxdiff <= 1, (method, maxdiff)
+
+
+# --- gdal_grid utility goldens (autotest/utilities/test_gdal_grid.py) ---
+
+UTILDATA = "/root/reference/autotest/utilities/data"
+REFDATA = "/root/reference/autotest/utilities/ref_data"
+
+
+def _grid_points(spark):
+    pts = [(i, *map(float, line.strip().split(",")))
+           for i, line in enumerate(open(os.path.join(UTILDATA, "grid.csv")))]
+    return spark.createDataFrame(pts, "pid long, x double, y double, z double")
+
+
+def test_gdal_grid_goldens(spark):
+    """test_gdal_grid_2/5/6/7/9/10 over grid.csv on the byte.tif grid:
+    nearest reproduces byte.tif (4672); minimum/maximum/range (whole
+    dataset via a radius covering the extent), windowed maximum and
+    count match the reference rasters' checksums; average_distance
+    matches the Float64 reference rasters to 1e-11."""
+    from gdal_spark.operators import gridding as GR
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    pdf = _grid_points(spark)
+    meta = RM.RasterMeta("g", 20, 20,
+                         gt=(440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0),
+                         dtype="uint8")
+
+    def to_byte(df):
+        a = np.zeros((20, 20))
+        for r in df.collect():
+            a[int(r["py"]), int(r["px"])] = r["val"]
+        return np.clip(np.floor(a + 0.5), 0, 255).astype(np.uint8)
+
+    ref = lambda f: FM.parse_geotiff(
+        open(os.path.join(REFDATA, f), "rb").read())[0][0]
+    assert py_checksum(to_byte(GR.grid_nearest(pdf, meta,
+                                               radius=2000.0))) == 4672
+    for metric, rad, f in [("minimum", 2000.0, "grid_minimum.tif"),
+                           ("maximum", 2000.0, "grid_maximum.tif"),
+                           ("range", 2000.0, "grid_range.tif"),
+                           ("maximum", 100.0, "grid_maximum_100_100.tif"),
+                           ("count", 70.0, "grid_count_70_70.tif")]:
+        got = to_byte(GR.grid_metric(pdf, meta, radius=rad, metric=metric))
+        assert py_checksum(got) == py_checksum(ref(f)), (metric, rad)
+    for rad, f in [(2000.0, "grid_avdist.tif"),
+                   (150.0, "grid_avdist_150_150.tif")]:
+        a = np.zeros((20, 20))
+        for r in GR.grid_metric(pdf, meta, radius=rad,
+                                metric="average_distance").collect():
+            a[int(r["py"]), int(r["px"])] = r["val"]
+        assert np.abs(a - ref(f)).max() <= 1e-11, f
