@@ -2588,8 +2588,10 @@ def _oracle_relief() -> str:
         e = "CASE "
         for (x0, *c0), (x1, *c1) in zip(knots, knots[1:]):
             slope = (c1[c] - c0[c]) / (x1 - x0)
+            # the reference truncates with a 0.45 offset
+            # (GDALColorReliefGetRGBA, gdaldem.cpp:915-929)
             e += (f"WHEN v <= {x1} THEN floor({repr(slope)} * (v - {x0}) "
-                  f"+ {c0[c]} + 0.5) ")
+                  f"+ {c0[c]} + 0.45) ")
         e += f"ELSE {knots[-1][1 + c]} END"
         chans.append(e)
     branches = "\nUNION ALL\n".join(

@@ -103,7 +103,10 @@ def color_relief(tiles: DataFrame, meta: RasterMeta, out_id: str,
                                   0, len(elev) - 1)
                     chans = [rgb[idx, c] for c in range(3)]
                 for band, ch in enumerate(chans):
-                    out = np.clip(np.floor(ch + 0.5), 0, 255).astype(np.uint8)
+                    # the reference truncates with a 0.45 offset, not
+                    # round-half-up (GDALColorReliefGetRGBA,
+                    # gdaldem.cpp:915-929)
+                    out = np.clip(np.floor(ch + 0.45), 0, 255).astype(np.uint8)
                     rows.append((out_id, band, r.bx, r.by, r.w, r.h,
                                  out.tobytes()))
             yield pd.DataFrame(rows, columns=["raster_id", "band", "bx", "by",

@@ -548,3 +548,45 @@ def geotiff_color_table(data: bytes) -> np.ndarray | None:
     n = len(cm) // 3
     arr = np.asarray(cm, dtype=np.int64).reshape(3, n).T
     return (arr // 256).astype(np.uint8)
+
+
+def parse_dted(data: bytes) -> tuple[np.ndarray, RasterMeta]:
+    """DTED (MIL-PRF-89020) elevation tile → (int16 array, RasterMeta).
+    Layout per the public spec and gdal/frmts/dted: 80-byte UHL + 648-byte
+    DSI + 2700-byte ACC, then one 0xAA data record per longitude column
+    (south→north samples, big-endian signed-magnitude). Point-registered:
+    the geotransform puts the origin half a cell outside the SW post."""
+    if data[:4] != b"UHL1":
+        raise ValueError("not a DTED file (no UHL)")
+
+    def _dms(s: bytes) -> float:
+        deg = int(s[:-5])
+        minutes = int(s[-5:-3])
+        sec = int(s[-3:-1])
+        hemi = chr(s[-1])
+        v = deg + minutes / 60.0 + sec / 3600.0
+        return -v if hemi in ("S", "W") else v
+
+    lon0 = _dms(data[4:12])
+    lat0 = _dms(data[12:20])
+    dx = int(data[20:24]) / 36000.0     # tenths of arc-seconds → degrees
+    dy = int(data[24:28]) / 36000.0
+    n_lon = int(data[47:51])
+    n_lat = int(data[51:55])
+    arr = np.zeros((n_lat, n_lon), dtype=np.int16)
+    pos = 80 + 648 + 2700
+    rec_len = 8 + 2 * n_lat + 4
+    for col in range(n_lon):
+        rec = data[pos:pos + rec_len]
+        if rec[0] != 0xAA:
+            raise ValueError(f"bad DTED record sentinel at column {col}")
+        raw = np.frombuffer(rec, dtype=">u2", count=n_lat, offset=8)
+        vals = np.where(raw & 0x8000,
+                        -(raw & 0x7FFF).astype(np.int32),
+                        raw.astype(np.int32)).astype(np.int16)
+        arr[:, col] = vals[::-1]        # south→north records; row 0 = north
+        pos += rec_len
+    gt = (lon0 - dx / 2.0, dx, 0.0,
+          lat0 + (n_lat - 1) * dy + dy / 2.0, 0.0, -dy)
+    meta = RasterMeta("dted", n_lon, n_lat, gt=gt, dtype="int16")
+    return arr, meta

@@ -1119,3 +1119,72 @@ def test_gdal_grid_goldens(spark):
                                 metric="average_distance").collect():
             a[int(r["py"]), int(r["px"])] = r["val"]
         assert np.abs(a - ref(f)).max() <= 1e-11, f
+
+
+# --- gdaldem utility goldens over the DTED tile (autotest/utilities) ---
+
+def _n43(spark):
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as RM
+    arr, meta = FM.parse_dted(
+        open(os.path.join(GDRIVERS, "n43.dt0"), "rb").read())
+    return RM.from_array(spark, arr, meta), meta, arr
+
+
+def test_dted_read(spark):
+    """The DTED reader: n43.dt0 parses to the 121x121 point-registered
+    tile with the reference's geotransform."""
+    from gdal_spark.raster import formats as FM
+    arr, meta = FM.parse_dted(
+        open(os.path.join(GDRIVERS, "n43.dt0"), "rb").read())
+    assert arr.shape == (121, 121) and arr.dtype == np.int16
+    assert meta.gt == (-80.00416666666666, 0.008333333333333333, 0.0,
+                       44.00416666666667, 0.0, -0.008333333333333333)
+
+
+def test_gdaldem_goldens(spark):
+    """test_gdaldem_hillshade / _combined / _slope / _aspect over n43.dt0
+    (-s 111120 -z 30): exact reference checksums 45587 / 43876 / 63748 /
+    54885, computed through the distributed stencil with the reference's
+    nodata borders."""
+    from gdal_spark.raster import dem as D
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta, _arr = _n43(spark)
+
+    def run(fn, border, cast, **kw):
+        out, om = D.stencil_apply(
+            tiles, meta, "o", lambda w, gt: fn(w, gt, **kw), halo=1)
+        a = RM.to_array(out, om, fill=border).astype(np.float64)
+        a[0, :] = border
+        a[-1, :] = border
+        a[:, 0] = border
+        a[:, -1] = border
+        return cast(a)
+
+    byte = lambda a: np.clip(np.floor(a + 0.5), 0, 255).astype(np.uint8)
+    f32 = lambda a: a.astype(np.float32)
+    assert py_checksum(run(D.hillshade, 0.0, byte,
+                           z=30.0, scale=111120.0)) == 45587
+    assert py_checksum(run(D.hillshade, 0.0, byte, z=30.0, scale=111120.0,
+                           variant="combined")) == 43876
+    assert py_checksum(run(D.slope, -9999.0, f32,
+                           scale=111120.0)) == 63748
+    assert py_checksum(run(D.aspect, -9999.0, f32)) == 54885
+
+
+def test_gdaldem_color_relief_golden(spark):
+    """test_gdaldem_color_relief: the 7-knot ramp over n43.dt0 with the
+    reference's 0.45-offset truncation — band checksums
+    55009/37543/47711 bit-exact."""
+    from gdal_spark.raster import algebra as AL
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta, _arr = _n43(spark)
+    ramp = [(-32768, 200, 230, 255), (75, 200, 230, 255), (76, 50, 180, 50),
+            (150, 240, 250, 150), (300, 190, 185, 135),
+            (450, 235, 220, 175), (500, 255, 255, 255)]
+    out, om = AL.color_relief(tiles, meta, "cr", ramp)
+    for b, want in [(0, 55009), (1, 37543), (2, 47711)]:
+        got = RM.to_array(out, om, band=b).astype(np.uint8)
+        assert py_checksum(got) == want, b
