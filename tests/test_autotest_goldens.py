@@ -1188,3 +1188,19 @@ def test_gdaldem_color_relief_golden(spark):
     for b, want in [(0, 55009), (1, 37543), (2, 47711)]:
         got = RM.to_array(out, om, band=b).astype(np.uint8)
         assert py_checksum(got) == want, b
+
+
+def test_nearblack_1(spark):
+    """test_nearblack_1: rgbsmall.tif with -nb 0 (near 15) — the collar
+    floods to exact black; band checksums 21106/20736/21309 bit-exact."""
+    from dataclasses import replace
+
+    from gdal_spark.raster import color as CO
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta, _bands = _rgbsmall(spark)
+    out = CO.nearblack(tiles, meta, near_dist=15, max_non_black=0,
+                       n_bands=3)
+    om = replace(meta, raster_id=meta.raster_id + "_nb")
+    for b, want in [(0, 21106), (1, 20736), (2, 21309)]:
+        assert py_checksum(RM.to_array(out, om, band=b)) == want, b
