@@ -1204,3 +1204,23 @@ def test_nearblack_1(spark):
     om = replace(meta, raster_id=meta.raster_id + "_nb")
     for b, want in [(0, 21106), (1, 20736), (2, 21309)]:
         assert py_checksum(RM.to_array(out, om, band=b)) == want, b
+
+
+def test_gdal_rasterize_utility_1(spark):
+    """utilities/test_gdal_rasterize_1: polygon + linestring burned at 220
+    onto the 100x100 (1000,1,0,1100,0,-1) grid — checksum 6452."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import rasterize as RZ
+    from gdal_spark.raster.checksum import py_checksum
+    meta = RM.RasterMeta("r1", 100, 100, gt=(1000, 1, 0, 1100, 0, -1),
+                         dtype="uint8")
+    geoms = spark.createDataFrame(
+        [(1, bytearray(G.wkb_from_wkt(
+            "POLYGON((1020 1030,1020 1045,1050 1045,1050 1030,"
+            "1020 1030))")), 220.0),
+         (2, bytearray(G.wkb_from_wkt(
+             "LINESTRING(1000 1000, 1100 1050)")), 220.0)],
+        "geom_id long, wkb binary, burn double")
+    tiles = RZ.rasterize(geoms, meta)
+    assert py_checksum(RM.to_array(tiles, meta)) == 6452
