@@ -56,7 +56,15 @@ def block_checksum_partial(block: np.ndarray, x0: int, y0: int, width: int) -> i
 
 
 def py_checksum(arr: np.ndarray) -> int:
-    """Driver-side reference twin over a full array (tests)."""
+    """Driver-side reference twin over a full array (tests). Complex
+    bands checksum over interleaved (real, imag) components — the
+    reference reads complex data as CInt32/CFloat64 pairs and runs the
+    same modulo loop over 2x the samples (gdalchecksum.cpp:69-155)."""
+    if np.iscomplexobj(arr):
+        inter = np.empty(arr.shape + (2,), np.float64)
+        inter[..., 0] = arr.real
+        inter[..., 1] = arr.imag
+        arr = inter.reshape(arr.shape[0], -1)
     return block_checksum_partial(arr, 0, 0, arr.shape[1]) & 0xFFFF
 
 

@@ -204,19 +204,48 @@ def parse_geotiff(data: bytes, raster_id: str = "tif",
     nb = int(tags.get(277, (1,))[0])
     bits = int(tags[258][0])
     sfmt = int(tags.get(339, (1,))[0])
-    dtype = _BACK[(bits, sfmt)]
+    # complex sample formats (5 = complex int, 6 = complex float,
+    # gdal/frmts/gtiff GDT_C* mapping): decode as component pairs
+    _CPLX = {(32, 5): ("complex64", ">i2" if en == ">" else "<i2"),
+             (64, 5): ("complex128", ">i4" if en == ">" else "<i4"),
+             (64, 6): ("complex64", ">f4" if en == ">" else "<f4"),
+             (128, 6): ("complex128", ">f8" if en == ">" else "<f8")}
+    if bits == 1:
+        dtype, comp_dt = "uint8", None        # 1-bit: unpack to bytes
+    elif (bits, sfmt) in _CPLX:
+        dtype, comp_dt = _CPLX[(bits, sfmt)]
+    else:
+        dtype, comp_dt = _BACK[(bits, sfmt)], None
     bpp = bits // 8
     planar = int(tags.get(284, (1,))[0])
-    np_dt = np.dtype(dtype).newbyteorder(en)
+    is_cplx = np.dtype(dtype).kind == "c"
+    np_dt = (np.dtype(dtype) if is_cplx
+             else np.dtype(dtype).newbyteorder(en))
     bands = [np.zeros((H, W), dtype=dtype) for _ in range(nb)]
 
     def chunk(off: int, cnt: int | None, w: int, h: int,
               spp: int) -> np.ndarray:
+        if bits == 1:
+            row_bytes = (w * spp + 7) // 8
+            want = row_bytes * h
+            raw = data[off:off + (cnt if cnt is not None else want)]
+            raw = TC.decompress(codec, raw, want)
+            raw = raw.ljust(want, b"\x00")   # partial final chunk (#1179)
+            bb = np.frombuffer(raw, np.uint8, want).reshape(h, row_bytes)
+            px = np.unpackbits(bb, axis=1)[:, :w * spp]
+            return px.reshape(h, w, spp)
         want = w * h * spp * bpp
         raw = data[off:off + (cnt if cnt is not None else want)]
         raw = TC.decompress(codec, raw, want)
+        if len(raw) < want:
+            raw = bytes(raw).ljust(want, b"\x00")  # truncated tail (#1179)
         if pred == 2:
             raw = TC.predictor_undo(raw[:want], w, h, np_dt, spp)
+        if is_cplx:
+            comps = np.frombuffer(raw, dtype=comp_dt,
+                                  count=2 * w * h * spp).astype(np.float64)
+            vals = (comps[0::2] + 1j * comps[1::2]).astype(dtype)
+            return vals.reshape(h, w, spp)
         return np.frombuffer(raw, dtype=np_dt,
                              count=w * h * spp).reshape(h, w, spp)
 

@@ -1224,3 +1224,27 @@ def test_gdal_rasterize_utility_1(spark):
         "geom_id long, wkb binary, burn double")
     tiles = RZ.rasterize(geoms, meta)
     assert py_checksum(RM.to_array(tiles, meta)) == 6452
+
+
+# --- tiff_read dtype/layout goldens (autotest/gcore/tiff_read.py) ---
+
+@pytest.mark.parametrize("fixture,band,want", [
+    ("byte.tif", 1, 4672), ("int16.tif", 1, 4672), ("uint16.tif", 1, 4672),
+    ("int32.tif", 1, 4672), ("uint32.tif", 1, 4672),
+    ("float32.tif", 1, 4672), ("float32_minwhite.tif", 1, 1),
+    ("float64.tif", 1, 4672),
+    ("cint16.tif", 1, 5028), ("cint32.tif", 1, 5028),
+    ("cfloat32.tif", 1, 5028), ("cfloat64.tif", 1, 5028),
+    ("separate_tiled.tif", 2, 15234), ("seperate_strip.tif", 2, 15234),
+    ("contig_tiled.tif", 2, 15234), ("contig_strip.tif", 2, 15234),
+    ("empty1bit.tif", 1, 0),
+], ids=lambda v: str(v))
+def test_tiff_read_goldens(spark, fixture, band, want):
+    """tiff_read init_list: every sample format (incl complex int/float
+    pairs and 1-bit), planar/chunky x strip/tile layouts with truncated
+    final chunks (#1179), checksummed against the reference."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster.checksum import py_checksum
+    bands, _meta = FM.parse_geotiff(
+        open(os.path.join(GCORE, fixture), "rb").read())
+    assert py_checksum(bands[band - 1]) == want
