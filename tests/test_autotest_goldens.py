@@ -1251,3 +1251,15 @@ def test_tiff_read_goldens(spark, fixture, band, want):
     bands, _meta = FM.parse_geotiff(
         open(os.path.join(GCORE, fixture), "rb").read())
     assert py_checksum(bands[band - 1]) == want
+
+
+def test_png_rgba16_golden(spark):
+    """gdrivers/png.py png_5/_6: 16-bit RGBA PNG band checksums
+    (1815 / 4873)."""
+    from gdal_spark.raster import imagecodec as IC
+    from gdal_spark.raster.checksum import py_checksum
+    a = IC.png_decode(open(os.path.join(GDRIVERS, "rgba16.png"),
+                           "rb").read())
+    assert a.dtype == np.uint16 and a.shape == (20, 20, 4)
+    assert py_checksum(a[:, :, 2]) == 1815
+    assert py_checksum(a[:, :, 3]) == 4873
