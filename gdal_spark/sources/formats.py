@@ -559,6 +559,9 @@ def read_shapefile(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed shapefile scan: ``binaryFile`` loads every .shp/.dbf
     under the glob, files group by stem (one task per shapefile — the
     OGR parallelism unit), and each pair parses to feature rows."""
+    if path_glob.endswith(".shp"):
+        # an explicit .shp path means the dataset: pull the sidecars too
+        path_glob = path_glob[:-4] + ".*"
     files = (spark.read.format("binaryFile").load(path_glob)
              .select("path", "content")
              .withColumn("stem", F.regexp_replace("path", r"\.(shp|dbf|shx)$", ""))

@@ -1263,3 +1263,24 @@ def test_png_rgba16_golden(spark):
     assert a.dtype == np.uint16 and a.shape == (20, 20, 4)
     assert py_checksum(a[:, :, 2]) == 1815
     assert py_checksum(a[:, :, 3]) == 4873
+
+
+def test_shapefile_poly_read(spark):
+    """ogr/data/poly.shp through the distributed shapefile reader: 10
+    features, the known EAS_ID set, and the shoelace area of every parsed
+    polygon equals its DBF AREA attribute (the reference's own numbers)."""
+    import json
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as SF
+    df = SF.read_shapefile(
+        spark, "/root/reference/autotest/ogr/data/poly.shp")
+    rows = df.collect()
+    assert len(rows) == 10
+    eas = set()
+    for r in rows:
+        props = json.loads(r["properties"])
+        eas.add(int(props["EAS_ID"]))
+        area = G.polygon_area(bytes(r["geometry"]))
+        assert abs(area - float(props["AREA"])) <= 0.05, props
+    assert eas == {168, 179, 171, 173, 172, 169, 166, 158, 165, 170}
