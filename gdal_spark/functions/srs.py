@@ -54,9 +54,14 @@ CLARKE_1866 = (6378206.4, 1.0 - 6356583.8 / 6378206.4)
 # projections (forward: lon/lat deg -> x/y; inverse: x/y -> lon/lat deg)
 # ---------------------------------------------------------------------------
 
+@dataclass(frozen=True)
 class Geographic:
-    """Identity CRS: projected coords are (lon, lat) degrees."""
+    """Identity CRS: projected coords are (lon, lat) degrees. The
+    ellipsoid fields only matter when the CRS is datum-shifted (a
+    :class:`DatumShifted` wrapper references them)."""
 
+    a: float = 6378137.0
+    f: float = 1.0 / 298.257223563
     name = "geographic"
 
     def forward(self, lon, lat):
@@ -104,6 +109,38 @@ def _q(phi, e):
     s = np.sin(phi)
     return (1.0 - e * e) * (s / (1.0 - (e * s) ** 2)
                             - np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+
+
+def _phi_from_t(t, e):
+    """Snyder 7-9: latitude (rad) from the isometric colatitude function
+    t, by fixed-point iteration (converges far past 1e-12 rad in 8
+    rounds for geodetic eccentricities)."""
+    t = np.asarray(t, np.float64)
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = (math.pi / 2.0
+               - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)))
+    return phi
+
+
+def _phi_from_q(q, e):
+    """Snyder 3-16: latitude (rad) from authalic q by Newton iteration.
+    |q| at/above q(90°) short-circuits to ±90° (the pole), where the
+    Newton step's 1/cos(phi) blows up."""
+    q = np.asarray(q, np.float64)
+    qp = float(_q(np.float64(math.pi / 2.0), e))
+    e2 = e * e
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    at_pole = np.abs(q) >= qp * (1.0 - 1e-14)
+    safe_q = np.where(at_pole, 0.0, q)
+    for _ in range(10):
+        s = np.sin(phi)
+        one = 1.0 - e2 * s * s
+        phi = phi + one * one / (2.0 * np.cos(phi)) * (
+            safe_q / (1.0 - e2) - s / one
+            + np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+    return np.where(at_pole, np.sign(q) * (math.pi / 2.0), phi)
 
 
 @dataclass(frozen=True)
@@ -222,29 +259,393 @@ class AlbersEqualArea:
 @dataclass(frozen=True)
 class TransverseMercator:
     """Transverse Mercator (EPSG 9807) delegating to the Krüger n^6
-    series in functions/proj.py (WGS84 only — the series coefficients
-    are precomputed for that ellipsoid)."""
+    series in functions/proj.py (coefficients derived per-ellipsoid;
+    WGS84 precomputed). A non-zero ``lat0`` shifts the false northing
+    by k0·M(lat0), the EPSG natural-origin convention — this is what
+    e.g. the British National Grid (EPSG 27700, Airy 1830, lat0=49)
+    uses."""
 
     lon0: float
     k0: float = PJ.UTM_K0
     fe: float = PJ.UTM_FE
     fn: float = 0.0
+    lat0: float = 0.0
+    a: float = WGS84[0]
+    f: float = WGS84[1]
     name = "tmerc"
+
+    def _fn_eff(self) -> float:
+        if self.lat0 == 0.0:
+            return self.fn
+        # k0 * meridian arc of lat0 = the northing the series assigns to
+        # (lat0, lon0) with fn=0; subtract it so lat0 maps to fn exactly
+        _, n0 = PJ.tm_forward(self.lat0, self.lon0, self.lon0, k0=self.k0,
+                              fe=0.0, fn=0.0, a=self.a, f=self.f)
+        return self.fn - float(n0)
 
     def forward(self, lon, lat):
         e, n = PJ.tm_forward(lat, lon, self.lon0, k0=self.k0,
-                             fe=self.fe, fn=self.fn)
+                             fe=self.fe, fn=self._fn_eff(),
+                             a=self.a, f=self.f)
         return e, n
 
     def inverse(self, x, y):
         lat, lon = PJ.tm_inverse(x, y, self.lon0, k0=self.k0,
-                                 fe=self.fe, fn=self.fn)
+                                 fe=self.fe, fn=self._fn_eff(),
+                                 a=self.a, f=self.f)
         return lon, lat
 
 
 def utm_crs(zone: int, north: bool = True) -> TransverseMercator:
     return TransverseMercator(lon0=PJ.utm_central_meridian(zone),
                               fn=0.0 if north else PJ.UTM_FN_SOUTH)
+
+
+@dataclass(frozen=True)
+class PolarStereographic:
+    """Polar Stereographic (EPSG methods 9810 variant A / 9829 variant
+    B; Snyder 1987 eqs 21-33..21-35, 20-14..20-18 ellipsoidal). The
+    sign of ``lat_ts`` (GDAL WKT1 ``latitude_of_origin``) picks the
+    aspect; |lat_ts| = 90 is variant A where ``k0`` is the central
+    scale (UPS: k0=0.994), otherwise the scale is exact at lat_ts and
+    ``k0`` stays 1. Covers EPSG 3031/3413/3976 and UPS 5041/5042."""
+
+    lat_ts: float = 90.0
+    lon0: float = 0.0
+    k0: float = 1.0
+    fe: float = 0.0
+    fn: float = 0.0
+    a: float = WGS84[0]
+    f: float = WGS84[1]
+    name = "polar_stereographic"
+
+    @property
+    def south(self) -> bool:
+        return self.lat_ts < 0.0
+
+    def _consts(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+        if abs(self.lat_ts) >= 90.0 - 1e-12:
+            # Snyder 21-33: rho = 2 a k0 t / sqrt((1+e)^(1+e)(1-e)^(1-e))
+            coef = 2.0 * self.a * self.k0 / math.sqrt(
+                (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        else:
+            # Snyder 21-34: rho = a m_c t / t_c (exact scale at lat_ts)
+            pc = abs(math.radians(self.lat_ts))
+            coef = self.a * self.k0 * float(_m(pc, e)) / float(_t(pc, e))
+        return e, coef
+
+    def forward(self, lon, lat):
+        e, coef = self._consts()
+        lat = np.asarray(lat, np.float64)
+        lon = np.asarray(lon, np.float64)
+        sgn = -1.0 if self.south else 1.0
+        rho = coef * _t(np.deg2rad(sgn * lat), e)
+        theta = np.deg2rad(lon - self.lon0)
+        return (self.fe + rho * np.sin(theta),
+                self.fn - sgn * rho * np.cos(theta))
+
+    def inverse(self, x, y):
+        e, coef = self._consts()
+        sgn = -1.0 if self.south else 1.0
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = (np.asarray(y, np.float64) - self.fn) * (-sgn)
+        t = np.hypot(dx, dy) / coef
+        phi = _phi_from_t(t, e)
+        lam = np.arctan2(dx, dy)
+        return self.lon0 + np.rad2deg(lam), sgn * np.rad2deg(phi)
+
+
+@dataclass(frozen=True)
+class LambertAzimuthalEqualArea:
+    """Lambert Azimuthal Equal-Area (EPSG method 9820; Snyder 1987 eqs
+    24-2..24-6 forward, 24-16..24-21 + 3-16 inverse, ellipsoidal oblique
+    form; polar aspects per 24-23/24-25). Covers EPSG 3035 (ETRS89-LAEA
+    Europe, lat0=52 lon0=10) and the equatorial/polar aspects."""
+
+    lat0: float = 0.0
+    lon0: float = 0.0
+    fe: float = 0.0
+    fn: float = 0.0
+    a: float = WGS84[0]
+    f: float = WGS84[1]
+    name = "laea"
+
+    def _consts(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+        qp = float(_q(np.float64(math.pi / 2.0), e))
+        rq = self.a * math.sqrt(qp / 2.0)
+        p0 = math.radians(self.lat0)
+        q1 = float(_q(np.float64(p0), e))
+        beta1 = math.asin(min(1.0, max(-1.0, q1 / qp)))
+        m1 = float(_m(p0, e))
+        d = (self.a * m1) / (rq * math.cos(beta1)) if abs(self.lat0) < 90.0 - 1e-12 else 1.0
+        return e, qp, rq, beta1, d
+
+    def _polar(self) -> float:
+        """+1 north polar, -1 south polar, 0 oblique/equatorial."""
+        if self.lat0 >= 90.0 - 1e-12:
+            return 1.0
+        if self.lat0 <= -90.0 + 1e-12:
+            return -1.0
+        return 0.0
+
+    def forward(self, lon, lat):
+        e, qp, rq, beta1, d = self._consts()
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        lam = np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        q = _q(phi, e)
+        pole = self._polar()
+        if pole != 0.0:
+            # Snyder 24-23/25: rho = a sqrt(qp -/+ q)
+            under = np.maximum(qp - pole * q, 0.0)
+            rho = self.a * np.sqrt(under)
+            return (self.fe + rho * np.sin(lam),
+                    self.fn - pole * rho * np.cos(lam))
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        sb1, cb1 = math.sin(beta1), math.cos(beta1)
+        sb, cb = np.sin(beta), np.cos(beta)
+        denom = 1.0 + sb1 * sb + cb1 * cb * np.cos(lam)
+        b = rq * np.sqrt(2.0 / np.maximum(denom, 1e-300))
+        x = b * d * cb * np.sin(lam)
+        y = (b / d) * (cb1 * sb - sb1 * cb * np.cos(lam))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        e, qp, rq, beta1, d = self._consts()
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        pole = self._polar()
+        if pole != 0.0:
+            rho = np.hypot(dx, dy)
+            q = pole * (qp - (rho / self.a) ** 2)
+            lam = np.arctan2(dx, -pole * dy)
+            phi = _phi_from_q(q, e)
+            return self.lon0 + np.rad2deg(lam), np.rad2deg(phi)
+        sb1, cb1 = math.sin(beta1), math.cos(beta1)
+        rho = np.hypot(dx / d, d * dy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+            q = np.where(rho > 0.0,
+                         qp * (np.cos(ce) * sb1
+                               + d * dy * np.sin(ce) * cb1
+                               / np.where(rho > 0.0, rho, 1.0)),
+                         qp * sb1)
+            lam = np.arctan2(dx * np.sin(ce),
+                             d * rho * cb1 * np.cos(ce)
+                             - d * d * dy * sb1 * np.sin(ce))
+        lam = np.where(rho > 0.0, lam, 0.0)
+        phi = _phi_from_q(q, e)
+        return self.lon0 + np.rad2deg(lam), np.rad2deg(phi)
+
+
+@dataclass(frozen=True)
+class Mercator:
+    """Ellipsoidal Mercator (EPSG method 9804 variant A / 9805 variant
+    B where ``lat_ts`` derives the scale as m(lat_ts); Snyder 1987 eqs
+    7-6..7-10). EPSG 3395 World Mercator is variant A with k0=1. This
+    is the true-ellipsoid Mercator — WebMercator (EPSG 3857) stays the
+    separate spherical class above, as in the reference."""
+
+    lat_ts: float = 0.0
+    lon0: float = 0.0
+    k0: float = 1.0
+    fe: float = 0.0
+    fn: float = 0.0
+    a: float = WGS84[0]
+    f: float = WGS84[1]
+    name = "mercator"
+
+    def _consts(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+        k = self.k0
+        if self.lat_ts != 0.0:
+            k = self.k0 * float(_m(math.radians(abs(self.lat_ts)), e))
+        return e, self.a * k
+
+    def forward(self, lon, lat):
+        e, ak = self._consts()
+        lam = np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        return (self.fe + ak * lam,
+                self.fn - ak * np.log(_t(phi, e)))
+
+    def inverse(self, x, y):
+        e, ak = self._consts()
+        t = np.exp(-(np.asarray(y, np.float64) - self.fn) / ak)
+        phi = _phi_from_t(t, e)
+        lon = self.lon0 + np.rad2deg((np.asarray(x, np.float64) - self.fe) / ak)
+        return lon, np.rad2deg(phi)
+
+
+@dataclass(frozen=True)
+class Sinusoidal:
+    """Sinusoidal equal-area (Snyder 1987 eqs 30-8/30-9 ellipsoidal with
+    the meridian-arc series 3-21 and its rectifying inverse 3-26; exact
+    on the sphere at f=0). The MODIS/VIIRS tile grid is this projection
+    on the authalic-radius sphere — :data:`MODIS_SINU` below."""
+
+    lon0: float = 0.0
+    fe: float = 0.0
+    fn: float = 0.0
+    a: float = WGS84[0]
+    f: float = WGS84[1]
+    name = "sinusoidal"
+
+    def _consts(self):
+        e2 = self.f * (2.0 - self.f)
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+        c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+        c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+        c6 = 35.0 * e6 / 3072.0
+        sq = math.sqrt(1.0 - e2)
+        e1 = (1.0 - sq) / (1.0 + sq)
+        return e2, (c0, c2, c4, c6), e1
+
+    def _merid(self, phi):
+        _, (c0, c2, c4, c6), _ = self._consts()
+        return self.a * (c0 * phi - c2 * np.sin(2.0 * phi)
+                         + c4 * np.sin(4.0 * phi) - c6 * np.sin(6.0 * phi))
+
+    def forward(self, lon, lat):
+        e2, _, _ = self._consts()
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        lam = np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        s = np.sin(phi)
+        x = self.a * lam * np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+        return self.fe + x, self.fn + self._merid(phi)
+
+    def inverse(self, x, y):
+        e2, (c0, _, _, _), e1 = self._consts()
+        mu = (np.asarray(y, np.float64) - self.fn) / (self.a * c0)
+        # Snyder 3-26 rectifying-latitude series
+        phi = (mu
+               + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+               + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0) * np.sin(4.0 * mu)
+               + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+               + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu))
+        s = np.sin(phi)
+        cp = np.cos(phi)
+        dx = np.asarray(x, np.float64) - self.fe
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lam = dx * np.sqrt(1.0 - e2 * s * s) / (self.a * cp)
+        lam = np.where(np.abs(cp) < 1e-12, 0.0, lam)
+        return self.lon0 + np.rad2deg(lam), np.rad2deg(phi)
+
+
+#: the MODIS/VIIRS sinusoidal grid sphere (authalic radius 6371007.181 m)
+MODIS_SINU = Sinusoidal(a=6371007.181, f=0.0)
+
+
+# ---------------------------------------------------------------------------
+# datum transforms: geodetic <-> geocentric + 7-parameter Helmert
+# (OGRCoordinateTransformation's TOWGS84 pipeline, gdal/ogr/ogrct.cpp —
+# geocentric hub via EPSG methods 9602 (geographic<->geocentric) and
+# 9606 (position-vector 7-param); math from EPSG Guidance Note 7-2)
+# ---------------------------------------------------------------------------
+
+def geodetic_to_geocentric(lon, lat, h=0.0, ellps=WGS84):
+    """(lon°, lat°, h m) → earth-centred cartesian (X, Y, Z) m (EPSG
+    9602): X=(ν+h)cosφcosλ, Y=(ν+h)cosφsinλ, Z=(ν(1−e²)+h)sinφ."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    lam = np.deg2rad(np.asarray(lon, np.float64))
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    h = np.asarray(h, np.float64)
+    s, c = np.sin(phi), np.cos(phi)
+    nu = a / np.sqrt(1.0 - e2 * s * s)
+    return ((nu + h) * c * np.cos(lam), (nu + h) * c * np.sin(lam),
+            (nu * (1.0 - e2) + h) * s)
+
+
+def geocentric_to_geodetic(x, y, z, ellps=WGS84):
+    """(X, Y, Z) m → (lon°, lat°, h m): Bowring 1976 first guess + 3
+    Newton refinements (sub-micrometre for |h| < 10 km)."""
+    a, f = ellps
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    p = np.hypot(x, y)
+    theta = np.arctan2(z * a, p * b)
+    phi = np.arctan2(z + ep2 * b * np.sin(theta) ** 3,
+                     p - e2 * a * np.cos(theta) ** 3)
+    for _ in range(3):
+        s = np.sin(phi)
+        nu = a / np.sqrt(1.0 - e2 * s * s)
+        c = np.cos(phi)
+        h = np.where(np.abs(c) > 1e-10, p / np.maximum(np.abs(c), 1e-300) - nu,
+                     np.abs(z) / np.maximum(np.abs(s), 1e-300) - nu * (1.0 - e2))
+        phi = np.arctan2(z, p * (1.0 - e2 * nu / (nu + h)))
+    s, c = np.sin(phi), np.cos(phi)
+    nu = a / np.sqrt(1.0 - e2 * s * s)
+    h = np.where(np.abs(c) > 1e-10, p / np.maximum(np.abs(c), 1e-300) - nu,
+                 np.abs(z) / np.maximum(np.abs(s), 1e-300) - nu * (1.0 - e2))
+    return np.rad2deg(np.arctan2(y, x)), np.rad2deg(phi), h
+
+
+def helmert(x, y, z, params, inverse: bool = False):
+    """7-parameter Helmert, position-vector convention (EPSG 9606 — the
+    TOWGS84 convention): params = (tx m, ty m, tz m, rx ″, ry ″, rz ″,
+    ds ppm). ``inverse=True`` applies the standard EPSG reversal
+    (negated-parameter/transposed small-angle form)."""
+    tx, ty, tz, rxs, rys, rzs, ds = params
+    k = math.pi / (180.0 * 3600.0)
+    rx, ry, rz = rxs * k, rys * k, rzs * k
+    s = 1.0 + ds * 1e-6
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    if not inverse:
+        return (tx + s * (x - rz * y + ry * z),
+                ty + s * (rz * x + y - rx * z),
+                tz + s * (-ry * x + rx * y + z))
+    xp, yp, zp = (x - tx) / s, (y - ty) / s, (z - tz) / s
+    return (xp + rz * yp - ry * zp,
+            -rz * xp + yp + rx * zp,
+            ry * xp - rx * yp + zp)
+
+
+#: OSGB36 → WGS84 single-solution Helmert (the published OSTN-free
+#: 7-parameter approximation, ~3 m accuracy)
+OSGB36_TOWGS84 = (446.448, -125.157, 542.06, 0.15, 0.247, 0.8421, -20.4894)
+
+
+@dataclass(frozen=True)
+class DatumShifted:
+    """A projected (or geographic) CRS whose datum differs from the
+    WGS84 hub. ``towgs84`` is the 7-parameter position-vector transform
+    local-datum → WGS84 (the WKT1 TOWGS84 node). ``forward`` takes
+    WGS84 lon/lat (the GenImgProjTransform hub coordinates) through the
+    geocentric Helmert to the local datum, then projects; ``inverse``
+    mirrors. h=0 on the local ellipsoid (the 2D TOWGS84 convention)."""
+
+    crs: object
+    towgs84: tuple
+
+    @property
+    def name(self) -> str:
+        return f"{self.crs.name}+towgs84"
+
+    def _ellps(self):
+        return (getattr(self.crs, "a", WGS84[0]),
+                getattr(self.crs, "f", WGS84[1]))
+
+    def forward(self, lon, lat):
+        gx, gy, gz = geodetic_to_geocentric(lon, lat, 0.0, WGS84)
+        gx, gy, gz = helmert(gx, gy, gz, self.towgs84, inverse=True)
+        lon2, lat2, _ = geocentric_to_geodetic(gx, gy, gz, self._ellps())
+        return self.crs.forward(lon2, lat2)
+
+    def inverse(self, x, y):
+        lon, lat = self.crs.inverse(x, y)
+        gx, gy, gz = geodetic_to_geocentric(lon, lat, 0.0, self._ellps())
+        gx, gy, gz = helmert(gx, gy, gz, self.towgs84)
+        lon2, lat2, _ = geocentric_to_geodetic(gx, gy, gz, WGS84)
+        return lon2, lat2
 
 
 # ---------------------------------------------------------------------------
@@ -256,15 +657,26 @@ _PROJ_WKT_NAMES = {
     "lcc": "Lambert_Conformal_Conic_2SP",
     "albers": "Albers_Conic_Equal_Area",
     "tmerc": "Transverse_Mercator",
+    "polar_stereographic": "Polar_Stereographic",
+    "laea": "Lambert_Azimuthal_Equal_Area",
+    "mercator": "Mercator_1SP",
+    "sinusoidal": "Sinusoidal",
 }
 
 
 def crs_to_wkt(crs) -> str:
-    """Serialize a projected CRS to WKT1 (geographic → GEOGCS only)."""
+    """Serialize a projected CRS to WKT1 (geographic → GEOGCS only);
+    a :class:`DatumShifted` wrapper emits its TOWGS84 node."""
+    towtxt = ""
+    if isinstance(crs, DatumShifted):
+        towtxt = ",TOWGS84[" + ",".join(repr(float(v))
+                                        for v in crs.towgs84) + "]"
+        crs = crs.crs
     a = getattr(crs, "a", WGS84[0])
     f = getattr(crs, "f", WGS84[1])
+    rf = 0.0 if f == 0.0 else 1.0 / f  # WKT: inverse flattening 0 = sphere
     geogcs = (f'GEOGCS["GCS_WGS_1984",DATUM["WGS_1984",'
-              f'SPHEROID["WGS84",{a!r},{1.0 / f!r}]],'
+              f'SPHEROID["WGS84",{a!r},{rf!r}]{towtxt}],'
               f'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
     if isinstance(crs, Geographic):
         return geogcs
@@ -276,15 +688,39 @@ def crs_to_wkt(crs) -> str:
                   ("central_meridian", crs.lon0),
                   ("false_easting", crs.fe), ("false_northing", crs.fn)]
     elif isinstance(crs, TransverseMercator):
-        params = [("latitude_of_origin", 0.0),
+        params = [("latitude_of_origin", crs.lat0),
                   ("central_meridian", crs.lon0),
                   ("scale_factor", crs.k0),
                   ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PolarStereographic):
+        params = [("latitude_of_origin", crs.lat_ts),
+                  ("central_meridian", crs.lon0),
+                  ("scale_factor", crs.k0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, LambertAzimuthalEqualArea):
+        params = [("latitude_of_center", crs.lat0),
+                  ("longitude_of_center", crs.lon0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, Mercator):
+        if crs.lat_ts != 0.0:
+            params = [("standard_parallel_1", crs.lat_ts),
+                      ("central_meridian", crs.lon0),
+                      ("false_easting", crs.fe), ("false_northing", crs.fn)]
+        else:
+            params = [("central_meridian", crs.lon0),
+                      ("scale_factor", crs.k0),
+                      ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, Sinusoidal):
+        params = [("longitude_of_center", crs.lon0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
     else:
         raise ValueError(f"cannot serialize {crs!r}")
+    proj_name = _PROJ_WKT_NAMES[crs.name]
+    if isinstance(crs, Mercator) and crs.lat_ts != 0.0:
+        proj_name = "Mercator_2SP"
     body = ",".join(f'PARAMETER["{k}",{v!r}]' for k, v in params)
     return (f'PROJCS["{crs.name}",{geogcs},'
-            f'PROJECTION["{_PROJ_WKT_NAMES[crs.name]}"],{body},'
+            f'PROJECTION["{proj_name}"],{body},'
             f'UNIT["metre",1]]')
 
 
@@ -317,10 +753,26 @@ def _wkt_nodes(wkt: str, kind: str) -> list[list[str]]:
 
 
 def crs_from_wkt(wkt: str):
-    """Parse a WKT1 PROJCS/GEOGCS into a projection object."""
+    """Parse a WKT1 PROJCS/GEOGCS into a projection object. A TOWGS84
+    node with any non-zero parameter wraps the result in
+    :class:`DatumShifted` (the datum-aware transform path)."""
     wkt = wkt.strip()
+    tows = _wkt_nodes(wkt, "TOWGS84")
+    tow = None
+    if tows:
+        vals = tuple(float(v) for v in tows[0][:7])
+        vals = vals + (0.0,) * (7 - len(vals))
+        if any(v != 0.0 for v in vals):
+            tow = vals
     if wkt.upper().startswith("GEOGCS"):
-        return Geographic()
+        sph0 = _wkt_nodes(wkt, "SPHEROID")
+        ga, gf = WGS84
+        if sph0:
+            ga = float(sph0[0][1])
+            grf = float(sph0[0][2])
+            gf = 0.0 if grf == 0 else 1.0 / grf
+        geo = Geographic(a=ga, f=gf)
+        return DatumShifted(geo, tow) if tow else geo
     projs = _wkt_nodes(wkt, "PROJECTION")
     if not projs:
         raise ValueError("no PROJECTION node")
@@ -334,6 +786,11 @@ def crs_from_wkt(wkt: str):
         rf = float(sph[0][2])
         f = 0.0 if rf == 0 else 1.0 / rf
     g = params.get
+    out = _crs_from_method(method, g, a, f, wkt)
+    return DatumShifted(out, tow) if tow else out
+
+
+def _crs_from_method(method, g, a, f, wkt):
     if method == "Lambert_Conformal_Conic_2SP":
         return LambertConformalConic(
             lat1=g("standard_parallel_1", 0.0), lat2=g("standard_parallel_2", 0.0),
@@ -347,9 +804,38 @@ def crs_from_wkt(wkt: str):
     if method == "Transverse_Mercator":
         return TransverseMercator(
             lon0=g("central_meridian", 0.0), k0=g("scale_factor", 1.0),
-            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0))
-    if method in ("Mercator_1SP", "Popular_Visualisation_Pseudo_Mercator"):
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0),
+            lat0=g("latitude_of_origin", 0.0), a=a, f=f)
+    if method == "Polar_Stereographic":
+        return PolarStereographic(
+            lat_ts=g("latitude_of_origin", 90.0), lon0=g("central_meridian", 0.0),
+            k0=g("scale_factor", 1.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Lambert_Azimuthal_Equal_Area":
+        return LambertAzimuthalEqualArea(
+            lat0=g("latitude_of_center", g("latitude_of_origin", 0.0)),
+            lon0=g("longitude_of_center", g("central_meridian", 0.0)),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Mercator_2SP":
+        return Mercator(
+            lat_ts=g("standard_parallel_1", 0.0),
+            lon0=g("central_meridian", 0.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Sinusoidal":
+        return Sinusoidal(
+            lon0=g("longitude_of_center", g("central_meridian", 0.0)),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Popular_Visualisation_Pseudo_Mercator":
         return WebMercator()
+    if method == "Mercator_1SP":
+        # the spherical pseudo-Mercator WKT GDAL writes for EPSG 3857
+        # also spells Mercator_1SP — disambiguate on the spheroid /
+        # the Pseudo-Mercator PROJCS name
+        if f == 0.0 or "Pseudo-Mercator" in wkt:
+            return WebMercator()
+        return Mercator(
+            lon0=g("central_meridian", 0.0), k0=g("scale_factor", 1.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
     raise ValueError(f"unsupported projection method {method!r}")
 
 
@@ -916,6 +1402,31 @@ def crs_from_epsg(code: int):
     if code == 102004:  # ESRI:102004 USA Contiguous LCC
         return LambertConformalConic(lat1=33.0, lat2=45.0, lat0=39.0,
                                      lon0=-96.0, fe=0.0, fn=0.0)
+    grs80_f = 1.0 / 298.257222101
+    if code == 3031:  # WGS84 / Antarctic Polar Stereographic
+        return PolarStereographic(lat_ts=-71.0, lon0=0.0)
+    if code == 3976:  # WGS84 / NSIDC Sea Ice Polar Stereographic South
+        return PolarStereographic(lat_ts=-70.0, lon0=0.0)
+    if code == 3413:  # WGS84 / NSIDC Sea Ice Polar Stereographic North
+        return PolarStereographic(lat_ts=70.0, lon0=-45.0)
+    if code in (5041, 32661):  # WGS84 / UPS North (variant A)
+        return PolarStereographic(lat_ts=90.0, lon0=0.0, k0=0.994,
+                                  fe=2000000.0, fn=2000000.0)
+    if code in (5042, 32761):  # WGS84 / UPS South (variant A)
+        return PolarStereographic(lat_ts=-90.0, lon0=0.0, k0=0.994,
+                                  fe=2000000.0, fn=2000000.0)
+    if code == 3035:  # ETRS89-extended / LAEA Europe (GRS80)
+        return LambertAzimuthalEqualArea(lat0=52.0, lon0=10.0,
+                                         fe=4321000.0, fn=3210000.0,
+                                         f=grs80_f)
+    if code == 3395:  # WGS84 / World Mercator (variant A)
+        return Mercator()
+    if code == 27700:  # OSGB36 / British National Grid (Airy 1830 +
+        # the published single-solution TOWGS84 Helmert)
+        bng = TransverseMercator(lon0=-2.0, k0=0.9996012717,
+                                 fe=400000.0, fn=-100000.0, lat0=49.0,
+                                 a=6377563.396, f=1.0 / 299.3249646)
+        return DatumShifted(bng, OSGB36_TOWGS84)
     raise ValueError(f"EPSG:{code} not in the built-in registry; "
                      "construct the CRS dataclass or pass WKT")
 

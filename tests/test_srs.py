@@ -406,4 +406,4 @@ def test_crs_from_epsg():
     x, y = alb.forward(np.array([-96.0]), np.array([23.0]))
     assert abs(float(x[0])) < 1e-6 and abs(float(y[0])) < 1e-6  # origin
     with pytest.raises(ValueError, match="not in the built-in"):
-        S.crs_from_epsg(27700)
+        S.crs_from_epsg(2154)  # Lambert-93: not in the registry (use WKT)
