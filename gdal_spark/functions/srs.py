@@ -1291,6 +1291,65 @@ def sql_albers_forward(crs: AlbersEqualArea, lon: str, lat: str) -> tuple[str, s
     return x, y
 
 
+def sql_ps_forward(crs: PolarStereographic, lon: str, lat: str) -> tuple[str, str]:
+    """DuckDB SQL text computing the Polar Stereographic forward (x, y)
+    of (lon, lat) — same constants doubles as :meth:`forward`."""
+    e, coef = crs._consts()
+    sgn = -1.0 if crs.south else 1.0
+    er = _d(e)
+    d2r = _d(math.pi / 180.0)
+    slat = f"(({lat}) * {_d(sgn)})"
+    s = f"sin({slat} * {d2r})"
+    t = (f"(tan({_d(math.pi / 4.0)} - {slat} * {_d(math.pi / 360.0)}) / "
+         f"pow((1.0 - {er} * {s}) / (1.0 + {er} * {s}), {_d(e / 2.0)}))")
+    rho = f"({_d(coef)} * {t})"
+    theta = f"((({lon}) - {_d(crs.lon0)}) * {d2r})"
+    x = f"({_d(crs.fe)} + {rho} * sin({theta}))"
+    y = f"({_d(crs.fn)} - {_d(sgn)} * {rho} * cos({theta}))"
+    return x, y
+
+
+def sql_laea_forward(crs: LambertAzimuthalEqualArea, lon: str, lat: str
+                     ) -> tuple[str, str]:
+    """DuckDB SQL text for the oblique LAEA forward (Snyder 24-2..24-6)."""
+    e, qp, rq, beta1, d = crs._consts()
+    if crs._polar() != 0.0:
+        raise ValueError("sql_laea_forward: oblique/equatorial aspects only")
+    er = _d(e)
+    d2r = _d(math.pi / 180.0)
+    s = f"sin(({lat}) * {d2r})"
+    q = (f"({_d(1.0 - e * e)} * ({s} / (1.0 - {_d(e * e)} * {s} * {s}) - "
+         f"ln((1.0 - {er} * {s}) / (1.0 + {er} * {s})) / {_d(2.0 * e)}))")
+    beta = f"(asin({q} / {_d(qp)}))"
+    lam = f"((({lon}) - {_d(crs.lon0)}) * {d2r})"
+    sb1, cb1 = _d(math.sin(beta1)), _d(math.cos(beta1))
+    denom = f"(1.0 + {sb1} * sin({beta}) + {cb1} * cos({beta}) * cos({lam}))"
+    b = f"({_d(rq)} * sqrt(2.0 / {denom}))"
+    x = f"({_d(crs.fe)} + {b} * {_d(d)} * cos({beta}) * sin({lam}))"
+    y = (f"({_d(crs.fn)} + ({b} / {_d(d)}) * ({cb1} * sin({beta}) - "
+         f"{sb1} * cos({beta}) * cos({lam})))")
+    return x, y
+
+
+def sql_sinu_forward(crs: Sinusoidal, lon: str, lat: str) -> tuple[str, str]:
+    """DuckDB SQL text for the sinusoidal forward (Snyder 30-8/3-21)."""
+    e2, (c0, c2, c4, c6), _ = crs._consts()
+    d2r = _d(math.pi / 180.0)
+    phi = f"(({lat}) * {d2r})"
+    lam = f"((({lon}) - {_d(crs.lon0)}) * {d2r})"
+    s = f"sin({phi})"
+    if e2 == 0.0:
+        x = f"({_d(crs.fe)} + {_d(crs.a)} * {lam} * cos({phi}))"
+        y = f"({_d(crs.fn)} + {_d(crs.a)} * {phi})"
+        return x, y
+    x = (f"({_d(crs.fe)} + {_d(crs.a)} * {lam} * cos({phi}) / "
+         f"sqrt(1.0 - {_d(e2)} * {s} * {s}))")
+    y = (f"({_d(crs.fn)} + {_d(crs.a)} * ({_d(c0)} * {phi} "
+         f"- {_d(c2)} * sin(2.0 * {phi}) + {_d(c4)} * sin(4.0 * {phi}) "
+         f"- {_d(c6)} * sin(6.0 * {phi})))")
+    return x, y
+
+
 def sql_tm_inverse(e_expr: str, n_expr: str, lon0: float,
                    k0: float = PJ.UTM_K0, fe: float = PJ.UTM_FE,
                    fn: float = 0.0) -> tuple[str, str]:

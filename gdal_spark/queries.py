@@ -1826,6 +1826,108 @@ FROM cells GROUP BY cx, cy HAVING count(*) >= 3
 ORACLE_PROJ_ALBERS = _oracle_proj_albers()
 
 
+# the round-3 SRS family additions, each oracle-gated through the shared
+# SQL expression text (identical IEEE trees on Spark and DuckDB)
+LAEA_EUROPE = SRS.crs_from_epsg(3035)
+PS_ARCTIC = SRS.crs_from_epsg(3413)
+
+
+def q_proj_laea_cells(spark, sf_dir):
+    """ETRS89-LAEA (EPSG 3035) 100 km equal-area binning of the European
+    doc points — the unbiased-density sampling grid a training-data
+    pipeline uses for geographic balance (Snyder 24-2..24-6 oblique
+    azimuthal forward as pure JVM column math)."""
+    lx, ly = SRS.sql_laea_forward(LAEA_EUROPE, "lon", "lat")
+    return (doc_points(spark, sf_dir)
+            .filter("lon >= -10.0 AND lon <= 30.0 AND lat >= 35.0 "
+                    "AND lat <= 70.0")
+            .selectExpr("doc_id",
+                        f"CAST(floor({lx} / 100000.0) AS BIGINT) AS cx",
+                        f"CAST(floor({ly} / 100000.0) AS BIGINT) AS cy")
+            .groupBy("cx", "cy")
+            .agg(F.count("*").alias("n"), F.max("doc_id").alias("max_doc"))
+            .filter(F.col("n") >= 2))
+
+
+def _oracle_proj_laea() -> str:
+    lx, ly = SRS.sql_laea_forward(LAEA_EUROPE, "lon", "lat")
+    return f"""
+WITH pts AS ({POINTS_SQL}),
+eur AS (SELECT * FROM pts WHERE lon >= -10.0 AND lon <= 30.0
+        AND lat >= 35.0 AND lat <= 70.0),
+cells AS (SELECT doc_id, CAST(floor({lx} / 100000.0) AS BIGINT) AS cx,
+                 CAST(floor({ly} / 100000.0) AS BIGINT) AS cy FROM eur)
+SELECT cx, cy, count(*) AS n, max(doc_id) AS max_doc
+FROM cells GROUP BY cx, cy HAVING count(*) >= 2
+"""
+
+
+# deterministic Arctic point derivation (the doc-point hash never lands
+# above ~49N at test scales, so the polar query derives its own lat/lon
+# from doc_id — same expression text on both engines)
+_ARCTIC_LAT = "(56.0 + ((doc_id * 7919) % 33000000) / CAST(1000000 AS DOUBLE))"
+_ARCTIC_LON = "(((doc_id * 9973) % 360000000) / CAST(1000000 AS DOUBLE) - 180.0)"
+
+
+def q_proj_ps_cells(spark, sf_dir):
+    """NSIDC Sea-Ice Polar Stereographic North (EPSG 3413) 250 km
+    binning of Arctic points (Snyder 21-34 variant-B forward)."""
+    px, py = SRS.sql_ps_forward(PS_ARCTIC, "lon", "lat")
+    return (load(spark, sf_dir, "documents")
+            .selectExpr("doc_id", f"{_ARCTIC_LON} AS lon",
+                        f"{_ARCTIC_LAT} AS lat")
+            .selectExpr("doc_id",
+                        f"CAST(floor({px} / 250000.0) AS BIGINT) AS cx",
+                        f"CAST(floor({py} / 250000.0) AS BIGINT) AS cy")
+            .groupBy("cx", "cy")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc")))
+
+
+def _oracle_proj_ps() -> str:
+    px, py = SRS.sql_ps_forward(PS_ARCTIC, "lon", "lat")
+    return f"""
+WITH arc AS (SELECT doc_id, {_ARCTIC_LON} AS lon, {_ARCTIC_LAT} AS lat
+             FROM documents),
+cells AS (SELECT doc_id, CAST(floor({px} / 250000.0) AS BIGINT) AS cx,
+                 CAST(floor({py} / 250000.0) AS BIGINT) AS cy FROM arc)
+SELECT cx, cy, count(*) AS n, min(doc_id) AS min_doc
+FROM cells GROUP BY cx, cy
+"""
+
+
+_MODIS_T = 2.0 * math.pi * 6371007.181 / 36.0  # one 10-deg MODIS tile, m
+
+
+def q_proj_modis_tiles(spark, sf_dir):
+    """MODIS sinusoidal h/v tile assignment of every doc point — the
+    36x18 equal-area tile grid (sinusoidal on the authalic sphere,
+    tile = 10 deg of equator arc). The satellite-imagery twin of the
+    WebMercator tile_assign query."""
+    sx, sy = SRS.sql_sinu_forward(SRS.MODIS_SINU, "lon", "lat")
+    t = f"({_MODIS_T!r}::DOUBLE)"
+    return (doc_points(spark, sf_dir)
+            .selectExpr("doc_id",
+                        f"CAST(floor(({sx} + 18.0 * {t}) / {t}) AS BIGINT) AS h",
+                        f"CAST(floor((9.0 * {t} - {sy}) / {t}) AS BIGINT) AS v")
+            .groupBy("h", "v")
+            .agg(F.count("*").alias("n"), F.max("doc_id").alias("max_doc"))
+            .filter(F.col("n") >= 5))
+
+
+def _oracle_proj_modis() -> str:
+    sx, sy = SRS.sql_sinu_forward(SRS.MODIS_SINU, "lon", "lat")
+    t = f"({_MODIS_T!r}::DOUBLE)"
+    return f"""
+WITH pts AS ({POINTS_SQL}),
+cells AS (SELECT doc_id,
+                 CAST(floor(({sx} + 18.0 * {t}) / {t}) AS BIGINT) AS h,
+                 CAST(floor((9.0 * {t} - {sy}) / {t}) AS BIGINT) AS v
+          FROM pts)
+SELECT h, v, count(*) AS n, max(doc_id) AS max_doc
+FROM cells GROUP BY h, v HAVING count(*) >= 5
+"""
+
+
 def _gcp_dst_transform():
     """Order-2 GCP transform fitted to a 5x5 lattice sampled exactly from
     a quadratic pixel→geo model (gdal_crs.c path; lstsq recovers the
@@ -1921,6 +2023,9 @@ ORACLE_WARP_UTM = _oracle_warp_utm()
 QUERIES.update({
     "warp_lcc": (q_warp_lcc, ORACLE_WARP_LCC),
     "proj_albers_cells": (q_proj_albers_cells, ORACLE_PROJ_ALBERS),
+    "proj_laea_cells": (q_proj_laea_cells, _oracle_proj_laea()),
+    "proj_ps_cells": (q_proj_ps_cells, _oracle_proj_ps()),
+    "proj_modis_tiles": (q_proj_modis_tiles, _oracle_proj_modis()),
     "warp_gcp": (q_warp_gcp, ORACLE_WARP_GCP),
     "warp_utm": (q_warp_utm, ORACLE_WARP_UTM),
 })
