@@ -52,37 +52,61 @@ _DTYPES = {"uint8": (8, 1), "uint16": (16, 1), "uint32": (32, 1),
 _BACK = {v: k for k, v in _DTYPES.items()}
 
 _SHORT, _LONG, _ASCII, _DOUBLE = 3, 4, 2, 12
-_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8}
+_LONG8, _SLONG8, _IFD8 = 16, 17, 18  # BigTIFF 8-byte types
+_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8,
+              _LONG8: 8, _SLONG8: 8, _IFD8: 8}
 
 
 def _entries_bytes(entries: list[tuple[int, int, bytes, int]],
-                   data_start: int) -> tuple[bytes, bytes, dict[int, int]]:
+                   data_start: int,
+                   big: bool = False) -> tuple[bytes, bytes, dict[int, int]]:
     """Pack IFD entries (tag, type, payload bytes, count); payloads over
-    4 bytes go to the external data area starting at ``data_start``.
-    Returns (ifd bytes, external bytes, tag → absolute payload offset for
-    external payloads) so sinks can patch arrays after streaming."""
+    the inline slot (4 bytes classic, 8 BigTIFF) go to the external data
+    area starting at ``data_start``. Returns (ifd bytes, external bytes,
+    tag → absolute payload offset for external payloads) so sinks can
+    patch arrays after streaming."""
     entries = sorted(entries)
+    inline = 8 if big else 4
+    off_fmt = "<Q" if big else "<I"
+    cnt_fmt = "<HHQ" if big else "<HHI"
     ifd, ext = [], b""
     ext_pos: dict[int, int] = {}
     for tag, typ, payload, count in entries:
-        if len(payload) <= 4:
-            val = payload.ljust(4, b"\x00")
+        if len(payload) <= inline:
+            val = payload.ljust(inline, b"\x00")
         else:
             ext_pos[tag] = data_start + len(ext)
-            val = struct.pack("<I", data_start + len(ext))
+            val = struct.pack(off_fmt, data_start + len(ext))
             ext += payload + (b"\x00" if len(payload) % 2 else b"")
-        ifd.append(struct.pack("<HHI", tag, typ, count) + val)
+        ifd.append(struct.pack(cnt_fmt, tag, typ, count) + val)
     return b"".join(ifd), ext, ext_pos
+
+
+def _tiff_prelude(big: bool, n_entries: int) -> tuple[int, int]:
+    """(header size, full IFD size incl count + next pointer)."""
+    if big:
+        return 16, 8 + 20 * n_entries + 8
+    return 8, 2 + 12 * n_entries + 4
+
+
+def _tiff_header_bytes(big: bool, n_entries: int) -> bytes:
+    if big:
+        return (struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+                + struct.pack("<Q", n_entries))
+    return struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", n_entries)
 
 
 def geotiff_bytes(bands: list[np.ndarray], meta: RasterMeta,
                   compression: str = "none",
-                  predictor: bool = False) -> bytes:
+                  predictor: bool = False,
+                  bigtiff: bool = False) -> bytes:
     """Arrays → one tiled GeoTIFF (little-endian, planar band
     organization, tile size = ``meta.block``; edge tiles are padded to
     the full tile size per the TIFF 6.0 tile rules). ``compression`` is
     one of none/lzw/deflate/packbits (raster/tiffcodec.py); ``predictor``
-    adds horizontal differencing (Predictor=2, integer dtypes only)."""
+    adds horizontal differencing (Predictor=2, integer dtypes only);
+    ``bigtiff`` writes the BigTIFF (magic 43) layout with 8-byte
+    offsets — required past 4 GiB, readable either way."""
     codec = TC.NAMES[compression]
     nb = len(bands)
     H, W = bands[0].shape
@@ -137,51 +161,76 @@ def geotiff_bytes(bands: list[np.ndarray], meta: RasterMeta,
         entries.append((42113, _ASCII, nd, len(nd)))
     n_entries = len(entries) + 1  # + TileOffsets below
 
-    # layout: header(8) | count(2) IFD next(4) | external | tiles
-    ifd_size = 2 + 12 * n_entries + 4
+    # layout: header | count IFD next | external | tiles
+    off_t, off_fmt = (_LONG8, "Q") if bigtiff else (_LONG, "I")
+    hdr_size, ifd_size = _tiff_prelude(bigtiff, n_entries)
     _probe_ifd, probe_ext, _pos = _entries_bytes(
-        entries + [(324, _LONG, struct.pack(f"<{ntiles}I", *([0] * ntiles)),
-                    ntiles)], 8 + ifd_size)
-    data_start = 8 + ifd_size + len(probe_ext)
+        entries + [(324, off_t,
+                    struct.pack(f"<{ntiles}{off_fmt}", *([0] * ntiles)),
+                    ntiles)], hdr_size + ifd_size, big=bigtiff)
+    data_start = hdr_size + ifd_size + len(probe_ext)
     offsets, pos = [], data_start
     for c in counts:
         offsets.append(pos)
         pos += c + (c % 2)  # word-align per TIFF 6.0
-    entries.append((324, _LONG, struct.pack(f"<{ntiles}I", *offsets), ntiles))
-    ifd, ext, _pos = _entries_bytes(entries, 8 + ifd_size)
+    entries.append((324, off_t,
+                    struct.pack(f"<{ntiles}{off_fmt}", *offsets), ntiles))
+    ifd, ext, _pos = _entries_bytes(entries, hdr_size + ifd_size, big=bigtiff)
 
-    out = [struct.pack("<2sHI", b"II", 42, 8),
-           struct.pack("<H", n_entries), ifd, struct.pack("<I", 0), ext]
+    out = [_tiff_header_bytes(bigtiff, n_entries), ifd,
+           struct.pack("<Q" if bigtiff else "<I", 0), ext]
     for p in payloads:
         out.append(p + (b"\x00" if len(p) % 2 else b""))
     return b"".join(out)
 
 
 def _read_ifd(data: bytes) -> tuple[dict, str]:
+    """Classic (magic 42) or BigTIFF (magic 43, TIFF Supplement /
+    gdal/frmts/gtiff libtiff BigTIFF layout: 8-byte offsets, 20-byte IFD
+    entries, 8-byte inline value slot, LONG8/SLONG8/IFD8 types)."""
     if data[:2] == b"II":
         en = "<"
     elif data[:2] == b"MM":
         en = ">"
     else:
         raise ValueError("not a TIFF")
-    magic, ifd_off = struct.unpack_from(en + "HI", data, 2)
-    if magic != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    (count,) = struct.unpack_from(en + "H", data, ifd_off)
+    (magic,) = struct.unpack_from(en + "H", data, 2)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(en + "I", data, 4)
+        entry_size, inline, cnt_size = 12, 4, 2
+        (count,) = struct.unpack_from(en + "H", data, ifd_off)
+    elif magic == 43:
+        offsize, zero = struct.unpack_from(en + "HH", data, 4)
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack_from(en + "Q", data, 8)
+        entry_size, inline, cnt_size = 20, 8, 8
+        (count,) = struct.unpack_from(en + "Q", data, ifd_off)
+    else:
+        raise ValueError("not a TIFF (bad magic)")
     tags: dict[int, tuple] = {}
     for i in range(count):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, n = struct.unpack_from(en + "HHI", data, off)
-        size = _TYPE_SIZE.get(typ, 1) * n
-        if size <= 4:
-            payload = data[off + 8:off + 8 + size]
+        off = ifd_off + cnt_size + entry_size * i
+        if magic == 42:
+            tag, typ, n = struct.unpack_from(en + "HHI", data, off)
         else:
-            (doff,) = struct.unpack_from(en + "I", data, off + 8)
+            tag, typ, n = struct.unpack_from(en + "HHQ", data, off)
+        size = _TYPE_SIZE.get(typ, 1) * n
+        vslot = off + 4 + (4 if magic == 42 else 8)
+        if size <= inline:
+            payload = data[vslot:vslot + size]
+        else:
+            (doff,) = struct.unpack_from(en + ("I" if magic == 42 else "Q"),
+                                         data, vslot)
             payload = data[doff:doff + size]
         if typ == _SHORT:
             vals = struct.unpack(en + f"{n}H", payload)
         elif typ == _LONG:
             vals = struct.unpack(en + f"{n}I", payload)
+        elif typ in (_LONG8, _IFD8):
+            vals = struct.unpack(en + f"{n}Q", payload)
+        elif typ == _SLONG8:
+            vals = struct.unpack(en + f"{n}q", payload)
         elif typ == _DOUBLE:
             vals = struct.unpack(en + f"{n}d", payload)
         elif typ == _ASCII:
@@ -420,7 +469,8 @@ def read_geotiff(spark: SparkSession, path_glob: str,
 
 def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
                   bands: int = 1, compression: str = "none",
-                  predictor: bool = False) -> int:
+                  predictor: bool = False,
+                  bigtiff: bool | None = None) -> int:
     """Single-artifact GeoTIFF sink: a .tif is one file, so block rows
     stream to the driver (``toLocalIterator``, one partition in memory at
     a time) — the write is O(1) memory in raster size. TIFF tile grid =
@@ -445,6 +495,11 @@ def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
     ntiles = ntx * nty * bands
     tile_bytes = tw * th * bpp
     le_dt = np.dtype(meta.dtype).newbyteorder("<")
+    if bigtiff is None:
+        # BIGTIFF=IF_NEEDED: classic offsets are uint32, so switch when
+        # the projected uncompressed payload approaches 4 GiB (the IFD +
+        # tile arrays add well under the 16 MiB margin)
+        bigtiff = ntiles * tile_bytes > (1 << 32) - (1 << 24)
 
     entries = [
         (256, _LONG, struct.pack("<I", W), 1),
@@ -471,19 +526,22 @@ def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
         nd = f"{meta.nodata:g}".encode("ascii") + b"\x00"
         entries.append((42113, _ASCII, nd, len(nd)))
     n_entries = len(entries) + 1
-    ifd_size = 2 + 12 * n_entries + 4
+    off_t, off_fmt = (_LONG8, "Q") if bigtiff else (_LONG, "I")
+    hdr_size, ifd_size = _tiff_prelude(bigtiff, n_entries)
     _probe_ifd, probe_ext, _pos = _entries_bytes(
-        entries + [(324, _LONG,
-                    struct.pack(f"<{ntiles}I", *([0] * ntiles)), ntiles)],
-        8 + ifd_size)
-    data_start = 8 + ifd_size + len(probe_ext)
-    entries.append((324, _LONG,
-                    struct.pack(f"<{ntiles}I",
+        entries + [(324, off_t,
+                    struct.pack(f"<{ntiles}{off_fmt}", *([0] * ntiles)),
+                    ntiles)],
+        hdr_size + ifd_size, big=bigtiff)
+    data_start = hdr_size + ifd_size + len(probe_ext)
+    entries.append((324, off_t,
+                    struct.pack(f"<{ntiles}{off_fmt}",
                                 *([data_start + i * tile_bytes
                                    for i in range(ntiles)]
                                   if codec == TC.COMP_NONE
                                   else [0] * ntiles)), ntiles))
-    ifd, ext, ext_pos = _entries_bytes(entries, 8 + ifd_size)
+    ifd, ext, ext_pos = _entries_bytes(entries, hdr_size + ifd_size,
+                                       big=bigtiff)
 
     def encode(tile: np.ndarray) -> bytes:
         raw = tile.astype(le_dt).tobytes()
@@ -494,8 +552,8 @@ def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
     per_band = ntx * nty
     n = 0
     with open(path, "w+b") as fh:
-        fh.write(struct.pack("<2sHI", b"II", 42, 8))
-        fh.write(struct.pack("<H", n_entries) + ifd + struct.pack("<I", 0))
+        fh.write(_tiff_header_bytes(bigtiff, n_entries))
+        fh.write(ifd + struct.pack("<Q" if bigtiff else "<I", 0))
         fh.write(ext)
         if codec == TC.COMP_NONE:
             fh.truncate(data_start + ntiles * tile_bytes)  # zero = nodata 0
@@ -513,7 +571,8 @@ def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
             return n
         # compressed: shared zero tile first, then tiles in arrival order
         zero = encode(np.zeros((th, tw), dtype=meta.dtype))
-        offsets = np.full(ntiles, data_start, dtype=np.uint32)
+        offsets = np.full(ntiles, data_start,
+                          dtype=np.uint64 if bigtiff else np.uint32)
         counts = np.full(ntiles, len(zero), dtype=np.uint32)
         fh.write(zero + (b"\x00" if len(zero) % 2 else b""))
         pos = data_start + len(zero) + (len(zero) % 2)
@@ -532,10 +591,14 @@ def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
             pos += len(payload) + (len(payload) % 2)
             n += 1
         order = sorted(t for t, *_ in entries)
+        cnt_sz, ent_sz, val_off = (8, 20, 12) if bigtiff else (2, 12, 8)
         for tag, arr in ((324, offsets), (325, counts)):
-            # ntiles==1 → the 4-byte payload sits inline in the IFD entry
-            fh.seek(ext_pos.get(tag, 10 + 12 * order.index(tag) + 8))
-            fh.write(arr.astype("<u4").tobytes())
+            # ntiles==1 → the payload sits inline in the IFD entry slot
+            inline_at = (hdr_size + cnt_sz + ent_sz * order.index(tag)
+                         + val_off)
+            fh.seek(ext_pos.get(tag, inline_at))
+            patch_dt = "<u8" if (bigtiff and tag == 324) else "<u4"
+            fh.write(arr.astype(patch_dt).tobytes())
     return n
 
 

@@ -196,3 +196,87 @@ def test_aaigrid_roundtrip(spark, tmp_path):
     assert back.gt == pytest.approx(meta.gt)
     assert back.nodata == -9999.0
     np.testing.assert_array_equal(M.to_array(tiles, back), arr)
+
+
+# ---------------------------------------------------------------------------
+# BigTIFF (magic 43: 8-byte offsets, 20-byte IFD entries, LONG8 arrays —
+# the layout gdal/frmts/gtiff writes with -co BIGTIFF=YES)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "deflate", "packbits"])
+def test_bigtiff_bytes_roundtrip(comp):
+    rng = np.arange(70 * 90).reshape(70, 90) % 251
+    arr = rng.astype("uint8")
+    meta = _meta("bt", 90, 70, block=32, nodata=3.0)
+    data = RF.geotiff_bytes([arr, arr[::-1]], meta, compression=comp,
+                            bigtiff=True)
+    assert data[:4] == b"II+\x00"          # magic 43, offset size 8
+    assert data[4:8] == b"\x08\x00\x00\x00"
+    bands, back = RF.parse_geotiff(data, "bt", block=32)
+    assert len(bands) == 2
+    np.testing.assert_array_equal(bands[0], arr)
+    np.testing.assert_array_equal(bands[1], arr[::-1])
+    assert back.gt == meta.gt and back.nodata == 3.0
+
+
+def test_bigtiff_same_pixels_as_classic():
+    arr = (np.arange(33 * 17) % 200).reshape(33, 17).astype("int16")
+    meta = _meta("eq", 17, 33, dtype="int16", block=16)
+    classic = RF.parse_geotiff(RF.geotiff_bytes([arr], meta), "eq", 16)[0][0]
+    big = RF.parse_geotiff(RF.geotiff_bytes([arr], meta, bigtiff=True),
+                           "eq", 16)[0][0]
+    np.testing.assert_array_equal(classic, big)
+
+
+def test_bigtiff_big_endian_strips():
+    """Hand-build a big-endian (MM) BigTIFF with strip organization —
+    exercises the 8-byte count/offset decode on the other byte order."""
+    import struct
+
+    H, W = 5, 8
+    arr = (np.arange(H * W) % 251).reshape(H, W).astype(">u2")
+    strip = arr.tobytes()
+    entries = [
+        (256, 3, 1, W), (257, 3, 1, H), (258, 3, 1, 16),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+        (278, 3, 1, H),                     # RowsPerStrip = all rows
+        (273, 16, 1, None), (279, 16, 1, len(strip)),  # LONG8 offset/count
+        (339, 3, 1, 1),
+    ]
+    ifd_off = 16
+    n = len(entries)
+    data_off = ifd_off + 8 + 20 * n + 8
+    out = [struct.pack(">2sHHHQ", b"MM", 43, 8, 0, ifd_off),
+           struct.pack(">Q", n)]
+    for tag, typ, cnt, val in sorted(entries):
+        if val is None:
+            val = data_off                  # the strip payload position
+        if typ == 3:
+            packed = struct.pack(">H", val).ljust(8, b"\x00")
+        else:
+            packed = struct.pack(">Q", val)
+        out.append(struct.pack(">HHQ", tag, typ, cnt) + packed)
+    out.append(struct.pack(">Q", 0))
+    out.append(strip)
+    bands, back = RF.parse_geotiff(b"".join(out), "mm", block=8)
+    np.testing.assert_array_equal(bands[0], arr.astype("uint16"))
+    assert back.dtype == "uint16"
+
+
+def test_bigtiff_streaming_sink(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 255, (60, 100)).astype("uint8")
+    meta = _meta("sink", 100, 60, block=32)
+    tiles = M.from_array(spark, arr, meta)
+    for comp in ("none", "deflate"):
+        p = str(tmp_path / f"big_{comp}.tif")
+        RF.write_geotiff(tiles, meta, p, compression=comp, bigtiff=True)
+        data = open(p, "rb").read()
+        assert data[:4] == b"II+\x00"
+        bands, back = RF.parse_geotiff(data, "sink", 32)
+        np.testing.assert_array_equal(bands[0], arr)
+        assert RF.geotiff_meta(p).width == 100
+    # default stays classic below the 4 GiB threshold
+    p = str(tmp_path / "auto.tif")
+    RF.write_geotiff(tiles, meta, p)
+    assert open(p, "rb").read(4) == b"II*\x00"
