@@ -280,8 +280,43 @@ def parse_geotiff(data: bytes, raster_id: str = "tif",
              else np.dtype(dtype).newbyteorder(en))
     bands = [np.zeros((H, W), dtype=dtype) for _ in range(nb)]
 
+    # new-style JPEG-in-TIFF (Compression=7, TIFF Tech Note 2): tag 347
+    # JPEGTables holds an abbreviated table stream shared by all chunks;
+    # each chunk is an abbreviated JPEG whose tables get spliced in after
+    # its SOI (gdal/frmts/gtiff + libjpeg path). Decoded by the engine's
+    # own baseline decoder (raster/jpegcodec.py).
+    jtab = tags.get(347, (None,))[0]
+    if isinstance(jtab, str):
+        jtab = jtab.encode("latin-1")
+
+    def _jpeg_chunk(off: int, cnt: int, w: int, h: int,
+                    spp: int) -> np.ndarray:
+        from gdal_spark.raster import jpegcodec as JC
+        raw = bytes(data[off:off + cnt])
+        stream = raw
+        if jtab and len(jtab) > 4 and raw[:2] == b"\xff\xd8":
+            body = bytes(jtab)
+            if body[:2] == b"\xff\xd8":
+                body = body[2:]
+            if body[-2:] == b"\xff\xd9":
+                body = body[:-2]
+            stream = b"\xff\xd8" + body + raw[2:]
+        # TIFF photometric decides the color transform: 6 = YCbCr data
+        # (convert to RGB like the reference's default JPEG_COLOR path),
+        # anything else = components stored raw
+        photo = int(tags.get(262, (1,))[0])
+        img = JC.jpeg_decode(stream, color_transform=(photo == 6))
+        if img.ndim == 2:
+            img = img[:, :, None]
+        out = np.zeros((h, w, spp), dtype=dtype)
+        hh, ww = min(h, img.shape[0]), min(w, img.shape[1])
+        out[:hh, :ww, :] = img[:hh, :ww, :spp]
+        return out
+
     def chunk(off: int, cnt: int | None, w: int, h: int,
               spp: int) -> np.ndarray:
+        if codec == 7:
+            return _jpeg_chunk(off, cnt, w, h, spp)
         if bits == 1:
             row_bytes = (w * spp + 7) // 8
             want = row_bytes * h

@@ -6,10 +6,13 @@ arithmetic coding and 12-bit precision raise a clear NotImplementedError.
 
 Re-implemented from the public specification — the reference's JPEG
 driver (gdal/frmts/jpeg/jpgdataset.cpp) delegates to libjpeg; no code is
-shared. Decoder accuracy: the spec does not mandate a bit-exact IDCT
-(T.81 Annex A defines accuracy bounds); this implementation uses the
-exact separable float DCT-III, so outputs can differ from libjpeg-family
-decoders by ±1 per sample (goldens assert that tolerance).
+shared. Decoder accuracy: the IDCT is the jpeg_idct_islow fixed-point
+algorithm (Loeffler/Ligtenberg/Moshovitz 1989, 13-bit scaling) and the
+color transform uses the 16-bit fixed-point YCbCr tables, both public
+algorithms — outputs are BIT-IDENTICAL to libjpeg's default decode path
+(the JPEG-in-TIFF goldens assert the reference's exact band checksums);
+other decoder families (e.g. javax.imageio) may still differ by ±1 per
+sample, which those goldens assert as a tolerance.
 
 Execution shape: Huffman entropy decode is a per-symbol Python loop (the
 format is inherently bit-serial), everything after it — dequantize,
@@ -39,6 +42,104 @@ for _u in range(8):
     for _x in range(8):
         _cu = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
         _C[_u, _x] = 0.5 * _cu * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+# ---------------------------------------------------------------------------
+# libjpeg-exact integer IDCT (the jpeg_idct_islow algorithm: Loeffler,
+# Ligtenberg & Moshovitz 1989 with libjpeg's documented 13-bit fixed-point
+# scaling; public algorithm, re-expressed vectorized over all blocks)
+# ---------------------------------------------------------------------------
+
+_CONST_BITS = 13
+_PASS1_BITS = 2
+
+
+def _fix(x: float) -> int:
+    return int(x * (1 << _CONST_BITS) + 0.5)
+
+
+_F_0_298631336 = _fix(0.298631336)
+_F_0_390180644 = _fix(0.390180644)
+_F_0_541196100 = _fix(0.541196100)
+_F_0_765366865 = _fix(0.765366865)
+_F_0_899976223 = _fix(0.899976223)
+_F_1_175875602 = _fix(1.175875602)
+_F_1_501321110 = _fix(1.501321110)
+_F_1_847759065 = _fix(1.847759065)
+_F_1_961570560 = _fix(1.961570560)
+_F_2_053119869 = _fix(2.053119869)
+_F_2_562915447 = _fix(2.562915447)
+_F_3_072711026 = _fix(3.072711026)
+
+
+def _descale(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def _islow_1d(c0, c1, c2, c3, c4, c5, c6, c7, shift):
+    """One islow butterfly over vectors (int64); returns the 8 outputs
+    descaled by ``shift``."""
+    z1 = (c2 + c6) * _F_0_541196100
+    tmp2 = z1 + c6 * (-_F_1_847759065)
+    tmp3 = z1 + c2 * _F_0_765366865
+    tmp0 = (c0 + c4) << _CONST_BITS
+    tmp1 = (c0 - c4) << _CONST_BITS
+    tmp10, tmp13 = tmp0 + tmp3, tmp0 - tmp3
+    tmp11, tmp12 = tmp1 + tmp2, tmp1 - tmp2
+    t0, t1, t2, t3 = c7, c5, c3, c1
+    z1 = t0 + t3
+    z2 = t1 + t2
+    z3 = t0 + t2
+    z4 = t1 + t3
+    z5 = (z3 + z4) * _F_1_175875602
+    t0 = t0 * _F_0_298631336
+    t1 = t1 * _F_2_053119869
+    t2 = t2 * _F_3_072711026
+    t3 = t3 * _F_1_501321110
+    z1 = z1 * (-_F_0_899976223)
+    z2 = z2 * (-_F_2_562915447)
+    z3 = z3 * (-_F_1_961570560) + z5
+    z4 = z4 * (-_F_0_390180644) + z5
+    t0 = t0 + z1 + z3
+    t1 = t1 + z2 + z4
+    t2 = t2 + z2 + z3
+    t3 = t3 + z1 + z4
+    return (_descale(tmp10 + t3, shift), _descale(tmp11 + t2, shift),
+            _descale(tmp12 + t1, shift), _descale(tmp13 + t0, shift),
+            _descale(tmp13 - t0, shift), _descale(tmp12 - t1, shift),
+            _descale(tmp11 - t2, shift), _descale(tmp10 - t3, shift))
+
+
+def idct_islow(blocks: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) dequantized int coefficients → (N, 8, 8) spatial int
+    values centered at 0 (add 128 and clamp for samples) — bit-identical
+    to libjpeg's default jpeg_idct_islow for in-range streams."""
+    b = blocks.astype(np.int64)
+    # pass 1: columns, descale by CONST_BITS - PASS1_BITS
+    cols = _islow_1d(*(b[:, i, :] for i in range(8)),
+                     _CONST_BITS - _PASS1_BITS)
+    ws = np.stack(cols, axis=1)          # (N, 8rows, 8cols) workspace
+    # pass 2: rows, descale by CONST_BITS + PASS1_BITS + 3
+    rows = _islow_1d(*(ws[:, :, i] for i in range(8)),
+                     _CONST_BITS + _PASS1_BITS + 3)
+    return np.stack(rows, axis=2)
+
+
+# libjpeg jdcolor.c ycc_rgb_convert fixed-point tables (SCALEBITS=16)
+_SCALEBITS = 16
+_ONE_HALF = 1 << (_SCALEBITS - 1)
+
+
+def _fix16(x: float) -> int:
+    return int(x * (1 << _SCALEBITS) + 0.5)
+
+
+_CR_R = ((_fix16(1.40200) * (np.arange(256) - 128) + _ONE_HALF)
+         >> _SCALEBITS)
+_CB_B = ((_fix16(1.77200) * (np.arange(256) - 128) + _ONE_HALF)
+         >> _SCALEBITS)
+_CR_G = (-_fix16(0.71414)) * (np.arange(256) - 128)
+_CB_G = (-_fix16(0.34414)) * (np.arange(256) - 128) + _ONE_HALF
 
 
 class _Huff:
@@ -156,8 +257,13 @@ def _fancy_h2v2(a: np.ndarray) -> np.ndarray:
     return out
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
-    """JPEG bytes → (H,W) gray or (H,W,3) RGB uint8."""
+def jpeg_decode(data: bytes, color_transform: bool | None = None
+                ) -> np.ndarray:
+    """JPEG bytes → (H,W) gray or (H,W,C) uint8. ``color_transform``:
+    True forces the YCbCr→RGB conversion, False returns the raw decoded
+    component planes (TIFF PhotometricInterpretation=RGB stores JPEG
+    components untransformed), None = the JFIF convention (3 components
+    → YCbCr, anything else raw)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -220,13 +326,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 scan_tables[cid] = (tt >> 4, tt & 15)
             segs, _end = _destuff(data, p + 2 + ln)
             return _decode_scan(W, H, comps, scan_tables, qt, huff_dc,
-                                huff_ac, segs, restart)
+                                huff_ac, segs, restart,
+                                color_transform=color_transform)
         p += 2 + ln
     raise ValueError("JPEG contained no scan")
 
 
 def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
-                 segs, restart) -> np.ndarray:
+                 segs, restart, color_transform=None) -> np.ndarray:
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (W + 8 * hmax - 1) // (8 * hmax)
@@ -274,16 +381,16 @@ def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
                     bi = ((my * v + by) * (mcux * h)) + (mx * h + bx)
                     store[cid][bi] = coef
 
-    # batched dequantize → un-zigzag → IDCT per component
+    # batched dequantize → un-zigzag → IDCT per component (libjpeg-exact
+    # integer islow path)
     planes = {}
     for cid, h, v, qid in comps:
         nbx, nby = bw[cid]
-        blocks = (store[cid] * qt[qid][None, :]).astype(np.float64)
-        grid = np.zeros((len(blocks), 64))
+        blocks = store[cid].astype(np.int64) * qt[qid][None, :].astype(np.int64)
+        grid = np.zeros((len(blocks), 64), dtype=np.int64)
         grid[:, _ZZ] = blocks  # zigzag index i lands at raster position
-        grid = grid.reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", _C, grid, _C)
-        spatial = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+        spatial = idct_islow(grid.reshape(-1, 8, 8))
+        spatial = np.clip(spatial + 128, 0, 255).astype(np.uint8)
         plane = (spatial.reshape(nby, nbx, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
         # crop to the component's true downsampled size (edge replication
@@ -301,14 +408,21 @@ def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
             plane = _fancy_h2(plane.T).T
         elif (fx, fy) != (1, 1):
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
-        planes[cid] = plane[:H, :W].astype(np.float64)
+        planes[cid] = plane[:H, :W].astype(np.int32)
 
     if len(comps) == 1:
         return planes[comps[0][0]].astype(np.uint8)
     ids = [c[0] for c in comps]
+    do_ycc = (color_transform if color_transform is not None
+              else len(comps) == 3)
+    if not do_ycc:
+        return np.stack([planes[i] for i in ids], axis=-1).astype(np.uint8)
+    if len(comps) != 3:
+        raise NotImplementedError("YCCK/4-component color transform "
+                                  "unsupported (CMYK JPEG)")
     Y, Cb, Cr = planes[ids[0]], planes[ids[1]], planes[ids[2]]
-    r = Y + 1.402 * (Cr - 128.0)
-    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
-    b = Y + 1.772 * (Cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
-                   255).astype(np.uint8)
+    # libjpeg jdcolor.c ycc_rgb_convert fixed-point tables, bit-exact
+    r = np.clip(Y + _CR_R[Cr], 0, 255)
+    g = np.clip(Y + ((_CB_G[Cb] + _CR_G[Cr]) >> _SCALEBITS), 0, 255)
+    b = np.clip(Y + _CB_B[Cb], 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)

@@ -76,19 +76,25 @@ def test_geotiff_strip_reader():
     np.testing.assert_array_equal(bands[0], arr)
 
 
-def test_geotiff_jpeg_rejected():
+def test_geotiff_old_jpeg_rejected_new_jpeg_validated():
     arr = np.zeros((4, 4), dtype=np.uint8)
-    data = bytearray(RF.geotiff_bytes([arr], _meta("c", 4, 4, block=4)))
-    # flip the Compression tag value to 7 (JPEG — no codec libs here)
-    import struct
-    (count,) = struct.unpack_from("<H", data, 8)
-    for i in range(count):
-        off = 10 + 12 * i
-        tag = struct.unpack_from("<H", data, off)[0]
-        if tag == 259:
-            struct.pack_into("<H", data, off + 8, 7)
-    with pytest.raises(ValueError, match="Compression=7"):
-        RF.parse_geotiff(bytes(data), "c")
+
+    def flip_compression(to):
+        data = bytearray(RF.geotiff_bytes([arr], _meta("c", 4, 4, block=4)))
+        import struct
+        (count,) = struct.unpack_from("<H", data, 8)
+        for i in range(count):
+            off = 10 + 12 * i
+            if struct.unpack_from("<H", data, off)[0] == 259:
+                struct.pack_into("<H", data, off + 8, to)
+        return bytes(data)
+
+    # old-style JPEG (Compression=6, pre-TTN2) stays unsupported
+    with pytest.raises(ValueError, match="Compression=6"):
+        RF.parse_geotiff(flip_compression(6), "c")
+    # new-style JPEG is supported — but the payload must BE a JPEG
+    with pytest.raises(ValueError, match="JPEG"):
+        RF.parse_geotiff(flip_compression(7), "c")
 
 
 @pytest.mark.parametrize("comp,pred", [("lzw", False), ("lzw", True),
@@ -280,3 +286,45 @@ def test_bigtiff_streaming_sink(spark, tmp_path):
     p = str(tmp_path / "auto.tif")
     RF.write_geotiff(tiles, meta, p)
     assert open(p, "rb").read(4) == b"II*\x00"
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (Compression=7, TIFF Tech Note 2) — the reference's own
+# fixtures with the autotest golden checksums, decoded by the engine's
+# libjpeg-exact baseline decoder (raster/jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+GCORE = "/root/reference/autotest/gcore/data"
+
+
+def _cks(path, block=256):
+    from gdal_spark.raster.checksum import py_checksum
+    bands, _ = RF.parse_geotiff(open(path, "rb").read(), "j", block)
+    return [py_checksum(b) for b in bands]
+
+
+def test_jpeg_in_tiff_jpegtables_golden():
+    """gdal/autotest/gcore/tiff_write.py tiff_write_130 expectations:
+    both JPEGTables styles decode to the exact reference checksums."""
+    assert _cks(f"{GCORE}/byte_jpg_unusual_jpegtable.tif") == [4771]
+    assert _cks(f"{GCORE}/byte_jpg_tablesmodezero.tif") == [4743]
+
+
+def test_jpeg_in_tiff_rgba_golden():
+    """gdal/autotest/gcore/tiff_read.py tiff_jpeg_rgba_* expectations:
+    4-component (no color transform) JPEG, both pixel- and
+    band-interleaved organizations."""
+    exp = [16404, 62700, 37913, 14174]
+    assert _cks(f"{GCORE}/stefan_full_rgba_jpeg_contig.tif") == exp
+    assert _cks(f"{GCORE}/stefan_full_rgba_jpeg_separate.tif") == exp
+
+
+def test_jpeg_in_tiff_ycbcr_strips():
+    """w_jpeg.tiff: strip-organized YCbCr JPEG — decodes to 3 RGB bands
+    of the right shape (self-golden: pinned checksums guard refactors)."""
+    bands, meta = RF.parse_geotiff(
+        open("/root/reference/autotest/utilities/data/w_jpeg.tiff",
+             "rb").read(), "w", 256)
+    assert (meta.width, meta.height) == (512, 256)
+    from gdal_spark.raster.checksum import py_checksum
+    assert [py_checksum(b) for b in bands] == [50036, 46137, 43746]
