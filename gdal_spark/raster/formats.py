@@ -184,10 +184,12 @@ def geotiff_bytes(bands: list[np.ndarray], meta: RasterMeta,
     return b"".join(out)
 
 
-def _read_ifd(data: bytes) -> tuple[dict, str]:
+def _read_ifd(data: bytes, index: int = 0) -> tuple[dict, str]:
     """Classic (magic 42) or BigTIFF (magic 43, TIFF Supplement /
     gdal/frmts/gtiff libtiff BigTIFF layout: 8-byte offsets, 20-byte IFD
-    entries, 8-byte inline value slot, LONG8/SLONG8/IFD8 types)."""
+    entries, 8-byte inline value slot, LONG8/SLONG8/IFD8 types).
+    ``index`` walks the next-IFD chain (0 = full resolution; GDAL's
+    embedded overviews are the subsequent IFDs)."""
     if data[:2] == b"II":
         en = "<"
     elif data[:2] == b"MM":
@@ -198,16 +200,24 @@ def _read_ifd(data: bytes) -> tuple[dict, str]:
     if magic == 42:
         (ifd_off,) = struct.unpack_from(en + "I", data, 4)
         entry_size, inline, cnt_size = 12, 4, 2
-        (count,) = struct.unpack_from(en + "H", data, ifd_off)
     elif magic == 43:
         offsize, zero = struct.unpack_from(en + "HH", data, 4)
         if offsize != 8 or zero != 0:
             raise ValueError("malformed BigTIFF header")
         (ifd_off,) = struct.unpack_from(en + "Q", data, 8)
         entry_size, inline, cnt_size = 20, 8, 8
-        (count,) = struct.unpack_from(en + "Q", data, ifd_off)
     else:
         raise ValueError("not a TIFF (bad magic)")
+    cnt_fmt, off_fmt = ("H", "I") if magic == 42 else ("Q", "Q")
+    for _skip in range(index):
+        if ifd_off == 0:
+            raise IndexError(f"TIFF has no IFD #{index}")
+        (count,) = struct.unpack_from(en + cnt_fmt, data, ifd_off)
+        (ifd_off,) = struct.unpack_from(
+            en + off_fmt, data, ifd_off + cnt_size + entry_size * count)
+    if ifd_off == 0:
+        raise IndexError(f"TIFF has no IFD #{index}")
+    (count,) = struct.unpack_from(en + cnt_fmt, data, ifd_off)
     tags: dict[int, tuple] = {}
     for i in range(count):
         off = ifd_off + cnt_size + entry_size * i
@@ -241,12 +251,26 @@ def _read_ifd(data: bytes) -> tuple[dict, str]:
     return tags, en
 
 
+def n_ifds(data: bytes) -> int:
+    """Number of IFDs on the chain (1 + embedded overview count)."""
+    n = 0
+    while True:
+        try:
+            _read_ifd(data, n)
+        except IndexError:
+            return n
+        n += 1
+
+
 def parse_geotiff(data: bytes, raster_id: str = "tif",
-                  block: int = 256) -> tuple[list[np.ndarray], RasterMeta]:
+                  block: int = 256,
+                  ifd: int = 0) -> tuple[list[np.ndarray], RasterMeta]:
     """One GeoTIFF payload → (band arrays, RasterMeta). Strip- and
-    tile-organized classic TIFFs, little- or big-endian; Compression
-    none/LZW/Deflate/PackBits (raster/tiffcodec.py) with Predictor=2."""
-    tags, en = _read_ifd(data)
+    tile-organized classic + BigTIFF, little- or big-endian; Compression
+    none/LZW/Deflate/PackBits (raster/tiffcodec.py) with Predictor=2 and
+    new-style JPEG (raster/jpegcodec.py). ``ifd`` selects an IFD on the
+    chain — GDAL-style embedded overviews are IFDs 1..n (GetOverview)."""
+    tags, en = _read_ifd(data, ifd)
     codec = int(tags.get(259, (1,))[0])
     pred = int(tags.get(317, (1,))[0])
     W, H = int(tags[256][0]), int(tags[257][0])
@@ -635,6 +659,191 @@ def write_geotiff(tiles: DataFrame, meta: RasterMeta, path: str,
             patch_dt = "<u8" if (bigtiff and tag == 324) else "<u4"
             fh.write(arr.astype(patch_dt).tobytes())
     return n
+
+
+# ---------------------------------------------------------------------------
+# Cloud-Optimized GeoTIFF sink (the gdal/frmts/gtiff COG driver layout,
+# gdal/frmts/gtiff/cogdriver.cpp semantics: all IFDs at the file head —
+# full resolution first, chained to /2 overviews — and the tile data
+# section ordered smallest-overview-first so range readers fetch coarse
+# zoom levels from the file head)
+# ---------------------------------------------------------------------------
+
+def write_cog(tiles: DataFrame, meta: RasterMeta, path: str,
+              bands: int = 1, compression: str = "deflate",
+              levels: int | None = None, resampling: str = "average",
+              bigtiff: bool | None = None) -> dict:
+    """Single-artifact COG sink. The overview chain is computed
+    DISTRIBUTED (raster/pyramid.py ``build_pyramid`` — one keyed shuffle
+    per /2 level); only the final encoded tile streams assemble on the
+    driver (spooled to a temp file, O(1) memory in raster size, same
+    contract as :func:`write_geotiff`). ``levels=None`` halves until the
+    longest side fits one tile, the gdaladdo/COG default. Returns
+    ``{"levels": n, "tiles": per-level tile counts}``."""
+    import os
+    import tempfile
+
+    from gdal_spark.raster.pyramid import build_pyramid
+
+    codec = TC.NAMES[compression]
+    tw = th = meta.block
+    bits, sfmt = _DTYPES[meta.dtype]
+    bpp = bits // 8
+    if levels is None:
+        levels, w, h = 0, meta.width, meta.height
+        while max(w, h) > meta.block:
+            w, h = (w + 1) // 2, (h + 1) // 2
+            levels += 1
+    chain = [(tiles, meta)]
+    if levels > 0:
+        chain += build_pyramid(tiles, meta, levels, resampling)
+    le_dt = np.dtype(meta.dtype).newbyteorder("<")
+    if bigtiff is None:
+        est = sum(m.n_block_x * m.n_block_y for _, m in chain) \
+            * bands * tw * th * bpp
+        bigtiff = est > (1 << 32) - (1 << 24)
+
+    def encode(tile: np.ndarray) -> bytes:
+        return TC.compress(codec, tile.astype(le_dt).tobytes())
+
+    zero = encode(np.zeros((th, tw), dtype=meta.dtype))
+
+    # phase 1: per level, spool encoded tiles (arrival order) and record
+    # (spool offset, size) per tile index; absent tiles share the zero
+    # payload written once at spool head
+    spool = tempfile.TemporaryFile()
+    spool.write(zero)
+    spool_pos = len(zero)
+    level_tiles = []       # [(offsets into spool, sizes, n_present, meta)]
+    for df, m in chain:
+        ntx, nty = m.n_block_x, m.n_block_y
+        nt = ntx * nty * bands
+        offs = np.zeros(nt, dtype=np.int64)        # 0 = shared zero tile
+        sizes = np.full(nt, len(zero), dtype=np.int64)
+        npresent = 0
+        for row in df.toLocalIterator():
+            if row["band"] >= bands:
+                continue
+            idx = row["band"] * ntx * nty + row["by"] * ntx + row["bx"]
+            tile = np.zeros((th, tw), dtype=meta.dtype)
+            sub = np.frombuffer(bytes(row["data"]), dtype=meta.dtype
+                                ).reshape(row["h"], row["w"])
+            tile[:row["h"], :row["w"]] = sub
+            payload = encode(tile)
+            spool.seek(spool_pos)
+            spool.write(payload)
+            offs[idx], sizes[idx] = spool_pos, len(payload)
+            spool_pos += len(payload)
+            npresent += 1
+        level_tiles.append((offs, sizes, npresent, m))
+
+    # phase 2: lay out the file — header, every IFD (+ its external
+    # arrays) consecutively, then data smallest-level-first
+    off_t, off_fmt = (_LONG8, "Q") if bigtiff else (_LONG, "I")
+
+    def entries_for(m: RasterMeta, nt: int, is_ovr: bool,
+                    tile_offsets: np.ndarray,
+                    tile_sizes: np.ndarray) -> list:
+        e = [
+            (256, _LONG, struct.pack("<I", m.width), 1),
+            (257, _LONG, struct.pack("<I", m.height), 1),
+            (258, _SHORT, struct.pack(f"<{bands}H", *([bits] * bands)),
+             bands),
+            (259, _SHORT, struct.pack("<H", codec), 1),
+            (262, _SHORT, struct.pack("<H", 1), 1),
+            (277, _SHORT, struct.pack("<H", bands), 1),
+            (322, _SHORT, struct.pack("<H", tw), 1),
+            (323, _SHORT, struct.pack("<H", th), 1),
+            (324, off_t, struct.pack(f"<{nt}{off_fmt}",
+                                     *tile_offsets.tolist()), nt),
+            (325, _LONG, struct.pack(f"<{nt}I", *tile_sizes.tolist()), nt),
+            (339, _SHORT, struct.pack(f"<{bands}H", *([sfmt] * bands)),
+             bands),
+        ]
+        if bands > 1:
+            e.append((284, _SHORT, struct.pack("<H", 2), 1))
+        if is_ovr:
+            # NewSubfileType: reduced-resolution image
+            e.append((254, _LONG, struct.pack("<I", 1), 1))
+        else:
+            e.append((33550, _DOUBLE,
+                      struct.pack("<3d", meta.gt[1], -meta.gt[5], 0.0), 3))
+            e.append((33922, _DOUBLE,
+                      struct.pack("<6d", 0.0, 0.0, 0.0, meta.gt[0],
+                                  meta.gt[3], 0.0), 6))
+            e.append((34735, _SHORT,
+                      struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 2), 8))
+            if meta.nodata is not None:
+                nd = f"{meta.nodata:g}".encode("ascii") + b"\x00"
+                e.append((42113, _ASCII, nd, len(nd)))
+        return e
+
+    # probe pass: sizes of every IFD block with placeholder offsets
+    hdr_size = 16 if bigtiff else 8
+    ifd_layouts = []      # (ifd_start, ifd_size, ext_len, n_entries)
+    pos = hdr_size
+    for li, (offs, sizes, _np_, m) in enumerate(level_tiles):
+        nt = len(offs)
+        probe = entries_for(m, nt, li > 0, np.zeros(nt, np.int64), sizes)
+        n_e = len(probe)
+        _hs, ifd_size = _tiff_prelude(bigtiff, n_e)
+        _ifd, ext, _p = _entries_bytes(probe, 0, big=bigtiff)
+        ifd_layouts.append((pos, ifd_size, len(ext), n_e))
+        pos += ifd_size + len(ext)
+    data_start = pos
+
+    # data section: smallest overview first, then up the chain, base last
+    order = list(range(len(chain)))[::-1]
+    file_off = {}          # level -> np.ndarray of absolute tile offsets
+    pos = data_start
+    shared_zero_at = pos   # the zero tile written once, shared by all
+    pos += len(zero) + (len(zero) % 2)
+    for li in order:
+        offs, sizes, _np_, m = level_tiles[li]
+        fo = np.zeros(len(offs), dtype=np.int64)
+        for i in range(len(offs)):
+            if offs[i] == 0:
+                fo[i] = shared_zero_at
+            else:
+                fo[i] = pos
+                pos += int(sizes[i]) + (int(sizes[i]) % 2)
+        file_off[li] = fo
+
+    # final write
+    n_written = []
+    with open(path, "wb") as fh:
+        first_n = ifd_layouts[0][3]
+        fh.write(_tiff_header_bytes(bigtiff, first_n)[:hdr_size])
+        for li, (start, ifd_size, ext_len, n_e) in enumerate(ifd_layouts):
+            offs, sizes, npresent, m = level_tiles[li]
+            is_ovr = li > 0
+            ents = entries_for(m, len(offs), is_ovr, file_off[li], sizes)
+            ifd, ext, _p = _entries_bytes(ents, start + ifd_size,
+                                          big=bigtiff)
+            nxt = (ifd_layouts[li + 1][0]
+                   if li + 1 < len(ifd_layouts) else 0)
+            fh.seek(start)
+            fh.write(struct.pack("<Q" if bigtiff else "<H", n_e))
+            fh.write(ifd)
+            fh.write(struct.pack("<Q" if bigtiff else "<I", nxt))
+            fh.write(ext)
+            n_written.append(npresent)
+        # data: zero tile then levels smallest-first, spool order per level
+        fh.seek(shared_zero_at)
+        fh.write(zero + (b"\x00" if len(zero) % 2 else b""))
+        for li in order:
+            offs, sizes, _np_, m = level_tiles[li]
+            fo = file_off[li]
+            for i in range(len(offs)):
+                if offs[i] == 0:
+                    continue
+                spool.seek(int(offs[i]))
+                payload = spool.read(int(sizes[i]))
+                fh.seek(int(fo[i]))
+                fh.write(payload + (b"\x00" if len(payload) % 2 else b""))
+    spool.close()
+    return {"levels": levels, "tiles": n_written,
+            "bigtiff": bool(bigtiff)}
 
 
 # ---------------------------------------------------------------------------

@@ -328,3 +328,58 @@ def test_jpeg_in_tiff_ycbcr_strips():
     assert (meta.width, meta.height) == (512, 256)
     from gdal_spark.raster.checksum import py_checksum
     assert [py_checksum(b) for b in bands] == [50036, 46137, 43746]
+
+
+# ---------------------------------------------------------------------------
+# Cloud-Optimized GeoTIFF sink (gdal/frmts/gtiff/cogdriver.cpp layout:
+# IFD chain at the head, data smallest-overview-first)
+# ---------------------------------------------------------------------------
+
+def test_cog_sink(spark, tmp_path):
+    from gdal_spark.raster.pyramid import downsample2x_average
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (300, 500)).astype("uint8")
+    meta = M.RasterMeta("cog", 500, 300, gt=(10.0, 0.01, 0, 55.0, 0, -0.01),
+                        dtype="uint8", block=64)
+    p = str(tmp_path / "t.cog.tif")
+    info = RF.write_cog(M.from_array(spark, arr, meta), meta, p,
+                        compression="deflate")
+    data = open(p, "rb").read()
+    # default level count: halve until one tile covers the longest side
+    assert info["levels"] == 3 and RF.n_ifds(data) == 4
+    # IFD 0 = exact full resolution with the georeferencing
+    bands, m0 = RF.parse_geotiff(data, "c", 64, ifd=0)
+    np.testing.assert_array_equal(bands[0], arr)
+    assert m0.gt == meta.gt
+    # IFD 1 = the distributed /2 average overview, bit-exact
+    ov1, _ = RF.parse_geotiff(data, "c", 64, ifd=1)
+    np.testing.assert_array_equal(ov1[0], downsample2x_average(arr))
+    # chain walk terminates and deepest level fits one tile
+    last, _ = RF.parse_geotiff(data, "c", 64, ifd=3)
+    assert max(last[0].shape) <= 64
+    with pytest.raises(IndexError):
+        RF.parse_geotiff(data, "c", 64, ifd=4)
+    # the COG contract: coarse data sits before fine data so range
+    # readers stream the head for low zooms
+    t0, _ = RF._read_ifd(data, 0)
+    t3, _ = RF._read_ifd(data, 3)
+    assert min(o for o in t3[324] if o) < min(o for o in t0[324] if o)
+    # overview IFDs are marked reduced-resolution (NewSubfileType=1)
+    t1, _ = RF._read_ifd(data, 1)
+    assert t1[254][0] == 1 and 254 not in t0
+
+
+def test_cog_uncompressed_and_sparse(spark, tmp_path):
+    arr = np.zeros((100, 100), dtype="uint16")
+    arr[:40, :40] = 7
+    meta = M.RasterMeta("sp", 100, 100, gt=(0, 1, 0, 100, 0, -1),
+                        dtype="uint16", block=32)
+    p = str(tmp_path / "s.cog.tif")
+    RF.write_cog(M.from_array(spark, arr, meta), meta, p,
+                 compression="none", levels=1)
+    data = open(p, "rb").read()
+    bands, _ = RF.parse_geotiff(data, "s", 32, ifd=0)
+    np.testing.assert_array_equal(bands[0], arr)
+    ov, _ = RF.parse_geotiff(data, "s", 32, ifd=1)
+    assert ov[0].shape == (50, 50)
