@@ -1,8 +1,10 @@
 """Baseline JPEG decoder in pure Python/numpy (ITU-T T.81 / ISO 10918-1).
 
 Scope: baseline sequential DCT (SOF0), 8-bit samples, gray or YCbCr with
-arbitrary 1/2× sampling factors, restart intervals. Progressive (SOF2),
-arithmetic coding and 12-bit precision raise a clear NotImplementedError.
+arbitrary 1/2× sampling factors, restart intervals, 8- and 12-bit
+sample precision (12-bit → uint16, center 2048, the libjpeg BITS_IN_
+JSAMPLE=12 build). Progressive (SOF2) and arithmetic coding raise a
+clear NotImplementedError.
 
 Re-implemented from the public specification — the reference's JPEG
 driver (gdal/frmts/jpeg/jpgdataset.cpp) delegates to libjpeg; no code is
@@ -302,7 +304,7 @@ def jpeg_decode(data: bytes, color_transform: bool | None = None
                 q += 17 + nsym
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec = body[0]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
             H, W = struct.unpack_from(">HH", body, 1)
             nc = body[5]
@@ -327,13 +329,17 @@ def jpeg_decode(data: bytes, color_transform: bool | None = None
             segs, _end = _destuff(data, p + 2 + ln)
             return _decode_scan(W, H, comps, scan_tables, qt, huff_dc,
                                 huff_ac, segs, restart,
-                                color_transform=color_transform)
+                                color_transform=color_transform, prec=prec)
         p += 2 + ln
     raise ValueError("JPEG contained no scan")
 
 
 def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
-                 segs, restart, color_transform=None) -> np.ndarray:
+                 segs, restart, color_transform=None,
+                 prec=8) -> np.ndarray:
+    center = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
+    out_dt = np.uint8 if prec == 8 else np.uint16
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (W + 8 * hmax - 1) // (8 * hmax)
@@ -390,7 +396,7 @@ def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
         grid = np.zeros((len(blocks), 64), dtype=np.int64)
         grid[:, _ZZ] = blocks  # zigzag index i lands at raster position
         spatial = idct_islow(grid.reshape(-1, 8, 8))
-        spatial = np.clip(spatial + 128, 0, 255).astype(np.uint8)
+        spatial = np.clip(spatial + center, 0, maxv).astype(out_dt)
         plane = (spatial.reshape(nby, nbx, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
         # crop to the component's true downsampled size (edge replication
@@ -411,18 +417,30 @@ def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
         planes[cid] = plane[:H, :W].astype(np.int32)
 
     if len(comps) == 1:
-        return planes[comps[0][0]].astype(np.uint8)
+        return planes[comps[0][0]].astype(out_dt)
     ids = [c[0] for c in comps]
     do_ycc = (color_transform if color_transform is not None
               else len(comps) == 3)
     if not do_ycc:
-        return np.stack([planes[i] for i in ids], axis=-1).astype(np.uint8)
+        return np.stack([planes[i] for i in ids], axis=-1).astype(out_dt)
     if len(comps) != 3:
         raise NotImplementedError("YCCK/4-component color transform "
                                   "unsupported (CMYK JPEG)")
     Y, Cb, Cr = planes[ids[0]], planes[ids[1]], planes[ids[2]]
-    # libjpeg jdcolor.c ycc_rgb_convert fixed-point tables, bit-exact
-    r = np.clip(Y + _CR_R[Cr], 0, 255)
-    g = np.clip(Y + ((_CB_G[Cb] + _CR_G[Cr]) >> _SCALEBITS), 0, 255)
-    b = np.clip(Y + _CB_B[Cb], 0, 255)
-    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+    if prec == 8:
+        # libjpeg jdcolor.c ycc_rgb_convert fixed-point tables, bit-exact
+        r = np.clip(Y + _CR_R[Cr], 0, 255)
+        g = np.clip(Y + ((_CB_G[Cb] + _CR_G[Cr]) >> _SCALEBITS), 0, 255)
+        b = np.clip(Y + _CB_B[Cb], 0, 255)
+    else:
+        # same fixed-point math evaluated directly (libjpeg sizes the
+        # tables MAXJSAMPLE+1 at 12-bit; identical arithmetic)
+        cb = Cb.astype(np.int64) - center
+        cr = Cr.astype(np.int64) - center
+        r = np.clip(Y + ((_fix16(1.40200) * cr + _ONE_HALF)
+                         >> _SCALEBITS), 0, maxv)
+        g = np.clip(Y + ((-_fix16(0.34414) * cb - _fix16(0.71414) * cr
+                          + _ONE_HALF) >> _SCALEBITS), 0, maxv)
+        b = np.clip(Y + ((_fix16(1.77200) * cb + _ONE_HALF)
+                         >> _SCALEBITS), 0, maxv)
+    return np.stack([r, g, b], axis=-1).astype(out_dt)

@@ -383,3 +383,14 @@ def test_cog_uncompressed_and_sparse(spark, tmp_path):
     np.testing.assert_array_equal(bands[0], arr)
     ov, _ = RF.parse_geotiff(data, "s", 32, ifd=1)
     assert ov[0].shape == (50, 50)
+
+
+def test_jpeg_in_tiff_12bit_golden():
+    """gdal/autotest/gcore/tiff_read.py tiff_12bitjpeg: the 12-bit
+    JPEG-in-TIFF fixture opens as UInt16 and band 1's mean falls in the
+    reference's accepted band (2150, 2180)."""
+    bands, meta = RF.parse_geotiff(
+        open(f"{GCORE}/mandrilmini_12bitjpeg.tif", "rb").read(), "m", 256)
+    assert meta.dtype == "uint16" and len(bands) == 3
+    assert bands[0].max() <= 4095
+    assert 2150 < bands[0].mean() < 2180
