@@ -124,10 +124,34 @@ def _unfilter(raw: np.ndarray, H: int, row_bytes: int,
     return out
 
 
+def _png_rows_to_px(recon: np.ndarray, w: int, h: int, ch: int,
+                    depth: int, ctype: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, row_bytes) → (h, w, ch) samples."""
+    row_bytes = (w * ch * depth + 7) // 8
+    if depth == 16:
+        px = recon.reshape(h, row_bytes).view(">u2").astype(np.uint16)
+        return px.reshape(h, w, ch)
+    if depth == 8:
+        return recon.reshape(h, w, ch)
+    per_byte = 8 // depth
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    unpacked = ((recon[:, :, None] >> shifts[None, None, :]) & mask)
+    px = unpacked.reshape(h, -1)[:, :w].astype(np.uint8)
+    if ctype == 0:  # scale sub-byte gray to full 8-bit range
+        px = (px * (255 // mask)).astype(np.uint8)
+    return px[:, :, None]
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec section 8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def png_decode(data: bytes, _return_index: bool = False) -> np.ndarray:
     """PNG → (H,W) or (H,W,C) uint8/uint16 array. Color types 0/2/3/4/6,
-    bit depths 1/2/4/8 (palette/gray) and 16 (gray/RGB/RGBA), no
-    interlace (Adam7 rejected with a clear error)."""
+    bit depths 1/2/4/8 (palette/gray) and 16 (gray/RGB/RGBA), both
+    sequential and Adam7-interlaced row organizations."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, plte, idat = 8, None, None, []
@@ -149,8 +173,8 @@ def png_decode(data: bytes, _return_index: bool = False) -> np.ndarray:
     W, H, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS.get(ctype)
     if ch is None:
         raise ValueError(f"bad PNG color type {ctype}")
@@ -159,23 +183,31 @@ def png_decode(data: bytes, _return_index: bool = False) -> np.ndarray:
     bpp = max(1, bits_px // 8)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)),
                         dtype=np.uint8)
-    if raw.size != H * (row_bytes + 1):
-        raise ValueError("PNG pixel payload size mismatch")
-    recon = _unfilter(raw.reshape(H, row_bytes + 1), H, row_bytes, bpp)
-    if depth == 16:
-        px = recon.reshape(H, row_bytes).view(">u2").astype(np.uint16)
-        px = px.reshape(H, W, ch)
-    elif depth == 8:
-        px = recon.reshape(H, W, ch)
-    else:  # 1/2/4-bit gray or palette: unpack bit groups, row-padded
-        per_byte = 8 // depth
-        shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
-        mask = (1 << depth) - 1
-        unpacked = ((recon[:, :, None] >> shifts[None, None, :]) & mask)
-        px = unpacked.reshape(H, -1)[:, :W].astype(np.uint8)
-        if ctype == 0:  # scale sub-byte gray to full 8-bit range
-            px = (px * (255 // mask)).astype(np.uint8)
-        px = px[:, :, None]
+    if interlace == 0:
+        if raw.size != H * (row_bytes + 1):
+            raise ValueError("PNG pixel payload size mismatch")
+        recon = _unfilter(raw.reshape(H, row_bytes + 1), H, row_bytes, bpp)
+        px = _png_rows_to_px(recon, W, H, ch, depth, ctype)
+    else:
+        # Adam7: seven independently filtered sub-images, scattered onto
+        # the (x0 + i*dx, y0 + j*dy) grid (PNG spec 8.2)
+        px = np.zeros((H, W, ch),
+                      dtype=np.uint16 if depth == 16 else np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (W - x0 + dx - 1) // dx
+            ph = (H - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prb = (pw * bits_px + 7) // 8
+            need = ph * (prb + 1)
+            if pos + need > raw.size:
+                raise ValueError("PNG interlaced payload size mismatch")
+            sub = raw[pos:pos + need]
+            pos += need
+            recon = _unfilter(sub.reshape(ph, prb + 1), ph, prb, bpp)
+            px[y0::dy, x0::dx, :] = _png_rows_to_px(recon, pw, ph, ch,
+                                                    depth, ctype)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
