@@ -1,10 +1,12 @@
 """Baseline JPEG decoder in pure Python/numpy (ITU-T T.81 / ISO 10918-1).
 
-Scope: baseline sequential DCT (SOF0), 8-bit samples, gray or YCbCr with
-arbitrary 1/2× sampling factors, restart intervals, 8- and 12-bit
-sample precision (12-bit → uint16, center 2048, the libjpeg BITS_IN_
-JSAMPLE=12 build). Progressive (SOF2) and arithmetic coding raise a
-clear NotImplementedError.
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+spectral selection + successive approximation per T.81 Annex G, the
+libjpeg jdphuff.c semantics), gray or YCbCr with arbitrary 1/2×
+sampling factors, restart intervals, 8- and 12-bit sample precision
+(12-bit → uint16, center 2048, the libjpeg BITS_IN_JSAMPLE=12 build).
+Lossless/hierarchical SOFs and arithmetic coding raise a clear
+NotImplementedError.
 
 Re-implemented from the public specification — the reference's JPEG
 driver (gdal/frmts/jpeg/jpgdataset.cpp) delegates to libjpeg; no code is
@@ -274,6 +276,9 @@ def jpeg_decode(data: bytes, color_transform: bool | None = None
     comps = None  # [(cid, h, v, qid)]
     W = H = 0
     restart = 0
+    progressive = False
+    prec = 8
+    store = None  # progressive: persistent coefficient store across scans
     p = 2
     while p < len(data):
         if data[p] != 0xFF:
@@ -302,17 +307,18 @@ def jpeg_decode(data: bytes, color_transform: bool | None = None
                 syms = body[q + 17:q + 17 + nsym]
                 (huff_ac if cls else huff_dc)[tid] = _Huff(counts, syms)
                 q += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = body[0]
             if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            progressive = marker == 0xC2
             H, W = struct.unpack_from(">HH", body, 1)
             nc = body[5]
             comps = []
             for i in range(nc):
                 cid, hv, qid = body[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, qid))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
@@ -322,16 +328,189 @@ def jpeg_decode(data: bytes, color_transform: bool | None = None
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan_tables = {}
+            scan_ids, scan_tables = [], {}
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_ids.append(cid)
                 scan_tables[cid] = (tt >> 4, tt & 15)
-            segs, _end = _destuff(data, p + 2 + ln)
-            return _decode_scan(W, H, comps, scan_tables, qt, huff_dc,
-                                huff_ac, segs, restart,
-                                color_transform=color_transform, prec=prec)
+            segs, end = _destuff(data, p + 2 + ln)
+            if not progressive:
+                return _decode_scan(W, H, comps, scan_tables, qt, huff_dc,
+                                    huff_ac, segs, restart,
+                                    color_transform=color_transform,
+                                    prec=prec)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if store is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (W + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+                store = {cid: np.zeros((mcux * h * mcuy * v, 64),
+                                       dtype=np.int32)
+                         for cid, h, v, _q in comps}
+            _prog_scan(W, H, comps, store, scan_ids, scan_tables,
+                       huff_dc, huff_ac, ss, se, ahal >> 4, ahal & 15,
+                       segs, restart)
+            p = end
+            continue
         p += 2 + ln
+    if store is not None:
+        return _finish(W, H, comps, store, qt, color_transform, prec)
     raise ValueError("JPEG contained no scan")
+
+
+def _prog_scan(W, H, comps, store, scan_ids, scan_tables, huff_dc,
+               huff_ac, ss, se, ah, al, segs, restart) -> None:
+    """One progressive scan (T.81 Annex G / libjpeg jdphuff.c semantics)
+    applied to the persistent zigzag-order coefficient ``store``.
+
+    DC scans (ss=0): interleaved over the scan's components like a
+    baseline MCU walk; first pass (ah=0) decodes diffs shifted by al,
+    refinements append one bit. AC scans (ss>0, always one component):
+    first pass decodes (run, size) symbols with EOB-run batching;
+    refinement passes append correction bits to already-nonzero
+    coefficients while placing new ±2^al values."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    byid = {c[0]: c for c in comps}
+    seg_i = 0
+    bits = _Bits(segs[0] if segs else b"")
+
+    def next_seg():
+        nonlocal seg_i, bits
+        seg_i += 1
+        bits = _Bits(segs[seg_i] if seg_i < len(segs) else b"")
+
+    p1 = 1 << al
+
+    if ss == 0:  # ---- DC scan ----
+        if len(scan_ids) > 1:  # interleaved MCU walk
+            pred = {cid: 0 for cid in scan_ids}
+            for m in range(mcux * mcuy):
+                if restart and m and m % restart == 0:
+                    next_seg()
+                    pred = {cid: 0 for cid in scan_ids}
+                my, mx = divmod(m, mcux)
+                for cid in scan_ids:
+                    _c, h, v, _q = byid[cid]
+                    dc_tbl = huff_dc.get(scan_tables[cid][0])
+                    for by in range(v):
+                        for bx in range(h):
+                            bi = ((my * v + by) * (mcux * h)) + (mx * h + bx)
+                            if ah == 0:
+                                s = bits.huff(dc_tbl)
+                                diff = _extend(bits.bits(s), s) if s else 0
+                                pred[cid] += diff
+                                store[cid][bi, 0] = pred[cid] << al
+                            elif bits.bit():
+                                store[cid][bi, 0] |= p1
+        else:  # single-component DC scan: effective block grid walk
+            cid = scan_ids[0]
+            _c, h, v, _q = byid[cid]
+            nbx = mcux * h
+            nbx_eff = ((W * h + hmax - 1) // hmax + 7) // 8
+            nby_eff = ((H * v + vmax - 1) // vmax + 7) // 8
+            dc_tbl = huff_dc.get(scan_tables[cid][0])
+            pred = 0
+            unit = 0
+            for by in range(nby_eff):
+                for bx in range(nbx_eff):
+                    if restart and unit and unit % restart == 0:
+                        next_seg()
+                        pred = 0
+                    unit += 1
+                    bi = by * nbx + bx
+                    if ah == 0:
+                        s = bits.huff(dc_tbl)
+                        diff = _extend(bits.bits(s), s) if s else 0
+                        pred += diff
+                        store[cid][bi, 0] = pred << al
+                    elif bits.bit():
+                        store[cid][bi, 0] |= p1
+        return
+
+    # ---- AC scan: exactly one component (T.81 G.1.1.1) ----
+    if len(scan_ids) != 1:
+        raise ValueError("progressive AC scan with multiple components")
+    cid = scan_ids[0]
+    _c, h, v, _q = byid[cid]
+    nbx = mcux * h
+    nbx_eff = ((W * h + hmax - 1) // hmax + 7) // 8
+    nby_eff = ((H * v + vmax - 1) // vmax + 7) // 8
+    ac_tbl = huff_ac.get(scan_tables[cid][1])
+    m1 = -p1
+    eobrun = 0
+    unit = 0
+
+    def correct(blk, k):
+        # refinement correction bit for an already-nonzero coefficient
+        if bits.bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    for by in range(nby_eff):
+        for bx in range(nbx_eff):
+            if restart and unit and unit % restart == 0:
+                next_seg()
+                eobrun = 0
+            unit += 1
+            blk = store[cid][by * nbx + bx]
+            if ah == 0:  # first pass over this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = bits.huff(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    blk[k] = _extend(bits.bits(s), s) * p1
+                    k += 1
+            else:  # refinement pass (jdphuff.c decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = bits.huff(ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.bits(r)
+                                break
+                            # ZRL: r stays 15 → skip 16 zero-history slots
+                        else:
+                            newval = p1 if bits.bit() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                correct(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            correct(blk, k)
+                        k += 1
+                    eobrun -= 1
 
 
 def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
@@ -386,6 +565,21 @@ def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
                         k += 1
                     bi = ((my * v + by) * (mcux * h)) + (mx * h + bx)
                     store[cid][bi] = coef
+
+    return _finish(W, H, comps, store, qt, color_transform, prec)
+
+
+def _finish(W, H, comps, store, qt, color_transform, prec) -> np.ndarray:
+    """Coefficient store (zigzag order, per component) → samples:
+    dequantize, un-zigzag, islow IDCT, fancy upsample, color convert."""
+    center = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
+    out_dt = np.uint8 if prec == 8 else np.uint16
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    bw = {cid: (mcux * h, mcuy * v) for cid, h, v, _q in comps}
 
     # batched dequantize → un-zigzag → IDCT per component (libjpeg-exact
     # integer islow path)

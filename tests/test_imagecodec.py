@@ -321,11 +321,11 @@ def test_jpeg_destuff_and_guards():
     assert segs == [b"\x01\xff\x02", b"\x03", b"\x04"]
     with pytest.raises(ValueError, match="SOI"):
         JC.jpeg_decode(b"not a jpeg")
-    # progressive must raise a clear error, not garbage
+    # non-baseline/non-progressive SOFs must raise clearly, not garbage
     data = bytearray(open(f"{DATA}/javaio_gray.jpg", "rb").read())
     pos = data.find(b"\xff\xc0")
-    data[pos + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    data[pos + 1] = 0xC3  # lossless sequential
+    with pytest.raises(NotImplementedError, match="SOF3"):
         JC.jpeg_decode(bytes(data))
     # decode_any dispatches jpeg now
     IC.decode_any(open(f"{DATA}/javaio_gray.jpg", "rb").read())
@@ -462,3 +462,28 @@ def test_png_adam7_roundtrip(shape, dtype):
     arr = rng.integers(0, hi + 1, shape).astype(dtype)
     img = IC.png_decode(_adam7_encode(arr))
     np.testing.assert_array_equal(img.reshape(arr.shape), arr)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2, T.81 Annex G / libjpeg jdphuff.c semantics)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,shape", [
+    ("javaio_prog_gray", (64, 96)),
+    ("javaio_prog_rgb", (64, 96, 3)),       # 4:2:0 chroma + refinements
+    ("javaio_prog_odd", (43, 65, 3)),       # MCU padding on both axes
+])
+def test_jpeg_progressive_golden(name, shape):
+    """Independent-writer goldens: javax.imageio-written progressive
+    JPEGs (spectral selection + successive approximation, the libjpeg
+    default scan script) vs imageio's own decode — bit-exact, since both
+    decoders run the islow IDCT + fixed-point color path."""
+    from gdal_spark.raster import jpegcodec as JC
+    data = open(f"{DATA}/{name}.jpg", "rb").read()
+    # really progressive: SOF2 present
+    assert any(data[i] == 0xFF and data[i + 1] == 0xC2
+               for i in range(len(data) - 1))
+    ours = JC.jpeg_decode(data)
+    ref = np.frombuffer(open(f"{DATA}/{name}_jpg.raw", "rb").read(),
+                        dtype=np.uint8).reshape(shape)
+    np.testing.assert_array_equal(ours.reshape(shape), ref)
