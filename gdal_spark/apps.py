@@ -314,6 +314,8 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
              cutline: bytes | None = None,
              src_nodata: float | None = None,
              dst_nodata: float | None = None,
+             tap: bool = False,
+             crop_to_cutline: bool = False,
              ) -> tuple[DataFrame, RasterMeta]:
     """The gdalwarp app (gdal/apps/gdalwarp.cpp): full reprojection
     pipeline. Output grid inference follows the app exactly — without
@@ -323,7 +325,20 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
     GenImgProjTransform chain (gdaltransformer.cpp:974) wrapped in the
     coarse-lattice ApproxTransform at ``-et`` error (default 0.25 px,
     gdaltransformer.cpp:3010); set ``et=0`` for the exact chain.
+    ``tap`` = -tap (target aligned pixels: requires ``tr``, snaps the
+    extent outward to multiples of the resolution, gdalwarp.cpp); a
+    truthy ``crop_to_cutline`` = -crop_to_cutline (the cutline polygon's
+    envelope becomes the extent — pass the -te role to the cutline).
     Execution is the engine's block-pruned distributed warp gather."""
+    if tap and tr is None:
+        raise ValueError("-tap requires -tr (gdalwarp app contract)")
+    if crop_to_cutline:
+        if cutline is None:
+            raise ValueError("-crop_to_cutline requires -cutline")
+        if te is not None:
+            raise ValueError("-crop_to_cutline conflicts with -te")
+        from gdal_spark.functions.geometry import geometry_envelope
+        te = geometry_envelope(cutline)  # (xmin, ymin, xmax, ymax)
     s, t = _crs(s_srs), _crs(t_srs)
     g = src_meta.gt
 
@@ -345,6 +360,12 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
         ymax, ymin = sgt[3], sgt[3] + sh * sgt[5]
     if tr is not None:
         xres, yres = (float(v) for v in tr)
+        if tap:
+            # gdalwarp -tap: snap the extent outward onto the res grid
+            xmin = math.floor(xmin / xres) * xres
+            xmax = math.ceil(xmax / xres) * xres
+            ymin = math.floor(ymin / yres) * yres
+            ymax = math.ceil(ymax / yres) * yres
         width = max(1, int((xmax - xmin) / xres + 0.5))
         height = max(1, int((ymax - ymin) / yres + 0.5))
     elif ts is not None:

@@ -254,3 +254,40 @@ def test_ogrinfo(spark):
     assert info["extent"] == [0.0, 0.0, 190.0, 10.0]
     assert info["geometry_types"] == {"POLYGON": 10}
     assert ("eas_id", "bigint") in info["fields"]
+
+
+def test_gdalwarp_tap(spark, grad16):
+    """-tap (gdalwarp.cpp target-aligned pixels): the extent snaps
+    OUTWARD to multiples of -tr, so the output grid origin is a multiple
+    of the resolution and the requested window is fully covered."""
+    tiles, meta, arr = grad16   # gt=(100,2,0,400,0,-2), 16x16
+    out, om = APP.gdalwarp(tiles, meta, "tap1",
+                           te=(107.0, 377.0, 121.0, 391.0), tr=(4.0, 4.0),
+                           tap=True, et=0)
+    # snapped: xmin=floor(107/4)*4=104, xmax=ceil(121/4)*4=124,
+    #          ymin=floor(377/4)*4=376, ymax=ceil(391/4)*4=392
+    assert om.gt[0] == 104.0 and om.gt[3] == 392.0
+    assert (om.width, om.height) == (5, 4)
+    assert om.gt[0] % 4.0 == 0.0 and om.gt[3] % 4.0 == 0.0
+    with pytest.raises(ValueError, match="-tap requires -tr"):
+        APP.gdalwarp(tiles, meta, "tap2", tap=True)
+
+
+def test_gdalwarp_crop_to_cutline(spark, grad16):
+    """-crop_to_cutline: the cutline polygon's envelope becomes -te and
+    pixels outside the polygon stay nodata."""
+    from gdal_spark.functions.geometry import wkb_from_wkt
+    tiles, meta, arr = grad16
+    cl = wkb_from_wkt("POLYGON((108 376,124 376,124 392,108 392,108 376))")
+    out, om = APP.gdalwarp(tiles, meta, "ccl", cutline=cl,
+                           crop_to_cutline=True, tr=(2.0, 2.0), et=0)
+    assert (om.gt[0], om.gt[3]) == (108.0, 392.0)
+    assert (om.width, om.height) == (8, 8)
+    got = M.to_array(out, om)
+    # interior pixel centers: all inside the rectangle -> exact copy
+    np.testing.assert_array_equal(got, arr[4:12, 4:12])
+    with pytest.raises(ValueError, match="requires -cutline"):
+        APP.gdalwarp(tiles, meta, "ccl2", crop_to_cutline=True)
+    with pytest.raises(ValueError, match="conflicts"):
+        APP.gdalwarp(tiles, meta, "ccl3", cutline=cl, crop_to_cutline=True,
+                     te=(0, 0, 1, 1))
