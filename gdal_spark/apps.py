@@ -177,18 +177,100 @@ def transform_geometry(df: DataFrame, t_srs, s_srs=None,
 # ogr2ogr
 # ---------------------------------------------------------------------------
 
+def _as_clip_wkb(v) -> bytes | None:
+    """-clipsrc/-clipdst operand: rect tuple, WKT string, or WKB bytes
+    → polygon WKB (rects become their ring, matching the app's
+    xmin ymin xmax ymax spelling, ogr2ogr.cpp:1330-1344)."""
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, str):
+        from gdal_spark.functions.geometry import wkb_from_wkt
+        return wkb_from_wkt(v)
+    xmin, ymin, xmax, ymax = (float(f) for f in v)
+    from gdal_spark.functions.geometry import encode_polygon
+    return encode_polygon([np.array(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax],
+         [xmin, ymin]])])
+
+
+def _geom_map(df: DataFrame, geometry_col: str, fn,
+              drop_empty: bool = False) -> DataFrame:
+    """One Arrow pass applying ``fn(wkb) -> wkb | None`` per feature;
+    with ``drop_empty`` rows mapping to None are dropped (the clip
+    stages' drop-if-empty contract, ogr2ogr.cpp:3888-3893)."""
+    gi = df.schema.fieldNames().index(geometry_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, keep = [], []
+            for i, w in enumerate(pdf.iloc[:, gi]):
+                r = fn(bytes(w)) if w is not None else None
+                if r is None and drop_empty:
+                    continue
+                out.append(bytearray(r) if r is not None else None)
+                keep.append(i)
+            pdf = pdf.iloc[keep].copy()
+            pdf[geometry_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def _geom_explode(df: DataFrame, geometry_col: str) -> DataFrame:
+    """-explodecollections: one output row per container member, other
+    columns duplicated (ogr2ogr.cpp:2987/:3843)."""
+    from gdal_spark.functions import geomops as GO
+    gi = df.schema.fieldNames().index(geometry_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx, out = [], []
+            for i, w in enumerate(pdf.iloc[:, gi]):
+                if w is None:
+                    idx.append(i)
+                    out.append(None)
+                    continue
+                for m in GO.explode_wkb(bytes(w)):
+                    idx.append(i)
+                    out.append(bytearray(m))
+            pdf = pdf.iloc[idx].copy()
+            pdf[geometry_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
 def ogr2ogr(spark: SparkSession, src, dst: str | None = None, *,
             layer: str | None = None, layer_name: str | None = None,
             sql: str | None = None, where: str | None = None,
             select: list[str] | None = None,
             spat: tuple[float, float, float, float] | None = None,
-            clipdst: tuple[float, float, float, float] | None = None,
+            clipsrc=None, clipdst=None,
+            segmentize: float | None = None, simplify: float | None = None,
+            explodecollections: bool = False, wrapdateline: bool = False,
+            nlt: str | None = None, preserve_fid: bool = False,
+            dim: int | str | None = None,
             s_srs=None, t_srs=None,
             geometry_col: str = "geometry",
             reader_opts: dict | None = None) -> DataFrame:
-    """The ogr2ogr pipeline. Stage order mirrors the app: open → -sql OR
-    (-where + -spat) → reproject → -select → write. Returns the final
-    DataFrame (also when ``dst`` is given, after writing)."""
+    """The ogr2ogr pipeline. Stage order mirrors the app's per-feature
+    translate loop (ogr2ogr.cpp:3843-3964): open → -sql OR (-where +
+    -spat) → -explodecollections → -segmentize|-simplify → -clipsrc →
+    reproject (-wrapdateline) → -clipdst → -nlt → -select → write.
+    ``clipsrc``/``clipdst`` accept a rect tuple, WKT, or polygon WKB;
+    clipped-empty features are dropped, as the app does. Returns the
+    final DataFrame (also when ``dst`` is given, after writing)."""
+    from gdal_spark.functions import geomops as GO
+    if segmentize is not None and simplify is not None:
+        raise ValueError(
+            "-segmentize and -simplify are mutually exclusive (one geomop)")
+    if preserve_fid and explodecollections:
+        raise ValueError("cannot use -preserve_fid and -explodecollections "
+                         "at the same time")
+    if dim not in (None, 2, "2", "XY", "xy"):
+        raise ValueError("engine geometries are 2-D; -dim supports only 2/XY")
     df = read_vector(spark, src, layer=layer, **(reader_opts or {}))
     if sql is not None:
         eng = OGRSQLEngine(spark)
@@ -200,10 +282,37 @@ def ogr2ogr(spark: SparkSession, src, dst: str | None = None, *,
             df = df.filter(attribute_filter(df, where, geometry_col))
         if spat is not None:
             df = df.filter(spatial_filter(df, spat, geometry_col))
-    if clipdst is not None:
-        df = clip_to_rect(df, clipdst, geometry_col)
+    if explodecollections:
+        df = _geom_explode(df, geometry_col)
+    if segmentize is not None:
+        df = _geom_map(df, geometry_col,
+                       lambda w, d=float(segmentize): GO.wkb_segmentize(w, d))
+    elif simplify is not None:
+        df = _geom_map(df, geometry_col,
+                       lambda w, d=float(simplify): GO.wkb_simplify(w, d))
+    clipsrc_wkb = _as_clip_wkb(clipsrc)
+    if clipsrc_wkb is not None:
+        df = _geom_map(
+            df, geometry_col,
+            lambda w, c=clipsrc_wkb: GO.wkb_clip_to_polygon(w, c),
+            drop_empty=True)
     if t_srs is not None:
         df = transform_geometry(df, t_srs, s_srs, geometry_col)
+    if wrapdateline:
+        df = _geom_map(df, geometry_col, GO.wkb_wrapdateline)
+    if clipdst is not None:
+        if (isinstance(clipdst, (tuple, list))
+                and not isinstance(clipdst[0], (tuple, list))):
+            df = clip_to_rect(df, clipdst, geometry_col)
+        else:
+            df = _geom_map(
+                df, geometry_col,
+                lambda w, c=_as_clip_wkb(clipdst): GO.wkb_clip_to_polygon(
+                    w, c),
+                drop_empty=True)
+    if nlt is not None:
+        df = _geom_map(df, geometry_col,
+                       lambda w, t=nlt: GO.wkb_force_to(w, t))
     if select is not None:
         keep = list(select)
         if geometry_col in df.columns and geometry_col not in keep:

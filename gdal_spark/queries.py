@@ -3394,6 +3394,37 @@ SELECT fid, CAST(clip_area AS DOUBLE) AS clip_area FROM t ORDER BY fid
 QUERIES["ogr2ogr_clipdst"] = (q_ogr2ogr_clipdst, ORACLE_CLIPDST)
 
 
+def q_ogr2ogr_clipsrc(spark, sf_dir):
+    """-clipsrc with an arbitrary (non-rectilinear) polygon: the fixture
+    layer cut by a triangle through the Martinez–Rueda boolean kernel in
+    the app's per-feature pipeline; empty results drop the feature
+    (ogr2ogr.cpp:3885-3893)."""
+    from gdal_spark import apps as APP
+    from gdal_spark.functions import geometry as _G
+
+    out = APP.ogr2ogr(spark, PG.poly_fixture(spark),
+                      clipsrc="POLYGON((0 0,120 0,0 12,0 0))")
+
+    def area(batches):
+        import pandas as _pd
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "fid": pdf["fid"],
+                "clip_area": [round(_G.polygon_area(bytes(w)), 4)
+                              for w in pdf["geometry"]]})
+
+    return out.mapInPandas(area, "fid long, clip_area double").orderBy("fid")
+
+
+ORACLE_CLIPSRC = """
+WITH t(fid, clip_area) AS (VALUES
+  (0, 100.0), (1, 95.0), (2, 75.0), (3, 38.55), (4, 35.0), (5, 15.0))
+SELECT fid, CAST(clip_area AS DOUBLE) AS clip_area FROM t ORDER BY fid
+"""
+
+QUERIES["ogr2ogr_clipsrc"] = (q_ogr2ogr_clipsrc, ORACLE_CLIPSRC)
+
+
 def q_image_decode(spark, sf_dir):
     """REAL image decode on the driver gate: every doc synthesizes a
     deterministic 17x24 gray PNG (pixel = (doc_id*7 + y*13 + x) % 251),

@@ -1,0 +1,246 @@
+"""Per-feature geometry pipeline ops (functions/geomops.py) and their
+ogr2ogr app flags — reference semantics from the per-feature translate
+loop, gdal/apps/ogr2ogr.cpp:3843-3964."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.functions import geometry as G
+from gdal_spark.functions import geomops as GO
+
+
+def wkt(w):
+    return G.wkt_from_wkb(w)
+
+
+def wkb(s):
+    return G.wkb_from_wkt(s)
+
+
+# ---------------------------------------------------------------------------
+# explode / forceTo
+# ---------------------------------------------------------------------------
+
+def test_explode_multi_and_single():
+    mp = wkb("MULTIPOINT(1 2,3 4)")
+    parts = GO.explode_wkb(mp)
+    assert [wkt(p) for p in parts] == ["POINT (1 2)", "POINT (3 4)"]
+    pt = wkb("POINT(1 2)")
+    assert GO.explode_wkb(pt) == [pt]
+    gc = wkb("GEOMETRYCOLLECTION(POINT(0 0),LINESTRING(0 0,1 1))")
+    assert len(GO.explode_wkb(gc)) == 2
+
+
+def test_force_to_promote():
+    assert wkt(GO.wkb_force_to(wkb("POINT(1 2)"), "PROMOTE_TO_MULTI")) == \
+        "MULTIPOINT (1 2)"
+    assert wkt(GO.wkb_force_to(
+        wkb("POLYGON((0 0,1 0,1 1,0 0))"), "MULTIPOLYGON")) == \
+        "MULTIPOLYGON (((0 0,1 0,1 1,0 0)))"
+    # multi passes through unchanged
+    m = wkb("MULTIPOINT(1 2)")
+    assert GO.wkb_force_to(m, "PROMOTE_TO_MULTI") == m
+
+
+def test_force_to_polygon_from_closed_line():
+    # forceToPolygon: closed curve with >=3 points becomes a polygon
+    # (ogrgeometryfactory.cpp forceToPolygon)
+    line = wkb("LINESTRING(0 0,4 0,4 4,0 0)")
+    assert wkt(GO.wkb_force_to(line, "POLYGON")) == \
+        "POLYGON ((0 0,4 0,4 4,0 0))"
+    open_line = wkb("LINESTRING(0 0,4 0,4 4)")
+    assert GO.wkb_force_to(open_line, "POLYGON") == open_line
+
+
+def test_force_to_polygon_aggregates_container_rings():
+    mp = wkb("MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))")
+    out = GO.wkb_force_to(mp, "POLYGON")
+    assert wkt(out) == "POLYGON ((0 0,1 0,1 1,0 0),(5 5,6 5,6 6,5 5))"
+
+
+def test_force_to_multilinestring_from_polygon_rings():
+    poly = wkb("POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 1))")
+    out = GO.wkb_force_to(poly, "MULTILINESTRING")
+    assert wkt(out) == ("MULTILINESTRING ((0 0,4 0,4 4,0 4,0 0),"
+                        "(1 1,2 1,2 2,1 1))")
+
+
+def test_force_to_demote_singleton():
+    mls = wkb("MULTILINESTRING((0 0,1 1))")
+    assert wkt(GO.wkb_force_to(mls, "LINESTRING")) == "LINESTRING (0 0,1 1)"
+    two = wkb("MULTILINESTRING((0 0,1 1),(2 2,3 3))")
+    assert GO.wkb_force_to(two, "LINESTRING") == two
+    with pytest.raises(ValueError, match="unsupported -nlt"):
+        GO.wkb_force_to(mls, "TIN")
+
+
+# ---------------------------------------------------------------------------
+# segmentize / simplify on WKB
+# ---------------------------------------------------------------------------
+
+def test_wkb_segmentize_line_and_polygon():
+    line = wkb("LINESTRING(0 0,10 0)")
+    out = G.decode_linestring(GO.wkb_segmentize(line, 3.0))
+    # 10/3 -> 4 pieces of 2.5
+    assert len(out) == 5
+    assert np.allclose(np.diff(out[:, 0]), 2.5)
+    poly = wkb("POLYGON((0 0,9 0,9 9,0 9,0 0))")
+    rings = G.decode_polygons(GO.wkb_segmentize(poly, 4.5))[0]
+    assert len(rings[0]) == 9  # each 9-long edge split in 2
+    # points untouched
+    pt = wkb("POINT(1 2)")
+    assert GO.wkb_segmentize(pt, 1.0) == pt
+
+
+def test_wkb_simplify():
+    line = wkb("LINESTRING(0 0,1 0.001,2 0,5 5)")
+    out = G.decode_linestring(GO.wkb_simplify(line, 0.1))
+    assert len(out) == 3  # near-collinear vertex dropped
+    assert np.allclose(out[0], [0, 0]) and np.allclose(out[-1], [5, 5])
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-polygon clip
+# ---------------------------------------------------------------------------
+
+TRI = "POLYGON((0 0,10 0,0 10,0 0))"  # right triangle
+
+
+def test_clip_point_and_multipoint():
+    clip = wkb(TRI)
+    assert GO.wkb_clip_to_polygon(wkb("POINT(1 1)"), clip) is not None
+    assert GO.wkb_clip_to_polygon(wkb("POINT(9 9)"), clip) is None
+    out = GO.wkb_clip_to_polygon(wkb("MULTIPOINT(1 1,9 9,2 2)"), clip)
+    assert wkt(out) == "MULTIPOINT (1 1,2 2)"
+    assert wkt(GO.wkb_clip_to_polygon(wkb("MULTIPOINT(1 1,9 9)"), clip)) == \
+        "POINT (1 1)"
+
+
+def test_clip_line_against_triangle():
+    clip = wkb(TRI)
+    # horizontal line at y=2 enters at x=0 and exits the hypotenuse at x=8
+    out = GO.wkb_clip_to_polygon(wkb("LINESTRING(-5 2,20 2)"), clip)
+    c = G.decode_linestring(out)
+    assert np.allclose(c, [[0, 2], [8, 2]])
+    # fully outside -> dropped
+    assert GO.wkb_clip_to_polygon(wkb("LINESTRING(-5 20,20 20)"), clip) is None
+
+
+def test_clip_line_multiple_runs():
+    # clip polygon with a hole: the line crosses solid-hole-solid
+    holed = wkb("POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))")
+    out = GO.wkb_clip_to_polygon(wkb("LINESTRING(-2 5,12 5)"), holed)
+    assert wkt(out) == "MULTILINESTRING ((0 5,4 5),(6 5,10 5))"
+
+
+def test_clip_polygon_general():
+    clip = wkb(TRI)
+    # unit square near the hypotenuse, partially inside
+    sq = wkb("POLYGON((4 4,6 4,6 6,4 6,4 4))")
+    out = GO.wkb_clip_to_polygon(sq, clip)
+    # triangle edge x+y=10 cuts the square at (6,4)-(4,6)
+    area = G.polygon_area(out)
+    assert area == pytest.approx(2.0)
+    assert GO.wkb_clip_to_polygon(
+        wkb("POLYGON((20 20,21 20,21 21,20 20))"), clip) is None
+
+
+# ---------------------------------------------------------------------------
+# wrapdateline
+# ---------------------------------------------------------------------------
+
+def test_wrapdateline_line():
+    # crosses the antimeridian: 170 -> -170 is a 20-degree hop
+    line = wkb("LINESTRING(170 0,-170 0)")
+    out = GO.wkb_wrapdateline(line)
+    assert wkt(out) == "MULTILINESTRING ((170 0,180 0),(-180 0,-170 0))"
+    # non-crossing passes through untouched
+    plain = wkb("LINESTRING(0 0,10 0)")
+    assert GO.wkb_wrapdateline(plain) == plain
+
+
+def test_wrapdateline_polygon():
+    # a 20-degree-wide box straddling the dateline, encoded with raw lons
+    poly = wkb("POLYGON((170 -10,-170 -10,-170 10,170 10,170 -10))")
+    out = GO.wkb_wrapdateline(poly)
+    polys = G.decode_polygons(out)
+    assert len(polys) == 2
+    total = sum(abs(G.ring_area(p[0])) for p in polys)
+    assert total == pytest.approx(20 * 20)
+    xs = np.concatenate([p[0][:, 0] for p in polys])
+    assert xs.min() >= -180.0 and xs.max() <= 180.0
+
+
+# ---------------------------------------------------------------------------
+# ogr2ogr flags end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def squares(spark):
+    """GeoJSON layer of two 10x10 squares and one multipolygon."""
+    import json
+    feats = []
+    for fid, x0 in ((0, 0.0), (1, 20.0)):
+        ring = [[x0, 0.0], [x0 + 10, 0.0], [x0 + 10, 10.0], [x0, 10.0],
+                [x0, 0.0]]
+        feats.append({"type": "Feature", "properties": {"fid": fid},
+                      "geometry": {"type": "Polygon", "coordinates": [ring]}})
+    feats.append({"type": "Feature", "properties": {"fid": 2},
+                  "geometry": {"type": "MultiPolygon", "coordinates": [
+                      [[[40.0, 0.0], [42.0, 0.0], [42.0, 2.0], [40.0, 0.0]]],
+                      [[[50.0, 0.0], [52.0, 0.0], [52.0, 2.0], [50.0, 0.0]]],
+                  ]}})
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "squares.geojson")
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return path
+
+
+def test_ogr2ogr_clipsrc_polygon(spark, squares):
+    from gdal_spark import apps as APP
+    # triangle clip keeps only the part of square 0 under x+y<=10
+    out = APP.ogr2ogr(spark, squares, clipsrc="POLYGON((0 0,10 0,0 10,0 0))")
+    rows = out.collect()
+    assert [r["fid"] for r in rows] == [0]
+    assert G.polygon_area(bytes(rows[0]["geometry"])) == pytest.approx(50.0)
+
+
+def test_ogr2ogr_explode_and_nlt(spark, squares):
+    from gdal_spark import apps as APP
+    out = APP.ogr2ogr(spark, squares, explodecollections=True,
+                      nlt="MULTIPOLYGON")
+    rows = out.orderBy("fid").collect()
+    assert [r["fid"] for r in rows] == [0, 1, 2, 2]
+    names = {G.wkt_from_wkb(bytes(r["geometry"])).split(" ")[0]
+             for r in rows}
+    assert names == {"MULTIPOLYGON"}
+    with pytest.raises(ValueError, match="preserve_fid"):
+        APP.ogr2ogr(spark, squares, explodecollections=True,
+                    preserve_fid=True)
+
+
+def test_ogr2ogr_segmentize_simplify_exclusive(spark, squares):
+    from gdal_spark import apps as APP
+    out = APP.ogr2ogr(spark, squares, segmentize=5.0)
+    w = bytes(out.orderBy("fid").collect()[0]["geometry"])
+    assert len(G.decode_polygons(w)[0][0]) == 9
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        APP.ogr2ogr(spark, squares, segmentize=1.0, simplify=1.0)
+    with pytest.raises(ValueError, match="2-D"):
+        APP.ogr2ogr(spark, squares, dim=3)
+
+
+def test_ogr2ogr_wrapdateline(spark, tmp_path):
+    import json
+    feats = [{"type": "Feature", "properties": {"fid": 0},
+              "geometry": {"type": "LineString",
+                           "coordinates": [[170.0, 0.0], [-170.0, 0.0]]}}]
+    path = str(tmp_path / "dl.geojson")
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    from gdal_spark import apps as APP
+    out = APP.ogr2ogr(spark, path, wrapdateline=True)
+    w = bytes(out.collect()[0]["geometry"])
+    assert G.wkt_from_wkb(w).startswith("MULTILINESTRING")
