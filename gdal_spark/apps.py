@@ -425,6 +425,7 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
              dst_nodata: float | None = None,
              tap: bool = False,
              crop_to_cutline: bool = False,
+             dstalpha: bool = False, nbands: int = 1,
              ) -> tuple[DataFrame, RasterMeta]:
     """The gdalwarp app (gdal/apps/gdalwarp.cpp): full reprojection
     pipeline. Output grid inference follows the app exactly — without
@@ -438,6 +439,8 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
     extent outward to multiples of the resolution, gdalwarp.cpp); a
     truthy ``crop_to_cutline`` = -crop_to_cutline (the cutline polygon's
     envelope becomes the extent — pass the -te role to the cutline).
+    ``dstalpha`` = -dstalpha: append an alpha band (index ``nbands``) of
+    255·validity density (GDALWarpDstAlphaMasker, gdalwarper.cpp:573).
     Execution is the engine's block-pruned distributed warp gather."""
     if tap and tr is None:
         raise ValueError("-tap requires -tr (gdalwarp app contract)")
@@ -499,7 +502,8 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
     src_from_dst = SRS.ApproxTransform(exact, max_err=et) if et else exact
     out = RS.warp(tiles, src_meta, dst_meta, method=r,
                   src_from_dst=src_from_dst, cutline=cutline,
-                  src_nodata=src_nodata)
+                  src_nodata=src_nodata,
+                  dst_alpha=int(nbands) if dstalpha else None)
     return out, dst_meta
 
 

@@ -359,7 +359,8 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
          cutline: bytes | None = None,
          src_nodata: float | None = None,
          src_cutline: bytes | None = None,
-         cutline_blend: float = 0.0) -> DataFrame:
+         cutline_blend: float = 0.0,
+         dst_alpha: int | None = None) -> DataFrame:
     """Warp ``src_tiles`` onto ``dst_meta``'s grid. ``src_from_dst`` maps
     arrays of dst pixel coords → src pixel coords (default: affine via the
     two geotransforms); it must be picklable and numpy-vectorized.
@@ -392,6 +393,16 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     (gdalwarpkernel.cpp:1206-1270): d<0.0001 → dst stays nodata,
     d≥0.9999 → source value, else ``v*d + nodata*(1-d)``.
     Supported for nearest and the convolution kernels.
+
+    ``dst_alpha``: band index for a gdalwarp -dstalpha output band:
+    255·density in the dst dtype (GDALWarpDstAlphaMasker,
+    gdal/alg/gdalwarper.cpp:573 — 255 where the pixel received a valid
+    value, 0 where it stayed nodata, the blend-ramp density in between
+    for ``src_cutline`` + ``cutline_blend``). The alpha tile is emitted
+    from the band-0 gather group (per-band validity is identical: one
+    scalar src_nodata, one cutline); dst blocks with no source support
+    emit nothing — the sparse-raster convention reads them as 0
+    (transparent), matching the masker.
     """
     if src_from_dst is None:
         src_from_dst = affine_src_from_dst(src_meta, dst_meta)
@@ -485,6 +496,7 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
 
     def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
         dbx, dby, band = int(key[0]), int(key[1]), int(key[2])
+        dens = None  # graded validity (src_cutline blend), else binary ~inv
         w = min(block, dW - dbx * block)
         h = min(block, dH - dby * block)
         # mosaic the source window (clamped to raster bounds)
@@ -573,6 +585,7 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
                 val = np.where(d >= 0.9999, val,
                                val * d + nodata * (1.0 - d))
                 inv = inv | (d < 0.0001)
+                dens = d
             else:
                 val, inv = resample_grid(buf, sx0, sy0, sW, sH, sx, sy,
                                          method, xscale, yscale, nodata)
@@ -590,7 +603,14 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
             mask[pi] = True
             inv = inv | ~mask.reshape(gx.shape)
         out = _round_cast(val, dtype, inv, nodata)
-        return pd.DataFrame([(out_id, band, dbx, dby, w, h, out.tobytes())],
+        rows_out = [(out_id, band, dbx, dby, w, h, out.tobytes())]
+        if dst_alpha is not None and band == 0:
+            a = (np.where(inv, 0.0, 255.0) if dens is None else
+                 np.where(inv, 0.0, dens * 255.0))
+            alpha = _round_cast(a, dtype, np.zeros(a.shape, dtype=bool), 0.0)
+            rows_out.append((out_id, int(dst_alpha), dbx, dby, w, h,
+                             alpha.tobytes()))
+        return pd.DataFrame(rows_out,
                             columns=["raster_id", "band", "bx", "by",
                                      "w", "h", "data"])
 

@@ -291,3 +291,36 @@ def test_gdalwarp_crop_to_cutline(spark, grad16):
     with pytest.raises(ValueError, match="conflicts"):
         APP.gdalwarp(tiles, meta, "ccl3", cutline=cl, crop_to_cutline=True,
                      te=(0, 0, 1, 1))
+
+
+def test_gdalwarp_dstalpha(spark, grad16):
+    """-dstalpha (GDALWarpDstAlphaMasker, gdalwarper.cpp:573): an alpha
+    band of 255 where the pixel received a value, 0 where it stayed
+    nodata (outside the cutline / outside the source)."""
+    from gdal_spark.functions.geometry import wkb_from_wkt
+    tiles, meta, arr = grad16
+    cl = wkb_from_wkt("POLYGON((108 376,124 376,124 392,108 392,108 376))")
+    out, om = APP.gdalwarp(tiles, meta, "da1", cutline=cl, dstalpha=True,
+                           te=(100.0, 368.0, 132.0, 400.0), tr=(2.0, 2.0),
+                           et=0)
+    data = M.to_array(out, om, band=0)
+    alpha = M.to_array(out, om, band=1)
+    inside = np.zeros((16, 16), dtype=bool)
+    inside[4:12, 4:12] = True
+    np.testing.assert_array_equal(alpha, np.where(inside, 255, 0))
+    np.testing.assert_array_equal(data[inside], arr[inside])
+    assert (data[~inside] == 0).all()
+
+
+def test_gdalwarp_dstalpha_outside_source(spark, grad16):
+    """dst extent larger than the source: alpha is 0 on the uncovered
+    frame (blocks without source support stay absent -> transparent)."""
+    tiles, meta, arr = grad16
+    out, om = APP.gdalwarp(tiles, meta, "da2", dstalpha=True,
+                           te=(96.0, 364.0, 136.0, 404.0), tr=(2.0, 2.0),
+                           et=0)
+    alpha = M.to_array(out, om, band=1)
+    assert (om.width, om.height) == (20, 20)
+    assert (alpha[2:18, 2:18] == 255).all()
+    assert (alpha[:2, :] == 0).all() and (alpha[:, :2] == 0).all()
+    assert (alpha[18:, :] == 0).all() and (alpha[:, 18:] == 0).all()

@@ -334,3 +334,30 @@ def test_warp_src_nodata_nearest_and_bilinear(spark):
     assert (got_b[:, :4] == 100).all() and (got_b[:, 4:] == 7).all()
     with pytest.raises(ValueError):
         R.warp(tiles, meta, dst, "average", src_nodata=255.0)
+
+
+def test_warp_dstalpha_blend_ramp(spark):
+    """dst_alpha with src_cutline + blend: alpha is the 255-scaled blend
+    density — 255 deep inside the cutline, 0 well outside, graded in the
+    blend band (GDALWarpDstAlphaMasker density semantics)."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import resample as RS
+    src = np.full((16, 16), 100, dtype=np.uint8)
+    meta = RM.RasterMeta("daramp", 16, 16, gt=(0, 1, 0, 16, 0, -1),
+                         dtype="uint8", block=8)
+    # identity warp, cutline square [4,12)x[4,12) in pixel coords
+    cl = G.encode_polygon([np.array(
+        [[4.0, 4.0], [12.0, 4.0], [12.0, 12.0], [4.0, 12.0], [4.0, 4.0]])])
+    dst = RM.RasterMeta("daout", 16, 16, gt=(0, 1, 0, 16, 0, -1),
+                        dtype="uint8", block=8)
+    out = RS.warp(RM.from_array(spark, src, meta), meta, dst,
+                  method="bilinear", src_cutline=cl, cutline_blend=2.0,
+                  dst_alpha=1)
+    alpha = RM.to_array(out, dst, band=1)
+    assert alpha[8, 8] == 255          # deep inside
+    assert alpha[0, 0] == 0            # far outside
+    ramp = alpha[(alpha > 0) & (alpha < 255)]
+    assert ramp.size > 0               # the blend band is graded
+    data = RM.to_array(out, dst, band=0)
+    assert data[8, 8] == 100
