@@ -426,6 +426,7 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
              tap: bool = False,
              crop_to_cutline: bool = False,
              dstalpha: bool = False, nbands: int = 1,
+             srcalpha: int | None = None,
              ) -> tuple[DataFrame, RasterMeta]:
     """The gdalwarp app (gdal/apps/gdalwarp.cpp): full reprojection
     pipeline. Output grid inference follows the app exactly — without
@@ -441,6 +442,9 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
     envelope becomes the extent — pass the -te role to the cutline).
     ``dstalpha`` = -dstalpha: append an alpha band (index ``nbands``) of
     255·validity density (GDALWarpDstAlphaMasker, gdalwarper.cpp:573).
+    ``srcalpha`` = -srcalpha with the alpha band's index: that band
+    becomes per-pixel source density (GDALWarpSrcAlphaMasker) instead of
+    being warped as data.
     Execution is the engine's block-pruned distributed warp gather."""
     if tap and tr is None:
         raise ValueError("-tap requires -tr (gdalwarp app contract)")
@@ -503,7 +507,8 @@ def gdalwarp(tiles: DataFrame, src_meta: RasterMeta, out_id: str, *,
     out = RS.warp(tiles, src_meta, dst_meta, method=r,
                   src_from_dst=src_from_dst, cutline=cutline,
                   src_nodata=src_nodata,
-                  dst_alpha=int(nbands) if dstalpha else None)
+                  dst_alpha=int(nbands) if dstalpha else None,
+                  src_alpha=srcalpha)
     return out, dst_meta
 
 

@@ -360,7 +360,8 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
          src_nodata: float | None = None,
          src_cutline: bytes | None = None,
          cutline_blend: float = 0.0,
-         dst_alpha: int | None = None) -> DataFrame:
+         dst_alpha: int | None = None,
+         src_alpha: int | None = None) -> DataFrame:
     """Warp ``src_tiles`` onto ``dst_meta``'s grid. ``src_from_dst`` maps
     arrays of dst pixel coords → src pixel coords (default: affine via the
     two geotransforms); it must be picklable and numpy-vectorized.
@@ -403,6 +404,15 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     scalar src_nodata, one cutline); dst blocks with no source support
     emit nothing — the sparse-raster convention reads them as 0
     (transparent), matching the masker.
+
+    ``src_alpha``: band index of a source alpha band (gdalwarp
+    -srcalpha, GDALWarpSrcAlphaMasker, gdal/alg/gdalwarper.cpp): the
+    alpha block becomes per-source-pixel density ``alpha·(1/255)``
+    clipped at 1.0 (float32 math, bit-matching the masker), then feeds
+    the same density kernel as ``src_cutline``. The alpha band itself is
+    not warped as data; alpha blocks join onto every data-band gather
+    group by (bx, by). Supported for nearest and the convolution
+    kernels; mutually exclusive with ``src_cutline``.
     """
     if src_from_dst is None:
         src_from_dst = affine_src_from_dst(src_meta, dst_meta)
@@ -415,6 +425,12 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     if src_nodata is not None and method not in KERNELS \
             and method != "nearest":
         raise ValueError("src_nodata supported for nearest/kernel methods")
+    if src_alpha is not None:
+        if src_cutline is not None:
+            raise ValueError("src_alpha and src_cutline are exclusive "
+                             "(one density source, gdalwarper.cpp)")
+        if method not in KERNELS and method != "nearest":
+            raise ValueError("src_alpha supported for nearest/kernel methods")
     radius = KERNELS[method][1] if method in KERNELS else 0
     block = dst_meta.block
     sblock = src_meta.block
@@ -492,7 +508,16 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
     pairs = (wins.filter((sb_lo_x <= sb_hi_x) & (sb_lo_y <= sb_hi_y))
              .withColumn("bx", F.explode(F.sequence(sb_lo_x, sb_hi_x)))
              .withColumn("by", F.explode(F.sequence(sb_lo_y, sb_hi_y))))
-    joined = pairs.join(src_tiles, on=["bx", "by"], how="inner")
+    if src_alpha is not None:
+        # alpha blocks ride along with every data-band tile of the same
+        # block key; absent alpha blocks read as 0 (fully transparent)
+        alpha_tiles = (src_tiles.filter(F.col("band") == src_alpha)
+                       .select("bx", "by", F.col("data").alias("adata")))
+        data_tiles = src_tiles.filter(F.col("band") != src_alpha)
+        joined = (pairs.join(data_tiles, on=["bx", "by"], how="inner")
+                  .join(alpha_tiles, on=["bx", "by"], how="left"))
+    else:
+        joined = pairs.join(src_tiles, on=["bx", "by"], how="inner")
 
     def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
         dbx, dby, band = int(key[0]), int(key[1]), int(key[2])
@@ -505,10 +530,16 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
         sx1 = min((int(pdf["sx1"].iloc[0] // sblock) + 1) * sblock, sW)
         sy1 = min((int(pdf["sy1"].iloc[0] // sblock) + 1) * sblock, sH)
         buf = np.zeros((sy1 - sy0, sx1 - sx0), dtype=src_dtype)
+        abuf = (np.zeros_like(buf, dtype=np.float32)
+                if src_alpha is not None else None)
         for r in pdf.itertuples(index=False):
             sub = np.frombuffer(bytes(r.data), dtype=src_dtype).reshape(r.h, r.w)
             qx, qy = r.bx * sblock - sx0, r.by * sblock - sy0
             buf[qy:qy + r.h, qx:qx + r.w] = sub
+            if abuf is not None and r.adata is not None:
+                asub = np.frombuffer(bytes(r.adata),
+                                     dtype=src_dtype).reshape(r.h, r.w)
+                abuf[qy:qy + r.h, qx:qx + r.w] = asub
         DX, DY = np.meshgrid(
             np.arange(dbx * block, dbx * block + w, dtype=np.float64) + 0.5,
             np.arange(dby * block, dby * block + h, dtype=np.float64) + 0.5)
@@ -547,10 +578,17 @@ def warp(src_tiles: DataFrame, src_meta: RasterMeta, dst_meta: RasterMeta,
                 with np.errstate(divide="ignore", invalid="ignore"):
                     val = np.where(dens > 1e-9, vsum / dens, nodata)
                 inv = inv | (dens <= 1e-9)
-            elif src_cutline is not None:
-                dens_win = cutline_density(src_cutline, sx0, sy0,
-                                           sy1 - sy0, sx1 - sx0,
-                                           cutline_blend)
+            elif src_cutline is not None or src_alpha is not None:
+                if src_cutline is not None:
+                    dens_win = cutline_density(src_cutline, sx0, sy0,
+                                               sy1 - sy0, sx1 - sx0,
+                                               cutline_blend)
+                else:
+                    # GDALWarpSrcAlphaMasker: alpha * (float)0.00392157,
+                    # clipped at 1.0 (float32 math, bit-exact)
+                    dens_win = np.minimum(
+                        abuf * np.float32(0.00392157),
+                        np.float32(1.0)).astype(np.float64)
                 if method == "nearest":
                     val, inv = resample_grid(buf, sx0, sy0, sW, sH, sx, sy,
                                              method, xscale, yscale, nodata)

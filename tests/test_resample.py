@@ -361,3 +361,40 @@ def test_warp_dstalpha_blend_ramp(spark):
     assert ramp.size > 0               # the blend band is graded
     data = RM.to_array(out, dst, band=0)
     assert data[8, 8] == 100
+
+
+def test_warp_srcalpha(spark):
+    """-srcalpha (GDALWarpSrcAlphaMasker): the source alpha band scales
+    per-pixel density by alpha/255 — fully transparent source pixels
+    contribute nothing (dst stays nodata), half-transparent pixels blend
+    toward nodata, opaque pixels copy through; the alpha band itself is
+    not warped as data."""
+    from gdal_spark.raster import model as RM
+    from gdal_spark.raster import resample as RS
+    data = np.full((16, 16), 200, dtype=np.uint8)
+    alpha = np.zeros((16, 16), dtype=np.uint8)
+    alpha[:, 8:] = 255         # right half opaque
+    alpha[:, 4:8] = 128        # a half-transparent strip
+    meta = RM.RasterMeta("sa", 16, 16, gt=(0, 1, 0, 16, 0, -1),
+                         dtype="uint8", block=8)
+    tiles = RM.from_array(spark, data, meta, band=0).unionAll(
+        RM.from_array(spark, alpha, meta, band=1))
+    dst = RM.RasterMeta("saout", 16, 16, gt=(0, 1, 0, 16, 0, -1),
+                        dtype="uint8", block=8)
+    out = RS.warp(tiles, meta, dst, method="nearest", src_alpha=1,
+                  dst_alpha=2)
+    got = RM.to_array(out, dst, band=0)
+    assert (got[:, :4] == 0).all()                 # transparent -> nodata
+    # d = 128/255 = 0.50196: v*d + 0*(1-d) = 200*0.50196 -> 100
+    assert (got[:, 4:8] == 100).all()
+    assert (got[:, 8:] == 200).all()               # opaque copies through
+    a = RM.to_array(out, dst, band=2)              # dst alpha = 255*density
+    assert (a[:, :4] == 0).all()
+    assert (a[:, 4:8] == 128).all()
+    assert (a[:, 8:] == 255).all()
+    # the alpha band is consumed, not warped: only bands 0 and 2 emitted
+    bands = {r["band"] for r in out.select("band").distinct().collect()}
+    assert bands == {0, 2}
+    with pytest.raises(ValueError, match="exclusive"):
+        RS.warp(tiles, meta, dst, method="nearest", src_alpha=1,
+                src_cutline=b"\x00")
