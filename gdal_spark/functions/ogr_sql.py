@@ -78,11 +78,104 @@ def ogr_substr(col: Column, start: int, length: int | None = None) -> Column:
     return F.substring(col, start, length)
 
 
-def hstore_get_value(col: Column, key: str) -> Column:
-    """HSTORE_GET_VALUE('a=>b,c=>d', 'c') → 'd'
-    (gdal/ogr/swq_op_registrar.cpp:52-59) — str_to_map + element_at,
-    pure column math."""
-    return F.element_at(F.str_to_map(col, F.lit(","), F.lit("=>")), key)
+def _hs_check_end(s: str, i: int, is_key: bool) -> int | None:
+    """OGRHStoreCheckEnd (gdal/ogr/swq_op_general.cpp:110): after a
+    quoted token only spaces may precede the separator."""
+    i += 1
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch == " ":
+            i += 1
+            continue
+        if is_key:
+            return i + 2 if ch == "=" and s[i:i + 2] == "=>" else None
+        return i + 1 if ch == "," else None
+    return i
+
+
+def _hs_next_string(s: str, i: int, is_key: bool):
+    """OGRHStoreGetNextString (swq_op_general.cpp:137): one key or value
+    token — unquoted (terminated by space/separator) or double-quoted
+    with backslash escapes. Returns (token, next_index) or None."""
+    in_string = False
+    started = False
+    buf: list[str] = []
+    start = i
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if in_string:
+            if ch == '"':
+                nxt = _hs_check_end(s, i, is_key)
+                return None if nxt is None else ("".join(buf), nxt)
+            if ch == "\\":
+                i += 1
+                if i >= n:
+                    return None
+                ch = s[i]
+            buf.append(ch)
+        else:
+            if ch == " ":
+                if started:
+                    nxt = _hs_check_end(s, i, is_key)
+                    return None if nxt is None else (s[start:i], nxt)
+            elif is_key and ch == "=" and s[i:i + 2] == "=>":
+                if started:
+                    return s[start:i], i + 2
+            elif not is_key and ch == ",":
+                if started:
+                    return s[start:i], i + 1
+            elif ch == '"':
+                started = in_string = True
+                buf = []
+            elif not started:
+                started = True
+                start = i
+        i += 1
+    if not in_string and started:
+        return s[start:i], i
+    return None
+
+
+def py_hstore_get_value(hstore, key):
+    """OGRHStoreGetValue (swq_op_general.cpp:240): scan key=>value pairs
+    left to right, None for any syntax violation or a missing key."""
+    if hstore is None or key is None:
+        return None
+    s, i = str(hstore), 0
+    while True:
+        r = _hs_next_string(s, i, True)
+        if r is None:
+            return None
+        k, i = r
+        if i >= len(s):  # key with no value
+            return None
+        r = _hs_next_string(s, i, False)
+        if r is None:
+            return None
+        v, i = r
+        if k == key:
+            return v
+        if i >= len(s):
+            return None
+
+
+def hstore_get_value(col: Column, key) -> Column:
+    """HSTORE_GET_VALUE(hstore, key)
+    (gdal/ogr/swq_op_registrar.cpp:52-59, OGRHStoreGetValue
+    swq_op_general.cpp:240): full reference tokenizer — quoted keys and
+    values, backslash escapes, strict separator checking — as an
+    Arrow-batched pandas UDF (the state machine is not expressible as
+    column math; this is a scalar helper, not a hot-path operator)."""
+    key_col = key if isinstance(key, Column) else F.lit(key)
+
+    @F.pandas_udf("string")
+    def fn(s: pd.Series, k: pd.Series) -> pd.Series:
+        return pd.Series([py_hstore_get_value(a, b)
+                          for a, b in zip(s, k)], dtype=object)
+
+    return fn(col, key_col)
 
 
 # ---------------------------------------------------------------------------

@@ -57,8 +57,8 @@ from gdal_spark.functions import ogr_sql as OS
 
 _TOKEN_RE = re.compile(
     r"\s*(?:"
-    r"(?P<str>'(?:[^']|'')*')"
-    r"|(?P<qid>\"(?:[^\"]|\"\")*\")"
+    r"(?P<str>'(?:[^'\\]|\\.|'')*')"
+    r"|(?P<qid>\"(?:[^\"\\]|\\.|\"\")*\")"
     r"|(?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
     r"|\d+(?:[eE][+-]?\d+)?)"
     r"|(?P<op><>|!=|<=|>=|[=<>+\-*/%(),.])"
@@ -76,9 +76,13 @@ def _lex(sql: str) -> list[tuple[str, str]]:
             break
         pos = m.end()
         if m.group("str") is not None:
-            toks.append(("str", m.group("str")[1:-1].replace("''", "'")))
+            # swq lexer escapes (gdal/ogr/swq.cpp:110-116): \' and ''
+            # unescape to '; a backslash before anything else is literal
+            toks.append(("str", re.sub(r"\\'|''", "'",
+                                       m.group("str")[1:-1])))
         elif m.group("qid") is not None:
-            toks.append(("qid", m.group("qid")[1:-1].replace('""', '"')))
+            toks.append(("qid", re.sub(r'\\"|""', '"',
+                                       m.group("qid")[1:-1])))
         elif m.group("num") is not None:
             toks.append(("num", m.group("num")))
         elif m.group("op") is not None:
@@ -341,7 +345,10 @@ class _Parser:
 
     def _table_name(self) -> str:
         k, v = self.next()
-        if k not in ("id", "qid", "str"):  # 'test' single-quoted names OK
+        # strict quoting: "test" is an identifier, 'test' is a string
+        # literal and NOT accepted as a table name (ogr_sql_46; the swq
+        # grammar's table_def takes SWQT_IDENTIFIER only)
+        if k not in ("id", "qid"):
             raise ValueError(f"expected table name, got {(k, v)}")
         return v
 
@@ -673,8 +680,11 @@ class _Parser:
                 and self.peek(2) == ("op", "*")):
             self.i += 3
             t = self._table(v)
-            pre = t.out_prefix or (v + "." if len(self.tables) > 1 else "")
-            return [(F.col(i), (pre + n.split(".")[-1]) if pre else n, False)
+            # an explicitly qualified star ALWAYS composes table.field
+            # names, even on the primary table (swq_select.cpp:908
+            # `compose = (itable != -1) || ...`; asserted by ogr_sql_22)
+            pre = t.out_prefix or (v + ".")
+            return [(F.col(i), pre + n.split(".")[-1], False)
                     for n, i in t.attrs]
         if k == "id" and v.upper() in _AGGS and self.peek(1) == ("op", "("):
             return [self._agg_item(v.upper())]

@@ -474,3 +474,234 @@ def test_sql27_datetime_filter_orderby(spark):  # ogr_sql_27
         "timestamp != '2009/12/31 23:00:00' "
         "ORDER BY timestamp DESC")
     assert vals(df, "name") == ["foo5", "foo4"]
+
+
+# --- round-3 ports: the remaining portable ogr_sql_test.py cases ------------
+
+@pytest.fixture(scope="module")
+def eng2(spark):
+    """Memory-layer fixtures for ogr_sql_20..46 (the reference builds
+    these with the Memory driver per case)."""
+    from gdal_spark.functions.geometry import wkb_from_wkt as W
+    e = OGRSQLEngine(spark)
+    e.register("poly", PG.poly_fixture(spark))
+    e.register("bare", spark.createDataFrame(          # ogr_sql_20/21
+        [(0, bytearray(W("POINT(0 1)"))), (1, bytearray(W("POINT(2 3)")))],
+        "fid long, geometry binary"))
+    e.register("my_layer", spark.createDataFrame(      # ogr_sql_22/23
+        [(0, "0", bytearray(W("POINT(0 1)"))),
+         (1, "1", bytearray(W("POINT(2 3)")))],
+        "fid long, test string, geometry binary"))
+    e.register("geoml", spark.createDataFrame(         # ogr_sql_25
+        [(0, "0", bytearray(W("POLYGON((0 0,0 1,1 1,1 0,0 0))"))),
+         (1, "1", bytearray(W("POLYGON((0 0,0 0.5,0.5 0.5,0.5 0,0 0))")))],
+        "fid long, test string, geometry binary"))
+    e.register("t29", spark.createDataFrame(           # ogr_sql_29
+        [(0, "a"), (1, "b"), (2, None)],
+        "fid long, strfield string"), geometry_col=None)
+    e.register("t36", spark.createDataFrame(           # ogr_sql_36
+        [(1, 2.3, "456", 1234567890123),
+         (None, None, None, None)],
+        "intfield int, floatfield double, strfield string, int64field long"),
+        geometry_col=None)
+    e.register("t37", spark.createDataFrame(           # ogr_sql_37
+        [(1, None, "456", None, None), (1, None, "456", None, None),
+         (None, 2.3, None, "foo", None), (None, 2.3, None, None, None)],
+        "intfield int, floatfield double, strfield string, "
+        "strfield2 string, strfield3 string"), geometry_col=None)
+    e.register("qt", spark.createDataFrame(            # ogr_sql_46
+        [(1, "not_from"), (3, "from")],
+        "id long, `from` string"), geometry_col=None)
+    return e
+
+
+def test_where_in_select_star(eng):                        # ogr_sql_9
+    df = eng.execute_sql(
+        'select * from "poly" where eas_id in (158,165)')
+    assert sorted(vals(df, "prfedea")) == ["35043369", "35043408"]
+
+
+def test_distinct_empty_layer(eng):                        # ogr_sql_12
+    df = eng.execute_sql("select distinct eas_id from empty")
+    assert df.count() == 0
+
+
+def test_empty_statement_rejected(eng):                    # ogr_sql_19
+    with pytest.raises(ValueError):
+        eng.execute_sql("")
+
+
+def test_star_fieldless_layer(eng2):                       # ogr_sql_20
+    df = eng2.execute_sql("SELECT * from bare")
+    assert df.count() == 2
+
+
+def test_star_plus_fid(eng2):                              # ogr_sql_21
+    df = eng2.execute_sql("SELECT *, fid from bare")
+    assert df.columns == ["fid"]
+
+
+def test_multi_star_expansion(eng2):                       # ogr_sql_22
+    df = eng2.execute_sql("SELECT *, fid, *, my_layer.* from my_layer")
+    assert df.columns == ["test", "fid", "test", "my_layer.test"]
+
+
+def test_distinct_string_field(eng2):                      # ogr_sql_23
+    df = eng2.execute_sql("SELECT DISTINCT test from my_layer")
+    assert df.count() == 2
+
+
+def test_geom_area_special_field(eng2):                    # ogr_sql_25
+    df = eng2.execute_sql("SELECT test, OGR_GEOM_AREA from geoml "
+                          "WHERE OGR_GEOM_AREA > 0.9")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["OGR_GEOM_AREA"] == 1.0
+    assert rows[0]["test"] == "0"
+
+
+def test_string_literal_select(eng2):                      # ogr_sql_26
+    df = eng2.execute_sql("SELECT 'literal_value' AS my_column, "
+                          "'literal_value2' my_column2 FROM bare")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["my_column"] == "literal_value"
+    assert rows[0]["my_column2"] == "literal_value2"
+
+
+def test_is_null(eng2):                                    # ogr_sql_29
+    assert eng2.execute_sql(
+        "select * from t29 where strfield is null").count() == 1
+    assert eng2.execute_sql(
+        "select * from t29 where strfield is not null").count() == 2
+
+
+def test_count_star_with_min(eng):                         # ogr_sql_30
+    df = eng.execute_sql("select min(eas_id), count(*) from poly")
+    r = df.collect()[0]
+    assert r["COUNT_*"] == 10
+
+
+def test_min_over_empty_selection(eng):                    # ogr_sql_31/32
+    df = eng.execute_sql("select min(eas_id) from poly where area = 0")
+    assert df.collect()[0][0] is None
+
+
+def test_in_string_promotion(eng):                         # ogr_sql_34
+    # atoi promotion: IN ('165') matches eas_id 165 (engine deviation,
+    # documented: non-numeric strings match nothing instead of erroring)
+    df = eng.execute_sql(
+        "select count(*) from poly where eas_id in ('165')")
+    assert df.collect()[0][0] == 1
+
+
+def test_huge_select_list(eng):                            # ogr_sql_35
+    cols = "area"
+    for _ in range(10):
+        cols = cols + "," + cols
+    df = eng.execute_sql(f"select {cols} from poly")
+    assert len(df.columns) == 1024
+
+
+@pytest.mark.parametrize("field", ["intfield", "int64field", "floatfield",
+                                   "strfield"])
+def test_distinct_null_ordering(eng2, field):              # ogr_sql_36
+    df = eng2.execute_sql(
+        f"select distinct {field} from t36 order by {field} asc")
+    rows = df.collect()
+    assert rows[0][0] is None and rows[1][0] is not None
+    df = eng2.execute_sql(
+        f"select distinct {field} from t36 order by {field} desc")
+    rows = df.collect()
+    assert rows[0][0] is not None and rows[1][0] is None
+
+
+@pytest.mark.parametrize("field", ["intfield", "floatfield", "strfield"])
+def test_count_with_nulls(eng2, field):                    # ogr_sql_37
+    df = eng2.execute_sql(f"select count({field}), "
+                          f"count(distinct {field}), count(*) from t37")
+    r = df.collect()[0]
+    assert (r[0], r[1], r[2]) == (2, 1, 4)
+
+
+def test_avg_all_null_and_distinct_null_first(eng2):       # ogr_sql_37 (cont)
+    df = eng2.execute_sql(
+        "select avg(intfield) from t37 where intfield is null")
+    assert df.collect()[0][0] is None
+    df = eng2.execute_sql("select distinct strfield2 from t37")
+    got = sorted(vals(df, "strfield2"), key=lambda v: (v is None, v))
+    assert got == ["foo", None]
+    df = eng2.execute_sql("select distinct strfield3 from t37")
+    assert vals(df, "strfield3") == [None]
+
+
+def test_max_geom_area_summary(eng2):                      # ogr_sql_38
+    df = eng2.execute_sql("SELECT MAX(OGR_GEOM_AREA) FROM geoml")
+    assert df.collect()[0][0] == 1.0
+
+
+def test_orderby_geom_area(eng2):                          # ogr_sql_39
+    df = eng2.execute_sql("SELECT * FROM geoml ORDER BY OGR_GEOM_AREA")
+    assert vals(df, "test") == ["1", "0"]
+
+
+def test_orderby_fid_desc(eng):                            # ogr_sql_40
+    df = eng.execute_sql("SELECT *, FID FROM poly ORDER BY FID DESC")
+    assert df.collect()[0]["FID"] == 9
+
+
+def test_orderby_geometry_keeps_rows(eng):                 # ogr_sql_41
+    # ORDER BY OGR_GEOMETRY: all keys equal ('POLYGON') — the reference's
+    # stable sort keeps FID 0 first; a distributed sort has no stability
+    # guarantee (documented deviation), so assert the full result set
+    df = eng.execute_sql("SELECT * FROM poly ORDER BY OGR_GEOMETRY")
+    assert df.count() == 10
+
+
+def test_not_equal_empty_string(eng):                      # ogr_sql_42
+    df = eng.execute_sql("SELECT * FROM poly WHERE prfedea <> ''")
+    assert df.count() == 10
+
+
+def test_escape_sequences(eng):                            # ogr_sql_43
+    df = eng.execute_sql("SELECT '\"' as a, '\\'' as b, '''' as c "
+                         "FROM poly")
+    r = df.collect()[0]
+    assert r["a"] == '"' and r["b"] == "'" and r["c"] == "'"
+
+
+def test_hstore_get_value_sql(eng):                        # ogr_sql_44
+    invalid = ["'a'", "'a=>'", "' a => '", "'\"a'", "'\"a\"'", "'\"a\"='",
+               "'\"a\" =>'", "'\"a\" => '", "'\"a\" => \"'",
+               "'\"a\" => \"\" z'", "'a=>b,z,c=>d'"]
+    for h in invalid:
+        key = "'c'" if "c=>" in h else "'a'"
+        df = eng.execute_sql(
+            f"SELECT hstore_get_value({h}, {key}) FROM poly WHERE fid=0")
+        assert df.collect()[0][0] is None, h
+    valid = ["'a=>b'", "' a => b '", "'\"a\"=>b'", "' \"a\" =>b'",
+             "'a=>\"b\"'", "'a=> \"b\" '", "'\"a\"=>\"b\"'",
+             "' \"a\" => \"b\" '"]
+    for h in valid:
+        df = eng.execute_sql(
+            f"SELECT hstore_get_value({h}, 'a') FROM poly WHERE fid=0")
+        assert df.collect()[0][0] == "b", h
+    # escaped quote inside a quoted key
+    df = eng.execute_sql("SELECT hstore_get_value(' \"a\\\"b\" => \"b\" ',"
+                         " 'a\"b') FROM poly WHERE fid=0")
+    assert df.collect()[0][0] == "b"
+
+
+def test_strict_quoting(eng2):                             # ogr_sql_46
+    df = eng2.execute_sql('select id, \'id\', "id" as id2, id as "id3", '
+                          '"from" from qt where "from" = \'from\'')
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r[0], r[1], r[2], r[3], r[4]) == (3, "id", 3, 3, "from")
+    df = eng2.execute_sql('select max("id"), max(id), count("id"), '
+                          'count(id) from "qt"')
+    r = df.collect()[0]
+    assert (r[0], r[1], r[2], r[3]) == (3, 3, 2, 2)
+    with pytest.raises(ValueError):
+        eng2.execute_sql("select * from 'qt'")
