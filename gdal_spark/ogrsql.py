@@ -371,8 +371,11 @@ class _Parser:
         internal_geom = None
         renamed = []
         for f_ in df.schema.fields:
-            internal = f"_t{idx}_{f_.name}"
-            renamed.append(F.col(f_.name).alias(internal))
+            # internal names must be dot-free (F.col parses '.' as a
+            # struct access); source names with dots (ogr_rfc28_41
+            # 'a.b') are backtick-quoted for the initial rename
+            internal = f"_t{idx}_" + f_.name.replace(".", "_DOT_")
+            renamed.append(F.col(f"`{f_.name}`").alias(internal))
             colmap[f_.name.lower()] = internal
             kinds[internal] = _kind_of(f_.dataType)
             if f_.name == geom:
@@ -582,6 +585,12 @@ class _Parser:
             if op is None:
                 return e
             r = self._mul()
+            if op == "+" and (e.kind == "str" or r.kind == "str"):
+                # '+' on strings concatenates (SWQGeneralEvaluator's
+                # SWQ_ADD string branch; ogr_rfc28_3)
+                e = _E(F.concat(e.col.cast("string"),
+                                r.col.cast("string")), "str")
+                continue
             e = _E(e.col + r.col if op == "+" else e.col - r.col, "num",
                    int_=e.int_ and r.int_)
 
@@ -659,12 +668,25 @@ class _Parser:
             args.append(self.expr())
         self.expect_op(")")
         if name == "CONCAT":
+            if len(args) < 2:
+                raise ValueError(
+                    f"Expected 2 or more arguments to CONCAT(), "
+                    f"but got {len(args)}")
             return _E(F.concat(*[a.col.cast("string") for a in args]), "str")
         if name == "SUBSTR":
+            # arity/type checks per SWQGeneralChecker (ogr_rfc28_38)
+            if len(args) not in (2, 3):
+                raise ValueError(f"Expected 2 or 3 arguments to SUBSTR(), "
+                                 f"but got {len(args)}")
+            if args[0].kind == "num":
+                raise ValueError("Wrong argument type for SUBSTR()")
             start = int(args[1].lit)
             length = int(args[2].lit) if len(args) > 2 else None
             return _E(OS.ogr_substr(args[0].col, start, length), "str")
         # HSTORE_GET_VALUE(col, 'key')  (swq_op_registrar.cpp:52-59)
+        if len(args) != 2:
+            raise ValueError(f"Expected 2 arguments to hstore_get_value(), "
+                             f"but got {len(args)}")
         return _E(OS.hstore_get_value(args[0].col, str(args[1].lit)), "str")
 
     # -- select list --------------------------------------------------------
@@ -684,7 +706,12 @@ class _Parser:
             # names, even on the primary table (swq_select.cpp:908
             # `compose = (itable != -1) || ...`; asserted by ogr_sql_22)
             pre = t.out_prefix or (v + ".")
-            return [(F.col(i), pre + n.split(".")[-1], False)
+            # strip the table's own prefix (not dot-split: field names may
+            # themselves contain dots, ogr_rfc28_41)
+            return [(F.col(i),
+                     pre + (n[len(t.out_prefix):]
+                            if t.out_prefix and n.startswith(t.out_prefix)
+                            else n), False)
                     for n, i in t.attrs]
         if k == "id" and v.upper() in _AGGS and self.peek(1) == ("op", "("):
             return [self._agg_item(v.upper())]
@@ -727,14 +754,18 @@ class _Parser:
         """Column-name capture for unaliased items (swq_select.cpp:455-505):
         a bare column ref keeps its field name (qualified refs keep
         'table.field', the joined-star convention the autotest asserts);
-        CAST/CONCAT/SUBSTR/HSTORE over a leading column ref keeps that
-        column's name; anything else becomes FIELD_n (the reference leaves
-        it unnamed — Spark requires a name)."""
+        CAST over a leading column ref keeps that column's name
+        (swq_select.cpp:472); unaliased CONCAT/SUBSTR whose first
+        argument is a column compose '{OP}_{field}' (swq_select.cpp:504,
+        asserted by ogr_rfc28_14/15); anything else becomes FIELD_n (the
+        reference leaves it unnamed — Spark requires a name)."""
         toks = self.t[start:self.i]
+        prefix = ""
         if (len(toks) > 2 and toks[0][0] == "id"
-                and toks[0][1].upper() in ("CAST", "CONCAT", "SUBSTR",
-                                           "HSTORE_GET_VALUE")
+                and toks[0][1].upper() in ("CAST", "CONCAT", "SUBSTR")
                 and toks[1] == ("op", "(")):
+            if toks[0][1].upper() in ("CONCAT", "SUBSTR"):
+                prefix = toks[0][1].upper() + "_"
             toks = toks[2:]
         if toks and toks[0][0] in ("id", "qid"):
             if (len(toks) >= 3 and toks[1] == ("op", ".")
@@ -748,7 +779,7 @@ class _Parser:
                               and rest[0][1].upper() == "AS"))
             if terminator and name.upper() not in _AGGS \
                     and name.upper() != "NULL":   # bare NULL is anonymous
-                return name
+                return prefix + name
         self._anon += 1
         return f"FIELD_{self._anon}"
 

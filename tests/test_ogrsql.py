@@ -171,13 +171,17 @@ def test_arithmetic_and_funcs(eng):
                          "from poly where fid = 0")
     r = df.collect()[0]
     assert r["m"] == 3 and r["p1"] == 169
-    assert r["prfedea"] == "35043411_x" and r["t"] == "11"
+    # unaliased CONCAT over a column ref composes CONCAT_field
+    # (swq_select.cpp:504); SUBSTR here carries the 't' alias
+    assert r["CONCAT_prfedea"] == "35043411_x" and r["t"] == "11"
 
 
 def test_hstore(eng):
+    # HSTORE_GET_VALUE gets no name capture (generic branch,
+    # swq_select.cpp:485) -> anonymous FIELD_n
     df = eng.execute_sql("select HSTORE_GET_VALUE(h, 'b') from misc "
                          "where fid = 1")
-    assert vals(df, "h") == ["2"]
+    assert vals(df, "FIELD_1") == ["2"]
 
 
 def test_order_by_special_fields(eng):   # ogr_sql (1217, 1235)
@@ -705,3 +709,232 @@ def test_strict_quoting(eng2):                             # ogr_sql_46
     assert (r[0], r[1], r[2], r[3]) == (3, 3, 2, 2)
     with pytest.raises(ValueError):
         eng2.execute_sql("select * from 'qt'")
+
+
+# --- round-3 ports: remaining portable ogr_sql_rfc28.py cases ---------------
+
+def test_rfc28_expr_left_of_column(eng):                   # ogr_rfc28_1
+    df = eng.execute_sql("select * from poly where 160+7 > eas_id")
+    assert df.count() == 3
+
+
+def test_rfc28_concat_in_where(eng):                       # ogr_rfc28_2
+    df = eng.execute_sql(
+        "select * from poly where CONCAT('x',PRFEDEA) = 'x35043423'")
+    assert df.count() == 1
+
+
+def test_rfc28_plus_on_strings(eng):                       # ogr_rfc28_3
+    df = eng.execute_sql(
+        "select * from poly where 'x'+PRFEDEA = 'x35043423'")
+    assert df.count() == 1
+
+
+def test_rfc28_quoted_field(eng):                          # ogr_rfc28_6
+    df = eng.execute_sql('select * from poly where "EAS_ID" = 166')
+    assert df.count() == 1
+
+
+def test_rfc28_fixed_strings(eng):                         # ogr_rfc28_12
+    df = eng.execute_sql("SELECT 'constant string', 'other' as abc, eas_id "
+                         "from idlink where eas_id = 165")
+    r = df.collect()
+    assert len(r) == 1
+    assert r[0]["abc"] == "other" and r[0]["eas_id"] == 165
+    assert r[0]["FIELD_1"] == "constant string"
+
+
+def test_rfc28_substr_where_and_naming(eng):               # ogr_rfc28_13/14
+    df = eng.execute_sql(
+        "select * from poly where SUBSTR(PRFEDEA,5,4) = '3423'")
+    assert df.count() == 1
+    df = eng.execute_sql(
+        "SELECT SUBSTR(PRFEDEA,4,5) from poly where eas_id in (168,179)")
+    assert df.columns == ["SUBSTR_PRFEDEA"]
+    assert sorted(vals(df, "SUBSTR_PRFEDEA")) == ["43411", "43423"]
+
+
+def test_rfc28_concat_multi_arg(eng):                      # ogr_rfc28_15
+    df = eng.execute_sql(
+        "SELECT CONCAT(PRFEDEA,' ',CAST(EAS_ID AS CHARACTER(3))) "
+        "from poly where eas_id in (168,179)")
+    assert df.columns == ["CONCAT_PRFEDEA"]
+    assert sorted(vals(df, "CONCAT_PRFEDEA")) == \
+        ["35043411 168", "35043423 179"]
+
+
+def test_rfc28_negative_numbers(eng):                      # ogr_rfc28_16
+    df = eng.execute_sql(
+        "SELECT -1, 3--1,3*-1,2e-1,3-1 from poly where eas_id = 168")
+    r = df.collect()[0]
+    assert (r[0], r[1], r[2], r[3], r[4]) == (-1, 4, -3, 0.2, 2)
+
+
+def test_rfc28_division_types(eng):                        # ogr_rfc28_17
+    df = eng.execute_sql(
+        "SELECT 5/2, 5.0/2.0, 5/2.0, 5.0/2 from poly where eas_id = 168")
+    r = df.collect()[0]
+    assert (r[0], r[1], r[2], r[3]) == (2, 2.5, 2.5, 2.5)
+
+
+def test_rfc28_count_distinct_alias(eng):                  # ogr_rfc28_18
+    df = eng.execute_sql('SELECT COUNT(distinct eas_id), '
+                         'COUNT(distinct eas_id) as "xx" from idlink')
+    r = df.collect()[0]
+    assert df.columns == ["COUNT_eas_id", "xx"]
+    assert r[0] == 7 and r[1] == 7
+
+
+def test_rfc28_not_in(eng):                                # ogr_rfc28_19
+    df = eng.execute_sql(
+        "select * from poly where eas_id not in (158,165)")
+    assert df.count() == 8
+
+
+def test_rfc28_precedence_unary_minus(eng2):               # ogr_rfc28_20
+    # -2 + 1 + 2*3 + 5 - 3*2 = 4 over a layer whose intfield = 2
+    spark = eng2.execute_sql("select * from t36").sparkSession
+    e = OGRSQLEngine(spark)
+    e.register("m20", spark.createDataFrame([(2,)], "intfield int"),
+               geometry_col=None)
+    df = e.execute_sql(
+        "select -intfield + 1 + 2 * 3 + 5 - 3 * 2 from m20")
+    assert df.collect()[0]["FIELD_1"] == 4
+
+
+def test_rfc28_between_equivalence(eng):                   # ogr_rfc28_21/22
+    a = eng.execute_sql(
+        "select * from poly where eas_id between 165 and 169").count()
+    b = eng.execute_sql(
+        "select * from poly where eas_id >= 165 and eas_id <= 169").count()
+    assert a == b
+    c = eng.execute_sql(
+        "select * from poly where eas_id not between 165 and 169").count()
+    d = eng.execute_sql(
+        "select * from poly where not(eas_id >= 165 and eas_id <= 169)"
+    ).count()
+    assert c == d
+
+
+def test_rfc28_not_like_equivalence(eng):                  # ogr_rfc28_23
+    a = eng.execute_sql(
+        "select * from poly where PRFEDEA NOT LIKE '35043413'").count()
+    b = eng.execute_sql(
+        "select * from poly where NOT (PRFEDEA LIKE '35043413')").count()
+    assert a == b
+
+
+def test_rfc28_concat_null_is_null(eng2):                  # ogr_rfc28_30
+    spark = eng2.execute_sql("select * from t36").sparkSession
+    e = OGRSQLEngine(spark)
+    e.register("idlink2", spark.createDataFrame(
+        [("foo",)] * 7, "f1 string"), geometry_col=None)
+    df = e.execute_sql("select * from idlink2 where F1 <> 'foo' or "
+                       "concat(F1,cast(null as character(32))) is not null")
+    assert df.count() == 0
+
+
+def test_rfc28_unterminated_string(eng):                   # ogr_rfc28_33
+    with pytest.raises(ValueError, match="lex error"):
+        eng.execute_sql("select * from idlink where name='foo")
+
+
+def test_rfc28_unknown_table_star(eng):                    # ogr_rfc28_34
+    with pytest.raises(ValueError, match="foo"):
+        eng.execute_sql("select foo.* from idlink")
+
+
+def test_rfc28_distinct_orderby_rules(eng):                # ogr_rfc28_36/37
+    with pytest.raises(ValueError):
+        eng.execute_sql(
+            "select distinct eas_id from idlink order by eas_id, name")
+    with pytest.raises(ValueError):
+        eng.execute_sql("select distinct eas_id from idlink order by name")
+
+
+def test_rfc28_substr_arity_and_type(eng):                 # ogr_rfc28_38
+    with pytest.raises(ValueError, match="2 or 3 arguments to SUBSTR"):
+        eng.execute_sql("SELECT SUBSTR(PRFEDEA) from poly")
+    with pytest.raises(ValueError, match="Wrong argument type for SUBSTR"):
+        eng.execute_sql("SELECT SUBSTR(1,2) from poly")
+
+
+def test_rfc28_count_zero_rows(eng):                       # ogr_rfc28_39
+    df = eng.execute_sql("SELECT COUNT(*) from poly where 0 = 1")
+    assert df.collect()[0]["COUNT_*"] == 0
+
+
+def test_rfc28_date_min_max_avg(eng2):                     # ogr_rfc28_40
+    spark = eng2.execute_sql("select * from t36").sparkSession
+    e = OGRSQLEngine(spark)
+    import datetime as dt
+    e.register("dtest", spark.createDataFrame(
+        [(dt.datetime(2013, 12, 31, 23, 59, 59),),
+         (dt.datetime(2013, 1, 1, 0, 0, 0),)],
+        "date timestamp"), geometry_col=None)
+    df = e.execute_sql("SELECT MIN(DATE), MAX(DATE), AVG(DATE) from dtest")
+    r = df.collect()[0]
+    assert r["MIN_DATE"] == dt.datetime(2013, 1, 1, 0, 0, 0)
+    assert r["MAX_DATE"] == dt.datetime(2013, 12, 31, 23, 59, 59)
+    # AVG on dates averages unix time: 2013/07/02 11:59:59.5
+    assert r["AVG_DATE"] == dt.datetime(2013, 7, 2, 11, 59, 59, 500000)
+
+
+def test_rfc28_dot_field_names(eng2):                      # ogr_rfc28_41
+    spark = eng2.execute_sql("select * from t36").sparkSession
+    from pyspark.sql import types as T
+    e = OGRSQLEngine(spark)
+    schema = T.StructType([T.StructField("a.b", T.IntegerType())])
+    e.register("dotlayer", spark.createDataFrame([(2,)], schema),
+               geometry_col=None)
+    df = e.execute_sql("select * from dotlayer")
+    assert df.columns == ["a.b"]
+    assert df.collect()[0][0] == 2
+    df = e.execute_sql("select l.* from dotlayer l")
+    assert df.columns == ["l.a.b"]
+    assert df.collect()[0][0] == 2
+
+
+def test_rfc28_int64(eng2):                                # ogr_rfc28_43
+    spark = eng2.execute_sql("select * from t36").sparkSession
+    e = OGRSQLEngine(spark)
+    e.register("i64", spark.createDataFrame(
+        [(-1000000000000,), (100000000000,)], "myint64 long"),
+        geometry_col=None)
+    df = e.execute_sql(
+        "SELECT 1000000000000, myint64, CAST(1 AS bigint), "
+        "CAST(1 AS numeric(15,0)) FROM i64 "
+        "WHERE myint64 < -9999999999 or myint64 > 9999999999")
+    rows = df.orderBy("myint64").collect()
+    assert rows[0][0] == 1000000000000 and rows[0][1] == -1000000000000
+    df = e.execute_sql(
+        "SELECT MIN(myint64), MAX(myint64), SUM(myint64) FROM i64")
+    r = df.collect()[0]
+    assert r["MIN_myint64"] == -1000000000000
+    assert r["MAX_myint64"] == 100000000000
+    assert r["SUM_myint64"] == -1000000000000 + 100000000000
+    df = e.execute_sql("SELECT DISTINCT myint64 FROM i64 ORDER BY myint64")
+    assert vals(df, "myint64") == [-1000000000000, 100000000000]
+
+
+def test_rfc28_crazy_quoting(eng2):                        # ogr_rfc28_44
+    spark = eng2.execute_sql("select * from t36").sparkSession
+    from pyspark.sql import types as T
+    e = OGRSQLEngine(spark)
+    schema = T.StructType([T.StructField("field.withpoint", T.IntegerType()),
+                           T.StructField("foo", T.IntegerType())])
+    e.register("lyr.withpoint", spark.createDataFrame(
+        [(-1, None), (1, 2)], schema), geometry_col=None)
+    df = e.execute_sql(
+        'SELECT * FROM "lyr.withpoint" WHERE "field.withpoint" = 1')
+    assert df.count() == 1
+    df = e.execute_sql(
+        'SELECT "lyr.withpoint"."field.withpoint", "field.withpoint" '
+        'FROM "lyr.withpoint" WHERE "lyr.withpoint"."field.withpoint" = 1')
+    assert df.count() == 1
+
+
+def test_rfc28_from_as_alias(eng):                         # ogr_rfc28_45
+    df = eng.execute_sql(
+        "select eas_id from idlink as il where il.eas_id = 166")
+    assert df.count() == 1
