@@ -397,32 +397,63 @@ class _Parser:
             jalias = self._maybe_alias()
             self.expect_kw("ON")
             jt = self._add_table(jname, jalias, len(self.tables))
-            # equi predicate only (ogr_sql.dox:441): qual.field = qual.field
-            lhs = self._qualified_ref()
-            self.expect_op("=")
-            rhs = self._qualified_ref()
-            # orient: the side referencing the newly joined table is the key
-            if rhs[0] == jt.alias:
-                lref, rref = lhs, rhs
-            elif lhs[0] == jt.alias:
-                lref, rref = rhs, lhs
-            else:
-                raise ValueError("JOIN ON must reference the joined table")
+            # equi predicates only (ogr_sql.dox:441), possibly several
+            # ANDed together (ogr_join_22): qual.field = qual.field
+            pairs = []
+            while True:
+                lhs = self._qualified_ref()
+                self.expect_op("=")
+                rhs = self._qualified_ref()
+                # orient: the side referencing the joined table is the key
+                if rhs[0] == jt.alias:
+                    lref, rref = lhs, rhs
+                elif lhs[0] == jt.alias:
+                    lref, rref = rhs, lhs
+                else:
+                    raise ValueError(
+                        f"Field {lhs[0]}.{lhs[1]} in JOIN clause does not "
+                        "correspond to the primary table nor the joint "
+                        "(secondary) table")
+                pairs.append((lref, rref))
+                if not self.kw("AND"):
+                    break
             df, _g = self.eng._layer(jname)
-            right_key = jt.colmap[rref[1].lower()]
+
+            def _key(t: _Table, ref):
+                try:
+                    return t.colmap[ref[1].lower()]
+                except KeyError:
+                    raise ValueError(
+                        f'"{ref[0] or t.alias}"."{ref[1]}" not recognised '
+                        "as an available field") from None
+
+            right_keys = [_key(jt, rref) for _, rref in pairs]
             order = jt.colmap.get("fid") or next(iter(jt.colmap.values()))
             # first-match semantics (ogr_gensql.cpp:1283-1314): one right
             # row per key value, lowest fid first
             ridx = len(self.tables) - 1
-            right = df.select(*[F.col(c).alias(f"_t{ridx}_{c}")
-                                for c in df.columns])
-            w = Window.partitionBy(right_key).orderBy(order)
+            right = df.select(
+                *[F.col(f"`{c}`").alias(f"_t{ridx}_" + c.replace(".", "_DOT_"))
+                  for c in df.columns])
+            w = Window.partitionBy(*right_keys).orderBy(order)
             right_first = (right.withColumn("_rn", F.row_number().over(w))
                            .filter(F.col("_rn") == 1).drop("_rn"))
-            lt = self._table(lref[0])
-            left_key = lt.colmap[lref[1].lower()]
-            self.joined = self.joined.join(
-                right_first, F.col(left_key) == F.col(right_key), "left")
+            cond = None
+            for (lref, _), rkey in zip(pairs, right_keys):
+                lt = self._table(lref[0])
+                lkey = _key(lt, lref)
+                lc, rc = F.col(lkey), F.col(rkey)
+                # numeric vs string key: swq promotes the string with
+                # atoi/atof (ogr_join_10/13/14) — non-numeric strings
+                # match nothing, never error (ANSI cast would throw)
+                lk, rk = lt.kinds.get(lkey), jt.kinds.get(rkey)
+                if lk in ("int", "num") and rk == "str":
+                    lc, rc = lc.cast("double"), rc.try_cast("double")
+                elif lk == "str" and rk in ("int", "num"):
+                    lc, rc = lc.try_cast("double"), rc.cast("double")
+                c = lc == rc
+                cond = c if cond is None else cond & c
+            self.joined = self.joined.join(right_first, cond, "left")
 
     def _qualified_ref(self) -> tuple[str, str]:
         k, v = self.next()

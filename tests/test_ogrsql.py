@@ -938,3 +938,134 @@ def test_rfc28_from_as_alias(eng):                         # ogr_rfc28_45
     df = eng.execute_sql(
         "select eas_id from idlink as il where il.eas_id = 166")
     assert df.count() == 1
+
+
+# --- round-3 ports: remaining portable ogr_join_test.py cases ---------------
+
+@pytest.fixture(scope="module")
+def jeng(spark):
+    """poly + idlink + idlink2 (string-typed eas_id, extra F1..F3 columns
+    — the reference's data/idlink2.csv shape for the type-mismatch join
+    cases)."""
+    e = OGRSQLEngine(spark)
+    e.register("poly", PG.poly_fixture(spark))
+    e.register("idlink", PG.idlink_fixture(spark), geometry_col=None)
+    rows = [(str(eas), f"_{eas}_", "f1v", "f2v", "f3v")
+            for eas in (168, 179, 171, 170, 165, 158, 166)]
+    e.register("idlink2", spark.createDataFrame(
+        rows, "eas_id string, name string, f1 string, f2 string, f3 string"),
+        geometry_col=None)
+    return e
+
+
+def test_join_primary_star_qualified(jeng):                # ogr_join_5/6
+    df = jeng.execute_sql(
+        "SELECT p.*, il.name FROM poly p "
+        "LEFT JOIN idlink il ON p.eas_id = il.eas_id "
+        "WHERE eas_id > 170 ORDER BY p.eas_id")
+    assert vals(df, "p.eas_id") == [171, 172, 173, 179]
+
+
+def test_join_two_at_once(jeng):                           # ogr_join_8
+    df = jeng.execute_sql(
+        "SELECT p.*, il.name, il2.eas_id FROM poly p "
+        "LEFT JOIN idlink il ON p.eas_id = il.eas_id "
+        "LEFT JOIN idlink2 il2 ON p.eas_id = il2.eas_id "
+        "WHERE eas_id > 170 ORDER BY p.eas_id")
+    # idlink2.eas_id is a string; matched rows carry it, unmatched None
+    assert vals(df, "il2.eas_id") == ["171", None, None, "179"]
+
+
+def test_join_wildcard_expansion(jeng):                    # ogr_join_9
+    df = jeng.execute_sql(
+        "SELECT poly.* FROM poly "
+        "LEFT JOIN idlink ON poly.eas_id = idlink.eas_id "
+        "WHERE eas_id > 170")
+    assert sorted(vals(df, "poly.eas_id")) == [171, 172, 173, 179]
+
+
+def test_join_int_to_nonnumeric_string(jeng):              # ogr_join_10
+    df = jeng.execute_sql(
+        "SELECT * FROM poly "
+        "LEFT JOIN idlink2 ON poly.eas_id = idlink2.name")
+    assert vals(df, "idlink2.f3") == [None] * 10
+
+
+def test_join_on_string_field(jeng):                       # ogr_join_11
+    df = jeng.execute_sql("SELECT il.*, il2.* FROM idlink il "
+                          "LEFT JOIN idlink2 il2 ON il.NAME = il2.NAME")
+    assert sorted(vals(df, "il2.name")) == \
+        ["_158_", "_165_", "_166_", "_168_", "_170_", "_171_", "_179_"]
+
+
+def test_join_numeric_string_promotion(jeng):              # ogr_join_13/14
+    df = jeng.execute_sql(
+        "SELECT * FROM poly "
+        "LEFT JOIN idlink2 ON poly.eas_id = idlink2.eas_id ORDER BY fid")
+    got = vals(df, "idlink2.name")
+    assert sorted(n for n in got if n is not None) == \
+        ["_158_", "_165_", "_166_", "_168_", "_170_", "_171_", "_179_"]
+    assert got.count(None) == 3
+    df = jeng.execute_sql(
+        "SELECT * FROM idlink2 "
+        "LEFT JOIN poly ON idlink2.eas_id = poly.eas_id")
+    assert sorted(vals(df, "poly.eas_id")) == \
+        [158, 165, 166, 168, 170, 171, 179]
+
+
+def test_join_inverted_on(jeng):                           # ogr_join_18
+    df = jeng.execute_sql(
+        "SELECT * FROM poly LEFT JOIN idlink ON idlink.eas_id = poly.eas_id")
+    assert df.count() == 10
+
+
+def test_join_unknown_fields(jeng):                        # ogr_join_19/20/21
+    with pytest.raises(ValueError, match="foo.*not recognised"):
+        jeng.execute_sql(
+            "SELECT * FROM poly LEFT JOIN idlink ON poly.foo = idlink.eas_id")
+    with pytest.raises(ValueError, match="foo.*not recognised"):
+        jeng.execute_sql(
+            "SELECT * FROM poly LEFT JOIN idlink ON poly.eas_id = idlink.foo")
+    with pytest.raises(ValueError, match="does not correspond"):
+        jeng.execute_sql(
+            "SELECT p.*, il.name, il2.eas_id FROM poly p "
+            "LEFT JOIN idlink il ON p.eas_id = il2.eas_id "
+            "LEFT JOIN idlink2 il2 ON p.eas_id = il2.eas_id")
+
+
+def test_join_multi_key_on(jeng):                          # ogr_join_22
+    spark = jeng.execute_sql("select * from idlink").sparkSession
+    from pyspark.sql import types as T
+    e = OGRSQLEngine(spark)
+    s1 = T.StructType([T.StructField("id.1", T.StringType()),
+                       T.StructField("id2", T.StringType())])
+    s2 = T.StructType([T.StructField("id.1", T.StringType()),
+                       T.StructField("id2", T.StringType()),
+                       T.StructField("val", T.StringType())])
+    e.register("first", spark.createDataFrame([("key1", "key2")], s1),
+               geometry_col=None)
+    e.register("second", spark.createDataFrame(
+        [("key1", "keyX", "1"), ("key1", "key2", "2"), ("key1", "keyY", "3")],
+        s2), geometry_col=None)
+    df = e.execute_sql('SELECT val FROM first JOIN second ON '
+                       'first."id.1" = second."id.1" AND first.id2 = second.id2')
+    assert vals(df, "val") == ["2"]
+
+
+def test_join_expr_after_multi_join(jeng):                 # ogr_join_15
+    spark = jeng.execute_sql("select * from idlink").sparkSession
+    e = OGRSQLEngine(spark)
+    e.register("first", spark.createDataFrame([("key",)], "id string"),
+               geometry_col=None)
+    e.register("second", spark.createDataFrame(
+        [("a2", "key", "c2")], "col1_2 string, id string, col3_2 string"),
+        geometry_col=None)
+    e.register("third", spark.createDataFrame(
+        [("a3", "key", "c3")], "col1_3 string, id string, col3_3 string"),
+        geometry_col=None)
+    df = e.execute_sql(
+        "SELECT concat(col3_2, ''), col3_2 FROM first "
+        "JOIN second ON first.id = second.id "
+        "JOIN third ON first.id = third.id")
+    r = df.collect()[0]
+    assert r[0] == "c2" and r[1] == "c2"
