@@ -24,6 +24,7 @@ never from these kernels.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -50,6 +51,9 @@ __all__ = [
     "wkb_force_to",
     "wkb_clip_to_polygon",
     "wkb_wrapdateline",
+    "build_polygon_from_edges",
+    "wkb_close_rings",
+    "wkb_value",
 ]
 
 _MULTI_OF = {WKB_POINT: WKB_MULTIPOINT, WKB_LINESTRING: WKB_MULTILINESTRING,
@@ -408,3 +412,123 @@ def wkb_wrapdateline(wkb: bytes) -> bytes:
     if kinds == {WKB_LINESTRING}:
         return _encode_container(WKB_MULTILINESTRING, halves)
     return _encode_container(WKB_GEOMETRYCOLLECTION, halves)
+
+
+# ---------------------------------------------------------------------------
+# polygon assembly from edges, ring closing, point-along-line
+# ---------------------------------------------------------------------------
+
+def _check_pts(a, b, tol: float):
+    """CheckPoints (gdal/ogr/ograssemblepolygon.cpp:45): exact equality
+    when tol == 0, else a Chebyshev prefilter + euclidean test. Returns
+    the distance when within tol (for best-candidate updates), else
+    None; exact match returns 0.0."""
+    if tol == 0.0:
+        return 0.0 if (a[0] == b[0] and a[1] == b[1]) else None
+    dx, dy = abs(a[0] - b[0]), abs(a[1] - b[1])
+    if dx > tol or dy > tol:
+        return None
+    d = math.hypot(dx, dy)
+    return d if d < tol else None
+
+
+def build_polygon_from_edges(wkb: bytes, auto_close: bool = False,
+                             tolerance: float = 0.0) -> bytes:
+    """OGRBuildPolygonFromEdges (gdal/ogr/ograssemblepolygon.cpp:134):
+    chain a MULTILINESTRING / collection of LINESTRINGs into rings by
+    matching loose ends (within ``tolerance``), then assemble a polygon
+    with the largest-envelope ring as the exterior (#3610 rule).
+    Raises ValueError for non-linestring content or an unclosable ring
+    (the reference's OGRERR_FAILURE paths, ogr_geom_build_from_edges_3).
+    Zero-point members (LINESTRING EMPTY) are skipped."""
+    gtype = _type_of(wkb)
+    if gtype not in (WKB_MULTILINESTRING, WKB_GEOMETRYCOLLECTION):
+        raise ValueError("BuildPolygonFromEdges: expected a collection "
+                         "of linestrings")
+    edges = []
+    for m in wkb_members(wkb):
+        if _type_of(m) != WKB_LINESTRING:
+            raise ValueError("the geometry collection contains non line "
+                             "string geometries")
+        c = G.decode_linestring(m)
+        edges.append(c)
+    consumed = [len(c) < 2 for c in edges]
+    rings: list[np.ndarray] = []
+    while not all(consumed):
+        first = consumed.index(False)
+        consumed[first] = True
+        ring = [p for p in edges[first]]
+        work_done = True
+        while (_check_pts(ring[0], ring[-1], 0.0) is None
+               and not all(consumed) and work_done):
+            work_done = False
+            best = tolerance
+            best_edge, best_rev = -1, False
+            for i, line in enumerate(edges):
+                if consumed[i]:
+                    continue
+                d = _check_pts(line[0], ring[-1], best)
+                if d is not None:
+                    best = d if tolerance else best
+                    best_edge, best_rev = i, False
+                d = _check_pts(line[-1], ring[-1], best)
+                if d is not None:
+                    best = d if tolerance else best
+                    best_edge, best_rev = i, True
+                if tolerance == 0.0 and best_edge != -1:
+                    break
+            if best_edge != -1:
+                line = edges[best_edge]
+                pts = line[::-1] if best_rev else line
+                # skip the repeated joint vertex (AddEdgeToRing)
+                if _check_pts(ring[-1], pts[0], 0.0) is not None:
+                    pts = pts[1:]
+                ring.extend(pts)
+                consumed[best_edge] = True
+                work_done = True
+        if _check_pts(ring[0], ring[-1], tolerance or 0.0) is None:
+            raise ValueError(
+                f"failed to close ring {len(rings)}: end points "
+                f"({ring[0][0]},{ring[0][1]}) and ({ring[-1][0]},{ring[-1][1]})")
+        if auto_close and _check_pts(ring[0], ring[-1], 0.0) is None:
+            ring.append(ring[0])
+        rings.append(np.asarray(ring))
+    # exterior = largest envelope area (#3610)
+    if not rings:
+        return G.encode_polygon([])
+    areas = [(r[:, 0].max() - r[:, 0].min()) * (r[:, 1].max() - r[:, 1].min())
+             for r in rings]
+    ext = int(np.argmax(areas))
+    ordered = [rings[ext]] + [r for i, r in enumerate(rings) if i != ext]
+    return G.encode_polygon(ordered)
+
+
+def wkb_close_rings(wkb: bytes) -> bytes:
+    """OGRGeometry::closeRings: append the start point to any polygon
+    ring whose last point differs from its first."""
+    def close(r: np.ndarray) -> np.ndarray:
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            return np.vstack([r, r[:1]])
+        return r
+    return _map_coords(wkb, lambda c: c, close)
+
+
+def wkb_value(wkb: bytes, distance: float) -> bytes:
+    """OGRSimpleCurve::Value (gdal/ogr/ogrlinestring.cpp:1162): the
+    point at ``distance`` along a linestring; clamps to the start for
+    negative distances and to the end past the total length."""
+    if _type_of(wkb) != WKB_LINESTRING:
+        raise ValueError("Value: expected a LINESTRING")
+    c = G.decode_linestring(wkb)
+    if distance < 0:
+        return G.encode_point(float(c[0, 0]), float(c[0, 1]))
+    acc = 0.0
+    for i in range(len(c) - 1):
+        seg = math.hypot(c[i + 1, 0] - c[i, 0], c[i + 1, 1] - c[i, 1])
+        if seg > 0 and acc <= distance <= acc + seg:
+            t = (distance - acc) / seg
+            return G.encode_point(
+                float(c[i, 0] * (1 - t) + c[i + 1, 0] * t),
+                float(c[i, 1] * (1 - t) + c[i + 1, 1] * t))
+        acc += seg
+    return G.encode_point(float(c[-1, 0]), float(c[-1, 1]))

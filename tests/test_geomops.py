@@ -244,3 +244,115 @@ def test_ogr2ogr_wrapdateline(spark, tmp_path):
     out = APP.ogr2ogr(spark, path, wrapdateline=True)
     w = bytes(out.collect()[0]["geometry"])
     assert G.wkt_from_wkb(w).startswith("MULTILINESTRING")
+
+
+# --- ogr_geom.py autotest ports ---------------------------------------------
+
+def test_geom_area_multipolygon():                         # ogr_geom_area
+    g = wkb("MULTIPOLYGON(((0 0,1 1,1 0,0 0)),"
+            "((0 0,10 0,10 10,0 10,0 0),(1 1,1 2,2 2,2 1,1 1)))")
+    assert abs(G.polygon_area(g) - 99.5) < 1e-11
+
+
+def test_geom_area_big_offset():         # ogr_geom_area_linearring_big_offset
+    B = 100000000000.0
+    ring = np.array([[B, B], [B + 10, B], [B + 10, B + 10],
+                     [B, B + 10], [B, B]])
+    assert abs(abs(G.ring_area(ring)) - 100.0) < 1e-11
+
+
+def test_geom_boundary():                # ogr_geom_boundary_{point,line,poly}
+    # point -> GEOMETRYCOLLECTION EMPTY
+    b = G.wkb_boundary(wkb("POINT(1 1)"))
+    assert b is None or "GEOMETRYCOLLECTION" in wkt(b)
+    # open linestring -> 2-point MULTIPOINT
+    b = G.wkb_boundary(wkb("LINESTRING(0 0,1 1,2 2,3 2,4 2)"))
+    assert wkt(b) == "MULTIPOINT (0 0,4 2)"
+    # closed linestring -> empty boundary
+    b = G.wkb_boundary(wkb("LINESTRING(0 0,1 0,1 1,0 1,0 0)"))
+    assert b is None or GO.wkb_members(b) == [] or "EMPTY" in wkt(b)
+    # polygon -> its ring as a linestring
+    b = G.wkb_boundary(wkb("POLYGON((0 0,1 1,1 0,0 0))"))
+    assert wkt(b).startswith("LINESTRING")
+
+
+def test_build_polygon_from_edges():     # ogr_geom_build_from_edges_1/2
+    lines = ["LINESTRING (-87.601595 30.999522,-87.599623 31.000059,"
+             "-87.599219 31.00017)",
+             "LINESTRING (-87.601595 30.999522,-87.604349 30.999493,"
+             "-87.606935 30.99952)",
+             "LINESTRING (-87.59966 31.000756,-87.599851 31.000805,"
+             "-87.599992 31.000805,-87.600215 31.000761,-87.600279 31.000723,"
+             "-87.600586 31.000624,-87.601256 31.000508,-87.602501 31.000447,"
+             "-87.602801 31.000469,-87.603108 31.000579,-87.603331 31.000716,"
+             "-87.603523 31.000909,-87.603766 31.001233,-87.603913 31.00136)",
+             "LINESTRING (-87.606134 31.000182,-87.605885 31.000325,"
+             "-87.605343 31.000716,-87.60466 31.001117,-87.604468 31.0012,"
+             "-87.603913 31.00136)",
+             "LINESTRING (-87.599219 31.00017,-87.599289 31.0003,"
+             "-87.599398 31.000426,-87.599564 31.000547,-87.599609 31.000701,"
+             "-87.59966 31.000756)",
+             "LINESTRING (-87.606935 30.99952,-87.606713 30.999799,"
+             "-87.6064 30.999981,-87.606134 31.000182)"]
+    gc = GO._encode_container(
+        GO.WKB_GEOMETRYCOLLECTION, [wkb(w) for w in lines])
+    poly = GO.build_polygon_from_edges(gc)
+    assert wkt(poly).startswith("POLYGON")
+    # same set as a MULTILINESTRING (build_from_edges_2)
+    mls = GO._encode_container(
+        GO.WKB_MULTILINESTRING, [wkb(w) for w in lines])
+    assert GO.build_polygon_from_edges(mls) == poly
+
+
+def test_build_polygon_from_edges_errors():  # ogr_geom_build_from_edges_3
+    with pytest.raises(ValueError):
+        GO.build_polygon_from_edges(wkb("POINT (0 1)"))
+    with pytest.raises(ValueError, match="non line string"):
+        GO.build_polygon_from_edges(wkb(
+            "GEOMETRYCOLLECTION (LINESTRING(0 1,2 3),POINT(0 1),"
+            "LINESTRING(0 1,-2 3),LINESTRING(-2 3,2 3))"))
+
+
+def test_build_polygon_exterior_ring():      # ogr_geom_build_from_edges_4
+    lines = ["LINESTRING EMPTY", "LINESTRING (1 1,1 2)", "LINESTRING EMPTY",
+             "LINESTRING (1 2,2 2)", "LINESTRING (2 2,2 1)",
+             "LINESTRING (2 1,1 1)", "LINESTRING (0 0,0 10)",
+             "LINESTRING (0 10,10 10)", "LINESTRING (10 10,10 0)",
+             "LINESTRING (10 0,0 0)"]
+    gc = GO._encode_container(
+        GO.WKB_GEOMETRYCOLLECTION, [wkb(w) for w in lines])
+    poly = GO.build_polygon_from_edges(gc)
+    assert wkt(poly) == \
+        "POLYGON ((0 0,0 10,10 10,10 0,0 0),(1 1,1 2,2 2,2 1,1 1))"
+
+
+def test_close_rings():                                    # ogr_geom_closerings
+    g = GO.wkb_close_rings(wkb("POLYGON((0 0,0 1,1 1,1 0))"))
+    assert wkt(g) == "POLYGON ((0 0,0 1,1 1,1 0,0 0))"
+    assert GO.wkb_close_rings(g) == g    # idempotent
+
+
+def test_segmentize_golden():                              # ogr_geom_segmentize
+    g = GO.wkb_segmentize(wkb("LINESTRING(0 0,0 10)"), 1.00001)
+    assert wkt(g) == ("LINESTRING (0 0,0 1,0 2,0 3,0 4,0 5,0 6,0 7,0 8,"
+                      "0 9,0 10)")
+
+
+def test_geom_value():                                     # ogr_geom_value
+    line = wkb("LINESTRING(2 3,5 3,5 0)")
+    L = G.geometry_length(line)
+    cases = [(-1e-3, (2, 3)), (L / 4, (3.5, 3)), (L / 2, (5, 3)),
+             (3 * L / 4, (5, 1.5)), (L + 1e-3, (5, 0))]
+    for dist, (ex, ey) in cases:
+        x, y = G.decode_point(GO.wkb_value(line, dist))
+        assert (x, y) == pytest.approx((ex, ey))
+
+
+def test_geom_length_containers():   # ogr_geom_length_{multilinestring,gc}
+    assert G.geometry_length(
+        wkb("MULTILINESTRING((0 0,0 1),(0 0,0 1))")) == pytest.approx(2.0)
+    assert G.geometry_length(wkb(
+        "GEOMETRYCOLLECTION(POLYGON((0 0,0 1,1 1,1 0,0 0)),"
+        "MULTILINESTRING((0 0,0 1),(0 0,0 1)),LINESTRING(0 0,0 1),"
+        "LINESTRING(0 0,0 1),POINT(0 0),GEOMETRYCOLLECTION EMPTY)")) == \
+        pytest.approx(4.0)
