@@ -290,6 +290,12 @@ def ogr2ogr(spark: SparkSession, src, dst: str | None = None, *,
     elif simplify is not None:
         df = _geom_map(df, geometry_col,
                        lambda w, d=float(simplify): GO.wkb_simplify(w, d))
+    if isinstance(clipsrc, str) and clipsrc == "spat_extent":
+        # -clipsrc spat_extent: the -spat rectangle becomes the clip
+        # geometry (ogr2ogr.cpp:1586-1590, test_ogr2ogr_19)
+        if spat is None:
+            raise ValueError("-clipsrc spat_extent requires -spat")
+        clipsrc = tuple(spat)
     clipsrc_wkb = _as_clip_wkb(clipsrc)
     if clipsrc_wkb is not None:
         df = _geom_map(

@@ -293,6 +293,12 @@ class TransverseMercator:
         lat, lon = PJ.tm_inverse(x, y, self.lon0, k0=self.k0,
                                  fe=self.fe, fn=self._fn_eff(),
                                  a=self.a, f=self.f)
+        # PROJ normalizes output longitudes into (-180, 180] — a UTM
+        # zone near the antimeridian (e.g. zone 60) otherwise produces
+        # lon > 180 and -wrapdateline never sees the hop
+        # (test_ogr2ogr_18)
+        lon = np.where(lon > 180.0, lon - 360.0,
+                       np.where(lon <= -180.0, lon + 360.0, lon))
         return lon, lat
 
 

@@ -356,3 +356,58 @@ def test_geom_length_containers():   # ogr_geom_length_{multilinestring,gc}
         "MULTILINESTRING((0 0,0 1),(0 0,0 1)),LINESTRING(0 0,0 1),"
         "LINESTRING(0 0,0 1),POINT(0 0),GEOMETRYCOLLECTION EMPTY)")) == \
         pytest.approx(4.0)
+
+
+def test_ogr2ogr_wrapdateline_utm_golden(spark, tmp_path):
+    """test_ogr2ogr_18 (autotest/utilities/test_ogr2ogr.py:530): a UTM
+    zone-60 polygon straddling the antimeridian, reprojected to
+    geographic with -wrapdateline, splits into the reference's exact
+    MULTIPOLYGON (coordinates from PROJ's UTM inverse; the engine's
+    Krüger series matches to ~1e-9 deg)."""
+    import json
+    from gdal_spark import apps as APP
+    from gdal_spark.functions.srs import Geographic, utm_crs
+
+    ring = [[700000.0, 4000000.0], [800000.0, 4000000.0],
+            [800000.0, 3000000.0], [700000.0, 3000000.0],
+            [700000.0, 4000000.0]]
+    path = str(tmp_path / "wd.geojson")
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"fid": 0},
+             "geometry": {"type": "Polygon", "coordinates": [ring]}}]}, f)
+    out = APP.ogr2ogr(spark, path, s_srs=utm_crs(60), t_srs=Geographic(),
+                      wrapdateline=True)
+    w = bytes(out.collect()[0]["geometry"])
+    parts = G.decode_polygons(w)
+    assert len(parts) == 2
+    expected = [
+        [(179.222391385437419, 36.124095832129363),
+         (180.0, 36.10605558800065), (180.0, 27.090340569400169),
+         (179.017505655195095, 27.107979523625211)],
+        [(-180.0, 36.10605558800065),
+         (-179.667822828781084, 36.098349195413753),
+         (-179.974688335419557, 27.089886143076747),
+         (-180.0, 27.090340569400169)],
+    ]
+    got = sorted(parts, key=lambda p: p[0][:, 0].min(), reverse=True)
+    for exp, part in zip(expected, got):
+        ring = part[0]
+        for ex, ey in exp:
+            d = np.min(np.hypot(ring[:, 0] - ex, ring[:, 1] - ey))
+            assert d < 1e-6, (ex, ey, d)
+
+
+def test_ogr2ogr_clipsrc_spat_extent(spark, squares):
+    """test_ogr2ogr_19: -clipsrc spat_extent clips with the -spat
+    rectangle; output geometry is confined to the extent."""
+    from gdal_spark import apps as APP
+    out = APP.ogr2ogr(spark, squares, spat=(5.0, 5.0, 25.0, 8.0),
+                      clipsrc="spat_extent")
+    rows = out.orderBy("fid").collect()
+    assert [r["fid"] for r in rows] == [0, 1]
+    for r in rows:
+        x0, y0, x1, y1 = G.geometry_envelope(bytes(r["geometry"]))
+        assert x0 >= 5.0 and x1 <= 25.0 and y0 >= 5.0 and y1 <= 8.0
+    with pytest.raises(ValueError, match="requires -spat"):
+        APP.ogr2ogr(spark, squares, clipsrc="spat_extent")
