@@ -606,6 +606,10 @@ def gdalinfo(spark: SparkSession, src, meta: RasterMeta | None = None,
             "center": list(m.pixel_to_geo(m.width / 2, m.height / 2)),
         },
     }
+    from gdal_spark.raster.mask import GMF_ALL_VALID, GMF_NODATA, mask_flags
+    mf = mask_flags(m)
+    info["mask_flags"] = ["ALL_VALID"] if mf == GMF_ALL_VALID else (
+        ["NODATA"] if mf == GMF_NODATA else [])
     if stats:
         from gdal_spark.raster.stats import compute_statistics
         rows = compute_statistics(tiles, m).collect()

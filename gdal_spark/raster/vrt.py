@@ -138,7 +138,11 @@ def read_vrt(spark: SparkSession, path: str, block: int = 256
     vrt_dtype, vrt_nodata = "uint8", None
     for bi, band_el in enumerate(root.findall("VRTRasterBand")):
         vrt_dtype = _DT_MAP.get(band_el.get("dataType", "Byte"), "uint8")
+        # both historical spellings appear in the reference's fixtures
+        # (gcore/data/byte.vrt writes "NodataValue")
         nd_el = band_el.find("NoDataValue")
+        if nd_el is None:
+            nd_el = band_el.find("NodataValue")
         if nd_el is not None:
             vrt_nodata = float(nd_el.text)
         vrt_meta = RasterMeta(stem, W, H, gt=gt, dtype=vrt_dtype,

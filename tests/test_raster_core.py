@@ -344,3 +344,58 @@ def test_average_magphase_rejects_real(spark):
                          dtype="float32", nodata=None, block=4)
     with pytest.raises(ValueError):
         PY.overview_level(None, meta, "x", method="average_magphase")
+
+
+# --- band mask model (autotest/gcore/mask.py mask_1..mask_3) -----------------
+
+def test_mask_all_valid_golden(spark):
+    """mask_1: byte.tif has no nodata and no alpha -> GMF_ALL_VALID,
+    mask checksum 4873 (constant 255 over 20x20)."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import mask as MK
+    from gdal_spark.raster.checksum import py_checksum
+    path = "/root/reference/autotest/gcore/data/byte.tif"
+    bands, meta = FM.parse_geotiff(open(path, "rb").read())
+    tiles = M.from_array(spark, bands[0], meta)
+    assert MK.mask_flags(meta) == MK.GMF_ALL_VALID
+    mt, mm = MK.mask_band(tiles, meta)
+    assert py_checksum(M.to_array(mt, mm)) == 4873
+
+
+def test_mask_nodata_golden(spark):
+    """mask_2: byte.vrt declares NodataValue 107 -> GMF_NODATA, mask
+    checksum 4209 (255 where pixel != 107)."""
+    from gdal_spark.raster import mask as MK
+    from gdal_spark.raster import vrt as VRT
+    from gdal_spark.raster.checksum import py_checksum
+    tiles, meta = VRT.read_vrt(
+        spark, "/root/reference/autotest/gcore/data/byte.vrt")
+    assert meta.nodata == 107.0
+    assert MK.mask_flags(meta) == MK.GMF_NODATA
+    mt, mm = MK.mask_band(tiles, meta)
+    assert py_checksum(M.to_array(mt, mm)) == 4209
+
+
+def test_mask_alpha_golden(spark):
+    """mask_3: stefan_full_rgba.png band 1 mask is the alpha band
+    verbatim (GMF_ALPHA|GMF_PER_DATASET, checksum 10807); the alpha
+    band itself is all-valid (checksum 36074)."""
+    from gdal_spark.raster import imagecodec as IC
+    from gdal_spark.raster import mask as MK
+    from gdal_spark.raster.checksum import py_checksum
+    img = IC.png_decode(open(
+        "/root/reference/autotest/gcore/data/stefan_full_rgba.png",
+        "rb").read())
+    meta = M.RasterMeta("rgba", img.shape[1], img.shape[0], dtype="uint8")
+    tiles = None
+    for b in range(4):
+        t = M.from_array(spark, img[:, :, b], meta, band=b)
+        tiles = t if tiles is None else tiles.unionAll(t)
+    assert MK.mask_flags(meta, band=0, alpha_band=3) == \
+        MK.GMF_ALPHA + MK.GMF_PER_DATASET
+    for b in (0, 1, 2):
+        mt, mm = MK.mask_band(tiles, meta, band=b, alpha_band=3)
+        assert py_checksum(M.to_array(mt, mm)) == 10807
+    assert MK.mask_flags(meta, band=3, alpha_band=3) == MK.GMF_ALL_VALID
+    mt, mm = MK.mask_band(tiles, meta, band=3, alpha_band=3)
+    assert py_checksum(M.to_array(mt, mm)) == 36074
