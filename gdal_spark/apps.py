@@ -544,6 +544,8 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
     if low.endswith(".vrt"):
         from gdal_spark.raster import vrt as VRT
         return VRT.read_vrt(spark, src, block=block)
+    if low.endswith(".xyz"):
+        return RFMT.read_xyz(spark, src, block=block)
     raise ValueError(f"unrecognized raster source {src!r}")
 
 

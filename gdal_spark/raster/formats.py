@@ -33,6 +33,7 @@ huge grid parallelizes across tasks.
 from __future__ import annotations
 
 import math
+import re
 import struct
 from collections.abc import Iterator
 from dataclasses import replace
@@ -990,3 +991,157 @@ def parse_dted(data: bytes) -> tuple[np.ndarray, RasterMeta]:
           lat0 + (n_lat - 1) * dy + dy / 2.0, 0.0, -dy)
     meta = RasterMeta("dted", n_lon, n_lat, gt=gt, dtype="int16")
     return arr, meta
+
+
+# ---------------------------------------------------------------------------
+# XYZ ASCII grid driver (gdal/frmts/xyz/xyzdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def _xyz_sniff(path: str) -> tuple[str, bool, tuple[int, int, int], bool]:
+    """Header sniff (driver-side, first KB): returns (field separator,
+    comma-is-decimal, (ix, iy, iz) column roles, has_header). The
+    reference accepts whitespace / ',' / ';' separators, ',' as the
+    decimal mark when ';' separates, and an optional header line whose
+    tokens (X/Y/Z, any case, extra columns ignored) assign roles
+    (xyzdataset.cpp Identify+Open)."""
+    with open(path, "rb") as f:
+        head = f.read(4096).decode("ascii", "replace")
+    lines = [ln for ln in head.splitlines() if ln.strip()]
+    if not lines:
+        raise ValueError("empty XYZ file")
+    first = lines[0]
+    sep = ";" if ";" in first else ("," if "," in first else None)
+    comma_decimal = sep == ";" and "," in head.replace(first, "")
+    ix, iy, iz, has_header = 0, 1, 2, False
+    toks = [t for t in (first.replace(sep, " ") if sep else first).split()]
+    def _num(t):
+        try:
+            float(t.replace(",", ".") if comma_decimal else t)
+            return True
+        except ValueError:
+            return False
+    if toks and not all(_num(t) for t in toks):
+        has_header = True
+        for i, t in enumerate(toks):
+            u = t.upper()
+            if u.startswith("X") or "LON" in u:
+                ix = i
+            elif u.startswith("Y") or "LAT" in u:
+                iy = i
+            elif u.startswith("Z") or u in ("ALT", "ELEV", "HEIGHT"):
+                iz = i
+        data_line = lines[1] if len(lines) > 1 else ""
+    else:
+        data_line = first
+    if sep is None:
+        sep = ";" if ";" in data_line else ("," if "," in data_line else None)
+        comma_decimal = sep == ";" and "," in data_line
+    return sep, comma_decimal, (ix, iy, iz), has_header
+
+
+def read_xyz(spark: SparkSession, path: str, raster_id: str = "xyz",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """The XYZ driver read path, Spark-first: `spark.read.text` over the
+    (splittable) ASCII grid, one agg for the grid inference, one
+    groupBy to assemble blocks.
+
+    Grid semantics per gdal/frmts/xyz/xyzdataset.cpp:
+    - pixel size = smallest positive step between consecutive distinct
+      coordinate values per axis; extent = min/max ± half a step
+      (pixel-is-area);
+    - row order follows the file's Y direction (increasing Y → positive
+      y-res geotransform, xyz_5's (-0.25,0.5,0,0.5,0,1));
+    - cells absent from the file read as nodata 0 (xyz_4);
+    - dtype: Byte if every Z is an integer in [0,255], Int16 in int16
+      range, else Float32.
+    """
+    sep, comma_dec, (ix, iy, iz), has_header = _xyz_sniff(path)
+    lines = spark.read.text(path)
+    if has_header:
+        first_txt = open(path, "rb").readline().decode("ascii",
+                                                       "replace").rstrip("\n")
+        lines = lines.filter(F.col("value") != first_txt)
+    lines = lines.filter(F.trim(F.col("value")) != "")
+    v = F.col("value")
+    if comma_dec:
+        v = F.regexp_replace(v, ",", ".")
+    if sep is None:
+        parts = F.split(F.trim(v), r"\s+")
+    else:
+        parts = F.split(F.trim(v), re.escape(sep))
+    pts = lines.select(
+        F.element_at(parts, ix + 1).cast("double").alias("x"),
+        F.element_at(parts, iy + 1).cast("double").alias("y"),
+        F.element_at(parts, iz + 1).cast("double").alias("z"))
+
+    from pyspark.sql import Window
+
+    def _min_step(col: str):
+        w = Window.orderBy(col)
+        d = (F.col(col) - F.lag(col, 1).over(w))
+        return (pts.select(col).distinct()
+                .select(d.alias("d"))
+                .filter(F.col("d") > 0)
+                .agg(F.min("d")).collect()[0][0])
+
+    stats = pts.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+        F.min("z"), F.max("z"),
+        F.max(F.abs(F.col("z") - F.round("z"))).alias("frac")).collect()[0]
+    xmin, xmax, ymin, ymax = stats[0], stats[1], stats[2], stats[3]
+    zmin, zmax, zfrac = stats[4], stats[5], stats[6]
+    step_x = _min_step("x") or 1.0
+    step_y = _min_step("y") or 1.0
+    width = int(round((xmax - xmin) / step_x)) + 1
+    height = int(round((ymax - ymin) / step_y)) + 1
+    # row order follows the file: driver-side peek at the first data row
+    with open(path, "rb") as f:
+        raw = [ln for ln in f.read(8192).decode("ascii", "replace")
+               .splitlines() if ln.strip()]
+    di = 1 if has_header else 0
+    ftok = raw[di].replace(",", ".") if comma_dec else raw[di]
+    ftok = ftok.replace(sep, " ") if sep else ftok
+    first_y = float(ftok.split()[iy])
+    south_up = abs(first_y - ymin) < abs(first_y - ymax)
+    if zfrac == 0.0 and 0 <= zmin and zmax <= 255:
+        dtype = "uint8"
+    elif zfrac == 0.0 and -32768 <= zmin and zmax <= 32767:
+        dtype = "int16"
+    else:
+        dtype = "float32"
+    if south_up:
+        gt = (xmin - step_x / 2.0, step_x, 0.0,
+              ymin - step_y / 2.0, 0.0, step_y)
+        py = F.round((F.col("y") - F.lit(ymin)) / F.lit(step_y))
+    else:
+        gt = (xmin - step_x / 2.0, step_x, 0.0,
+              ymax + step_y / 2.0, 0.0, -step_y)
+        py = F.round((F.lit(ymax) - F.col("y")) / F.lit(step_y))
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype=dtype,
+                      nodata=0.0, block=block)
+    px = F.round((F.col("x") - F.lit(xmin)) / F.lit(step_x))
+    cells = pts.select(px.cast("long").alias("px"),
+                       py.cast("long").alias("py"),
+                       F.col("z").alias("burn_val"))
+    from gdal_spark.raster.rasterize import pixels_to_blocks
+    return pixels_to_blocks(cells, meta), meta
+
+
+def write_xyz(tiles: DataFrame, meta: RasterMeta, path: str,
+              sep: str = " ", header: bool = False) -> None:
+    """XYZ write (XYZDataset::CreateCopy): one 'X Y Z' line per pixel,
+    rows top-down, pixel centers. Small-output helper (collects —
+    ASCII grids are a single-file format; use parquet for scale)."""
+    from gdal_spark.raster.model import to_array
+    arr = to_array(tiles, meta)
+    g = meta.gt
+    with open(path, "w") as f:
+        if header:
+            f.write(f"X{sep}Y{sep}Z\n")
+        for r in range(meta.height):
+            y = g[3] + (r + 0.5) * g[5]
+            for c in range(meta.width):
+                x = g[0] + (c + 0.5) * g[1]
+                z = arr[r, c]
+                zs = str(int(z)) if float(z).is_integer() else repr(float(z))
+                f.write(f"{x:.10g}{sep}{y:.10g}{sep}{zs}\n")

@@ -394,3 +394,73 @@ def test_jpeg_in_tiff_12bit_golden():
     assert meta.dtype == "uint16" and len(bands) == 3
     assert bands[0].max() <= 4095
     assert 2150 < bands[0].mean() < 2180
+
+
+# --- XYZ driver (autotest/gdrivers/xyz.py xyz_1..xyz_6) ----------------------
+
+def test_xyz_header_and_blank_lines(spark, tmp_path):
+    """xyz_3: optional 'Y X Z' header reassigns column roles; blank
+    lines are skipped; values land on the inferred grid."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    p = str(tmp_path / "g3.xyz")
+    open(p, "w").write(
+        "Y X Z\n0 0 65\n\n\n0 1 66\n\n1 0 67\n\n1 1 68\n2 0 69\n2 1 70\n\n\n")
+    t, m = FM.read_xyz(spark, p)
+    assert (m.width, m.height) == (2, 3) and m.dtype == "uint8"
+    assert M.to_array(t, m).tolist() == [[65, 66], [67, 68], [69, 70]]
+
+
+def test_xyz_missing_cells_nodata(spark, tmp_path):
+    """xyz_4: cells absent from the file read as nodata 0; min/max over
+    present values are 1/7."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    p = str(tmp_path / "g4.xyz")
+    open(p, "w").write(
+        "\n440750 3751290 1\n440810 3751290 2\n\n440690 3751230 3\n"
+        "440750 3751230 4\n440810 3751230 5\n440870 3751230 6\n\n"
+        "440810 3751170 7")
+    t, m = FM.read_xyz(spark, p)
+    arr = M.to_array(t, m)
+    assert arr.tolist() == [[0, 1, 2, 0], [3, 4, 5, 6], [0, 0, 7, 0]]
+    assert m.nodata == 0.0
+    vals = arr[arr != 0]
+    assert vals.min() == 1 and vals.max() == 7
+
+
+def test_xyz_grid_inference_separators(spark, tmp_path):
+    """xyz_5/xyz_6: fractional-step grid inference gt
+    (-0.25,0.5,0,0.5,0,1) — identical for ',' fields and for ';' fields
+    with ',' decimals."""
+    from gdal_spark.raster import formats as FM
+    expected = (-0.25, 0.5, 0.0, 0.5, 0.0, 1.0)
+    p5 = str(tmp_path / "g5.xyz")
+    open(p5, "w").write("0,1,100\n0.5,1,100\n1,1,100\n"
+                        "0,2,100\n0.5,2,100\n1,2,100\n")
+    _, m = FM.read_xyz(spark, p5)
+    assert (m.width, m.height) == (3, 2)
+    assert m.gt == pytest.approx(expected, abs=1e-5)
+    p6 = str(tmp_path / "g6.xyz")
+    open(p6, "w").write("0;1;100\n0,5;1;100\n1;1;100\n"
+                        "0;2;100\n0,5;2;100\n1;2;100\n")
+    _, m = FM.read_xyz(spark, p6)
+    assert (m.width, m.height) == (3, 2)
+    assert m.gt == pytest.approx(expected, abs=1e-5)
+
+
+def test_xyz_roundtrip_byte(spark, tmp_path):
+    """xyz_1 shape: byte.tif written to XYZ and re-read preserves the
+    checksum (4672) and recovers the source geotransform."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    from gdal_spark.raster.checksum import py_checksum
+    path = "/root/reference/autotest/gcore/data/byte.tif"
+    bands, meta = FM.parse_geotiff(open(path, "rb").read())
+    tiles = M.from_array(spark, bands[0], meta)
+    out = str(tmp_path / "byte.xyz")
+    FM.write_xyz(tiles, meta, out)
+    t2, m2 = FM.read_xyz(spark, out)
+    assert py_checksum(M.to_array(t2, m2)) == 4672
+    assert m2.gt == pytest.approx(meta.gt)
+    assert (m2.width, m2.height) == (meta.width, meta.height)
