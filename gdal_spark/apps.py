@@ -546,6 +546,10 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
         return VRT.read_vrt(spark, src, block=block)
     if low.endswith(".xyz"):
         return RFMT.read_xyz(spark, src, block=block)
+    if low.endswith((".bil", ".flt")):
+        return RFMT.read_ehdr(spark, src, block=block)
+    if low.endswith(".bt"):
+        return RFMT.read_bt(spark, src, block=block)
     raise ValueError(f"unrecognized raster source {src!r}")
 
 

@@ -1145,3 +1145,149 @@ def write_xyz(tiles: DataFrame, meta: RasterMeta, path: str,
                 z = arr[r, c]
                 zs = str(int(z)) if float(z).is_integer() else repr(float(z))
                 f.write(f"{x:.10g}{sep}{y:.10g}{sep}{zs}\n")
+
+
+# ---------------------------------------------------------------------------
+# ESRI .hdr labelled (EHdr) driver (gdal/frmts/raw/ehdrdataset.cpp)
+# ---------------------------------------------------------------------------
+
+_EHDR_DTYPES = {(8, "UNSIGNEDINT"): "uint8", (8, "SIGNEDINT"): "int8",
+                (16, "SIGNEDINT"): "int16", (16, "UNSIGNEDINT"): "uint16",
+                (32, "SIGNEDINT"): "int32", (32, "FLOAT"): "float32"}
+
+
+def read_ehdr(spark: SparkSession, path: str, raster_id: str = "ehdr",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """EHdr read: keyword .hdr sidecar (NROWS/NCOLS/NBITS/PIXELTYPE/
+    BYTEORDER/LAYOUT, ULXMAP/ULYMAP = CENTER of the upper-left pixel)
+    next to the raw .bil/.flt payload. BIL band interleave; BSQ
+    accepted for the single-band case."""
+    import os
+    stem = os.path.splitext(path)[0]
+    hdr_path = stem + ".hdr"
+    kv = {}
+    for ln in open(hdr_path).read().splitlines():
+        parts = ln.split()
+        if len(parts) >= 2:
+            kv[parts[0].upper()] = parts[1]
+    rows, cols = int(kv["NROWS"]), int(kv["NCOLS"])
+    nbands = int(kv.get("NBANDS", "1"))
+    nbits = int(kv.get("NBITS", "8"))
+    ptype = kv.get("PIXELTYPE",
+                   "FLOAT" if nbits == 32 else "UNSIGNEDINT").upper()
+    if nbits == 16 and "PIXELTYPE" not in kv:
+        ptype = "SIGNEDINT"   # ehdrdataset.cpp defaults 16-bit to Int16
+    dtype = _EHDR_DTYPES[(nbits, ptype)]
+    order = "<" if kv.get("BYTEORDER", "I").upper() in ("I", "LSBFIRST") \
+        else ">"
+    xdim = float(kv.get("XDIM", kv.get("CELLSIZE", "1")))
+    ydim = float(kv.get("YDIM", kv.get("CELLSIZE", "1")))
+    if "ULXMAP" in kv:
+        ulx = float(kv["ULXMAP"]) - xdim / 2.0
+        uly = float(kv["ULYMAP"]) + ydim / 2.0
+    elif "XLLCORNER" in kv:
+        ulx = float(kv["XLLCORNER"])
+        uly = float(kv["YLLCORNER"]) + rows * ydim
+    else:
+        ulx, uly = 0.0, 0.0
+    nodata = float(kv["NODATA"]) if "NODATA" in kv else None
+    raw = np.fromfile(path, dtype=np.dtype(dtype).newbyteorder(order))
+    layout = kv.get("LAYOUT", "BIL").upper()
+    if layout == "BIL":
+        cube = raw.reshape(rows, nbands, cols).transpose(1, 0, 2)
+    elif layout == "BSQ":
+        cube = raw.reshape(nbands, rows, cols)
+    else:  # BIP
+        cube = raw.reshape(rows, cols, nbands).transpose(2, 0, 1)
+    meta = RasterMeta(raster_id, cols, rows,
+                      gt=(ulx, xdim, 0.0, uly, 0.0, -ydim),
+                      dtype=dtype, nodata=nodata, block=block)
+    from gdal_spark.raster.model import from_array
+    tiles = None
+    for b in range(nbands):
+        t = from_array(spark, np.ascontiguousarray(cube[b]).astype(dtype),
+                       meta, band=b)
+        tiles = t if tiles is None else tiles.unionAll(t)
+    return tiles, meta
+
+
+def write_ehdr(tiles: DataFrame, meta: RasterMeta, path: str,
+               band: int = 0) -> None:
+    """EHdr write (single band, BIL, little-endian)."""
+    import os
+    from gdal_spark.raster.model import to_array
+    arr = to_array(tiles, meta, band=band)
+    nbits = arr.dtype.itemsize * 8
+    ptype = ("FLOAT" if arr.dtype.kind == "f"
+             else "SIGNEDINT" if arr.dtype.kind == "i" else "UNSIGNEDINT")
+    g = meta.gt
+    stem = os.path.splitext(path)[0]
+    with open(stem + ".hdr", "w") as f:
+        f.write(f"BYTEORDER      I\nLAYOUT         BIL\n"
+                f"NROWS          {meta.height}\nNCOLS          {meta.width}\n"
+                f"NBANDS         1\nNBITS          {nbits}\n"
+                f"BANDROWBYTES   {meta.width * arr.dtype.itemsize}\n"
+                f"TOTALROWBYTES  {meta.width * arr.dtype.itemsize}\n"
+                f"PIXELTYPE      {ptype}\n"
+                f"ULXMAP         {g[0] + g[1] / 2.0:.10g}\n"
+                f"ULYMAP         {g[3] + g[5] / 2.0:.10g}\n"
+                f"XDIM           {g[1]:.10g}\nYDIM           {-g[5]:.10g}\n"
+                + (f"NODATA         {meta.nodata:.10g}\n"
+                   if meta.nodata is not None else ""))
+    arr.astype(arr.dtype.newbyteorder("<")).tofile(path)
+
+
+# ---------------------------------------------------------------------------
+# BT (binary terrain 1.3) driver (gdal/frmts/raw/btdataset.cpp)
+# ---------------------------------------------------------------------------
+
+_BT_DTYPES = {(2, 0): "int16", (4, 0): "int32", (4, 1): "float32"}
+
+
+def read_bt(spark: SparkSession, path: str, raster_id: str = "bt",
+            block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """BT read: 256-byte 'binterr1.3' header (cols@10, rows@14,
+    datasize@18, float-flag@20, left/right/bottom/top doubles@28..59),
+    payload column-major with each column stored bottom-to-top
+    (btdataset.cpp IReadBlock reverses in place)."""
+    data = open(path, "rb").read()
+    if data[:7] != b"binterr":
+        raise ValueError("not a BT file")
+    cols, rows = struct.unpack_from("<ii", data, 10)
+    (dsize,) = struct.unpack_from("<h", data, 18)
+    dtype = _BT_DTYPES[(dsize, 1 if data[20] else 0)]
+    left, right, bottom, top = struct.unpack_from("<4d", data, 28)
+    arr = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<"),
+                        count=cols * rows, offset=256)
+    # column-major, bottom-up columns -> row-major north-up
+    grid = arr.reshape(cols, rows).T[::-1]
+    gt = (left, (right - left) / cols, 0.0, top, 0.0, (bottom - top) / rows)
+    meta = RasterMeta(raster_id, cols, rows, gt=gt, dtype=dtype, block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(grid), meta), meta
+
+
+def write_bt(tiles: DataFrame, meta: RasterMeta, path: str,
+             band: int = 0) -> None:
+    """BT write: header + column-major bottom-up payload."""
+    from gdal_spark.raster.model import to_array
+    arr = to_array(tiles, meta, band=band)
+    if arr.dtype == np.uint8:   # BT has no byte type; promote like the app
+        arr = arr.astype(np.int16)
+    dsize = arr.dtype.itemsize
+    is_float = 1 if arr.dtype.kind == "f" else 0
+    g = meta.gt
+    left, top = g[0], g[3]
+    right = left + meta.width * g[1]
+    bottom = top + meta.height * g[5]
+    head = bytearray(256)
+    head[:10] = b"binterr1.3"
+    struct.pack_into("<ii", head, 10, meta.width, meta.height)
+    struct.pack_into("<hh", head, 18, dsize, is_float)
+    struct.pack_into("<4d", head, 28, left, right, bottom, top)
+    struct.pack_into("<f", head, 62, 1.0)   # vertical scale
+    payload = np.ascontiguousarray(
+        arr[::-1].T.astype(arr.dtype.newbyteorder("<")))
+    with open(path, "wb") as f:
+        f.write(bytes(head))
+        f.write(payload.tobytes())

@@ -464,3 +464,53 @@ def test_xyz_roundtrip_byte(spark, tmp_path):
     assert py_checksum(M.to_array(t2, m2)) == 4672
     assert m2.gt == pytest.approx(meta.gt)
     assert (m2.width, m2.height) == (meta.width, meta.height)
+
+
+# --- EHdr / BT drivers (autotest/gdrivers/{ehdr,bt}.py) ----------------------
+
+def test_ehdr_read_float32_golden(spark):
+    """ehdr_3: the reference's float32.bil reads with checksum 27."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    from gdal_spark.raster.checksum import py_checksum
+    t, m = FM.read_ehdr(
+        spark, "/root/reference/autotest/gdrivers/data/float32.bil")
+    assert (m.width, m.height) == (20, 20) and m.dtype == "float32"
+    assert m.gt == pytest.approx((440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0))
+    assert py_checksum(M.to_array(t, m)) == 27
+
+
+def test_ehdr_roundtrip_byte(spark, tmp_path):
+    """ehdr_2 shape: byte.tif -> EHdr -> read keeps checksum 4672 and
+    the geotransform."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    from gdal_spark.raster.checksum import py_checksum
+    bands, meta = FM.parse_geotiff(open(
+        "/root/reference/autotest/gcore/data/byte.tif", "rb").read())
+    tiles = M.from_array(spark, bands[0], meta)
+    out = str(tmp_path / "byte.bil")
+    FM.write_ehdr(tiles, meta, out)
+    t2, m2 = FM.read_ehdr(spark, out)
+    assert py_checksum(M.to_array(t2, m2)) == 4672
+    assert m2.gt == pytest.approx(meta.gt)
+
+
+@pytest.mark.parametrize("src,dtype", [
+    ("int16.tif", "int16"), ("int32.tif", "int32"),
+    ("float32.tif", "float32")])
+def test_bt_roundtrip_goldens(spark, tmp_path, src, dtype):
+    """bt_1/2/3: int16/int32/float32 rasters round-trip through the BT
+    format with checksum 4672 and the source geotransform."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    from gdal_spark.raster.checksum import py_checksum
+    bands, meta = FM.parse_geotiff(open(
+        f"/root/reference/autotest/gcore/data/{src}", "rb").read())
+    tiles = M.from_array(spark, bands[0], meta)
+    out = str(tmp_path / (src + ".bt"))
+    FM.write_bt(tiles, meta, out)
+    t2, m2 = FM.read_bt(spark, out)
+    assert m2.dtype == dtype
+    assert py_checksum(M.to_array(t2, m2)) == 4672
+    assert m2.gt == pytest.approx(meta.gt)
