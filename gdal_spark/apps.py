@@ -546,10 +546,19 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
         return VRT.read_vrt(spark, src, block=block)
     if low.endswith(".xyz"):
         return RFMT.read_xyz(spark, src, block=block)
-    if low.endswith((".bil", ".flt")):
-        return RFMT.read_ehdr(spark, src, block=block)
     if low.endswith(".bt"):
         return RFMT.read_bt(spark, src, block=block)
+    if low.endswith((".bil", ".flt", ".img", ".dat")):
+        # sidecar sniff: an ENVI-magic .hdr routes to the ENVI driver,
+        # a keyword .hdr to EHdr (GDALIdentify order for raw rasters)
+        import os
+        stem = os.path.splitext(src)[0]
+        for hdr in (stem + ".hdr", src + ".hdr"):
+            if os.path.exists(hdr):
+                first = open(hdr).read(4)
+                if first.upper().startswith("ENVI"):
+                    return RFMT.read_envi(spark, src, block=block)
+                return RFMT.read_ehdr(spark, src, block=block)
     raise ValueError(f"unrecognized raster source {src!r}")
 
 

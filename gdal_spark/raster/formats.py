@@ -1291,3 +1291,95 @@ def write_bt(tiles: DataFrame, meta: RasterMeta, path: str,
     with open(path, "wb") as f:
         f.write(bytes(head))
         f.write(payload.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# ENVI .hdr labelled raster driver (gdal/frmts/raw/envidataset.cpp)
+# ---------------------------------------------------------------------------
+
+_ENVI_DTYPES = {1: "uint8", 2: "int16", 3: "int32", 4: "float32",
+                5: "float64", 12: "uint16", 13: "uint32",
+                6: "complex64", 9: "complex128"}
+_ENVI_CODES = {v: k for k, v in _ENVI_DTYPES.items()}
+
+
+def _envi_header(path: str) -> dict:
+    """Parse an ENVI .hdr: 'key = value' lines, {}-bracketed values may
+    span lines (envidataset.cpp ReadHeader)."""
+    text = open(path).read()
+    if not text.lstrip().upper().startswith("ENVI"):
+        raise ValueError("not an ENVI header")
+    kv: dict[str, str] = {}
+    buf = ""
+    for ln in text.splitlines()[1:]:
+        buf += ln + "\n"
+        if buf.count("{") > buf.count("}"):
+            continue
+        if "=" in buf:
+            k, v = buf.split("=", 1)
+            kv[k.strip().lower()] = v.strip().strip("{}").strip()
+        buf = ""
+    return kv
+
+
+def read_envi(spark: SparkSession, path: str, raster_id: str = "envi",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """ENVI read: samples/lines/bands + data type + interleave
+    (bsq/bil/bip) + byte order from the sidecar .hdr; the 'map info'
+    anchor pixel's upper-left corner fixes the geotransform
+    (envidataset.cpp ProcessMapinfo; envi_1 golden gt)."""
+    import os
+    stem = os.path.splitext(path)[0]
+    hdr = stem + ".hdr" if os.path.exists(stem + ".hdr") else path + ".hdr"
+    kv = _envi_header(hdr)
+    cols, rows = int(kv["samples"]), int(kv["lines"])
+    nbands = int(kv.get("bands", "1"))
+    dtype = _ENVI_DTYPES[int(kv["data type"])]
+    order = ">" if kv.get("byte order", "0").strip() == "1" else "<"
+    offset = int(kv.get("header offset", "0"))
+    interleave = kv.get("interleave", "bsq").lower()
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    if "map info" in kv:
+        mi = [t.strip() for t in kv["map info"].split(",")]
+        # name, anchor px, anchor py (1-based, at the pixel's UL corner),
+        # anchor x, anchor y, xsize, ysize
+        apx, apy = float(mi[1]), float(mi[2])
+        ax, ay = float(mi[3]), float(mi[4])
+        xs, ys = float(mi[5]), float(mi[6])
+        gt = (ax - (apx - 1) * xs, xs, 0.0, ay + (apy - 1) * ys, 0.0, -ys)
+    raw = np.fromfile(path, dtype=np.dtype(dtype).newbyteorder(order),
+                      offset=offset)
+    if interleave == "bsq":
+        cube = raw.reshape(nbands, rows, cols)
+    elif interleave == "bil":
+        cube = raw.reshape(rows, nbands, cols).transpose(1, 0, 2)
+    else:  # bip
+        cube = raw.reshape(rows, cols, nbands).transpose(2, 0, 1)
+    meta = RasterMeta(raster_id, cols, rows, gt=gt, dtype=dtype, block=block)
+    from gdal_spark.raster.model import from_array
+    tiles = None
+    for b in range(nbands):
+        t = from_array(spark, np.ascontiguousarray(cube[b]).astype(dtype),
+                       meta, band=b)
+        tiles = t if tiles is None else tiles.unionAll(t)
+    return tiles, meta
+
+
+def write_envi(tiles: DataFrame, meta: RasterMeta, path: str,
+               nbands: int = 1) -> None:
+    """ENVI write: BSQ, native little-endian, minimal header."""
+    import os
+    from gdal_spark.raster.model import to_array
+    cube = np.stack([to_array(tiles, meta, band=b) for b in range(nbands)])
+    g = meta.gt
+    stem = os.path.splitext(path)[0]
+    with open(stem + ".hdr", "w") as f:
+        f.write("ENVI\n"
+                f"samples = {meta.width}\nlines   = {meta.height}\n"
+                f"bands   = {nbands}\nheader offset = 0\n"
+                "file type = ENVI Standard\n"
+                f"data type = {_ENVI_CODES[str(cube.dtype)]}\n"
+                "interleave = bsq\nbyte order = 0\n"
+                f"map info = {{exported, 1, 1, {g[0]:.10g}, {g[3]:.10g}, "
+                f"{g[1]:.10g}, {-g[5]:.10g}}}\n")
+    cube.astype(cube.dtype.newbyteorder("<")).tofile(path)

@@ -514,3 +514,31 @@ def test_bt_roundtrip_goldens(spark, tmp_path, src, dtype):
     assert m2.dtype == dtype
     assert py_checksum(M.to_array(t2, m2)) == 4672
     assert m2.gt == pytest.approx(meta.gt)
+
+
+def test_envi_read_golden(spark):
+    """envi_1: aea.dat (BSQ, big-endian byte) reads checksum 14823 with
+    the Albers map-info geotransform."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    from gdal_spark.raster.checksum import py_checksum
+    t, m = FM.read_envi(
+        spark, "/root/reference/autotest/gdrivers/data/aea.dat")
+    assert (m.width, m.height) == (434, 3)
+    assert m.gt == pytest.approx(
+        (-936408.178, 28.5, 0.0, 2423902.344, 0.0, -28.5))
+    assert py_checksum(M.to_array(t, m)) == 14823
+
+
+def test_envi_roundtrip(spark, tmp_path):
+    """envi_2: lossless export/import of aea.dat (checksum + gt kept)."""
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    from gdal_spark.raster.checksum import py_checksum
+    t, m = FM.read_envi(
+        spark, "/root/reference/autotest/gdrivers/data/aea.dat")
+    out = str(tmp_path / "aea.dat")
+    FM.write_envi(t, m, out)
+    t2, m2 = FM.read_envi(spark, out)
+    assert py_checksum(M.to_array(t2, m2)) == 14823
+    assert m2.gt == pytest.approx(m.gt)
