@@ -548,6 +548,8 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
         return RFMT.read_xyz(spark, src, block=block)
     if low.endswith(".bt"):
         return RFMT.read_bt(spark, src, block=block)
+    if low.endswith(".hgt"):
+        return RFMT.read_srtmhgt(spark, src, block=block)
     if low.endswith((".bil", ".flt", ".img", ".dat")):
         # sidecar sniff: an ENVI-magic .hdr routes to the ENVI driver,
         # a keyword .hdr to EHdr (GDALIdentify order for raw rasters)

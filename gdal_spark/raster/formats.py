@@ -1383,3 +1383,36 @@ def write_envi(tiles: DataFrame, meta: RasterMeta, path: str,
                 f"map info = {{exported, 1, 1, {g[0]:.10g}, {g[3]:.10g}, "
                 f"{g[1]:.10g}, {-g[5]:.10g}}}\n")
     cube.astype(cube.dtype.newbyteorder("<")).tofile(path)
+
+
+# ---------------------------------------------------------------------------
+# SRTMHGT driver (gdal/frmts/srtmhgt/srtmhgtdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_srtmhgt(spark: SparkSession, path: str, block: int = 256
+                 ) -> tuple[DataFrame, RasterMeta]:
+    """SRTMHGT read: georeferencing comes from the FILENAME
+    ([NS]yy[EW]xxx.hgt names the cell's south-west corner), size from
+    the byte count (1201² or 3601² big-endian int16), pixel centers on
+    the graticule (half-cell-outside extent), nodata -32768."""
+    import os
+    name = os.path.basename(path).lower().split(".")[0]
+    lat = int(name[1:3]) * (1 if name[0] == "n" else -1)
+    lon = int(name[4:7]) * (1 if name[3] == "e" else -1)
+    raw = np.fromfile(path, dtype=">i2")
+    n = int(round(math.sqrt(raw.size)))
+    if n * n != raw.size or n not in (1201, 3601):
+        raise ValueError(f"not a SRTMHGT payload: {raw.size} samples")
+    cell = 1.0 / (n - 1)
+    gt = (lon - cell / 2.0, cell, 0.0, lat + 1 + cell / 2.0, 0.0, -cell)
+    meta = RasterMeta(name, n, n, gt=gt, dtype="int16", nodata=-32768.0,
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, raw.reshape(n, n).astype("int16"), meta), meta
+
+
+def write_srtmhgt(tiles: DataFrame, meta: RasterMeta, path: str) -> None:
+    """SRTMHGT write: big-endian int16 rows north to south."""
+    from gdal_spark.raster.model import to_array
+    arr = to_array(tiles, meta).astype(np.int16)
+    arr.astype(">i2").tofile(path)

@@ -542,3 +542,29 @@ def test_envi_roundtrip(spark, tmp_path):
     t2, m2 = FM.read_envi(spark, out)
     assert py_checksum(M.to_array(t2, m2)) == 14823
     assert m2.gt == pytest.approx(m.gt)
+
+
+def test_srtmhgt_golden(spark, tmp_path):
+    """srtmhgt_1: n43.dt0 (DTED level 0) nearest-upsampled to 1201x1201
+    (GDAL RasterIO index rule floor((i+0.5)*src/dst)), written as
+    n43w080.hgt and re-read: checksum 60918, filename-derived
+    geotransform."""
+    import numpy as np
+    from gdal_spark.raster import formats as FM
+    from gdal_spark.raster import model as M
+    from gdal_spark.raster.checksum import py_checksum
+    arr, _ = FM.parse_dted(open(
+        "/root/reference/autotest/gdrivers/data/n43.dt0", "rb").read())
+    idx = np.floor((np.arange(1201) + 0.5) * (121 / 1201.0)).astype(int)
+    up = arr[np.ix_(idx, idx)].astype(np.int16)
+    meta = M.RasterMeta(
+        "n43w080", 1201, 1201,
+        gt=(-80.0004166666666663, 0.0008333333333333, 0,
+            44.0004166666666670, 0, -0.0008333333333333), dtype="int16")
+    tiles = M.from_array(spark, up, meta)
+    p = str(tmp_path / "n43w080.hgt")
+    FM.write_srtmhgt(tiles, meta, p)
+    t2, m2 = FM.read_srtmhgt(spark, p)
+    assert py_checksum(M.to_array(t2, m2)) == 60918
+    assert m2.gt == pytest.approx(meta.gt, abs=1e-9)
+    assert m2.nodata == -32768.0
