@@ -47,7 +47,7 @@ from gdal_spark.sources import formats as FMT
 def _vector_ext(path: str) -> str:
     base = path.rstrip("/").lower()
     for ext in (".geojsonl", ".geojsons", ".geojson", ".json", ".csv",
-                ".shp", ".gpkg", ".parquet"):
+                ".shp", ".gpkg", ".parquet", ".kml", ".gpx"):
         if base.endswith(ext):
             return ext
     return ""
@@ -72,6 +72,10 @@ def read_vector(spark: SparkSession, src, layer: str | None = None,
         if layer is None:
             raise ValueError("GeoPackage read requires layer=")
         return FMT.read_gpkg(spark, src, layer)
+    if ext == ".kml":
+        return FMT.read_kml(spark, src, layer)
+    if ext == ".gpx":
+        return FMT.read_gpx(spark, src, layer or "waypoints")
     if ext == ".parquet" or os.path.isdir(src):
         return spark.read.parquet(src)
     raise ValueError(f"unrecognized vector source {src!r}")
@@ -89,6 +93,10 @@ def write_vector(df: DataFrame, dst: str, layer: str = "layer",
                             geometry_col).collect()
     elif ext == ".gpkg":
         FMT.write_gpkg(df, dst, layer, geometry_col)
+    elif ext == ".kml":
+        FMT.write_kml(df, dst, geometry_col=geometry_col)
+    elif ext == ".gpx":
+        FMT.write_gpx(df, dst, geometry_col=geometry_col)
     elif ext == ".parquet":
         df.write.mode("overwrite").parquet(dst)
     else:

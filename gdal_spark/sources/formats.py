@@ -753,3 +753,320 @@ def write_gpkg(df: DataFrame, path: str, layer: str,
             cx.execute(ins, vals)
             n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# GPX driver (gdal/ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp)
+# ---------------------------------------------------------------------------
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _ogr_datetime(iso: str | None) -> str | None:
+    """ISO 8601 → the OGR field spelling ('2007/11/25 17:58:00+01',
+    ogr_gpx_1's expected value; 'Z' prints as the +00 offset is
+    omitted... the reference keeps 'Z' times without offset text)."""
+    if not iso:
+        return None
+    s = iso.strip().replace("T", " ")
+    s = s[:10].replace("-", "/") + s[10:]
+    if s.endswith("Z"):
+        return s[:-1] + "+00"
+    if len(s) >= 6 and s[-6] in "+-" and s[-3] == ":":
+        return s[:-6] + s[-6:-3]   # '+01:00' -> '+01'
+    return s
+
+
+GPX_LAYERS = ("waypoints", "routes", "tracks", "route_points",
+              "track_points")
+
+
+def read_gpx(spark: SparkSession, path: str,
+             layer: str = "waypoints") -> DataFrame:
+    """GPX read — the reference's five fixed layers (waypoints, routes,
+    tracks, route_points, track_points; ogrgpxlayer.cpp). Sidecar-scale
+    format: the XML parses on the driver, rows distribute."""
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import types as T
+
+    from gdal_spark.functions import geometry as G
+    root = ET.parse(path).getroot()
+
+    def kids(el, name):
+        return [c for c in el if _strip_ns(c.tag) == name]
+
+    def txt(el, name):
+        k = kids(el, name)
+        return k[0].text if k else None
+
+    def pt_fields(el):
+        links = kids(el, "link")
+        out = {"ele": (float(txt(el, "ele")) if txt(el, "ele") is not None
+                       else None),
+               "name": txt(el, "name"), "cmt": txt(el, "cmt"),
+               "desc": txt(el, "desc"), "src": txt(el, "src"),
+               "time": _ogr_datetime(txt(el, "time"))}
+        for i in (1, 2):
+            ln = links[i - 1] if len(links) >= i else None
+            out[f"link{i}_href"] = ln.get("href") if ln is not None else None
+            out[f"link{i}_text"] = txt(ln, "text") if ln is not None else None
+            out[f"link{i}_type"] = txt(ln, "type") if ln is not None else None
+        return out
+
+    def pt_wkb(el):
+        return bytearray(G.encode_point(float(el.get("lon")),
+                                        float(el.get("lat"))))
+
+    pt_schema = [T.StructField("ele", T.DoubleType())] + [
+        T.StructField(n, T.StringType())
+        for n in ("name", "cmt", "desc", "src", "link1_href", "link1_text",
+                  "link1_type", "link2_href", "link2_text", "link2_type",
+                  "time")]
+
+    def pt_row(f):
+        return (f["ele"], f["name"], f["cmt"], f["desc"], f["src"],
+                f["link1_href"], f["link1_text"], f["link1_type"],
+                f["link2_href"], f["link2_text"], f["link2_type"], f["time"])
+
+    rows, schema = [], None
+    if layer == "waypoints":
+        schema = T.StructType(
+            [T.StructField("fid", T.LongType())] + pt_schema
+            + [T.StructField("geometry", T.BinaryType())])
+        for i, el in enumerate(kids(root, "wpt")):
+            rows.append((i, *pt_row(pt_fields(el)), pt_wkb(el)))
+    elif layer == "routes":
+        schema = "fid long, name string, geometry binary"
+        for i, el in enumerate(kids(root, "rte")):
+            pts = np.array([[float(p.get("lon")), float(p.get("lat"))]
+                            for p in kids(el, "rtept")]).reshape(-1, 2)
+            rows.append((i, txt(el, "name"),
+                         bytearray(G.encode_linestring(pts))))
+    elif layer == "tracks":
+        schema = "fid long, name string, geometry binary"
+        for i, el in enumerate(kids(root, "trk")):
+            segs = [np.array([[float(p.get("lon")), float(p.get("lat"))]
+                              for p in kids(s, "trkpt")]).reshape(-1, 2)
+                    for s in kids(el, "trkseg")]
+            rows.append((i, txt(el, "name"),
+                         bytearray(G.encode_multilinestring(segs))))
+    elif layer == "route_points":
+        schema = T.StructType(
+            [T.StructField("route_fid", T.LongType()),
+             T.StructField("route_point_id", T.LongType())] + pt_schema
+            + [T.StructField("geometry", T.BinaryType())])
+        for ri, el in enumerate(kids(root, "rte")):
+            for pi, p in enumerate(kids(el, "rtept")):
+                rows.append((ri, pi, *pt_row(pt_fields(p)), pt_wkb(p)))
+    elif layer == "track_points":
+        schema = T.StructType(
+            [T.StructField("track_fid", T.LongType()),
+             T.StructField("track_seg_id", T.LongType()),
+             T.StructField("track_pt_id", T.LongType())] + pt_schema
+            + [T.StructField("geometry", T.BinaryType())])
+        for ti, el in enumerate(kids(root, "trk")):
+            for si, s in enumerate(kids(el, "trkseg")):
+                for pi, p in enumerate(kids(s, "trkpt")):
+                    rows.append((ti, si, pi, *pt_row(pt_fields(p)),
+                                 pt_wkb(p)))
+    else:
+        raise ValueError(f"unknown GPX layer {layer!r}; one of {GPX_LAYERS}")
+    return spark.createDataFrame(rows, schema)
+
+
+def write_gpx(df: DataFrame, path: str, layer: str = "waypoints",
+              geometry_col: str = "geometry") -> None:
+    """GPX write: waypoints (points), routes (linestrings) or tracks
+    (multilinestrings) from the geometry column; a 'name' column becomes
+    the element name."""
+    from gdal_spark.functions import geometry as G
+    rows = df.collect()
+    has_name = "name" in df.columns
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n<gpx version="1.1" '
+                'creator="gdal_spark" '
+                'xmlns="http://www.topografix.com/GPX/1/1">\n')
+        for r in rows:
+            w = bytes(r[geometry_col])
+            nm = (f"<name>{r['name']}</name>"
+                  if has_name and r["name"] is not None else "")
+            if layer == "waypoints":
+                x, y = G.decode_point(w)
+                f.write(f'<wpt lat="{y:.10g}" lon="{x:.10g}">{nm}</wpt>\n')
+            elif layer == "routes":
+                f.write(f"<rte>{nm}\n")
+                for x, y in G.decode_linestring(w):
+                    f.write(f'  <rtept lat="{y:.10g}" lon="{x:.10g}"/>\n')
+                f.write("</rte>\n")
+            else:
+                f.write(f"<trk>{nm}\n")
+                from gdal_spark.functions.geomops import wkb_members
+                for seg in wkb_members(w):
+                    f.write("  <trkseg>\n")
+                    for x, y in G.decode_linestring(seg):
+                        f.write(f'    <trkpt lat="{y:.10g}" '
+                                f'lon="{x:.10g}"/>\n')
+                    f.write("  </trkseg>\n")
+                f.write("</trk>\n")
+        f.write("</gpx>\n")
+
+
+# ---------------------------------------------------------------------------
+# KML driver (gdal/ogr/ogrsf_frmts/kml/ogrkmllayer.cpp)
+# ---------------------------------------------------------------------------
+
+def _kml_geom_wkb(el) -> bytes | None:
+    """One KML geometry element → WKB (coordinates are
+    'lon,lat[,alt]' whitespace-separated tuples)."""
+    from gdal_spark.functions import geometry as G
+
+    def coords(e):
+        k = [c for c in e.iter() if _strip_ns(c.tag) == "coordinates"]
+        if not k or not k[0].text:
+            return np.zeros((0, 2))
+        pts = [tuple(float(v) for v in t.split(",")[:2])
+               for t in k[0].text.split()]
+        return np.array(pts).reshape(-1, 2)
+
+    tag = _strip_ns(el.tag)
+    if tag == "Point":
+        c = coords(el)
+        return G.encode_point(float(c[0, 0]), float(c[0, 1]))
+    if tag == "LineString":
+        return G.encode_linestring(coords(el))
+    if tag == "Polygon":
+        rings = []
+        for b in el.iter():
+            if _strip_ns(b.tag) in ("outerBoundaryIs", "innerBoundaryIs"):
+                for lr in b.iter():
+                    if _strip_ns(lr.tag) == "LinearRing":
+                        rings.append(coords(lr))
+        return G.encode_polygon(rings)
+    if tag == "MultiGeometry":
+        from gdal_spark.functions.geometry import (
+            encode_geometrycollection)
+        parts = [_kml_geom_wkb(c) for c in el
+                 if _strip_ns(c.tag) in ("Point", "LineString", "Polygon",
+                                         "MultiGeometry")]
+        return encode_geometrycollection([p for p in parts if p])
+    return None
+
+
+def _kml_top_folders(root):
+    """TOP-LEVEL Folders only — nested Folders merge into their
+    ancestor layer (the reference reports 6 layers for samples.kml,
+    whose 'Polygons' folder contains three nested Folders)."""
+    out = []
+
+    def walk(el, inside_folder):
+        for c in el:
+            t = _strip_ns(c.tag)
+            if t == "Folder":
+                if not inside_folder:
+                    out.append(c)
+                walk(c, True)
+            else:
+                walk(c, inside_folder)
+
+    walk(root, False)
+    return out
+
+
+def kml_layer_names(path: str) -> list[str]:
+    """Folder names = layer names (ogrkmldriver: one OGR layer per
+    top-level Folder; samples.kml has 6)."""
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    names = []
+    for fo in _kml_top_folders(root):
+        nm = next((c.text for c in fo if _strip_ns(c.tag) == "name"), None)
+        names.append(nm or f"Layer{len(names)}")
+    return names
+
+
+def read_kml(spark: SparkSession, path: str,
+             layer: str | None = None) -> DataFrame:
+    """KML read: Placemarks of the named Folder (or of the whole
+    document when ``layer`` is None) with the reference's Name /
+    description fields."""
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    scope = root
+    if layer is not None:
+        for fo in _kml_top_folders(root):
+            nm = next((c.text for c in fo
+                       if _strip_ns(c.tag) == "name"), None)
+            if nm == layer:
+                scope = fo
+                break
+        else:
+            raise ValueError(f"no KML Folder named {layer!r}")
+    rows = []
+    for i, pm in enumerate(e for e in scope.iter()
+                           if _strip_ns(e.tag) == "Placemark"):
+        name = desc = None
+        wkb = None
+        for c in pm:
+            t = _strip_ns(c.tag)
+            if t == "name":
+                name = c.text
+            elif t == "description":
+                desc = c.text
+            elif t in ("Point", "LineString", "Polygon", "MultiGeometry"):
+                wkb = _kml_geom_wkb(c)
+        rows.append((i, name, desc,
+                     bytearray(wkb) if wkb is not None else None))
+    return spark.createDataFrame(
+        rows, "fid long, Name string, description string, geometry binary")
+
+
+def write_kml(df: DataFrame, path: str, name_col: str = "Name",
+              geometry_col: str = "geometry",
+              doc_name: str = "gdal_spark export") -> None:
+    """KML write: one Placemark per row under a single Document."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.functions.geomops import wkb_members
+
+    def coord_text(arr) -> str:
+        return " ".join(f"{x:.10g},{y:.10g}" for x, y in arr)
+
+    def geom_xml(w: bytes) -> str:
+        from gdal_spark.functions.geometry import (
+            WKB_LINESTRING, WKB_POINT, WKB_POLYGON)
+        buf = memoryview(w)
+        gtype = buf[1] if buf[0] == 1 else buf[4]
+        if gtype == WKB_POINT:
+            x, y = G.decode_point(w)
+            return (f"<Point><coordinates>{x:.10g},{y:.10g}"
+                    "</coordinates></Point>")
+        if gtype == WKB_LINESTRING:
+            return ("<LineString><coordinates>"
+                    + coord_text(G.decode_linestring(w))
+                    + "</coordinates></LineString>")
+        if gtype == WKB_POLYGON:
+            rings = G.decode_polygons(w)[0]
+            out = ["<Polygon>"]
+            for j, r in enumerate(rings):
+                b = "outerBoundaryIs" if j == 0 else "innerBoundaryIs"
+                out.append(f"<{b}><LinearRing><coordinates>"
+                           + coord_text(r)
+                           + f"</coordinates></LinearRing></{b}>")
+            out.append("</Polygon>")
+            return "".join(out)
+        parts = "".join(geom_xml(m) for m in wkb_members(w))
+        return f"<MultiGeometry>{parts}</MultiGeometry>"
+
+    rows = df.collect()
+    has_name = name_col in df.columns
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<kml xmlns="http://www.opengis.net/kml/2.2">\n'
+                f"<Document><name>{doc_name}</name>\n")
+        for r in rows:
+            nm = (f"<name>{r[name_col]}</name>"
+                  if has_name and r[name_col] is not None else "")
+            f.write("<Placemark>" + nm
+                    + geom_xml(bytes(r[geometry_col])) + "</Placemark>\n")
+        f.write("</Document>\n</kml>\n")

@@ -172,3 +172,110 @@ def test_feature_lines_jvm_filter(spark):
         F.get_json_object("value", "$.properties.eas_id").cast("long")
         .alias("eas_id"))
     assert parsed.filter(F.col("eas_id") > 170).count() == 4
+
+
+# --- GPX driver (autotest/ogr/ogr_gpx.py over data/test.gpx) -----------------
+
+GPX = "/root/reference/autotest/ogr/data/test.gpx"
+
+
+def test_gpx_waypoints(spark):                              # ogr_gpx_1
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    df = FMT.read_gpx(spark, GPX, "waypoints").orderBy("fid")
+    rows = df.collect()
+    assert [r["ele"] for r in rows] == [2.0, None]
+    assert [r["name"] for r in rows] == ["waypoint name", None]
+    assert [r["link1_href"] for r in rows] == ["href", None]
+    assert [r["link2_text"] for r in rows] == ["text2", None]
+    assert [r["time"] for r in rows] == ["2007/11/25 17:58:00+01", None]
+    pts = [G.wkt_from_wkb(bytes(r["geometry"])) for r in rows]
+    assert pts == ["POINT (1 0)", "POINT (4 3)"]
+
+
+def test_gpx_routes_and_points(spark):                      # ogr_gpx_2/3
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    df = FMT.read_gpx(spark, GPX, "routes").orderBy("fid")
+    rows = df.collect()
+    assert G.wkt_from_wkb(bytes(rows[0]["geometry"])) == \
+        "LINESTRING (6 5,9 8,12 11)"
+    assert len(G.decode_linestring(bytes(rows[1]["geometry"]))) == 0
+    rp = FMT.read_gpx(spark, GPX, "route_points") \
+        .orderBy("route_fid", "route_point_id").collect()
+    assert [r["name"] for r in rp] == ["route point name", None, None]
+    assert G.wkt_from_wkb(bytes(rp[0]["geometry"])) == "POINT (6 5)"
+
+
+def test_gpx_tracks_and_points(spark):                      # ogr_gpx_4/5
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    rows = FMT.read_gpx(spark, GPX, "tracks").orderBy("fid").collect()
+    assert G.wkt_from_wkb(bytes(rows[0]["geometry"])) == \
+        "MULTILINESTRING ((15 14,18 17),(21 20,24 23))"
+    tp = FMT.read_gpx(spark, GPX, "track_points") \
+        .orderBy("track_fid", "track_seg_id", "track_pt_id").collect()
+    assert tp[0]["name"] == "track point name"
+    assert G.wkt_from_wkb(bytes(tp[0]["geometry"])) == "POINT (15 14)"
+
+
+def test_gpx_roundtrip(spark, tmp_path):
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    src = FMT.read_gpx(spark, GPX, "waypoints")
+    out = str(tmp_path / "out.gpx")
+    FMT.write_gpx(src, out, "waypoints")
+    back = FMT.read_gpx(spark, out, "waypoints").orderBy("fid").collect()
+    assert [G.wkt_from_wkb(bytes(r["geometry"])) for r in back] == \
+        ["POINT (1 0)", "POINT (4 3)"]
+    assert back[0]["name"] == "waypoint name"
+
+
+# --- KML driver (autotest/ogr/ogr_kml.py over data/samples.kml) --------------
+
+KML = "/root/reference/autotest/ogr/data/samples.kml"
+
+
+def test_kml_layers_and_attributes(spark):    # ogr_kml_datastore/attributes_1
+    from gdal_spark.sources import formats as FMT
+    names = FMT.kml_layer_names(KML)
+    assert len(names) == 6
+    assert "Placemarks" in names
+    df = FMT.read_kml(spark, KML, "Placemarks").orderBy("fid")
+    rows = df.collect()
+    assert rows[0]["Name"] == "Simple placemark"
+    assert rows[0]["description"][:23] == "Attached to the ground."
+    assert rows[1]["Name"] == "Floating placemark"
+
+
+def test_kml_point_geometry(spark):                  # ogr_kml_point_read
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    rows = FMT.read_kml(spark, KML, "Placemarks").orderBy("fid").collect()
+    x, y = G.decode_point(bytes(rows[0]["geometry"]))
+    assert (x, y) == pytest.approx((-122.0822035425683, 37.42228990140251))
+
+
+def test_kml_roundtrip(spark, tmp_path):
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    src = FMT.read_kml(spark, KML, "Placemarks")
+    out = str(tmp_path / "out.kml")
+    FMT.write_kml(src, out)
+    back = FMT.read_kml(spark, out).orderBy("fid").collect()
+    assert len(back) == src.count()
+    assert back[0]["Name"] == "Simple placemark"
+    x, y = G.decode_point(bytes(back[0]["geometry"]))
+    assert (x, y) == pytest.approx((-122.0822035425683, 37.42228990140251))
+
+
+def test_kml_gpx_via_ogr2ogr(spark, tmp_path):
+    """KML -> GPX conversion through the app dispatch (read_vector/
+    write_vector extension routing)."""
+    from gdal_spark import apps as APP
+    from gdal_spark.sources import formats as FMT
+    out = str(tmp_path / "pm.gpx")
+    APP.ogr2ogr(spark, KML, out, layer="Placemarks",
+                reader_opts={})
+    back = FMT.read_gpx(spark, out, "waypoints")
+    assert back.count() == 3
