@@ -941,6 +941,29 @@ FROM pix
 """
 
 
+def q_raster_mask(spark, sf_dir):
+    """GetMaskBand over the nodata raster (GMF_NODATA,
+    gdalrasterband.cpp GetMaskBand): 255 where a pixel was burned, 0 on
+    nodata — per-block valid-pixel counts value-check the whole mask."""
+    from gdal_spark.raster import mask as MK
+    mt, mm = MK.mask_band(_doc_tiles(spark, sf_dir), DOC_META)
+    pix = RM.nonzero_pixels(mt, mm)   # mask pixels worth 255
+    return (pix.groupBy(
+        (F.floor(F.col("px") / 256)).cast("int").alias("bx"),
+        (F.floor(F.col("py") / 256)).cast("int").alias("by"))
+        .agg(F.count(F.lit(1)).alias("n_valid"),
+             F.sum("val").cast("long").alias("mask_sum"))
+        .withColumn("mask_flags", F.lit(MK.mask_flags(DOC_META))))
+
+
+ORACLE_RASTER_MASK = f"""
+WITH pts AS ({POINTS_SQL}), {_PIX_SQL}
+SELECT CAST(px // 256 AS INTEGER) AS bx, CAST(py // 256 AS INTEGER) AS by,
+       count(*) AS n_valid, 255 * count(*) AS mask_sum, 8 AS mask_flags
+FROM pix GROUP BY 1, 2
+"""
+
+
 def q_raster_histogram(spark, sf_dir):
     """GetHistogram fixed buckets (gdalrasterband.cpp:2848)."""
     return RST.histogram(_doc_tiles(spark, sf_dir), DOC_META, 0.0, 200.0, 20)
@@ -1689,6 +1712,7 @@ QUERIES: dict[str, tuple] = {
     "rasterize": (q_rasterize, ORACLE_RASTERIZE),
     "raster_checksum": (q_raster_checksum, ORACLE_RASTER_CHECKSUM),
     "raster_stats": (q_raster_stats, ORACLE_RASTER_STATS),
+    "raster_mask": (q_raster_mask, ORACLE_RASTER_MASK),
     "raster_histogram": (q_raster_histogram, ORACLE_RASTER_HISTOGRAM),
     "pyramid_avg": (q_pyramid_avg, ORACLE_PYRAMID_AVG),
     "warp_bilinear": (q_warp_bilinear, ORACLE_WARP_BILINEAR),
