@@ -484,7 +484,12 @@ class _Parser:
                     raise ValueError("layer has no fid column")
                 return _E(F.col(internal), "num")
             if up == "OGR_STYLE":
-                return _E(OS.ogr_style(), "str")
+                # layers carrying a stored style column (MIF/MID reader)
+                # surface it; everything else reads NULL, as the
+                # reference does for unstyled features (ogr_sql_14)
+                style = t.colmap.get("ogr_style")
+                return _E(OS.ogr_style(F.col(style) if style else None),
+                          "str")
             if t.geom is None:
                 raise ValueError("layer has no geometry column")
             g = F.col(t.geom)

@@ -1070,3 +1070,202 @@ def write_kml(df: DataFrame, path: str, name_col: str = "Name",
             f.write("<Placemark>" + nm
                     + geom_xml(bytes(r[geometry_col])) + "</Placemark>\n")
         f.write("</Document>\n</kml>\n")
+
+
+# ---------------------------------------------------------------------------
+# MapInfo MIF/MID driver (gdal/ogr/ogrsf_frmts/mitab/mitab_miffile.cpp)
+# ---------------------------------------------------------------------------
+
+# pen pattern -> (ogr-pen id, dash pattern) — ITABFeaturePen::
+# GetPenStyleString's 25-entry switch (mitab_feature.cpp:8252-8356)
+_MITAB_PEN = {1: (1, ""), 2: (0, ""), 3: (3, "1 1"), 4: (3, "2 1"),
+              5: (3, "3 1"), 6: (3, "6 1"), 7: (4, "12 2"), 8: (4, "24 4"),
+              9: (3, "4 3"), 10: (5, "1 4"), 11: (3, "4 6"), 12: (3, "6 4"),
+              13: (4, "12 12"), 14: (6, "8 2 1 2"), 15: (6, "12 1 1 1"),
+              16: (6, "12 1 3 1"), 17: (6, "24 6 4 6"),
+              18: (7, "24 3 3 3 3 3"), 19: (7, "24 3 3 3 3 3 3 3"),
+              20: (7, "6 3 1 3 1 3"), 21: (7, "12 2 1 2 1 2"),
+              22: (7, "12 2 1 2 1 2 1 2"), 23: (6, "4 1 1 1"),
+              24: (7, "4 1 1 1 1"), 25: (6, "4 1 1 1 2 1 1 1")}
+# brush fill pattern -> ogr-brush id (ITABFeatureBrush::GetBrushStyleString)
+_MITAB_BRUSH = {1: 1, 3: 2, 4: 3, 5: 5, 6: 4, 7: 6, 8: 7}
+
+
+def mitab_pen_style(width_px: int, pattern: int, color: int) -> str:
+    """PEN() style string exactly as mitab_feature.cpp:8356-8386."""
+    ogr_id, dash = _MITAB_PEN.get(pattern, (0, ""))
+    if dash:
+        return (f'PEN(w:{width_px}px,c:#{color:06x},'
+                f'id:"mapinfo-pen-{pattern},ogr-pen-{ogr_id}",p:"{dash}px")')
+    return (f'PEN(w:{width_px}px,c:#{color:06x},'
+            f'id:"mapinfo-pen-{pattern},ogr-pen-{ogr_id}")')
+
+
+def mitab_brush_style(pattern: int, fg: int, bg: int | None) -> str:
+    """BRUSH() style string exactly as mitab_feature.cpp:8614-8646
+    (background omitted for transparent brushes)."""
+    ogr_id = _MITAB_BRUSH.get(pattern, 0)
+    if bg is None:
+        return (f'BRUSH(fc:#{fg:06x},'
+                f'id:"mapinfo-brush-{pattern},ogr-brush-{ogr_id}")')
+    return (f'BRUSH(fc:#{fg:06x},bc:#{bg:06x},'
+            f'id:"mapinfo-brush-{pattern},ogr-brush-{ogr_id}")')
+
+
+_MIF_TYPES = {"CHAR": "string", "INTEGER": "long", "SMALLINT": "long",
+              "FLOAT": "double", "DECIMAL": "double", "DATE": "string",
+              "LOGICAL": "boolean"}
+
+
+def read_mif(spark: SparkSession, path: str) -> DataFrame:
+    """MIF/MID read: header columns become typed attributes from the
+    .mid, geometry records (Point/Line/Pline/Region/NONE) become WKB,
+    and Pen/Brush clauses translate to the feature's OGR style string
+    (column ``ogr_style``; the engine's OGR_STYLE special field reads
+    it — asserted byte-exactly by ogr_sql_14)."""
+    import csv as _csv
+    import os
+
+    from gdal_spark.functions import geometry as G
+    text = open(path).read().splitlines()
+    i = 0
+    delim, cols = ",", []
+    while i < len(text):
+        ln = text[i].strip()
+        up = ln.upper()
+        if up.startswith("DELIMITER"):
+            delim = ln.split('"')[1]
+        elif up.startswith("COLUMNS"):
+            n = int(ln.split()[1])
+            for j in range(n):
+                parts = text[i + 1 + j].split()
+                cols.append((parts[0], _MIF_TYPES.get(
+                    parts[1].split("(")[0].upper(), "string")))
+            i += n
+        elif up == "DATA":
+            i += 1
+            break
+        i += 1
+
+    def fnum(tok: str) -> float:
+        return float(tok)
+
+    feats = []   # (wkb|None, style)
+    cur_geom, cur_style = None, {}
+
+    def flush():
+        nonlocal cur_geom, cur_style
+        if cur_geom is not None or cur_style:
+            parts = []
+            if "brush" in cur_style:
+                parts.append(cur_style["brush"])
+            if "pen" in cur_style:
+                parts.append(cur_style["pen"])
+            feats.append((cur_geom, ";".join(parts) or None))
+        cur_geom, cur_style = None, {}
+
+    while i < len(text):
+        ln = text[i].strip()
+        if not ln:
+            i += 1
+            continue
+        toks = ln.replace("(", " ").replace(")", " ").replace(",", " ") \
+            .split()
+        kw = toks[0].upper()
+        if kw == "POINT":
+            flush()
+            cur_geom = G.encode_point(fnum(toks[1]), fnum(toks[2]))
+        elif kw == "LINE":
+            flush()
+            cur_geom = G.encode_linestring(np.array(
+                [[fnum(toks[1]), fnum(toks[2])],
+                 [fnum(toks[3]), fnum(toks[4])]]))
+        elif kw == "PLINE":
+            flush()
+            nseg = 1
+            j = i + 1
+            if len(toks) > 1 and toks[1].upper() == "MULTIPLE":
+                nseg = int(toks[2])
+            elif len(toks) > 1:
+                # single-section PLINE may carry the count inline
+                npts = int(toks[1])
+                pts = [tuple(map(fnum, text[j + p].split()))
+                       for p in range(npts)]
+                cur_geom = G.encode_linestring(np.array(pts))
+                i = j + npts
+                continue
+            lines = []
+            for _ in range(nseg):
+                npts = int(text[j].split()[0])
+                j += 1
+                pts = [tuple(map(fnum, text[j + p].split()))
+                       for p in range(npts)]
+                lines.append(np.array(pts))
+                j += npts
+            cur_geom = (G.encode_linestring(lines[0]) if nseg == 1
+                        else G.encode_multilinestring(lines))
+            i = j
+            continue
+        elif kw == "REGION":
+            flush()
+            nrings = int(toks[1])
+            j = i + 1
+            rings = []
+            for _ in range(nrings):
+                npts = int(text[j].split()[0])
+                j += 1
+                pts = [tuple(map(fnum, text[j + p].split()))
+                       for p in range(npts)]
+                ring = np.array(pts)
+                if not np.array_equal(ring[0], ring[-1]):
+                    ring = np.vstack([ring, ring[:1]])
+                rings.append(ring)
+                j += npts
+            cur_geom = G.encode_polygon(rings)
+            i = j
+            continue
+        elif kw == "NONE":
+            flush()
+            cur_geom = None
+            feats.append((None, None))
+            cur_geom, cur_style = None, {}
+        elif kw == "PEN":
+            cur_style["pen"] = mitab_pen_style(
+                int(toks[1]), int(toks[2]), int(toks[3]))
+        elif kw == "BRUSH":
+            vals = [int(t) for t in toks[1:4] if t.lstrip("-").isdigit()]
+            cur_style["brush"] = mitab_brush_style(
+                vals[0], vals[1], vals[2] if len(vals) > 2 else None)
+        elif kw in ("SYMBOL", "SMOOTH", "CENTER"):
+            pass
+        i += 1
+    flush()
+
+    mid_path = os.path.splitext(path)[0] + ".mid"
+    attrs = []
+    if os.path.exists(mid_path) and cols:
+        with open(mid_path, newline="") as f:
+            for rec in _csv.reader(f, delimiter=delim, quotechar='"'):
+                attrs.append(rec)
+    rows = []
+    for fid, (wkb, style) in enumerate(feats):
+        vals = []
+        rec = attrs[fid] if fid < len(attrs) else [None] * len(cols)
+        for (nm, typ), raw in zip(cols, rec):
+            if raw is None or raw == "":
+                vals.append(None)
+            elif typ == "long":
+                vals.append(int(raw))
+            elif typ == "double":
+                vals.append(float(raw))
+            elif typ == "boolean":
+                vals.append(raw.strip().upper() in ("T", "TRUE", "1"))
+            else:
+                vals.append(raw)
+        rows.append((fid, *vals, style,
+                     bytearray(wkb) if wkb is not None else None))
+    schema = ("fid long, "
+              + ", ".join(f"`{nm}` {typ}" for nm, typ in cols)
+              + (", " if cols else "")
+              + "ogr_style string, geometry binary")
+    return spark.createDataFrame(rows, schema)

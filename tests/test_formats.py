@@ -279,3 +279,39 @@ def test_kml_gpx_via_ogr2ogr(spark, tmp_path):
                 reader_opts={})
     back = FMT.read_gpx(spark, out, "waypoints")
     assert back.count() == 3
+
+
+# --- MapInfo MIF/MID driver (ogr_mitab / ogr_sql_14) -------------------------
+
+MIF = "/root/reference/autotest/ogr/data/small.mif"
+
+
+def test_mif_read(spark):
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    rows = FMT.read_mif(spark, MIF).orderBy("fid").collect()
+    assert len(rows) == 2
+    assert rows[0]["NAME"] == " S. 11th St."
+    assert rows[0]["DATA"] == 4
+    assert rows[0]["OWNER"] == "Shiffer James A and Martha L"
+    assert rows[0]["APPRAISED_VALUE"] == 56115.58
+    assert rows[1]["OWNER"] == 'Guarino "Chucky" Sandra'
+    w = bytes(rows[0]["geometry"])
+    assert G.wkt_from_wkb(w).startswith("POLYGON")
+    assert G.polygon_area(w) > 0
+
+
+def test_mif_ogr_style_sql(spark):                         # ogr_sql_14
+    """select ogr_style from small where ogr_geom_wkt LIKE 'POLYGON%'
+    returns the reference's exact BRUSH;PEN style strings
+    (mitab_feature.cpp style translation)."""
+    from gdal_spark.ogrsql import OGRSQLEngine
+    from gdal_spark.sources import formats as FMT
+    e = OGRSQLEngine(spark)
+    e.register("small", FMT.read_mif(spark, MIF))
+    df = e.execute_sql("select ogr_style from small "
+                       "where ogr_geom_wkt LIKE 'POLYGON%'")
+    expect = ('BRUSH(fc:#000000,bc:#ffffff,id:"mapinfo-brush-1,ogr-brush-1")'
+              ';PEN(w:1px,c:#000000,id:"mapinfo-pen-2,ogr-pen-0")')
+    vals = [r[0] for r in df.collect()]
+    assert vals == [expect, expect]
