@@ -47,7 +47,7 @@ from gdal_spark.sources import formats as FMT
 def _vector_ext(path: str) -> str:
     base = path.rstrip("/").lower()
     for ext in (".geojsonl", ".geojsons", ".geojson", ".json", ".csv",
-                ".shp", ".gpkg", ".parquet", ".kml", ".gpx", ".mif"):
+                ".shp", ".gpkg", ".parquet", ".kml", ".gpx", ".mif", ".gml"):
         if base.endswith(ext):
             return ext
     return ""
@@ -78,6 +78,8 @@ def read_vector(spark: SparkSession, src, layer: str | None = None,
         return FMT.read_gpx(spark, src, layer or "waypoints")
     if ext == ".mif":
         return FMT.read_mif(spark, src)
+    if ext == ".gml":
+        return FMT.read_gml(spark, src)
     if ext == ".parquet" or os.path.isdir(src):
         return spark.read.parquet(src)
     raise ValueError(f"unrecognized vector source {src!r}")

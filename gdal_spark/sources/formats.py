@@ -1269,3 +1269,191 @@ def read_mif(spark: SparkSession, path: str) -> DataFrame:
               + (", " if cols else "")
               + "ogr_style string, geometry binary")
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# GML driver (gdal/ogr/ogrsf_frmts/gml/ogrgmllayer.cpp — WFS
+# FeatureCollection / featureMember subset, no .xsd/.gfs schema cache)
+# ---------------------------------------------------------------------------
+
+_GML_GEOMS = ("Point", "LineString", "Polygon", "MultiPoint",
+              "MultiLineString", "MultiPolygon", "MultiSurface",
+              "MultiCurve", "Curve", "Surface", "LinearRing")
+
+
+def _gml_coords(el) -> np.ndarray:
+    """gml:coordinates (cs/ts separators), gml:posList, or a sequence
+    of gml:pos elements (GML 3.1.1 rings list one pos per vertex,
+    gml_pos_polygon)."""
+    poses = []
+    for c in el.iter():
+        t = _strip_ns(c.tag)
+        if t == "coordinates" and c.text:
+            cs = c.get("cs", ",")
+            ts = c.get("ts", " ")
+            pts = [tuple(float(v) for v in tok.split(cs)[:2])
+                   for tok in c.text.split(ts) if tok.strip()]
+            return np.array(pts).reshape(-1, 2)
+        if t == "posList" and c.text:
+            dim = int(c.get("srsDimension",
+                            el.get("srsDimension", "2")))
+            vals = [float(v) for v in c.text.split()]
+            return np.array(vals).reshape(-1, dim)[:, :2]
+        if t == "pos" and c.text:
+            vals = [float(v) for v in c.text.split()]
+            poses.append(vals[:2])
+    if poses:
+        return np.array(poses).reshape(-1, 2)
+    return np.zeros((0, 2))
+
+
+def _gml_geom_wkb(el) -> bytes | None:
+    from gdal_spark.functions import geometry as G
+    tag = _strip_ns(el.tag)
+    if tag in ("Box", "Envelope"):
+        # Box (coord X/Y pairs) / Envelope (lower/upperCorner) → the
+        # corner-traversal polygon (gml2ogrgeometry.cpp; gml_Box golden
+        # POLYGON ((1 2,3 2,3 4,1 4,1 2)))
+        vals = []
+        for c in el.iter():
+            t = _strip_ns(c.tag)
+            if t == "coord":
+                xy = {_strip_ns(k.tag): float(k.text) for k in c}
+                vals.append((xy["X"], xy["Y"]))
+            elif t in ("lowerCorner", "upperCorner") and c.text:
+                v = [float(x) for x in c.text.split()]
+                vals.append((v[0], v[1]))
+        (x1, y1), (x2, y2) = vals[0], vals[1]
+        return G.encode_polygon([np.array(
+            [[x1, y1], [x2, y1], [x2, y2], [x1, y2], [x1, y1]])])
+    if tag == "Point":
+        c = _gml_coords(el)
+        return G.encode_point(float(c[0, 0]), float(c[0, 1]))
+    if tag in ("LineString", "Curve"):
+        return G.encode_linestring(_gml_coords(el))
+    if tag in ("Polygon", "Surface"):
+        rings = []
+        for b in el.iter():
+            if _strip_ns(b.tag) in ("outerBoundaryIs", "exterior",
+                                    "innerBoundaryIs", "interior"):
+                rings.append(_gml_coords(b))
+        if not rings:
+            rings = [_gml_coords(el)]
+        return G.encode_polygon(rings)
+    if tag in ("MultiPolygon", "MultiSurface"):
+        from gdal_spark.functions.geometry import encode_multipolygon
+        polys = []
+        for m in el.iter():
+            if _strip_ns(m.tag) in ("Polygon", "Surface"):
+                rings = []
+                for b in m.iter():
+                    if _strip_ns(b.tag) in ("outerBoundaryIs", "exterior",
+                                            "innerBoundaryIs", "interior"):
+                        rings.append(_gml_coords(b))
+                polys.append(rings or [_gml_coords(m)])
+        return encode_multipolygon(polys)
+    if tag in ("MultiLineString", "MultiCurve"):
+        from gdal_spark.functions.geometry import encode_multilinestring
+        return encode_multilinestring(
+            [_gml_coords(m) for m in el.iter()
+             if _strip_ns(m.tag) in ("LineString", "Curve")])
+    if tag == "MultiPoint":
+        from gdal_spark.functions.geometry import encode_multipoint
+        pts = [(_gml_coords(m)[0]).tolist() for m in el.iter()
+               if _strip_ns(m.tag) == "Point"]
+        return encode_multipoint(np.array(pts).reshape(-1, 2))
+    return None
+
+
+def gml_features(path: str) -> tuple[list[dict], list[str]]:
+    """Driver-side GML parse: featureMember/member elements → one dict
+    per feature ('gml_id', attribute strings, 'geometry' WKB). Returns
+    (features, field order)."""
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    feats, order = [], []
+    for fm in root.iter():
+        if _strip_ns(fm.tag) not in ("featureMember", "member"):
+            continue
+        for feat_el in fm:
+            row = {"gml_id": feat_el.get("fid") or feat_el.get(
+                "{http://www.opengis.net/gml}id")}
+            wkb = None
+            for prop in feat_el:
+                t = _strip_ns(prop.tag)
+                if t == "boundedBy":
+                    continue
+                geom_child = next(
+                    (c for c in prop if _strip_ns(c.tag) in _GML_GEOMS),
+                    None)
+                if geom_child is not None:
+                    wkb = _gml_geom_wkb(geom_child)
+                elif _strip_ns(prop.tag) in _GML_GEOMS:
+                    wkb = _gml_geom_wkb(prop)
+                else:
+                    row[t] = prop.text
+                    if t not in order:
+                        order.append(t)
+            row["geometry"] = wkb
+            feats.append(row)
+    return feats, order
+
+
+def read_gml(spark: SparkSession, path: str) -> DataFrame:
+    """GML read: column types inferred from the values (the reference
+    infers via .xsd or a .gfs pre-scan; this is the same pre-scan,
+    integer → long → double → string)."""
+    feats, order = gml_features(path)
+
+    def infer(name):
+        vals = [f.get(name) for f in feats if f.get(name) is not None]
+        try:
+            [int(v) for v in vals]
+            return "long"
+        except ValueError:
+            pass
+        try:
+            [float(v) for v in vals]
+            return "double"
+        except ValueError:
+            return "string"
+
+    types = {n: infer(n) for n in order}
+    rows = []
+    for i, f in enumerate(feats):
+        vals = []
+        for n in order:
+            v = f.get(n)
+            if v is None:
+                vals.append(None)
+            elif types[n] == "long":
+                vals.append(int(v))
+            elif types[n] == "double":
+                vals.append(float(v))
+            else:
+                vals.append(v)
+        wkb = f.get("geometry")
+        rows.append((i, f.get("gml_id"), *vals,
+                     bytearray(wkb) if wkb is not None else None))
+    schema = ("fid long, gml_id string, "
+              + ", ".join(f"`{n}` {types[n]}" for n in order)
+              + (", " if order else "") + "geometry binary")
+    return spark.createDataFrame(rows, schema)
+
+
+def wkb_from_gml(gml: str) -> bytes | None:
+    """OGR_G_CreateFromGML for a bare GML geometry fragment
+    (gdal/ogr/gml2ogrgeometry.cpp): namespace prefixes need not be
+    declared (the reference's parser ignores prefixes entirely), and
+    srsDimension may sit on the geometry or the posList. The engine
+    stores 2-D geometries; Z values are dropped."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+    prefixes = set(_re.findall(r"</?([A-Za-z_][\w.-]*):", gml))
+    decls = "".join(f' xmlns:{p}="urn:x-{p}"' for p in prefixes)
+    root = ET.fromstring(f"<r{decls}>{gml}</r>")
+    for child in root:
+        w = _gml_geom_wkb(child)
+        if w is not None:
+            return w
+    return None

@@ -315,3 +315,105 @@ def test_mif_ogr_style_sql(spark):                         # ogr_sql_14
               ';PEN(w:1px,c:#000000,id:"mapinfo-pen-2,ogr-pen-0")')
     vals = [r[0] for r in df.collect()]
     assert vals == [expect, expect]
+
+
+# --- GML driver (autotest/ogr/ogr_gml_read.py) -------------------------------
+
+def test_gml_wfs_read(spark):                               # ogr_gml_17 shape
+    """gnis_pop_100.gml (WFS 1.0.0): 20 features, first geometry
+    POINT (2.09 34.12), typed attributes inferred."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    df = FMT.read_gml(
+        spark, "/root/reference/autotest/ogr/data/gnis_pop_100.gml")
+    rows = df.orderBy("fid").collect()
+    assert len(rows) == 20
+    assert G.wkt_from_wkb(bytes(rows[0]["geometry"])) == "POINT (2.09 34.12)"
+    assert rows[0]["name"] == "Aflu"
+    assert rows[0]["population"] == 84683     # inferred long
+    assert rows[0]["gml_id"] == "gnis_pop.148604"
+
+
+def test_gml_polygon_read(spark):                           # ionic_wfs
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import formats as FMT
+    df = FMT.read_gml(
+        spark, "/root/reference/autotest/ogr/data/ionic_wfs.gml")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["Name"] == "Aartselaar"
+    w = bytes(rows[0]["geometry"])
+    # golden WKT from autotest/ogr/ogr_gml_read.py ogr_gml_1
+    assert G.wkt_from_wkb(w) == (
+        "POLYGON ((44038 511549,44015 511548,43994 511522,43941 511539,"
+        "43844 511514,43754 511479,43685 511521,43594 511505,43619 511452,"
+        "43645 511417,4363 511387,437 511346,43749 511298,43808 511229,"
+        "43819 511205,4379 511185,43728 511167,43617 511175,43604 511151,"
+        "43655 511125,43746 511143,43886 511154,43885 511178,43928 511186,"
+        "43977 511217,4404 511223,44008 511229,44099 51131,44095 511335,"
+        "44106 51135,44127 511379,44124 511435,44137 511455,44105 511467,"
+        "44098 511484,44086 511499,4407 511506,44067 511535,44038 511549))")
+
+
+# --- GML geometry fragments (autotest/ogr/ogr_gml_geom.py) -------------------
+
+def test_gml_fragment_parsing():
+    """gml_space_test / gml_pos_point / gml_pos_polygon / gml_posList_*
+    / gml_polygon: bare GML fragments with undeclared prefixes parse to
+    the reference WKT (engine stores 2-D; Z dropped)."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources.formats import wkb_from_gml
+
+    def wkt(gml):
+        return G.wkt_from_wkb(wkb_from_gml(gml))
+
+    assert wkt('<gml:Point xmlns:foo="http://bar">'
+               '<gml:pos>31 29 16</gml:pos></gml:Point>') == "POINT (31 29)"
+    assert wkt('<LineString xmlns:foo="http://bar"><posList '
+               'xmlns:foo="http://bar">31 42 53 64 55 76</posList>'
+               '</LineString>') == "LINESTRING (31 42,53 64,55 76)"
+    assert wkt('<LineString srsDimension="3"><posList>31 42 1 53 64 2 '
+               '55 76 3</posList></LineString>') == \
+        "LINESTRING (31 42,53 64,55 76)"
+    assert wkt('<Polygon><exterior><LinearRing><posList>0 0 4 0 4 4 0 4 '
+               '0 0</posList></LinearRing></exterior><interior '
+               'xmlns:foo="http://bar"><LinearRing><posList '
+               'xmlns:foo="http://bar">1 1 2 1 2 2 1 2 1 1</posList>'
+               '</LinearRing></interior></Polygon>') == \
+        "POLYGON ((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))"
+    # GML 3.1.1 rings with one <pos> per vertex (gml_pos_polygon, #3244)
+    pp = ('<gml:Polygon><gml:exterior><gml:LinearRing>'
+          '<gml:pos>0 0</gml:pos><gml:pos>4 0</gml:pos>'
+          '<gml:pos>4 4</gml:pos><gml:pos>0 4</gml:pos>'
+          '<gml:pos>0 0</gml:pos></gml:LinearRing></gml:exterior>'
+          '<gml:interior><gml:LinearRing><gml:pos>1 1</gml:pos>'
+          '<gml:pos>2 1</gml:pos><gml:pos>2 2</gml:pos>'
+          '<gml:pos>1 2</gml:pos><gml:pos>1 1</gml:pos>'
+          '</gml:LinearRing></gml:interior></gml:Polygon>')
+    assert wkt(pp) == "POLYGON ((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))"
+    # whitespace/newline tolerance (gml_space_test: 8 points)
+    sp = ('<gml:LineString xmlns:foo="http://bar"><gml:coordinates '
+          'decimal="." cs="," ts=" ">189999.99995605,624999.99998375 '
+          '200000.00005735,624999.99998375 200000.00005735,612499.99997125 '
+          '195791.3593843,612499.99997125 193327.3749823,612499.99997125 '
+          '189999.99995605,612499.99997125 189999.99995605,619462.31247125 '
+          '189999.99995605,624999.99998375 \n</gml:coordinates>'
+          '</gml:LineString>')
+    assert len(G.decode_linestring(wkb_from_gml(sp))) == 8
+
+
+def test_gml_box_envelope():                     # gml_Box / gml_Envelope
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources.formats import wkb_from_gml
+    box = """<gml:Box xmlns:gml="http://www.opengis.net/gml" srsName="foo">
+  <gml:coord><gml:X>1</gml:X><gml:Y>2</gml:Y></gml:coord>
+  <gml:coord><gml:X>3</gml:X><gml:Y>4</gml:Y></gml:coord>
+</gml:Box>"""
+    assert G.wkt_from_wkb(wkb_from_gml(box)) == \
+        "POLYGON ((1 2,3 2,3 4,1 4,1 2))"
+    env = """<gml:Envelope xmlns:gml="http://www.opengis.net/gml">
+    <gml:lowerCorner>1 2</gml:lowerCorner>
+    <gml:upperCorner>3 4</gml:upperCorner>
+</gml:Envelope>"""
+    assert G.wkt_from_wkb(wkb_from_gml(env)) == \
+        "POLYGON ((1 2,3 2,3 4,1 4,1 2))"
