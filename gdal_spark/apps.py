@@ -47,7 +47,8 @@ from gdal_spark.sources import formats as FMT
 def _vector_ext(path: str) -> str:
     base = path.rstrip("/").lower()
     for ext in (".geojsonl", ".geojsons", ".geojson", ".json", ".csv",
-                ".shp", ".gpkg", ".parquet", ".kml", ".gpx", ".mif", ".gml"):
+                ".shp", ".gpkg", ".parquet", ".kml", ".gpx", ".mif", ".gml",
+                ".dxf"):
         if base.endswith(ext):
             return ext
     return ""
@@ -80,6 +81,9 @@ def read_vector(spark: SparkSession, src, layer: str | None = None,
         return FMT.read_mif(spark, src)
     if ext == ".gml":
         return FMT.read_gml(spark, src)
+    if ext == ".dxf":
+        from gdal_spark.sources.dxf import read_dxf
+        return read_dxf(spark, src)
     if ext == ".parquet" or os.path.isdir(src):
         return spark.read.parquet(src)
     raise ValueError(f"unrecognized vector source {src!r}")
@@ -101,6 +105,9 @@ def write_vector(df: DataFrame, dst: str, layer: str = "layer",
         FMT.write_kml(df, dst, geometry_col=geometry_col)
     elif ext == ".gpx":
         FMT.write_gpx(df, dst, geometry_col=geometry_col)
+    elif ext == ".dxf":
+        from gdal_spark.sources.dxf import write_dxf
+        write_dxf(df, dst)
     elif ext == ".parquet":
         df.write.mode("overwrite").parquet(dst)
     else:

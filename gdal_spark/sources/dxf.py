@@ -1,0 +1,1349 @@
+"""DXF vector driver.
+
+Re-expresses the reference OGR DXF reader/writer
+(gdal/ogr/ogrsf_frmts/dxf/ogrdxflayer.cpp, ogrdxfdatasource.cpp,
+ogrdxf_dimension.cpp, ogrdxf_hatch.cpp, ogrdxf_polyline_smooth.cpp,
+ogr_autocad_services.cpp) as a driver-side parse producing one
+DataFrame row per entity.  Entity types: POINT, LINE, LWPOLYLINE,
+POLYLINE/VERTEX, CIRCLE, ARC, ELLIPSE, MTEXT, TEXT/ATTDEF, SPLINE,
+3DFACE, SOLID, HATCH, DIMENSION, and inlined INSERT/BLOCK references.
+
+The engine stores 2-D WKB: Z is carried through tessellation, OCS and
+INSERT transforms (it affects the world X/Y under an OCS), then dropped
+at encoding, matching the 2-D columns of the other vector drivers.
+
+Feature order, style strings (PEN/LABEL/BRUSH), arc tessellation step
+(4 degrees, OGRGeometryFactory::approximateArcAngles,
+gdal/ogr/ogrgeometryfactory.cpp:2698) and the AutoCAD color table
+(ogr_autocad_services.cpp:159) are kept bit-parity with the reference
+so the ogr_dxf autotest goldens hold.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from gdal_spark.functions import geometry as G
+
+# Max degrees between stroked arc vertices; the OGR_ARC_STEPSIZE config
+# option of the reference (gdal/ogr/ogrgeometryfactory.cpp:2717).
+ARC_STEPSIZE = 4.0
+
+# AutoCAD color index table, 256 RGB triplets
+# (gdal/ogr/ogrsf_frmts/dxf/ogr_autocad_services.cpp:159 ACGetColorTable;
+# index 7 is intentionally black, "it should be white, but that plots
+# poorly").  Pure data required for PEN/LABEL color parity.
+_AC_COLORS = bytes.fromhex(
+    "000000ff0000ffff0000ff0000ffff0000ffff00ff0000007f7f7fbfbfbfff00"
+    "00ff7f7fa50000a552527f00007f3f3f4c00004c2626260000261313ff3f00ff"
+    "9f7fa52900a567527f1f007f4f3f4c13004c2f26260900261713ff7f00ffbf7f"
+    "a55200a57c527f3f007f5f3f4c26004c3926261300261c13ffbf00ffdf7fa57c"
+    "00a591527f5f007f6f3f4c39004c4226261c00262113ffff00ffff7fa5a500a5"
+    "a5527f7f007f7f3f4c4c004c4c26262600262613bfff00dfff7f7ca50091a552"
+    "5f7f006f7f3f394c00424c261c26002126137fff00bfff7f52a5007ca5523f7f"
+    "005f7f3f264c00394c261326001c26133fff009fff7f29a50067a5521f7f004f"
+    "7f3f134c002f4c2609260017261300ff007fff7f00a50052a552007f003f7f3f"
+    "004c00264c2600260013261300ff3f7fff9f00a52952a567007f1f3f7f4f004c"
+    "13264c2f00260913261700ff7f7fffbf00a55252a57c007f3f3f7f5f004c2626"
+    "4c3900261313261c00ffbf7fffdf00a57c52a591007f5f3f7f6f004c39264c42"
+    "00261c13262100ffff7fffff00a5a552a5a5007f7f3f7f7f004c4c264c4c0026"
+    "2613262600bfff7fdfff007ca55291a5005f7f3f6f7f00394c26424c001c2613"
+    "2126007fff7fbfff0052a5527ca5003f7f3f5f7f00264c26394c001326131c26"
+    "003fff7f9fff0029a55267a5001f7f3f4f7f00134c262f4c0009261317260000"
+    "ff7f7fff0000a55252a500007f3f3f7f00004c26264c0000261313263f00ff9f"
+    "7fff2900a56752a51f007f4f3f7f13004c2f264c0900261713267f00ffbf7fff"
+    "5200a57c52a53f007f5f3f7f26004c39264c1300261c1326bf00ffdf7fff7c00"
+    "a59152a55f007f6f3f7f39004c42264c1c0026211326ff00ffff7fffa500a5a5"
+    "52a57f007f7f3f7f4c004c4c264c260026261326ff00bfff7fdfa5007ca55291"
+    "7f005f7f3f6f4c00394c264226001c261321ff007fff7fbfa50052a5527c7f00"
+    "3f7f3f5f4c00264c263926001326131cff003fff7f9fa50029a552677f001f7f"
+    "3f4f4c00134c262f260009261317545454767676989898bababadcdcdcffffff"
+)
+
+
+def _color_hex(n: int) -> str:
+    return "#%02x%02x%02x" % tuple(_AC_COLORS[n * 3:n * 3 + 3])
+
+
+_NUM_RE = None
+
+
+def _atof(s: str) -> float:
+    """CPLAtof semantics: parse the leading numeric prefix, 0 on none
+    (fixtures carry values like '256QSW' that C atoi reads as 256)."""
+    global _NUM_RE
+    if _NUM_RE is None:
+        import re
+        _NUM_RE = re.compile(r"\s*[+-]?(\d+\.?\d*([eE][+-]?\d+)?|\.\d+)")
+    m = _NUM_RE.match(s)
+    return float(m.group(0)) if m else 0.0
+
+
+def _atoi(s: str) -> int:
+    return int(_atof(s))
+
+
+def _text_unescape(s: str) -> str:
+    """ACTextUnescape (ogr_autocad_services.cpp:47): \\P newline,
+    \\~ space, \\U+XXXX unicode, skip \\W \\T \\A formatting up to ';',
+    %%c/%%d/%%p AutoCAD symbols."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "P":
+                out.append("\n"); i += 2; continue
+            if n == "~":
+                out.append(" "); i += 2; continue
+            if n == "U" and s[i + 2:i + 3] == "+":
+                out.append(chr(int(s[i + 3:i + 7], 16))); i += 7; continue
+            if n in "WTA":
+                j = s.find(";", i)
+                i = (j if j >= 0 else len(s)) + 1
+                continue
+            if n == "\\":
+                out.append("\\"); i += 2; continue
+        if s[i:i + 3] in ("%%c", "%%d", "%%p"):
+            out.append({"c": "⌀", "d": "°",
+                        "p": "±"}[s[i + 2]])
+            i += 3
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _arc_points(cx: float, cy: float, z: float, rprim: float, rsec: float,
+                rot_deg: float, a0: float, a1: float) -> np.ndarray:
+    """OGRGeometryFactory::approximateArcAngles
+    (gdal/ogr/ogrgeometryfactory.cpp:2698): stroke an (elliptic) arc at
+    the default 4-degree max step; angles clockwise-of-X-positive."""
+    rot = rot_deg * math.pi / 180.0
+    a0, a1 = -a0, -a1
+    n = max(2, int(math.ceil(abs(a1 - a0) / ARC_STEPSIZE)) + 1)
+    step = (a1 - a0) / (n - 1)
+    ang = (a0 + np.arange(n) * step) * (math.pi / 180.0)
+    ex = np.cos(ang) * rprim
+    ey = np.sin(ang) * rsec
+    return np.column_stack([
+        cx + ex * math.cos(rot) + ey * math.sin(rot),
+        cy - ex * math.sin(rot) + ey * math.cos(rot),
+        np.full(n, z),
+    ])
+
+
+class _SmoothPolyline:
+    """DXFSmoothPolyline (ogrdxf_polyline_smooth.cpp:78): vertices with
+    bulges tessellated into a single linestring; a lone vertex becomes a
+    point.  Kept quirk-parity with the reference: an arc segment does
+    not mark the linestring started, so a following straight segment
+    re-emits its begin point."""
+
+    def __init__(self):
+        self.v: list[list[float]] = []   # x, y, z, bulge
+        self.dim = 2
+
+    def add(self, x, y, z, bulge):
+        self.v.append([x, y, z, bulge])
+
+    def close(self):
+        if len(self.v) >= 2 and self.v[-1][:2] != self.v[0][:2]:
+            self.v.append(list(self.v[0]))
+
+    def tessellate(self):
+        zs = {p[2] for p in self.v}
+        const_z = self.v[0][2] if len(zs) == 1 else 0.0
+        if len(self.v) == 1:
+            return ("POINT", np.array([self.v[0][:3]]))
+        pts: list[list[float]] = []
+        started = False
+        for (x0, y0, z0, bulge), (x1, y1, z1, _) in zip(self.v, self.v[1:]):
+            ln = math.hypot(x1 - x0, y1 - y0)
+            if ln == 0 or bulge == 0:
+                if not started:
+                    pts.append([x0, y0, z0 if len(zs) > 1 else const_z])
+                    started = True
+                pts.append([x1, y1, z1 if len(zs) > 1 else const_z])
+            else:
+                h = bulge * ln / 2.0
+                radius = h / 2.0 + ln * ln / (8.0 * h)
+                pts.extend(self._arc(x0, y0, x1, y1, abs(radius), ln,
+                                     bulge, const_z).tolist())
+        return ("LINESTRING", np.array(pts))
+
+    @staticmethod
+    def _arc(x0, y0, x1, y1, radius, ln, bulge, z):
+        # DXFSmoothPolyline::EmitArc (ogrdxf_polyline_smooth.cpp:175)
+        clockwise = bulge < 0
+        if clockwise:
+            bulge = -bulge
+        saggita = abs(bulge * ln / 2.0)
+        apo = -(radius - saggita) if clockwise else -(saggita - radius)
+        vx, vy = x0 - x1, y0 - y1
+        mx, my = x1 + 0.5 * vx, y1 + 0.5 * vy
+        plen = math.hypot(vy, vx)
+        px, py = (vy / plen, -vx / plen) if plen else (0.0, 0.0)
+        ccx, ccy = mx + px * apo, my + py * apo
+        linedir = 1.0 if y1 > y0 else -1.0
+
+        def ogr_angle(ax, ay):
+            a = math.atan2(ccy - ay, ccx - ax) * 180.0 / math.pi
+            if clockwise and linedir == 1.0:
+                a += linedir * 180.0
+            return -(a - 180.0) if a > 0 else -(a + 180.0)
+
+        a_start = ogr_angle(x0, y0)
+        a_end = ogr_angle(x1, y1)
+        raw_end = math.atan2(ccy - y1, ccx - x1) * 180.0 / math.pi
+        if clockwise and linedir == 1.0:
+            raw_end += linedir * 180.0
+        if not clockwise and a_start < a_end:
+            a_end = -180.0 + linedir * raw_end
+        if clockwise and a_start > a_end:
+            a_end += 360.0
+        rot = linedir * 180.0 if clockwise and linedir == 1.0 else 0.0
+        return _arc_points(ccx, ccy, z, radius, radius, rot, a_start, a_end)
+
+
+def _ocs_to_wcs(coords: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """OCSTransformer (ogrdxflayer.cpp:287): arbitrary-axis algorithm."""
+    small = 1.0 / 64.0
+    if abs(n[0]) < small and abs(n[1]) < small:
+        ax = np.cross([0.0, 1.0, 0.0], n)
+    else:
+        ax = np.cross([0.0, 0.0, 1.0], n)
+    ax = ax / np.linalg.norm(ax)
+    ay = np.cross(n, ax)
+    ay = ay / np.linalg.norm(ay)
+    return coords @ np.column_stack([ax, ay, n]).T
+
+
+def _map_coords(geom, fn):
+    kind, body = geom
+    if kind in ("POINT", "LINESTRING"):
+        return (kind, fn(body))
+    if kind in ("POLYGON", "MULTILINESTRING"):
+        return (kind, [fn(r) for r in body])
+    if kind == "GEOMETRYCOLLECTION":
+        return (kind, [_map_coords(g, fn) for g in body])
+    raise ValueError(kind)
+
+
+def _to_wkb(geom) -> bytes:
+    kind, body = geom
+    if kind == "POINT":
+        return G.encode_point(float(body[0, 0]), float(body[0, 1]))
+    if kind == "LINESTRING":
+        return G.encode_linestring(np.asarray(body)[:, :2])
+    if kind == "POLYGON":
+        return G.encode_polygon([np.asarray(r)[:, :2] for r in body])
+    if kind == "MULTILINESTRING":
+        return G.encode_multilinestring([np.asarray(r)[:, :2] for r in body])
+    if kind == "GEOMETRYCOLLECTION":
+        return G.encode_geometrycollection([_to_wkb(g) for g in body])
+    raise ValueError(kind)
+
+
+class _Reader:
+    """Group-code/value pair stream (ogrdxfreader.cpp:131 ReadValue):
+    999 comments skipped, one-step unread."""
+
+    def __init__(self, path: str):
+        with open(path, encoding="latin-1") as f:
+            lines = f.read().splitlines()
+        self.pairs = []
+        for i in range(0, len(lines) - 1, 2):
+            try:
+                code = int(lines[i].strip() or "0")
+            except ValueError:
+                code = 0
+            if code != 999:
+                self.pairs.append((code, lines[i + 1]))
+        self.i = 0
+
+    def read(self):
+        if self.i >= len(self.pairs):
+            return -1, ""
+        p = self.pairs[self.i]
+        self.i += 1
+        return p
+
+    def unread(self):
+        self.i -= 1
+
+
+class _DXFFile:
+    """Parsed DXF: header variables, layer/linetype tables, block map,
+    and the entity stream (ogrdxfdatasource.cpp:100 Open)."""
+
+    def __init__(self, path: str):
+        self.header: dict[str, str] = {}
+        self.layers: dict[str, dict[str, str]] = {}
+        self.linetypes: dict[str, str] = {}
+        self.blocks: dict[str, dict] = {}
+        self.r = _Reader(path)
+        self._parse_preamble()
+
+    # ---- preamble ---------------------------------------------------
+    def _parse_preamble(self):
+        r = self.r
+        while True:
+            code, val = r.read()
+            if code == -1:
+                return
+            if code != 0:
+                continue
+            if val == "EOF":
+                return
+            if val != "SECTION":
+                continue
+            code, name = r.read()
+            if name == "HEADER":
+                self._read_header()
+            elif name == "TABLES":
+                self._read_tables()
+            elif name == "BLOCKS":
+                self._read_blocks()
+            elif name == "ENTITIES":
+                r.unread()
+                r.unread()
+                return
+            else:
+                self._skip_section()
+
+    def _skip_section(self):
+        while True:
+            code, val = self.r.read()
+            if code == -1 or (code == 0 and val == "ENDSEC"):
+                return
+
+    def _read_header(self):
+        name = None
+        while True:
+            code, val = self.r.read()
+            if code == -1 or (code == 0 and val == "ENDSEC"):
+                return
+            if code == 9:
+                name = val
+            elif name is not None:
+                self.header[name] = val
+                name = None
+
+    def var(self, name: str, default: str) -> str:
+        return self.header.get(name, default)
+
+    def _read_tables(self):
+        while True:
+            code, val = self.r.read()
+            if code == -1 or (code == 0 and val == "ENDSEC"):
+                return
+            if code != 0:
+                continue
+            if val == "LAYER":
+                self._read_layer_def()
+            elif val == "LTYPE":
+                self._read_ltype_def()
+
+    def _read_layer_def(self):
+        # ogrdxfdatasource.cpp:283 ReadLayerDefinition
+        props = {"Hidden": "0"}
+        name = ""
+        while True:
+            code, val = self.r.read()
+            if code <= 0:
+                if code == 0:
+                    self.r.unread()
+                break
+            if code == 2:
+                name = _text_unescape(val)
+            elif code == 6:
+                props["Linetype"] = _text_unescape(val)
+            elif code == 62:
+                props["Color"] = val
+                if _atoi(val) < 0:
+                    props["Hidden"] = "1"
+            elif code == 70:
+                if _atoi(val) & 0x01:
+                    props["Hidden"] = "1"
+            elif code in (370, 39):
+                props["LineWeight"] = val
+        self.layers[name] = props
+
+    def _read_ltype_def(self):
+        # ogrdxfdatasource.cpp:359 ReadLineTypeDefinition
+        name, parts = "", []
+        while True:
+            code, val = self.r.read()
+            if code <= 0:
+                if code == 0:
+                    self.r.unread()
+                break
+            if code == 2:
+                name = _text_unescape(val)
+            elif code == 49:
+                parts.append(val.lstrip("-") + "g")
+        if parts:
+            self.linetypes[name] = " ".join(parts)
+
+    def layer_prop(self, layer: str, prop: str) -> str | None:
+        return self.layers.get(layer, {}).get(prop)
+
+    # ---- blocks -----------------------------------------------------
+    def _read_blocks(self):
+        # ogrdxf_blockmap.cpp:41 ReadBlocksSection: label features kept
+        # whole, other geometries merged into one (collection) geometry.
+        while True:
+            code, val = self.r.read()
+            if code == -1 or (code == 0 and val == "ENDSEC"):
+                return
+            if code != 0 or val != "BLOCK":
+                continue
+            name = ""
+            while True:
+                code, val = self.r.read()
+                if code <= 0:
+                    break
+                if code == 2:
+                    name = val
+            if code == 0 and val == "ENDBLK":
+                continue
+            if code >= 0:
+                self.r.unread()
+            geoms, feats = [], []
+            for feat in _entity_stream(self):
+                if feat.get("style", "").startswith("LABEL"):
+                    feats.append(feat)
+                elif feat.get("geom") is not None:
+                    geoms.append(feat["geom"])
+            block = {"features": feats, "geom": None}
+            if len(geoms) == 1:
+                block["geom"] = geoms[0]
+            elif geoms:
+                block["geom"] = ("GEOMETRYCOLLECTION", geoms)
+            self.blocks[name] = block
+
+
+def _adjust_label(style: str, angle_deg: float, scale: float) -> str:
+    """ACAdjustText (ogr_autocad_services.cpp:431): add the INSERT's
+    rotation to a LABEL's a: and multiply its s: by the X scale."""
+    if "LABEL" not in style:
+        return style
+
+    def bump(st, key, apply, suffix):
+        off = st.find("," + key)
+        if off >= 0:
+            end = st.find(",", off + 1)
+            if end < 0:
+                end = st.find(")", off + 1)
+            old = float(st[off + 3:end].rstrip("g"))
+            return "%s,%s%g%s%s" % (st[:off], key, apply(old), suffix,
+                                    st[end:])
+        return "%s,%s%g%s)" % (st[:-1], key, apply(0.0 if key == "a:"
+                                                   else 1.0), suffix)
+
+    style = bump(style, "a:", lambda a: a + angle_deg, "")
+    return bump(style, "s:", lambda s: s * scale, "g")
+
+
+class _EntityReader:
+    """One entity's generic state (TranslateGenericProperty,
+    ogrdxflayer.cpp:122) plus the per-entity code dispatch."""
+
+    def __init__(self, dxf: _DXFFile):
+        self.dxf = dxf
+        self.feat = {"Layer": None, "SubClasses": None,
+                     "ExtendedEntity": None, "Linetype": None,
+                     "EntityHandle": None, "Text": None,
+                     "style": "", "geom": None}
+        self.props: dict[str, str] = {}
+
+    def generic(self, code: int, val: str):
+        f = self.feat
+        if code == 8:
+            f["Layer"] = _text_unescape(val)
+        elif code == 100:
+            f["SubClasses"] = (f["SubClasses"] + ":" + val
+                               if f["SubClasses"] else val)
+        elif code == 62:
+            self.props["Color"] = val
+        elif code == 6:
+            f["Linetype"] = _text_unescape(val)
+        elif code in (370, 39):
+            self.props["LineWeight"] = val
+        elif code == 5:
+            f["EntityHandle"] = val
+        elif code in (1000, 1002, 1004, 1005, 1040, 1041, 1070, 1071):
+            f["ExtendedEntity"] = ((f["ExtendedEntity"] + " " + val)
+                                   if f["ExtendedEntity"] else val)
+        elif code == 210:
+            self.props["NX"] = val
+        elif code == 220:
+            self.props["NY"] = val
+        elif code == 230:
+            self.props["NZ"] = val
+
+    def collect(self):
+        """Read codes until the next 0 code, returning {code: [values]}
+        in order, with generic codes absorbed into the feature."""
+        vals: list[tuple[int, str]] = []
+        while True:
+            code, val = self.dxf.r.read()
+            if code <= 0:
+                if code == 0:
+                    self.dxf.r.unread()
+                return vals
+            vals.append((code, val))
+
+    def apply_ocs(self, geom):
+        if not {"NX", "NY", "NZ"} <= self.props.keys():
+            return geom
+        n = np.array([_atof(self.props["NX"]), _atof(self.props["NY"]),
+                      _atof(self.props["NZ"])])
+        return _map_coords(geom, lambda c: _ocs_to_wcs(np.asarray(c), n))
+
+    # ---- style helpers ----------------------------------------------
+    def _resolve_color(self, default: int = 256) -> int:
+        n = default
+        if "Color" in self.props:
+            n = _atoi(self.props["Color"])
+        if n < 1 or n > 255:
+            v = self.dxf.layer_prop(self.feat["Layer"] or "", "Color")
+            if v is not None:
+                n = _atoi(v)
+        return n
+
+    def pen_style(self):
+        # PrepareLineStyle (ogrdxflayer.cpp:202)
+        layer = self.feat["Layer"] or ""
+        hidden = self.dxf.layer_prop(layer, "Hidden") == "1"
+        n = self._resolve_color()
+        if n < 1 or n > 255:
+            return
+        weight = 0.0
+        if "LineWeight" in self.props:
+            w = self.props["LineWeight"]
+            if w == "-1":
+                w = self.dxf.layer_prop(layer, "LineWeight") or "0"
+            weight = _atof(w) / 100.0
+        style = "PEN(c:" + _color_hex(n)
+        if hidden:
+            style += "00"
+        if weight > 0.0:
+            style += ",w:%sg" % ("%.2g" % weight)
+        pattern = self.dxf.linetypes.get(self.feat["Linetype"] or "")
+        if pattern:
+            style += ',p:"%s"' % pattern
+        self.feat["style"] = style + ")"
+
+    def label_style(self, text, angle, height, attachment=None,
+                    mtext=True):
+        esc = text.replace('"', '\\"')
+        style = 'LABEL(f:"Arial",t:"%s"' % esc
+        if not mtext and attachment == "dim":
+            style += ",p:5"
+        if angle != 0.0:
+            style += ",a:%s" % ("%.3g" % angle)
+        if height != 0.0:
+            style += ",s:%sg" % ("%.3g" % height)
+        if mtext and attachment is not None and 0 <= attachment <= 9:
+            amap = [-1, 7, 8, 9, 4, 5, 6, 1, 2, 3]
+            style += ",p:%d" % amap[attachment]
+        n = self._resolve_color()
+        if mtext:
+            if 0 < n < 256:
+                style += ",c:" + _color_hex(n)
+        elif attachment != "dim":
+            if n < 1 or n > 255:
+                n = 8
+            style += ",c:" + _color_hex(n)
+            if self.dxf.layer_prop(self.feat["Layer"] or "",
+                                   "Hidden") == "1":
+                style += "00"
+        self.feat["style"] = style + ")"
+
+
+def _num(vals, code, default=0.0):
+    for c, v in vals:
+        if c == code:
+            return _atof(v)
+    return default
+
+
+def _entity_stream(dxf: _DXFFile):
+    """Yield feature dicts for the current entity run (ENTITIES section
+    or a BLOCK body), stopping at ENDSEC/ENDBLK/EOF
+    (ogrdxflayer.cpp:1921 GetNextUnfilteredFeature)."""
+    pending: list[dict] = []
+    while True:
+        while pending:
+            yield pending.pop(0)
+        code, val = dxf.r.read()
+        if code == -1:
+            return
+        if code != 0:
+            continue
+        if val in ("ENDSEC", "ENDBLK", "EOF"):
+            return
+        e = _EntityReader(dxf)
+        feat = _translate_entity(dxf, e, val, pending)
+        if feat is not None:
+            yield feat
+
+
+def _translate_entity(dxf, e, ent, pending):
+    if ent == "POINT":
+        vals = e._read_generic()
+        x, y, z = _num(vals, 10), _num(vals, 20), _num(vals, 30)
+        e.feat["geom"] = e.apply_ocs(("POINT", np.array([[x, y, z]])))
+        e.pen_style()
+        return e.feat
+
+    if ent == "LINE":
+        vals = e._read_generic()
+        pts = np.array([[_num(vals, 10), _num(vals, 20), _num(vals, 30)],
+                        [_num(vals, 11), _num(vals, 21), _num(vals, 31)]])
+        e.feat["geom"] = e.apply_ocs(("LINESTRING", pts))
+        e.pen_style()
+        return e.feat
+
+    if ent in ("MTEXT", "TEXT", "ATTDEF"):
+        return _translate_text(dxf, e, ent)
+
+    if ent == "LWPOLYLINE":
+        return _translate_lwpolyline(dxf, e)
+
+    if ent == "POLYLINE":
+        return _translate_polyline(dxf, e)
+
+    if ent == "CIRCLE":
+        vals = e._read_generic()
+        arc = _arc_points(_num(vals, 10), _num(vals, 20), _num(vals, 30),
+                          _num(vals, 40), _num(vals, 40), 0.0, 0.0, 360.0)
+        e.feat["geom"] = e.apply_ocs(("LINESTRING", arc))
+        e.pen_style()
+        return e.feat
+
+    if ent == "ARC":
+        vals = e._read_generic()
+        a1 = -_num(vals, 50, -360.0)   # end angle, code 50
+        a0 = -_num(vals, 51)           # start angle, code 51
+        if a0 > a1:
+            a1 += 360.0
+        arc = _arc_points(_num(vals, 10), _num(vals, 20), _num(vals, 30),
+                          _num(vals, 40), _num(vals, 40), 0.0, a0, a1)
+        e.feat["geom"] = e.apply_ocs(("LINESTRING", arc))
+        e.pen_style()
+        return e.feat
+
+    if ent == "ELLIPSE":
+        vals = e._read_generic()
+        ax_ = _num(vals, 11)
+        ay = _num(vals, 21)
+        az = _num(vals, 31)
+        a1 = -_num(vals, 41, -2 * math.pi) * 180.0 / math.pi
+        a0 = -_num(vals, 42) * 180.0 / math.pi
+        if a0 > a1:
+            a1 += 360.0
+        rprim = math.sqrt(ax_ * ax_ + ay * ay + az * az)
+        rsec = _num(vals, 40) * rprim
+        rot = -math.atan2(ay, ax_) * 180.0 / math.pi
+        arc = _arc_points(_num(vals, 10), _num(vals, 20), _num(vals, 30),
+                          rprim, rsec, rot, a0, a1)
+        e.feat["geom"] = e.apply_ocs(("LINESTRING", arc))
+        e.pen_style()
+        return e.feat
+
+    if ent == "SPLINE":
+        return _translate_spline(dxf, e)
+
+    if ent == "3DFACE":
+        vals = e._read_generic()
+        ring = [[_num(vals, 10), _num(vals, 20), _num(vals, 30)],
+                [_num(vals, 11), _num(vals, 21), _num(vals, 31)],
+                [_num(vals, 12), _num(vals, 22), _num(vals, 32)]]
+        p4 = [_num(vals, 13), _num(vals, 23), _num(vals, 33)]
+        if p4 != ring[2]:
+            ring.append(p4)
+        ring.append(list(ring[0]))
+        e.feat["geom"] = e.apply_ocs(("POLYGON", [np.array(ring)]))
+        return e.feat
+
+    if ent == "SOLID":
+        return _translate_solid(dxf, e)
+
+    if ent == "HATCH":
+        return _translate_hatch(dxf, e)
+
+    if ent == "DIMENSION":
+        return _translate_dimension(dxf, e, pending)
+
+    if ent == "INSERT":
+        return _translate_insert(dxf, e, pending)
+
+    e._read_generic()   # unknown entity: consume and skip
+    return None
+
+
+def _read_generic(self):
+    vals = self.collect()
+    keep = []
+    for code, val in vals:
+        self.generic(code, val)
+        keep.append((code, val))
+    return keep
+
+
+_EntityReader._read_generic = _read_generic
+
+
+def _translate_text(dxf, e, ent):
+    # TranslateMTEXT / TranslateTEXT (ogrdxflayer.cpp:402,573)
+    mtext = ent == "MTEXT"
+    vals = e.collect()
+    x = y = z = angle = height = dx = 0.0
+    text_parts: list[str] = []
+    attachment = None
+    have_z = False
+    for code, val in vals:
+        if code == 10:
+            x = _atof(val)
+        elif code == 20:
+            y = _atof(val)
+        elif code == 30:
+            z = _atof(val)
+            have_z = True
+        elif code == 40:
+            height = _atof(val)
+        elif code == 71 and mtext:
+            attachment = _atoi(val)
+        elif code == 11 and mtext:
+            dx = _atof(val)
+        elif code == 21 and mtext:
+            angle = math.atan2(_atof(val), dx) * 180.0 / math.pi
+        elif code == 1 or (code == 3 and mtext):
+            text_parts.append(_text_unescape(val) if mtext else val)
+        elif code == 50:
+            angle = _atof(val)
+        else:
+            e.generic(code, val)
+    text = ("\n".join(text_parts) if mtext else "".join(text_parts))
+    if mtext and text.endswith("\n"):
+        text = text[:-1]
+    e.feat["Text"] = text
+    e.feat["geom"] = e.apply_ocs(
+        ("POINT", np.array([[x, y, z if have_z else 0.0]])))
+    e.label_style(text, angle, height, attachment, mtext=mtext)
+    return e.feat
+
+
+def _translate_lwpolyline(dxf, e):
+    # TranslateLWPOLYLINE (ogrdxflayer.cpp:859)
+    sp = _SmoothPolyline()
+    flag = 0
+    x = y = z = bulge = 0.0
+    have_x = have_y = False
+    for code, val in e.collect():
+        if code == 38:
+            z = _atof(val)
+            sp.dim = 3
+        elif code == 70:
+            flag = _atoi(val)
+        elif code == 10:
+            if have_x and have_y:
+                sp.add(x, y, z, bulge)
+                bulge, have_y = 0.0, False
+            x, have_x = _atof(val), True
+        elif code == 20:
+            if have_x and have_y:
+                sp.add(x, y, z, bulge)
+                bulge, have_x = 0.0, False
+            y, have_y = _atof(val), True
+        elif code == 42:
+            bulge = _atof(val)
+        elif code != 90:
+            e.generic(code, val)
+    if have_x and have_y:
+        sp.add(x, y, z, bulge)
+    if not sp.v:
+        return None
+    if flag & 0x01:
+        sp.close()
+    e.feat["geom"] = e.apply_ocs(sp.tessellate())
+    e.pen_style()
+    return e.feat
+
+
+def _translate_polyline(dxf, e):
+    # TranslatePOLYLINE + VERTEX run (ogrdxflayer.cpp:983)
+    flag = 0
+    for code, val in e.collect():
+        if code == 70:
+            flag = _atoi(val)
+        else:
+            e.generic(code, val)
+    sp = _SmoothPolyline()
+    while True:
+        code, val = dxf.r.read()
+        if code != 0 or val == "SEQEND":
+            break
+        if val != "VERTEX":
+            while True:
+                code, _v = dxf.r.read()
+                if code <= 0:
+                    break
+            if code == 0:
+                dxf.r.unread()
+            continue
+        x = y = z = bulge = 0.0
+        vflag = 0
+        while True:
+            code, v = dxf.r.read()
+            if code <= 0:
+                break
+            if code == 10:
+                x = _atof(v)
+            elif code == 20:
+                y = _atof(v)
+            elif code == 30:
+                z = _atof(v)
+                sp.dim = 3
+            elif code == 42:
+                bulge = _atof(v)
+            elif code == 70:
+                vflag = _atoi(v)
+        if code == 0:
+            dxf.r.unread()
+        if not vflag & 16:      # skip spline frame control points (#4683)
+            sp.add(x, y, z, bulge)
+    if not sp.v:
+        return None
+    if flag & 0x01:
+        sp.close()
+    e.feat["geom"] = e.apply_ocs(sp.tessellate())
+    e.pen_style()
+    return e.feat
+
+
+def _bspline(control: np.ndarray, order: int, p1: int,
+             periodic: bool) -> np.ndarray:
+    """rbspline/rbsplinu (intronurbs.cpp:229,333; Rogers, "An
+    Introduction to NURBS", alg. p297): uniform open (or periodic) knot
+    vector, Cox-de Boor basis, p1 evenly spaced parameter values."""
+    npts = len(control)
+    nplusc = npts + order
+    knots = np.zeros(nplusc + 1)
+    if periodic:
+        knots[1:] = np.arange(nplusc)
+    else:
+        for i in range(2, nplusc + 1):
+            knots[i] = knots[i - 1] + (1 if order < i < npts + 2 else 0)
+    tmax = knots[nplusc]
+    out = np.zeros((p1, 2))
+    if periodic:
+        t = float(order - 1)
+        step = (npts - (order - 1)) / (p1 - 1)
+    else:
+        t = 0.0
+        step = tmax / (p1 - 1)
+    for row in range(p1):
+        if tmax - t < 5e-6:
+            t = tmax
+        temp = np.zeros(nplusc + 1)
+        for i in range(1, nplusc):
+            temp[i] = 1.0 if knots[i] <= t < knots[i + 1] else 0.0
+        for k in range(2, order + 1):
+            for i in range(1, nplusc - k + 1):
+                d = ((t - knots[i]) * temp[i] / (knots[i + k - 1] - knots[i])
+                     if temp[i] != 0 else 0.0)
+                ee = ((knots[i + k] - t) * temp[i + 1]
+                      / (knots[i + k] - knots[i + 1])
+                      if temp[i + 1] != 0 else 0.0)
+                temp[i] = d + ee
+        if t == tmax:
+            temp[npts] = 1.0
+        basis = temp[1:npts + 1]
+        s = basis.sum()
+        if s != 0:
+            out[row] = (basis / s) @ control
+        t += step
+    return out
+
+
+def _translate_spline(dxf, e):
+    # TranslateSPLINE (ogrdxflayer.cpp:1345)
+    ctrl: list[list[float]] = []
+    degree, closed = -1, False
+    pending_x = None
+    for code, val in e.collect():
+        if code == 10:
+            pending_x = _atof(val)
+        elif code == 20:
+            ctrl.append([pending_x, _atof(val)])
+        elif code == 70:
+            closed = bool(_atoi(val) & 1)
+        elif code == 71:
+            degree = _atoi(val)
+        else:
+            e.generic(code, val)
+    if not ctrl:
+        return None
+    if closed:
+        ctrl = ctrl + ctrl[:degree]
+    pts = _bspline(np.array(ctrl), degree + 1, len(ctrl) * 8, closed)
+    coords = np.column_stack([pts, np.zeros(len(pts))])
+    e.feat["geom"] = e.apply_ocs(("LINESTRING", coords))
+    e.pen_style()
+    return e.feat
+
+
+def _translate_solid(dxf, e):
+    # TranslateSOLID (ogrdxflayer.cpp:1606): corners may arrive in any
+    # order; edges are chained nearest-first then assembled as a polygon.
+    from gdal_spark.functions.geomops import build_polygon_from_edges
+    vals = e._read_generic()
+    p = [(_num(vals, 10), _num(vals, 20)), (_num(vals, 11), _num(vals, 21)),
+         (_num(vals, 12), _num(vals, 22)), (_num(vals, 13), _num(vals, 23))]
+
+    def dist(a, b):
+        return math.hypot(b[0] - a[0], b[1] - a[1])
+
+    d = [dist(p[0], p[i]) for i in (1, 2, 3)]
+    if d[0] <= d[1] and d[0] <= d[2]:
+        order = (1, 2, 3)
+    elif d[1] <= d[0] and d[1] <= d[2]:
+        order = (2, 1, 3)
+    else:
+        order = (3, 2, 1)
+    second = p[order[0]]
+    c, dd = p[order[1]], p[order[2]]
+    lines = [[p[0], second]]
+    if dist(second, c) <= dist(second, dd):
+        lines += [[second, c], [c, dd], [dd, p[0]]]
+    else:
+        lines += [[second, dd], [dd, c], [c, p[0]]]
+    coll = G.encode_geometrycollection(
+        [G.encode_linestring(np.array(seg)) for seg in lines])
+    wkb = build_polygon_from_edges(coll, auto_close=True)
+    rings = G.decode_polygons(wkb)[0]
+    geom = ("POLYGON", [np.column_stack([r, np.zeros(len(r))])
+                        for r in rings])
+    e.feat["geom"] = e.apply_ocs(geom)
+    e.pen_style()
+    return e.feat
+
+
+def _translate_hatch(dxf, e):
+    # TranslateHATCH (ogrdxf_hatch.cpp:52): boundary paths tessellated
+    # into edges, assembled by BuildPolygonFromEdges, BRUSH fill style.
+    from gdal_spark.functions.geomops import build_polygon_from_edges
+    edges: list[np.ndarray] = []
+    while True:
+        code, val = dxf.r.read()
+        if code <= 0:
+            if code == 0:
+                dxf.r.unread()
+            break
+        if code == 91:
+            npaths = _atoi(val)
+            for _ in range(npaths):
+                _collect_boundary_path(dxf, edges)
+        else:
+            e.generic(code, val)
+    coll = G.encode_geometrycollection(
+        [G.encode_linestring(seg[:, :2]) for seg in edges])
+    try:
+        wkb = build_polygon_from_edges(coll, auto_close=True,
+                                       tolerance=0.0000001)
+        rings = G.decode_polygons(wkb)[0]
+        geom = ("POLYGON", [np.column_stack([r, np.zeros(len(r))])
+                            for r in rings])
+    except ValueError:
+        geom = ("MULTILINESTRING", edges)
+    e.feat["geom"] = e.apply_ocs(geom)
+    n = e._resolve_color()
+    if 1 <= n <= 255:
+        e.feat["style"] = "BRUSH(fc:%s)" % _color_hex(n)
+    return e.feat
+
+
+def _collect_boundary_path(dxf, edges):
+    # CollectBoundaryPath / CollectPolylinePath (ogrdxf_hatch.cpp:241,445)
+    code, val = dxf.r.read()
+    if code != 92:
+        return
+    ptype = _atoi(val)
+    if ptype & 0x02:
+        sp = _SmoothPolyline()
+        nverts = -1
+        closed = have_bulges = False
+        x = y = bulge = 0.0
+        have_x = have_y = False
+        code = -2
+        while True:
+            if 0 < nverts == len(sp.v):
+                break
+            code, val = dxf.r.read()
+            if code <= 0:
+                break
+            if code == 93:
+                nverts = _atoi(val)
+            elif code == 72:
+                have_bulges = bool(_atoi(val))
+            elif code == 73:
+                closed = bool(_atoi(val))
+            elif code == 10:
+                if have_x and have_y:
+                    sp.add(x, y, 0.0, bulge)
+                    bulge, have_y = 0.0, False
+                x, have_x = _atof(val), True
+            elif code == 20:
+                if have_x and have_y:
+                    sp.add(x, y, 0.0, bulge)
+                    bulge, have_x, have_y = 0.0, False, False
+                y, have_y = _atof(val), True
+                if have_x and have_y and not have_bulges:
+                    sp.add(x, y, 0.0, bulge)
+                    bulge, have_x, have_y = 0.0, False, False
+            elif code == 42:
+                bulge = _atof(val)
+                if have_x and have_y:
+                    sp.add(x, y, 0.0, bulge)
+                    bulge, have_x, have_y = 0.0, False, False
+        if code not in (10, 20, 42) and code >= 0:
+            dxf.r.unread()
+        if have_x and have_y:
+            sp.add(x, y, 0.0, bulge)
+        if closed:
+            sp.close()
+        if sp.v:
+            kind, pts = sp.tessellate()
+            if kind == "LINESTRING":
+                edges.append(np.asarray(pts))
+        _skip_source_objects(dxf)
+        return
+    # edge-path loop
+    code, val = dxf.r.read()
+    if code != 93:
+        return
+    for _ in range(_atoi(val)):
+        code, val = dxf.r.read()
+        if code != 72:
+            return
+        etype = _atoi(val)
+        vals = {}
+        need = {1: (10, 20, 11, 21), 2: (10, 20, 40, 50, 51),
+                3: (10, 20, 11, 21, 40, 50, 51)}.get(etype)
+        if need is None:
+            return
+        for want in need:
+            code, v = dxf.r.read()
+            if code != want:
+                return
+            vals[want] = _atof(v)
+        ccw = 0
+        code, v = dxf.r.read()
+        if code == 73:
+            ccw = _atoi(v)
+        elif code >= 0:
+            dxf.r.unread()
+        if etype == 1:
+            edges.append(np.array([[vals[10], vals[20], 0.0],
+                                   [vals[11], vals[21], 0.0]]))
+        else:
+            a0, a1 = vals[50], vals[51]
+            if a0 > a1:
+                a1 += 360.0
+            if ccw:
+                a0, a1 = -a0, -a1
+            if etype == 2:
+                edges.append(_arc_points(vals[10], vals[20], 0.0,
+                                         vals[40], vals[40], 0.0, a0, a1))
+            else:
+                rmaj = math.hypot(vals[11], vals[21])
+                rot = -math.atan2(vals[21], vals[11]) * 180.0 / math.pi
+                edges.append(_arc_points(
+                    vals[10], vals[20], 0.0, rmaj,
+                    rmaj * vals[40] / 100.0, rot, a0, a1))
+    _skip_source_objects(dxf)
+
+
+def _skip_source_objects(dxf):
+    code, val = dxf.r.read()
+    if code != 97:
+        if code >= 0:
+            dxf.r.unread()
+        return
+    for _ in range(_atoi(val)):
+        dxf.r.read()
+
+
+def _translate_dimension(dxf, e, pending):
+    # TranslateDIMENSION (ogrdxf_dimension.cpp:45)
+    ax1 = ay1 = tx = ty = t1x = t1y = t2x = t2y = 0.0
+    text = None
+    height = _atof(dxf.var("$DIMTXT", "2.5"))
+    for code, val in e.collect():
+        if code == 10:
+            ax1 = _atof(val)
+        elif code == 20:
+            ay1 = _atof(val)
+        elif code == 11:
+            tx = _atof(val)
+        elif code == 21:
+            ty = _atof(val)
+        elif code == 13:
+            t2x = _atof(val)
+        elif code == 23:
+            t2y = _atof(val)
+        elif code == 14:
+            t1x = _atof(val)
+        elif code == 24:
+            t1y = _atof(val)
+        elif code == 1:
+            text = val
+        elif code not in (30, 31, 33, 34, 70):
+            e.generic(code, val)
+    v1x, v1y = ax1 - t1x, ay1 - t1y
+    v2x, v2y = v1y, -v1x
+    if v1x == 0.0:
+        ax2, ay2 = t2x, ay1
+    elif v1y == 0.0:
+        ax2, ay2 = ax1, t2y
+    else:
+        m1 = v1y / v1x
+        b1 = t2y - m1 * t2x
+        m2 = v2y / v2x
+        b2 = ay1 - m2 * ax1
+        ax2 = (b2 - b1) / (m1 - m2)
+        ay2 = m2 * ax2 + b2
+    angle = math.atan2(v2y, v2x) * 180.0 / math.pi
+    baseline = math.hypot(ax2 - ax1, ay2 - ay1)
+    target = baseline * 0.03
+    v2x, v2y = ax2 - ax1, ay2 - ay1
+    s = target / math.hypot(v1x, v1y)
+    v1x, v1y = v1x * s, v1y * s
+    s = target / math.hypot(v2x, v2y)
+    v2x, v2y = v2x * s, v2y * s
+    lines = [
+        np.array([[ax1, ay1, 0], [ax2, ay2, 0]], float),
+        np.array([[t1x, t1y, 0], [ax1 + v1x, ay1 + v1y, 0]]),
+        np.array([[t2x, t2y, 0], [ax2 + v1x, ay2 + v1y, 0]]),
+        np.array([[ax1, ay1, 0],
+                  [ax1 + v2x * 3 + v1x, ay1 + v2y * 3 + v1y, 0]]),
+        np.array([[ax1, ay1, 0],
+                  [ax1 + v2x * 3 - v1x, ay1 + v2y * 3 - v1y, 0]]),
+        np.array([[ax2, ay2, 0],
+                  [ax2 - v2x * 3 + v1x, ay2 - v2y * 3 + v1y, 0]]),
+        np.array([[ax2, ay2, 0],
+                  [ax2 - v2x * 3 - v1x, ay2 - v2y * 3 - v1y, 0]]),
+    ]
+    e.feat["geom"] = ("MULTILINESTRING", lines)
+    e.pen_style()
+    if text == " ":      # a single space suppresses labelling
+        return e.feat
+    if not text:
+        prec = _atoi(dxf.var("$LUPREC", "4"))
+        text = "%.*f" % (prec, baseline)
+    label = dict(e.feat)
+    label["geom"] = ("POINT", np.array([[tx, ty, 0.0]]))
+    label["Text"] = e.feat["Text"]
+    style = 'LABEL(f:"Arial",t:"%s",p:5' % text.replace('"', '\\"')
+    if angle != 0.0:
+        style += ",a:%s" % ("%.3g" % angle)
+    if height != 0.0:
+        style += ",s:%sg" % ("%.3g" % height)
+    label["style"] = style + ")"
+    pending.append(label)
+    return e.feat
+
+
+def _translate_insert(dxf, e, pending):
+    # TranslateINSERT (ogrdxflayer.cpp:1764): inline block geometry with
+    # scale/rotate/translate; label sub-features re-angled via
+    # ACAdjustText and re-keyed to the INSERT's EntityHandle.
+    ox = oy = oz = 0.0
+    sx = sy = sz = 1.0
+    angle_deg = 0.0
+    name = ""
+    for code, val in e.collect():
+        if code == 10:
+            ox = _atof(val)
+        elif code == 20:
+            oy = _atof(val)
+        elif code == 30:
+            oz = _atof(val)
+        elif code == 41:
+            sx = _atof(val)
+        elif code == 42:
+            sy = _atof(val)
+        elif code == 43:
+            sz = _atof(val)
+        elif code == 50:
+            angle_deg = _atof(val)
+        elif code == 2:
+            name = val
+        else:
+            e.generic(code, val)
+    block = dxf.blocks.get(name)
+    if block is None:
+        return None
+    rad = angle_deg * math.pi / 180.0
+    ca, sa = math.cos(rad), math.sin(rad)
+
+    def tr(c):
+        c = np.asarray(c, float) * [sx, sy, sz]
+        x = c[:, 0] * ca - c[:, 1] * sa + ox
+        y = c[:, 0] * sa + c[:, 1] * ca + oy
+        return np.column_stack([x, y, c[:, 2] + oz])
+
+    for sub in block["features"]:
+        out = dict(sub)
+        if out.get("geom") is not None:
+            out["geom"] = _map_coords(out["geom"], tr)
+        out["style"] = _adjust_label(out.get("style", ""), angle_deg, sx)
+        out["EntityHandle"] = e.feat["EntityHandle"]
+        pending.append(out)
+    if block["geom"] is None:
+        return None
+    e.feat["geom"] = _map_coords(block["geom"], tr)
+    e.pen_style()
+    return e.feat
+
+
+def read_dxf(spark: SparkSession, path: str) -> DataFrame:
+    """Read a DXF file into a DataFrame, one row per entity in file
+    order (blocks inlined), with the reference's six attribute fields
+    plus ogr_style and 2-D WKB geometry."""
+    dxf = _DXFFile(path)
+    rows = []
+    # position at the ENTITIES section
+    while True:
+        code, val = dxf.r.read()
+        if code == -1:
+            break
+        if code == 0 and val == "SECTION":
+            code, val = dxf.r.read()
+            if val == "ENTITIES":
+                for fid, f in enumerate(_entity_stream(dxf)):
+                    g = f.get("geom")
+                    rows.append((fid, f["Layer"], f["SubClasses"],
+                                 f["ExtendedEntity"], f["Linetype"],
+                                 f["EntityHandle"], f["Text"],
+                                 f.get("style") or None,
+                                 bytearray(_to_wkb(g))
+                                 if g is not None else None))
+                break
+            dxf.r.unread()
+            dxf.r.unread()
+            dxf._skip_section()
+    schema = ("fid long, Layer string, SubClasses string, "
+              "ExtendedEntity string, Linetype string, "
+              "EntityHandle string, Text string, ogr_style string, "
+              "geometry binary")
+    return spark.createDataFrame(rows, schema)
+
+
+def _nearest_color(hexcolor: str) -> int:
+    """ColorStringToDXFColor: closest AutoCAD color index by RGB
+    distance (ogrdxfwriterlayer.cpp)."""
+    r = int(hexcolor[1:3], 16)
+    g = int(hexcolor[3:5], 16)
+    b = int(hexcolor[5:7], 16)
+    best, best_d = 1, 1 << 30
+    for i in range(1, 256):
+        cr, cg, cb = _AC_COLORS[i * 3:i * 3 + 3]
+        d = (r - cr) ** 2 + (g - cg) ** 2 + (b - cb) ** 2
+        if d < best_d:
+            best, best_d = i, d
+    return best
+
+
+def write_dxf(df: DataFrame, path: str) -> None:
+    """Write an entities-only DXF (readable per #3412): POINT entities,
+    LWPOLYLINE for linestrings (closed flag for rings), solid-fill
+    HATCH for polygons (OGRDXFWriterLayer::WritePOLYLINE/WriteHATCH,
+    ogrdxfwriterlayer.cpp:590,864).  2-D geometries only."""
+    out = ["  0", "SECTION", "  2", "ENTITIES"]
+
+    def val(code, v):
+        out.append("%3d" % code)
+        out.append("%.15g" % v if isinstance(v, float) else str(v))
+
+    def core(row):
+        layer = row["Layer"] if "Layer" in row.__fields__ and row["Layer"] \
+            else "0"
+        val(8, layer)
+        style = (row["ogr_style"] if "ogr_style" in row.__fields__
+                 else None) or ""
+        for tag in ("PEN(c:", "BRUSH(fc:"):
+            i = style.find(tag)
+            if i >= 0:
+                val(62, _nearest_color(style[i + len(tag):i + len(tag) + 7]))
+                break
+
+    def emit(row, wkb):
+        kind = G.wkt_from_wkb(wkb).split(" ", 1)[0].split("(", 1)[0]
+        if kind in ("MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON",
+                    "GEOMETRYCOLLECTION"):
+            for part in G.decode_collection(wkb):
+                emit(row, part)
+            return
+        if kind == "POINT":
+            x, y = G.decode_point(wkb)
+            val(0, "POINT")
+            core(row)
+            val(100, "AcDbEntity")
+            val(100, "AcDbPoint")
+            val(10, float(x))
+            val(20, float(y))
+        elif kind == "LINESTRING":
+            pts = G.decode_linestring(wkb)
+            val(0, "LWPOLYLINE")
+            core(row)
+            val(100, "AcDbEntity")
+            val(100, "AcDbPolyline")
+            val(90, len(pts))
+            val(70, 0)
+            for x, y in pts:
+                val(10, float(x))
+                val(20, float(y))
+        elif kind == "POLYGON":
+            rings = G.decode_polygons(wkb)[0]
+            val(0, "HATCH")
+            core(row)
+            val(100, "AcDbEntity")
+            val(100, "AcDbHatch")
+            val(10, 0.0)
+            val(20, 0.0)
+            val(30, 0.0)
+            val(210, 0.0)
+            val(220, 0.0)
+            val(230, 1.0)
+            val(2, "SOLID")
+            val(70, 1)
+            val(71, 0)
+            val(91, len(rings))
+            for ring in rings:
+                val(92, 2)
+                val(72, 0)
+                val(73, 1)
+                val(93, len(ring))
+                for x, y in ring:
+                    val(10, float(x))
+                    val(20, float(y))
+                val(97, 0)
+            val(75, 0)
+            val(76, 1)
+            val(98, 0)
+
+    for row in df.collect():
+        if row["geometry"] is not None:
+            emit(row, bytes(row["geometry"]))
+    out += ["  0", "ENDSEC", "  0", "EOF", ""]
+    with open(path, "w", encoding="latin-1") as f:
+        f.write("\n".join(out))
