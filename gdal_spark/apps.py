@@ -48,7 +48,7 @@ def _vector_ext(path: str) -> str:
     base = path.rstrip("/").lower()
     for ext in (".geojsonl", ".geojsons", ".geojson", ".json", ".csv",
                 ".shp", ".gpkg", ".parquet", ".kml", ".gpx", ".mif", ".gml",
-                ".dxf"):
+                ".dxf", ".dbf", ".vrt"):
         if base.endswith(ext):
             return ext
     return ""
@@ -84,6 +84,12 @@ def read_vector(spark: SparkSession, src, layer: str | None = None,
     if ext == ".dxf":
         from gdal_spark.sources.dxf import read_dxf
         return read_dxf(spark, src)
+    if ext == ".dbf":
+        return FMT.read_shapefile(spark, src)
+    if ext == ".vrt" or (isinstance(src, str)
+                         and src.lstrip().startswith("<OGRVRTDataSource")):
+        from gdal_spark.sources.vrt_vector import read_vrt_vector
+        return read_vrt_vector(spark, src, layer)
     if ext == ".parquet" or os.path.isdir(src):
         return spark.read.parquet(src)
     raise ValueError(f"unrecognized vector source {src!r}")

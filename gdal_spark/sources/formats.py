@@ -384,7 +384,7 @@ def parse_dbf(data: bytes) -> pd.DataFrame:
     fields = []
     off = 32
     while data[off] != 0x0D:
-        name = data[off:off + 11].split(b"\x00")[0].decode("ascii")
+        name = data[off:off + 11].split(b"\x00")[0].decode("latin-1")
         ftype = chr(data[off + 11])
         flen = data[off + 16]
         fdec = data[off + 17]
