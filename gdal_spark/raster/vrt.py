@@ -119,6 +119,82 @@ def _read_warped_vrt(spark: SparkSession, root, path: str, block: int
                    src_cutline=src_cutline, cutline_blend=blend), dst_meta
 
 
+def _lut_apply(a: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """VRTComplexSource::LookupValue (vrtsources.cpp:1731): lower_bound
+    into the breakpoint inputs, clamp outside the table, exact hits take
+    the breakpoint output (this is what makes duplicated inputs encode a
+    step), otherwise linear interpolation.  Vectorized over the block;
+    the float result rounds into the band type as GDALCopyWords does."""
+    v = a.astype(np.float64)
+    i = np.searchsorted(xs, v.ravel(), side="left")
+    out = np.empty(v.size, dtype=np.float64)
+    lo = i == 0
+    hi = i == len(xs)
+    out[lo] = ys[0]
+    out[hi] = ys[-1]
+    mid = ~(lo | hi)
+    im = i[mid]
+    vm = v.ravel()[mid]
+    interp = ys[im - 1] + (vm - xs[im - 1]) * (
+        (ys[im] - ys[im - 1]) / (xs[im] - xs[im - 1]))
+    out[mid] = np.where(xs[im] == vm, ys[im], interp)
+    return np.floor(out.reshape(v.shape) + 0.5)
+
+
+def _kernel_filter(tiles: DataFrame, meta: RasterMeta, out_id: str,
+                   coefs: np.ndarray, normalized: bool,
+                   nodata: float | None) -> DataFrame:
+    """VRTKernelFilteredSource::FilterData (vrtfilters.cpp:453) as a
+    halo-exchange stencil: raster borders replicate the edge values out
+    (vrtfilters.cpp:310 'we replicate the edge valid values out'),
+    nodata centers pass through, nodata neighbors drop out of the sum
+    (and of the kernel sum when normalized)."""
+    from gdal_spark.raster.dem import stencil_apply
+    k = coefs.shape[0]
+    halo = k // 2
+
+    def fn(pad: np.ndarray, gt) -> np.ndarray:
+        pad = pad.copy()
+        # replicate into never-filled (raster border) halo cells:
+        # left/right per row first, then whole top/bottom rows — the
+        # reference's fill order, which seeds the corners correctly
+        for j in range(halo - 1, -1, -1):
+            pad[:, j] = np.where(np.isnan(pad[:, j]), pad[:, j + 1],
+                                 pad[:, j])
+            pad[:, -1 - j] = np.where(np.isnan(pad[:, -1 - j]),
+                                      pad[:, -2 - j], pad[:, -1 - j])
+        for j in range(halo - 1, -1, -1):
+            pad[j, :] = np.where(np.isnan(pad[j, :]), pad[j + 1, :],
+                                 pad[j, :])
+            pad[-1 - j, :] = np.where(np.isnan(pad[-1 - j, :]),
+                                      pad[-2 - j, :], pad[-1 - j, :])
+        h, w = pad.shape[0] - 2 * halo, pad.shape[1] - 2 * halo
+        ssum = np.zeros((h, w))
+        ksum = np.zeros((h, w))
+        for dy in range(k):
+            for dx in range(k):
+                win = pad[dy:dy + h, dx:dx + w]
+                valid = np.ones((h, w), dtype=bool) if nodata is None \
+                    else win != nodata
+                ssum += np.where(valid, win * coefs[dy, dx], 0.0)
+                ksum += np.where(valid, coefs[dy, dx], 0.0)
+        if normalized:
+            out = np.divide(ssum, ksum, out=np.zeros_like(ssum),
+                            where=ksum != 0)
+        else:
+            out = ssum
+        center = pad[halo:halo + h, halo:halo + w]
+        if nodata is not None:
+            out = np.where(center == nodata, nodata, out)
+        return out
+
+    out, _ = stencil_apply(tiles, meta, out_id, fn, halo=halo,
+                           out_dtype=meta.dtype, edges="replicate",
+                           dst_nodata=nodata if nodata is not None
+                           else -9999.0, planes=False)
+    return out
+
+
 def read_vrt(spark: SparkSession, path: str, block: int = 256
              ) -> tuple[DataFrame, RasterMeta]:
     """Parse a .vrt into a lazy tile-row plan + RasterMeta."""
@@ -148,12 +224,22 @@ def read_vrt(spark: SparkSession, path: str, block: int = 256
         vrt_meta = RasterMeta(stem, W, H, gt=gt, dtype=vrt_dtype,
                               nodata=vrt_nodata, block=block)
         for src_el in list(band_el):
-            if src_el.tag not in ("SimpleSource", "ComplexSource"):
+            if src_el.tag not in ("SimpleSource", "ComplexSource",
+                                  "KernelFilteredSource"):
                 continue
             fn_el = src_el.find("SourceFilename")
             fn = fn_el.text.strip()
             if fn_el.get("relativeToVRT", "0") == "1":
                 fn = os.path.join(base, fn)
+            elif not os.path.isabs(fn):
+                # relative to cwd (CPLProjectRelativeFilename fallback),
+                # made absolute so the scan is cwd-independent; accept
+                # VRT-dir-anchored spellings for fixture portability
+                for cand in (os.path.abspath(fn), os.path.join(base, fn),
+                             os.path.join(os.path.dirname(base), fn)):
+                    if os.path.exists(cand):
+                        fn = cand
+                        break
             sb = int(src_el.findtext("SourceBand", "1")) - 1
             if fn.lower().endswith(".asc"):
                 src_tiles, src_meta = RF.read_aaigrid(
@@ -185,6 +271,27 @@ def read_vrt(spark: SparkSession, path: str, block: int = 256
                 warped, _ = map_pixels(
                     warped, vrt_meta, f"{stem}_s",
                     lambda a, _r=ratio, _o=offset: a * _r + _o)
+            lut = src_el.findtext("LUT")
+            if src_el.tag == "ComplexSource" and lut and lut.strip():
+                pairs = [p.split(":") for p in lut.strip().split(",")]
+                xs = np.array([float(p[0]) for p in pairs])
+                ys = np.array([float(p[1]) for p in pairs])
+                warped, _ = map_pixels(
+                    warped, vrt_meta, f"{stem}_s",
+                    lambda a, _x=xs, _y=ys: _lut_apply(a, _x, _y))
+            kern_el = src_el.find("Kernel")
+            if src_el.tag == "KernelFilteredSource" and kern_el is not None:
+                ksize = int(kern_el.findtext("Size", "0"))
+                if ksize:
+                    coefs = np.array(
+                        [float(v) for v in
+                         kern_el.findtext("Coefs", "").split()]
+                    ).reshape(ksize, ksize)
+                    normalized = (kern_el.get("normalized") or "0") in (
+                        "1", "TRUE", "true", "ON")
+                    warped = _kernel_filter(
+                        warped, vrt_meta, f"{stem}_s", coefs, normalized,
+                        vrt_nodata)
             inputs.append((warped, vrt_meta))
     if not inputs:
         raise ValueError("VRT has no sources")

@@ -93,3 +93,45 @@ def test_vrt_lazy(spark, tmp_path):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before   # no job until an action
     assert tiles.count() == meta.n_block_x * meta.n_block_y
+
+
+# --- LUT + KernelFilteredSource goldens (autotest/gdrivers/vrtlut.py,
+# vrtfilt.py) over the reference's own fixtures -------------------------------
+
+GD = "/root/reference/autotest/gdrivers/data/"
+
+
+def _stage(tmp_path, *names):
+    """Copy fixture files into tmp keeping the data/ layout the VRTs use."""
+    import shutil
+    d = tmp_path / "data"
+    d.mkdir(exist_ok=True)
+    for n in names:
+        shutil.copy(GD + n, str(d / n))
+    return d
+
+
+def test_vrt_lut(spark, tmp_path):                           # vrtlut_1
+    from gdal_spark.raster.checksum import checksum
+    d = _stage(tmp_path, "byte_lut.vrt", "byte.tif")
+    tiles, meta = V.read_vrt(spark, str(d / "byte_lut.vrt"))
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 4655
+
+
+def test_vrt_kernel_filter(spark, tmp_path):                 # vrtfilt_1
+    from gdal_spark.raster.checksum import checksum
+    d = _stage(tmp_path, "avfilt.vrt", "rgbsmall.tif")
+    tiles, meta = V.read_vrt(spark, str(d / "avfilt.vrt"))
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 21890
+
+
+def test_vrt_kernel_filter_nodata(spark, tmp_path):          # vrtfilt_2
+    """Normalized 3x3 average over a black/white checkboard where black
+    is nodata: averaging must not change the raster."""
+    from gdal_spark.raster.checksum import checksum
+    d = _stage(tmp_path, "avfilt_nodata.vrt", "test_vrt_filter_nodata.tif")
+    src_meta = RF.geotiff_meta(str(d / "test_vrt_filter_nodata.tif"))
+    src = RF.read_geotiff(spark, str(d / "test_vrt_filter_nodata.tif"))
+    want = checksum(src, src_meta).collect()[0]["checksum"]
+    tiles, meta = V.read_vrt(spark, str(d / "avfilt_nodata.vrt"))
+    assert checksum(tiles, meta).collect()[0]["checksum"] == want
