@@ -195,24 +195,56 @@ def _kernel_filter(tiles: DataFrame, meta: RasterMeta, out_id: str,
     return out
 
 
+def _load_root(path: str) -> tuple[ET.Element, str, str]:
+    """Accept a .vrt path or inline ``<VRTDataset>`` XML (GDALOpen takes
+    both spellings)."""
+    if path.lstrip().startswith("<"):
+        return ET.fromstring(path), os.getcwd(), "vrt"
+    root = ET.parse(path).getroot()
+    return (root, os.path.dirname(os.path.abspath(path)),
+            os.path.splitext(os.path.basename(path))[0])
+
+
 def read_vrt(spark: SparkSession, path: str, block: int = 256
              ) -> tuple[DataFrame, RasterMeta]:
-    """Parse a .vrt into a lazy tile-row plan + RasterMeta."""
-    root = ET.parse(path).getroot()
+    """Parse a .vrt (path or inline XML) into a lazy tile-row plan +
+    RasterMeta."""
+    root, base, stem = _load_root(path)
     if root.get("subClass") == "VRTWarpedDataset":
         return _read_warped_vrt(spark, root, path, block)
+    return _compose_bands(spark, root, root.findall("VRTRasterBand"),
+                          base, stem, block)
+
+
+def read_vrt_mask(spark: SparkSession, path: str, block: int = 256
+                  ) -> tuple[DataFrame, RasterMeta]:
+    """The VRT ``<MaskBand>`` (vrtmask autotest; GetMaskBand over a
+    dataset-level or per-band mask): composed exactly like a band from
+    its own sources."""
+    root, base, stem = _load_root(path)
+    mb = root.find("MaskBand")
+    if mb is None:
+        b = root.find("VRTRasterBand")
+        mb = b.find("MaskBand") if b is not None else None
+    if mb is None:
+        raise ValueError("VRT has no MaskBand")
+    return _compose_bands(spark, root, [mb.find("VRTRasterBand")],
+                          base, stem + "_mask", block)
+
+
+def _compose_bands(spark: SparkSession, root: ET.Element,
+                   band_els: list[ET.Element], base: str, stem: str,
+                   block: int) -> tuple[DataFrame, RasterMeta]:
     W = int(root.get("rasterXSize"))
     H = int(root.get("rasterYSize"))
     gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
     gt_el = root.find("GeoTransform")
     if gt_el is not None:
         gt = tuple(float(v) for v in gt_el.text.split(","))
-    stem = os.path.splitext(os.path.basename(path))[0]
-    base = os.path.dirname(os.path.abspath(path))
 
     inputs: list[tuple[DataFrame, RasterMeta]] = []
     vrt_dtype, vrt_nodata = "uint8", None
-    for bi, band_el in enumerate(root.findall("VRTRasterBand")):
+    for bi, band_el in enumerate(band_els):
         vrt_dtype = _DT_MAP.get(band_el.get("dataType", "Byte"), "uint8")
         # both historical spellings appear in the reference's fixtures
         # (gcore/data/byte.vrt writes "NodataValue")
@@ -240,13 +272,23 @@ def read_vrt(spark: SparkSession, path: str, block: int = 256
                     if os.path.exists(cand):
                         fn = cand
                         break
-            sb = int(src_el.findtext("SourceBand", "1")) - 1
+            sb_text = src_el.findtext("SourceBand", "1").strip()
             if fn.lower().endswith(".asc"):
                 src_tiles, src_meta = RF.read_aaigrid(
                     spark, fn, raster_id=os.path.basename(fn), block=block)
             else:
                 src_meta = RF.geotiff_meta(fn, block=block)
                 src_tiles = RF.read_geotiff(spark, fn, block=block)
+            if sb_text.lower().startswith("mask"):
+                # "mask,N": the mask band of source band N
+                # (vrtsources.cpp XMLInit SourceBand parsing)
+                from gdal_spark.raster.mask import mask_band
+                n = int(sb_text.split(",")[1]) if "," in sb_text else 1
+                src_tiles, src_meta = mask_band(src_tiles, src_meta,
+                                                band=n - 1)
+                sb = 0
+            else:
+                sb = int(sb_text) - 1
             src_tiles = src_tiles.filter(F.col("band") == sb)
             srect = _rect(src_el.find("SrcRect"),
                           (0, 0, src_meta.width, src_meta.height))

@@ -135,3 +135,42 @@ def test_vrt_kernel_filter_nodata(spark, tmp_path):          # vrtfilt_2
     want = checksum(src, src_meta).collect()[0]["checksum"]
     tiles, meta = V.read_vrt(spark, str(d / "avfilt_nodata.vrt"))
     assert checksum(tiles, meta).collect()[0]["checksum"] == want
+
+
+def _mask_vrt(source_band):                                  # vrtmask_1/2
+    src = GD + "byte.tif"
+    per_band = source_band.startswith("mask")
+    mask_band_xml = f"""<MaskBand><VRTRasterBand dataType="Byte">
+      <SimpleSource><SourceFilename relativeToVRT="0">{src}</SourceFilename>
+        <SourceBand>{source_band}</SourceBand>
+        <SrcRect xOff="0" yOff="0" xSize="20" ySize="20"/>
+        <DstRect xOff="0" yOff="0" xSize="20" ySize="20"/>
+      </SimpleSource></VRTRasterBand></MaskBand>"""
+    return f"""<VRTDataset rasterXSize="20" rasterYSize="20">
+  <VRTRasterBand dataType="Byte" band="1">
+    <SimpleSource><SourceFilename relativeToVRT="0">{src}</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="20" ySize="20"/>
+      <DstRect xOff="0" yOff="0" xSize="20" ySize="20"/>
+    </SimpleSource>
+    {mask_band_xml if per_band else ""}
+  </VRTRasterBand>
+  {"" if per_band else mask_band_xml}
+</VRTDataset>"""
+
+
+def test_vrt_dataset_mask_band(spark):                       # vrtmask_1
+    from gdal_spark.raster.checksum import checksum
+    tiles, meta = V.read_vrt_mask(spark, _mask_vrt("1"))
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 4672
+    # the band itself still composes through the inline-XML path
+    tiles, meta = V.read_vrt(spark, _mask_vrt("1"))
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 4672
+
+
+def test_vrt_per_band_mask_of_source_mask(spark):            # vrtmask_2
+    """SourceBand 'mask,1' = the mask band of source band 1 (all-valid
+    byte.tif -> constant 255 mask, checksum 4873)."""
+    from gdal_spark.raster.checksum import checksum
+    tiles, meta = V.read_vrt_mask(spark, _mask_vrt("mask,1"))
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 4873
