@@ -232,6 +232,27 @@ def read_vrt_mask(spark: SparkSession, path: str, block: int = 256
                           base, stem + "_mask", block)
 
 
+def read_vrt_overviews(spark: SparkSession, path: str, block: int = 256
+                       ) -> list[tuple[DataFrame, RasterMeta]]:
+    """VRT ``<Overview>`` elements (vrtovr autotest): each names another
+    raster (file + band) that stands in as a precomputed overview level
+    — returned in declaration order, as GetOverview(i) would."""
+    root, base, _ = _load_root(path)
+    out = []
+    for band_el in root.findall("VRTRasterBand"):
+        for ov in band_el.findall("Overview"):
+            fn_el = ov.find("SourceFilename")
+            fn = fn_el.text.strip()
+            if fn_el.get("relativeToVRT", "0") == "1":
+                fn = os.path.join(base, fn)
+            sb = int(ov.findtext("SourceBand", "1")) - 1
+            meta = RF.geotiff_meta(fn, block=block)
+            tiles = RF.read_geotiff(spark, fn, block=block) \
+                      .filter(F.col("band") == sb)
+            out.append((tiles, meta))
+    return out
+
+
 def _compose_bands(spark: SparkSession, root: ET.Element,
                    band_els: list[ET.Element], base: str, stem: str,
                    block: int) -> tuple[DataFrame, RasterMeta]:

@@ -174,3 +174,20 @@ def test_vrt_per_band_mask_of_source_mask(spark):            # vrtmask_2
     from gdal_spark.raster.checksum import checksum
     tiles, meta = V.read_vrt_mask(spark, _mask_vrt("mask,1"))
     assert checksum(tiles, meta).collect()[0]["checksum"] == 4873
+
+
+def test_vrt_overview_element(spark):                        # vrtovr_1
+    from gdal_spark.raster.checksum import checksum
+    src = GD + "byte.tif"
+    xml = f"""<VRTDataset rasterXSize="20" rasterYSize="20">
+  <VRTRasterBand dataType="Byte" band="1">
+    <SimpleSource><SourceFilename relativeToVRT="0">{src}</SourceFilename>
+      <SourceBand>1</SourceBand></SimpleSource>
+    <Overview><SourceFilename relativeToVRT="0">{src}</SourceFilename>
+      <SourceBand>1</SourceBand></Overview>
+  </VRTRasterBand>
+</VRTDataset>"""
+    ovs = V.read_vrt_overviews(spark, xml)
+    assert len(ovs) == 1
+    tiles, meta = ovs[0]
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 4672
