@@ -48,7 +48,7 @@ def _vector_ext(path: str) -> str:
     base = path.rstrip("/").lower()
     for ext in (".geojsonl", ".geojsons", ".geojson", ".json", ".csv",
                 ".shp", ".gpkg", ".parquet", ".kml", ".gpx", ".mif", ".gml",
-                ".dxf", ".dbf", ".vrt"):
+                ".dxf", ".dbf", ".vrt", ".gmt"):
         if base.endswith(ext):
             return ext
     return ""
@@ -86,6 +86,8 @@ def read_vector(spark: SparkSession, src, layer: str | None = None,
         return read_dxf(spark, src)
     if ext == ".dbf":
         return FMT.read_shapefile(spark, src)
+    if ext == ".gmt":
+        return FMT.read_gmt(spark, src)
     if ext == ".vrt" or (isinstance(src, str)
                          and src.lstrip().startswith("<OGRVRTDataSource")):
         from gdal_spark.sources.vrt_vector import read_vrt_vector
@@ -114,6 +116,8 @@ def write_vector(df: DataFrame, dst: str, layer: str = "layer",
     elif ext == ".dxf":
         from gdal_spark.sources.dxf import write_dxf
         write_dxf(df, dst)
+    elif ext == ".gmt":
+        FMT.write_gmt(df, dst, geometry_col)
     elif ext == ".parquet":
         df.write.mode("overwrite").parquet(dst)
     else:

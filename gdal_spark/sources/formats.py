@@ -1457,3 +1457,299 @@ def wkb_from_gml(gml: str) -> bytes | None:
         if w is not None:
             return w
     return None
+
+
+# ---------------------------------------------------------------------------
+# GMT ASCII vector driver (gdal/ogr/ogrsf_frmts/gmt/ogrgmtlayer.cpp)
+# ---------------------------------------------------------------------------
+
+def _gmt_keyed_values(line: str) -> list[tuple[str, str]]:
+    """'@' keyed values of a '#' comment line (ogrgmtlayer.cpp:313
+    ReadLine): value runs to unquoted whitespace, quotes toggle, inside
+    quotes a backslash escapes the next char; contents then unescape."""
+    out = []
+    i = 0
+    while i < len(line):
+        if line[i] != "@":
+            i += 1
+            continue
+        j = i + 2
+        in_q = False
+        while j < len(line):
+            c = line[j]
+            if not in_q and c.isspace():
+                break
+            if in_q and c == "\\" and j < len(line) - 1:
+                j += 2
+                continue
+            if c == '"':
+                in_q = not in_q
+            j += 1
+        val = line[i + 2:j].replace('\\"', '"').replace("\\\\", "\\")
+        out.append((line[i + 1], val))
+        i = j
+    return out
+
+
+def _gmt_split_fields(s: str) -> list[str]:
+    """CSLTokenizeStringComplex(s, '|', TRUE, TRUE): honor quotes,
+    strip them, keep empty tokens."""
+    toks, cur, in_q = [], [], False
+    for c in s:
+        if c == '"':
+            in_q = not in_q
+        elif c == "|" and not in_q:
+            toks.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    toks.append("".join(cur))
+    return toks
+
+
+_GMT_TYPES = {"integer": "long", "double": "double",
+              "datetime": "string", "string": "string"}
+
+
+def read_gmt(spark: SparkSession, path: str) -> DataFrame:
+    """OGR GMT reader (OGRGmtLayer::GetNextRawFeature,
+    ogrgmtlayer.cpp:441): '>' separators with one-line lookahead decide
+    whether a new segment extends the current multi-part feature (@H =
+    hole ring, next-@D = next feature), @D lines carry '|'-separated
+    field data, @N/@T declare the schema. 2-D WKB out."""
+    with open(path, "r", encoding="utf-8") as f:
+        lines = [ln.rstrip("\n").rstrip("\r") for ln in f]
+
+    gtype, names, types = "", [], []
+    for ln in lines:
+        if not ln.startswith("#"):
+            break
+        for k, v in _gmt_keyed_values(ln):
+            if k == "G":
+                gtype = v.upper()
+            elif k == "N":
+                names = _gmt_split_fields(v)
+            elif k == "T":
+                types = [t.lower() for t in _gmt_split_fields(v)]
+
+    n = len(lines)
+
+    def hole_ahead(i):
+        j = i + 1
+        while j < n and lines[j].startswith("#"):
+            kv = _gmt_keyed_values(lines[j])
+            if kv and kv[0][0] == "H":
+                return True
+            j += 1
+        return False
+
+    def next_is_feature(i):
+        return (i + 1 < n and lines[i + 1].startswith("#")
+                and "@D" in lines[i + 1])
+
+    feats = []
+    i = 0
+    cur_type = gtype
+
+    while i < n:
+        field_data = None
+        geom = None       # POINT: [x,y]; LINESTRING: [pts];
+        # MULTILINESTRING: [[pts],...]; POLYGON: [[ring pts],...];
+        # MULTIPOLYGON: [[[ring]...], ...]
+        while i < n:
+            ln = lines[i]
+            if not ln:
+                break   # blank line ends the feature (ReadLine empty)
+            if ln.startswith(">"):
+                if geom is not None and cur_type == "MULTIPOLYGON":
+                    if hole_ahead(i):
+                        geom[-1].append([])
+                    elif not next_is_feature(i):
+                        geom.append([[]])
+                    else:
+                        break
+                elif geom is not None and cur_type == "POLYGON":
+                    if hole_ahead(i):
+                        geom.append([])
+                    else:
+                        break
+                elif geom is not None and cur_type == "MULTILINESTRING" \
+                        and not next_is_feature(i):
+                    geom.append([])
+                elif geom is not None:
+                    break
+                elif not cur_type:
+                    cur_type = "LINESTRING"
+                i += 1
+            elif ln.startswith("#"):
+                for k, v in _gmt_keyed_values(ln):
+                    if k == "D":
+                        field_data = v
+                i += 1
+            else:
+                parts = ln.split()
+                if len(parts) >= 2:
+                    x, y = float(parts[0]), float(parts[1])
+                    if geom is None:
+                        if cur_type == "LINESTRING":
+                            geom = [[]]
+                        elif cur_type == "POLYGON":
+                            geom = [[]]
+                        elif cur_type == "MULTIPOLYGON":
+                            geom = [[[]]]
+                        elif cur_type == "MULTILINESTRING":
+                            geom = [[]]
+                        elif cur_type == "MULTIPOINT":
+                            geom = [[]]
+                        else:   # POINT / unknown
+                            geom = [x, y]
+                            i += 1
+                            break
+                    if cur_type in ("LINESTRING", "MULTIPOINT"):
+                        geom[0].append((x, y))
+                    elif cur_type == "MULTILINESTRING":
+                        geom[-1].append((x, y))
+                    elif cur_type == "POLYGON":
+                        geom[-1].append((x, y))
+                    elif cur_type == "MULTIPOLYGON":
+                        geom[-1][-1].append((x, y))
+                i += 1
+        if geom is None:
+            break
+        feats.append((cur_type, geom, field_data))
+
+    rows = []
+    for fid, (ftype, geom, field_data) in enumerate(feats):
+        if ftype == "POINT" or isinstance(geom[0], float):
+            wkb = G.encode_point(geom[0], geom[1])
+        elif ftype == "MULTIPOINT":
+            wkb = G.encode_multipoint(np.asarray(geom[0], np.float64))
+        elif ftype == "MULTILINESTRING":
+            wkb = G.encode_multilinestring(
+                [np.asarray(p, np.float64) for p in geom if p])
+        elif ftype == "POLYGON":
+            wkb = G.encode_polygon(
+                [np.asarray(r, np.float64) for r in geom if r])
+        elif ftype == "MULTIPOLYGON":
+            wkb = G.encode_multipolygon(
+                [[np.asarray(r, np.float64) for r in poly if r]
+                 for poly in geom])
+        else:
+            wkb = G.encode_linestring(np.asarray(geom[0], np.float64))
+        vals = _gmt_split_fields(field_data) if field_data else []
+        row = [fid]
+        for k in range(len(names)):
+            v = vals[k] if k < len(vals) else None
+            t = types[k] if k < len(types) else "string"
+            if v is not None and t == "integer":
+                v = int(v)
+            elif v is not None and t == "double":
+                v = float(v)
+            row.append(v)
+        row.append(bytearray(wkb))
+        rows.append(tuple(row))
+
+    schema = "fid long"
+    for k, nm in enumerate(names):
+        t = types[k] if k < len(types) else "string"
+        schema += f", `{nm}` {_GMT_TYPES.get(t, 'string')}"
+    schema += ", geometry binary"
+    return spark.createDataFrame(rows, schema)
+
+
+def write_gmt(df: DataFrame, path: str,
+              geometry_col: str = "geometry") -> None:
+    """OGR GMT writer (OGRGmtLayer::CompleteHeader/ICreateFeature,
+    ogrgmtlayer.cpp:700-960): @VGMT1.0 @G<type> header, @R region,
+    @N/@T schema, FEATURE_DATA, then per feature a '>' separator,
+    the @D field line, and vertex lines (@P/@H polygon ring markers)."""
+    rows = df.collect()
+    attr_cols = [f for f in df.schema.fields
+                 if f.name not in (geometry_col, "fid")]
+
+    def fmt(v):
+        return f"{float(v):.15g}"
+
+    kinds = {"POINT": "POINT", "MULTIPOINT": "MULTIPOINT",
+             "LINESTRING": "LINESTRING",
+             "MULTILINESTRING": "MULTILINESTRING",
+             "POLYGON": "POLYGON", "MULTIPOLYGON": "MULTIPOLYGON"}
+    gk = ""
+    xs, ys = [], []
+    parsed = []
+    for r in rows:
+        wkb = r[geometry_col]
+        if wkb is None:
+            continue
+        wkb = bytes(wkb)
+        kind = G.wkt_from_wkb(wkb).split(" ", 1)[0].split("(", 1)[0]
+        gk = gk or kinds.get(kind, "")
+        parsed.append((r, kind, wkb))
+
+    out = [f"# @VGMT1.0 @G{gk}"]
+    for r, kind, wkb in parsed:
+        if kind == "POINT":
+            x, y = G.decode_point(wkb)
+            xs += [x, x]; ys += [y, y]
+        else:
+            import re as _re
+            cs = [float(t) for t in _re.findall(
+                r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?", G.wkt_from_wkb(wkb))]
+            xs += cs[0::2]; ys += cs[1::2]
+    if xs:
+        out.append("# @R%.12g/%.12g/%.12g/%.12g"
+                   % (min(xs), max(xs), min(ys), max(ys)))
+    if attr_cols:
+        tmap = {"bigint": "integer", "int": "integer", "double": "double",
+                "float": "double"}
+        out.append("# @N" + "|".join(f.name for f in attr_cols))
+        out.append("# @T" + "|".join(
+            tmap.get(f.dataType.simpleString(), "string")
+            for f in attr_cols))
+    out.append("# FEATURE_DATA")
+
+    def emit_field(v, dt):
+        s = "" if v is None else (fmt(v) if dt == "double"
+                                  else str(v))
+        if any(c in s for c in ' |\t\n'):
+            s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return s
+
+    for r, kind, wkb in parsed:
+        if kind != "POINT":
+            out.append(">")
+        if attr_cols:
+            out.append("# @D" + "|".join(
+                emit_field(r[f.name], f.dataType.simpleString())
+                for f in attr_cols))
+        if kind == "POINT":
+            x, y = G.decode_point(wkb)
+            out.append(f"{fmt(x)} {fmt(y)}")
+        elif kind == "LINESTRING":
+            for x, y in G.decode_linestring(wkb):
+                out.append(f"{fmt(x)} {fmt(y)}")
+        elif kind in ("POLYGON", "MULTIPOLYGON"):
+            first = True
+            for poly in G.decode_polygons(wkb):
+                for ri, ring in enumerate(poly):
+                    if not first:
+                        out.append(">")
+                    first = False
+                    out.append("# @P" if ri == 0 else "# @H")
+                    for x, y in ring:
+                        out.append(f"{fmt(x)} {fmt(y)}")
+        elif kind in ("MULTILINESTRING", "MULTIPOINT"):
+            first = True
+            for part in G.decode_collection(wkb):
+                pk = G.wkt_from_wkb(part).split(" ", 1)[0].split("(", 1)[0]
+                if pk == "POINT":
+                    x, y = G.decode_point(part)
+                    out.append(f"{fmt(x)} {fmt(y)}")
+                else:
+                    if not first:
+                        out.append(">")
+                    for x, y in G.decode_linestring(part):
+                        out.append(f"{fmt(x)} {fmt(y)}")
+                first = False
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")

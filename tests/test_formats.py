@@ -417,3 +417,58 @@ def test_gml_box_envelope():                     # gml_Box / gml_Envelope
 </gml:Envelope>"""
     assert G.wkt_from_wkb(wkb_from_gml(env)) == \
         "POLYGON ((1 2,3 2,3 4,1 4,1 2))"
+
+
+# --- GMT driver (autotest/ogr/ogr_gmt.py) ------------------------------------
+
+def test_gmt_multilinestring_read(spark):                  # ogr_gmt_4
+    df = FMT.read_gmt(spark,
+                      "/root/reference/autotest/ogr/data/test_multi.gmt")
+    rows = df.orderBy("fid").collect()
+    assert len(rows) == 2
+    assert G.wkt_from_wkb(bytes(rows[0]["geometry"])) == \
+        "MULTILINESTRING ((175 -45,176 -45),(180 -45.3,179 -45.4))"
+    assert rows[0]["name"] == "feature 1"
+    assert rows[0]["id"] == 1
+    assert G.wkt_from_wkb(bytes(rows[1]["geometry"])) == \
+        "MULTILINESTRING ((175.1 -45,175.2 -45.1),(180.1 -45.3,180 -45.2))"
+    assert rows[1]["name"] == "feature 2"
+
+
+def test_gmt_polygon_roundtrip(spark, tmp_path):           # ogr_gmt_2/3
+    from gdal_spark.sources.vrt_vector import read_vrt_vector
+    src = read_vrt_vector(
+        spark, '<OGRVRTDataSource><OGRVRTLayer name="poly">'
+        '<SrcDataSource relativeToVRT="0">'
+        '/root/reference/autotest/ogr/data/poly.shp</SrcDataSource>'
+        '</OGRVRTLayer></OGRVRTDataSource>')
+    out = str(tmp_path / "tpoly.gmt")
+    FMT.write_gmt(src, out)
+    back = FMT.read_gmt(spark, out)
+    assert back.count() == 10
+    eas = [r["EAS_ID"] for r in back.filter("EAS_ID < 170")
+           .orderBy("fid").collect()]
+    assert eas == [168, 169, 166, 158, 165]
+    a, b = src.orderBy("fid").collect(), back.orderBy("fid").collect()
+    for x, y in zip(a, b):
+        assert G.wkt_from_wkb(bytes(x["geometry"])) == \
+            G.wkt_from_wkb(bytes(y["geometry"]))
+        assert float(x["AREA"]) == float(y["AREA"])
+        assert x["PRFEDEA"] == y["PRFEDEA"]
+
+
+def test_gmt_multipolygon_roundtrip(spark, tmp_path):      # ogr_gmt_5/6
+    w1 = ("MULTIPOLYGON (((0 0,0 10,10 10,0 10,0 0),(3 3,4 4,3 4,3 3)),"
+          "((12 0,14 0,12 3,12 0)))")
+    w2 = "MULTIPOLYGON (((30 20,40 20,30 30,30 20)))"
+    rows = [(0, 15, bytearray(G.wkb_from_wkt(w1))),
+            (1, 16, bytearray(G.wkb_from_wkt(w2)))]
+    src = spark.createDataFrame(rows, "fid long, ID long, geometry binary")
+    out = str(tmp_path / "mpoly.gmt")
+    FMT.write_gmt(src, out)
+    back = FMT.read_gmt(spark, out).orderBy("fid").collect()
+    assert len(back) == 2
+    assert G.wkt_from_wkb(bytes(back[0]["geometry"])) == w1
+    assert back[0]["ID"] == 15
+    assert G.wkt_from_wkb(bytes(back[1]["geometry"])) == w2
+    assert back[1]["ID"] == 16
