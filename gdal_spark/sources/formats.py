@@ -41,7 +41,9 @@ algebra) consumes format-driver output unchanged.
 
 from __future__ import annotations
 
+import csv
 import json
+import math
 import struct
 from collections.abc import Iterator
 
@@ -1752,4 +1754,197 @@ def write_gmt(df: DataFrame, path: str,
                         out.append(f"{fmt(x)} {fmt(y)}")
                 first = False
     with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# BNA driver (gdal/ogr/ogrsf_frmts/bna/ogrbnalayer.cpp, ogrbnaparser.cpp)
+# ---------------------------------------------------------------------------
+
+def _bna_records(path: str):
+    """(ids, coords) per record: a quoted-ID header line with a trailing
+    count, then |count| coordinate pairs (possibly several per line)."""
+    import re as _re
+    with open(path, "r", encoding="latin-1") as f:
+        text = f.read()
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    i, n = 0, len(lines)
+    while i < n:
+        m = _re.match(r'^\s*"', lines[i])
+        if not m:
+            i += 1
+            continue
+        parts = next(csv.reader([lines[i]]))
+        count = int(parts[-1])
+        ids = [p for p in parts[:-1]]
+        npts = abs(count)
+        coords = []
+        i += 1
+        while len(coords) < 2 * npts and i < n:
+            for tok in _re.split(r"[,\s]+", lines[i]):
+                if tok:
+                    coords.append(float(tok))
+            i += 1
+        pts = np.array(coords[:2 * npts]).reshape(-1, 2)
+        yield ids, count, pts
+
+
+def _bna_organize_polygons(rings: list[np.ndarray]) -> bytes:
+    """organizePolygons (DEFAULT method) over the split rings: a ring
+    contained in an odd number of others is a hole of its smallest
+    container; the rest are outer rings.  One outer → the reference
+    wraps it in a MULTIPOLYGON (ogrbnalayer.cpp:712), several with
+    holes → POLYGON / MULTIPOLYGON per containment."""
+    from gdal_spark.functions.geometry import py_point_in_ring
+    n = len(rings)
+    areas = [abs(float(np.cross(r[:-1], np.roll(r[:-1], -1, axis=0))
+                       .sum()) / 2.0) for r in rings]
+    contains = [[False] * n for _ in range(n)]
+    for a in range(n):
+        for b in range(n):
+            if a != b and areas[a] >= areas[b]:
+                px, py = rings[b][0]
+                contains[a][b] = bool(py_point_in_ring(px, py, rings[a]))
+    depth = [sum(contains[a][b] for a in range(n)) for b in range(n)]
+    outers = [b for b in range(n) if depth[b] % 2 == 0]
+    polys = {o: [rings[o]] for o in outers}
+    for b in range(n):
+        if depth[b] % 2 == 1:
+            cands = [o for o in outers if contains[o][b]]
+            host = min(cands, key=lambda o: areas[o]) if cands else None
+            if host is not None:
+                polys[host].append(rings[b])
+    plist = [polys[o] for o in sorted(outers)]
+    if len(plist) == 1 and len(rings) > 1:
+        return G.encode_polygon(plist[0])
+    return G.encode_multipolygon(plist)
+
+
+def read_bna(spark: SparkSession, path: str,
+             layer: str = "polygons") -> DataFrame:
+    """One of the four BNA layers (points / lines / polygons /
+    ellipses — the reference exposes <basename>_<kind>): count 1 =
+    point, 2 = ellipse (center + radii, stroked at 1-degree steps),
+    negative = polyline, >2 = polygon record whose rings are delimited
+    by recalling the first coordinate (ogrbnalayer.cpp:607-735)."""
+    rows = []
+    for ids, count, pts in _bna_records(path):
+        p1 = ids[0] if len(ids) > 0 else None
+        p2 = ids[1] if len(ids) > 1 else None
+        if count == 1 and layer == "points":
+            rows.append((p1, p2, None, None,
+                         bytearray(G.encode_point(pts[0][0], pts[0][1]))))
+        elif count == 2 and layer == "ellipses":
+            cx, cy = pts[0]
+            rmaj, rmin = pts[1]
+            if rmin == 0:
+                rmin = rmaj
+            ang = np.arange(360) * (math.pi / 180.0)
+            ring = np.column_stack([cx + rmaj * np.cos(ang),
+                                    cy + rmin * np.sin(ang)])
+            ring = np.vstack([ring, [cx + rmaj, cy]])
+            rows.append((p1, p2, float(rmaj), float(rmin),
+                         bytearray(G.encode_polygon([ring]))))
+        elif count < 0 and layer == "lines":
+            rows.append((p1, p2, None, None,
+                         bytearray(G.encode_linestring(pts))))
+        elif count > 2 and layer == "polygons":
+            first = pts[0]
+            rings, cur, sec = [], [pts[0]], None
+            i = 1
+            while i < len(pts):
+                cur.append(pts[i])
+                if sec is None and np.array_equal(pts[i], first):
+                    rings.append(np.array(cur))
+                    if i == len(pts) - 1:
+                        cur = []
+                        break
+                    i += 1
+                    sec = pts[i]
+                    cur = [pts[i]]
+                elif sec is not None and np.array_equal(pts[i], sec):
+                    rings.append(np.array(cur))
+                    cur = []
+                    if i < len(pts) - 1:
+                        if np.array_equal(pts[i + 1], first):
+                            if i + 1 == len(pts) - 1:
+                                break
+                            i += 1
+                        i += 1
+                        sec = pts[i]
+                        cur = [pts[i]]
+                i += 1
+            if cur and sec is None:
+                rings.append(np.vstack([np.array(cur), [first]]))
+            rows.append((p1, p2, None, None,
+                         bytearray(_bna_organize_polygons(rings))))
+    schema = ("`Primary ID` string, `Secondary ID` string, "
+              "`Major radius` double, `Minor radius` double, "
+              "geometry binary")
+    df = spark.createDataFrame(rows, schema)
+    if layer != "ellipses":
+        df = df.drop("Major radius", "Minor radius")
+    return df
+
+
+def write_bna(df: DataFrame, path: str,
+              geometry_col: str = "geometry") -> None:
+    """BNA sink: one header line `"PID","SID",count` per feature, then
+    one coordinate pair per line at 10-decimal precision
+    (ogrbnalayer.cpp WriteCoord)."""
+    out = []
+
+    def coord(x, y):
+        return f"{x:.10f},{y:.10f}"
+
+    for r in df.collect():
+        wkb = r[geometry_col]
+        if wkb is None:
+            continue
+        wkb = bytes(wkb)
+        p1 = r["Primary ID"] if "Primary ID" in df.columns else ""
+        p2 = r["Secondary ID"] if "Secondary ID" in df.columns else ""
+        kind = G.wkt_from_wkb(wkb).split(" ", 1)[0].split("(", 1)[0]
+        if kind == "POINT":
+            x, y = G.decode_point(wkb)
+            out.append(f'"{p1}","{p2}",1')
+            out.append(coord(x, y))
+        elif kind == "LINESTRING":
+            pts = G.decode_linestring(wkb)
+            out.append(f'"{p1}","{p2}",{-len(pts)}')
+            out += [coord(x, y) for x, y in pts]
+        elif kind in ("POLYGON", "MULTIPOLYGON"):
+            polys = G.decode_polygons(wkb)
+            # ellipse re-detection (ogrbnalayer.cpp:364-402): a single
+            # 361-point ring tracing center + r*cos/sin collapses back
+            # to a count-2 ellipse record
+            if len(polys) == 1 and len(polys[0]) == 1 \
+                    and len(polys[0][0]) == 361:
+                ring = polys[0][0]
+                cx = (ring[0][0] + ring[180][0]) / 2.0
+                cy = (ring[90][1] + ring[270][1]) / 2.0
+                rmaj = abs(ring[0][0] - cx)
+                rmin = abs(ring[90][1] - cy)
+                ang = np.arange(360) * (math.pi / 180.0)
+                if (np.abs(cx + rmaj * np.cos(ang) - ring[:360, 0])
+                        < 1e-5).all() and \
+                   (np.abs(cy + rmin * np.sin(ang) - ring[:360, 1])
+                        < 1e-5).all():
+                    out.append(f'"{p1}","{p2}",2')
+                    out.append(coord(cx, cy))
+                    out.append(coord(rmaj, rmin))
+                    continue
+            lines = []
+            first = None
+            for poly in polys:
+                for ring in poly:
+                    if first is None:
+                        first = ring[0]
+                        lines += [coord(x, y) for x, y in ring]
+                    else:
+                        lines += [coord(x, y) for x, y in ring]
+                        lines.append(coord(first[0], first[1]))
+            out.append(f'"{p1}","{p2}",{len(lines)}')
+            out += lines
+    with open(path, "w", encoding="latin-1") as f:
         f.write("\n".join(out) + "\n")

@@ -472,3 +472,48 @@ def test_gmt_multipolygon_roundtrip(spark, tmp_path):      # ogr_gmt_5/6
     assert back[0]["ID"] == 15
     assert G.wkt_from_wkb(bytes(back[1]["geometry"])) == w2
     assert back[1]["ID"] == 16
+
+
+# --- BNA driver (autotest/ogr/ogr_bna.py over data/test.bna) -----------------
+
+BNA = "/root/reference/autotest/ogr/data/test.bna"
+
+
+def test_bna_points_and_lines(spark):                      # ogr_bna_1/2
+    pts = FMT.read_bna(spark, BNA, "points").collect()
+    assert [r["Primary ID"] for r in pts] == ["PID5", "PID4"]
+    assert G.wkt_from_wkb(bytes(pts[0]["geometry"])) == \
+        "POINT (573.736 476.563)"
+    assert G.wkt_from_wkb(bytes(pts[1]["geometry"])) == \
+        "POINT (532.991 429.121)"
+    lns = FMT.read_bna(spark, BNA, "lines").collect()
+    assert [r["Primary ID"] for r in lns] == ["PID3"]
+    assert G.wkt_from_wkb(bytes(lns[0]["geometry"])) == \
+        "LINESTRING (224.598 307.425,333.043 341.461,396.629 304.952)"
+
+
+def test_bna_polygons(spark):                              # ogr_bna_3
+    pol = FMT.read_bna(spark, BNA, "polygons").collect()
+    assert [r["Primary ID"] for r in pol] == \
+        ["PID2", "PID1", "PID7", "PID8"]
+    assert G.wkt_from_wkb(bytes(pol[2]["geometry"])) == \
+        "MULTIPOLYGON (((0 0,1 0,1 1,0 1,0 0)))"
+    assert G.wkt_from_wkb(bytes(pol[3]["geometry"])) == \
+        "POLYGON ((0 0,0 10,10 10,10 0,0 0),(2 2,2 8,8 8,8 2,2 2))"
+
+
+def test_bna_ellipses_and_roundtrip(spark, tmp_path):      # ogr_bna_4/write
+    ell = FMT.read_bna(spark, BNA, "ellipses").collect()
+    assert [r["Primary ID"] for r in ell] == ["PID6"]
+    assert ell[0]["Major radius"] == 100.0
+    for lay in ("points", "lines", "polygons", "ellipses"):
+        src = FMT.read_bna(spark, BNA, lay)
+        out = str(tmp_path / f"out_{lay}.bna")
+        FMT.write_bna(src, out)
+        back = FMT.read_bna(spark, out, lay)
+        a, b = src.collect(), back.collect()
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x["Primary ID"] == y["Primary ID"]
+            assert G.wkt_from_wkb(bytes(x["geometry"])) == \
+                G.wkt_from_wkb(bytes(y["geometry"]))
