@@ -1416,3 +1416,155 @@ def write_srtmhgt(tiles: DataFrame, meta: RasterMeta, path: str) -> None:
     from gdal_spark.raster.model import to_array
     arr = to_array(tiles, meta).astype(np.int16)
     arr.astype(">i2").tofile(path)
+
+
+# ---------------------------------------------------------------------------
+# USGS DEM reader (gdal/frmts/usgsdem/usgsdemdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class _DemScan:
+    """Whitespace-delimited Fortran number scanner over the whole file
+    (the reference's Buffer + USGSDEMReadIntFromBuffer semantics)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+
+    def read_int(self):
+        d, p, n = self.d, self.p, len(self.d)
+        while p < n and d[p:p + 1].isspace():
+            p += 1
+        if p >= n:
+            self.p = p
+            return None
+        sign, val = 1, 0
+        c = d[p]
+        if c == 0x2D:
+            sign = -1
+        elif c == 0x2B:
+            sign = 1
+        elif 0x30 <= c <= 0x39:
+            val = c - 0x30
+        else:
+            self.p = p + 1
+            return None
+        p += 1
+        while p < n and 0x30 <= d[p] <= 0x39:
+            val = val * 10 + (d[p] - 0x30)
+            p += 1
+        self.p = p
+        return sign * val
+
+    def read_double(self, nchars):
+        s = self.d[self.p:self.p + nchars].decode("ascii", "replace")
+        self.p += nchars
+        return float(s.replace("D", "E") or "0")
+
+
+def _dem_dconvert(data: bytes, off: int, nchars: int) -> float:
+    return float(data[off:off + nchars].decode("ascii", "replace")
+                 .replace("D", "E"))
+
+
+def read_usgsdem(spark: SparkSession, path: str,
+                 raster_id: str = "usgsdem", block: int = 256
+                 ) -> tuple[DataFrame, RasterMeta]:
+    """USGS ASCII DEM: A-record header at fixed offsets, then one
+    B-record profile per raster column, southernmost point first, with
+    per-profile y-start / elevation offset (usgsdemdataset.cpp
+    LoadFromFile:500-760 + IReadBlock:330-425).  Vertical feet or
+    sub-metre resolution promote to float32; truncated files fill what
+    their profiles cover and leave the rest nodata (-32767)."""
+    data = open(path, "rb").read()
+
+    s = _DemScan(data, 864)
+    nrow, ncol = s.read_int(), s.read_int()
+    if nrow != 1 or ncol != 1:      # new format
+        s = _DemScan(data, 1024)
+        i, j = s.read_int(), s.read_int()
+        if i == 1 and j in (0, 1):
+            start = 1024
+        else:
+            s = _DemScan(data, 893)
+            i, j = s.read_int(), s.read_int()
+            if i != 1 or j != 1:
+                raise ValueError("not a USGS DEM file")
+            start = 893
+    else:
+        start = 864
+
+    s = _DemScan(data, 156)
+    coordsys = s.read_int()
+    utm_zone = s.read_int()
+    s = _DemScan(data, 528)
+    g_unit, v_unit = s.read_int(), s.read_int()
+    dxdelta = _dem_dconvert(data, 816, 12)
+    dydelta = _dem_dconvert(data, 828, 12)
+    vres = _dem_dconvert(data, 840, 12)
+    dtype = "float32" if (v_unit == 1 or vres < 1.0) else "int16"
+
+    corners = [( _dem_dconvert(data, 546 + i * 48, 24),
+                 _dem_dconvert(data, 546 + i * 48 + 24, 24))
+               for i in range(4)]     # SW, NW, NE, SE
+    ext_min_x = min(corners[0][0], corners[1][0])
+    ext_max_x = max(corners[2][0], corners[3][0])
+    ext_min_y = min(corners[0][1], corners[3][1])
+    ext_max_y = max(corners[1][1], corners[2][1])
+    nprofiles = _DemScan(data, 858).read_int()
+
+    if coordsys in (1, 2, -9999):   # UTM / state plane / unknown
+        ext_min_y = math.floor(ext_min_y / dydelta) * dydelta
+        ext_max_y = math.ceil(ext_max_y / dydelta) * dydelta
+        s = _DemScan(data, start)
+        for _ in range(4):
+            s.read_int()
+        dx_start = s.read_double(24)
+        height = int((ext_max_y - ext_min_y) / dydelta + 1.5)
+        width = nprofiles
+        gt = (dx_start - dxdelta / 2.0, dxdelta, 0.0,
+              ext_max_y + dydelta / 2.0, 0.0, -dydelta)
+        geographic = False
+    else:
+        height = int((ext_max_y - ext_min_y) / dydelta + 1.5)
+        width = nprofiles
+        gt = ((ext_min_x - dxdelta / 2.0) / 3600.0, dxdelta / 3600.0, 0.0,
+              (ext_max_y + dydelta / 2.0) / 3600.0, 0.0, -dydelta / 3600.0)
+        geographic = True
+
+    NODATA = -32767
+    grid = np.full((height, width),
+                   NODATA, dtype=np.float64)
+    ymin = gt[3] + (height - 0.5) * gt[5]
+    s = _DemScan(data, start)
+    for i in range(width):
+        vals = [s.read_int() for _ in range(4)]
+        if any(v is None for v in vals):
+            break
+        ncpoints = vals[2]
+        s.read_double(24)                   # dxStart
+        dy_start = s.read_double(24)
+        elev_off = s.read_double(24)
+        s.read_double(24)
+        s.read_double(24)
+        if geographic:
+            dy_start /= 3600.0
+        lygap = int((ymin - dy_start) / gt[5] + 0.5)
+        stop = False
+        for jj in range(lygap, ncpoints + lygap):
+            iy = height - jj - 1
+            nelev = s.read_int()
+            if nelev is None:
+                stop = True
+                break
+            if 0 <= iy < height and nelev != NODATA:
+                grid[iy, i] = nelev * vres + elev_off
+        if stop:
+            break
+    if dtype == "int16":
+        out = np.trunc(grid).astype(np.int16)   # C float->int16 cast
+    else:
+        out = grid.astype(np.float32)
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype=dtype,
+                      nodata=float(NODATA), block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(out), meta), meta

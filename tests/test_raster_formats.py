@@ -568,3 +568,25 @@ def test_srtmhgt_golden(spark, tmp_path):
     assert py_checksum(M.to_array(t2, m2)) == 60918
     assert m2.gt == pytest.approx(meta.gt, abs=1e-9)
     assert m2.nodata == -32768.0
+
+
+# --- USGS DEM (autotest/gdrivers/usgsdem.py goldens) -------------------------
+
+@pytest.mark.parametrize("fn,cs,gt", [
+    ("022gdeme_truncated", 1583,
+     (-67.00041667, 0.00083333, 0.0, 50.000416667, 0.0, -0.00083333)),
+    ("114p01_0100_deme_truncated.dem", 53864,
+     (-136.25010416667, 0.000208333, 0.0, 59.25010416667, 0.0,
+      -0.000208333)),
+    ("39079G6_truncated.dem", 61424,
+     (606855.0, 30.0, 0.0, 4414605.0, 0.0, -30.0)),
+    ("39109h1_truncated.dem", 39443, None),
+    ("4619old_truncated.dem", 10659,
+     (18.99958333, 0.0008333, 0.0, 47.000416667, 0.0, -0.0008333)),
+])
+def test_usgsdem_goldens(spark, fn, cs, gt):    # usgsdem_1/2/3/8/9
+    tiles, meta = RF.read_usgsdem(
+        spark, "/root/reference/autotest/gdrivers/data/" + fn)
+    assert checksum(tiles, meta).collect()[0]["checksum"] == cs
+    if gt is not None:
+        assert all(abs(a - b) < 1e-7 for a, b in zip(meta.gt, gt))
