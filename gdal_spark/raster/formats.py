@@ -1568,3 +1568,142 @@ def read_usgsdem(spark: SparkSession, path: str,
                       nodata=float(NODATA), block=block)
     from gdal_spark.raster.model import from_array
     return from_array(spark, np.ascontiguousarray(out), meta), meta
+
+
+# ---------------------------------------------------------------------------
+# Golden Software Surfer grids (gdal/frmts/gsg: gsagdataset.cpp DSAA
+# ascii, gsbgdataset.cpp DSBB 6 binary, gs7bgdataset.cpp DSRB 7 binary)
+# ---------------------------------------------------------------------------
+
+GSG_NODATA = 1.701410009187828e+38
+
+
+def read_gsag(spark: SparkSession, path: str, raster_id: str = "gsag",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Surfer 6 ASCII grid: DSAA, nx ny, xlo xhi, ylo yhi, zlo zhi,
+    then node values with row 0 southernmost (gsagdataset.cpp)."""
+    toks = open(path, "r", encoding="latin-1").read().split()
+    if toks[0] != "DSAA":
+        raise ValueError("not a Surfer ASCII grid")
+    nx, ny = int(toks[1]), int(toks[2])
+    xlo, xhi = float(toks[3]), float(toks[4])
+    ylo, yhi = float(toks[5]), float(toks[6])
+    vals = np.array([float(v) for v in toks[9:9 + nx * ny]],
+                    dtype=np.float64)
+    grid = vals.reshape(ny, nx)[::-1]     # bottom-up -> north-up
+    dx = (xhi - xlo) / (nx - 1)
+    dy = (yhi - ylo) / (ny - 1)
+    gt = (xlo - dx / 2.0, dx, 0.0, yhi + dy / 2.0, 0.0, -dy)
+    meta = RasterMeta(raster_id, nx, ny, gt=gt, dtype="float64",
+                      nodata=GSG_NODATA, block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(grid), meta), meta
+
+
+def write_gsag(tiles: DataFrame, meta: RasterMeta, path: str,
+               band: int = 0) -> None:
+    from gdal_spark.raster.model import to_array
+    arr = to_array(tiles, meta, band=band).astype(np.float64)
+    g = meta.gt
+    xlo, dx, dy = g[0] + g[1] / 2.0, g[1], -g[5]
+    yhi = g[3] + g[5] / 2.0
+    ylo = yhi - (meta.height - 1) * dy
+    xhi = xlo + (meta.width - 1) * dx
+    south_up = arr[::-1]
+    with open(path, "w", encoding="latin-1", newline="") as f:
+        f.write("DSAA\r\n%d %d\r\n%.10g %.10g\r\n%.10g %.10g\r\n"
+                "%.10g %.10g\r\n" % (meta.width, meta.height, xlo, xhi,
+                                     ylo, yhi, arr.min(), arr.max()))
+        for row in south_up:
+            f.write(" ".join("%.10g" % v for v in row) + "\r\n")
+
+
+def read_gsbg(spark: SparkSession, path: str, raster_id: str = "gsbg",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Surfer 6 binary grid: DSBB, int16 nx/ny, 6 doubles, float32
+    nodes bottom-up (gsbgdataset.cpp)."""
+    data = open(path, "rb").read()
+    if data[:4] != b"DSBB":
+        raise ValueError("not a Surfer 6 binary grid")
+    nx, ny = struct.unpack_from("<HH", data, 4)
+    xlo, xhi, ylo, yhi, _, _ = struct.unpack_from("<6d", data, 8)
+    vals = np.frombuffer(data, dtype="<f4", count=nx * ny, offset=56)
+    grid = vals.reshape(ny, nx)[::-1]
+    dx = (xhi - xlo) / (nx - 1)
+    dy = (yhi - ylo) / (ny - 1)
+    gt = (xlo - dx / 2.0, dx, 0.0, yhi + dy / 2.0, 0.0, -dy)
+    meta = RasterMeta(raster_id, nx, ny, gt=gt, dtype="float32",
+                      nodata=float(np.float32(GSG_NODATA)), block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(grid), meta), meta
+
+
+def write_gsbg(tiles: DataFrame, meta: RasterMeta, path: str,
+               band: int = 0) -> None:
+    from gdal_spark.raster.model import to_array
+    arr = to_array(tiles, meta, band=band).astype(np.float32)
+    g = meta.gt
+    xlo, dx, dy = g[0] + g[1] / 2.0, g[1], -g[5]
+    yhi = g[3] + g[5] / 2.0
+    ylo = yhi - (meta.height - 1) * dy
+    xhi = xlo + (meta.width - 1) * dx
+    with open(path, "wb") as f:
+        f.write(b"DSBB")
+        f.write(struct.pack("<HH", meta.width, meta.height))
+        f.write(struct.pack("<6d", xlo, xhi, ylo, yhi,
+                            float(arr.min()), float(arr.max())))
+        f.write(np.ascontiguousarray(arr[::-1], dtype="<f4").tobytes())
+
+
+def read_gs7bg(spark: SparkSession, path: str, raster_id: str = "gs7bg",
+               block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Surfer 7 binary grid: DSRB header section, GRID section (int32
+    nrow/ncol, xLL/yLL/xSize/ySize/zmin/zmax/rotation/blank doubles),
+    DATA section of float64 nodes bottom-up (gs7bgdataset.cpp)."""
+    data = open(path, "rb").read()
+    if data[:4] != b"DSRB":
+        raise ValueError("not a Surfer 7 grid")
+    (size,) = struct.unpack_from("<i", data, 4)
+    pos = 8 + size      # header section body holds just the version
+    grid = None
+    meta = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<i", data, pos + 4)
+        body = pos + 8
+        if tag == b"GRID":
+            ny, nx = struct.unpack_from("<ii", data, body)
+            (xll, yll, dx, dy, _zmin, _zmax, _rot,
+             blank) = struct.unpack_from("<8d", data, body + 8)
+        elif tag == b"DATA":
+            vals = np.frombuffer(data, dtype="<f8", count=nx * ny,
+                                 offset=body)
+            grid = vals.reshape(ny, nx)[::-1]
+            gt = (xll - dx / 2.0, dx, 0.0,
+                  yll + (ny - 1) * dy + dy / 2.0, 0.0, -dy)
+            meta = RasterMeta(raster_id, nx, ny, gt=gt, dtype="float64",
+                              nodata=blank, block=block)
+            break
+        pos = body + size
+    if grid is None:
+        raise ValueError("Surfer 7 grid has no DATA section")
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(grid), meta), meta
+
+
+def write_gs7bg(tiles: DataFrame, meta: RasterMeta, path: str,
+                band: int = 0) -> None:
+    from gdal_spark.raster.model import to_array
+    arr = to_array(tiles, meta, band=band).astype(np.float64)
+    g = meta.gt
+    xll, dx, dy = g[0] + g[1] / 2.0, g[1], -g[5]
+    yll = g[3] + g[5] / 2.0 - (meta.height - 1) * dy
+    with open(path, "wb") as f:
+        f.write(b"DSRB" + struct.pack("<ii", 4, 1))
+        f.write(b"GRID" + struct.pack("<i", 72))
+        f.write(struct.pack("<ii", meta.height, meta.width))
+        f.write(struct.pack("<8d", xll, yll, dx, dy,
+                            float(arr.min()), float(arr.max()), 0.0,
+                            GSG_NODATA))
+        f.write(b"DATA" + struct.pack("<i", meta.width * meta.height * 8))
+        f.write(np.ascontiguousarray(arr[::-1], dtype="<f8").tobytes())

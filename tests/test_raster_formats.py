@@ -590,3 +590,23 @@ def test_usgsdem_goldens(spark, fn, cs, gt):    # usgsdem_1/2/3/8/9
     assert checksum(tiles, meta).collect()[0]["checksum"] == cs
     if gt is not None:
         assert all(abs(a - b) < 1e-7 for a, b in zip(meta.gt, gt))
+
+
+# --- Surfer grids (autotest/gdrivers/gsg.py goldens) -------------------------
+
+@pytest.mark.parametrize("fn,rd,wr", [
+    ("gsg_binary.grd", "read_gsbg", "write_gsbg"),     # gsg_1/4
+    ("gsg_ascii.grd", "read_gsag", "write_gsag"),      # gsg_2/5
+    ("gsg_7binary.grd", "read_gs7bg", "write_gs7bg"),  # gsg_3/8
+])
+def test_surfer_grid_goldens(spark, tmp_path, fn, rd, wr):
+    want_gt = (440720, 60, 0, 3751320, 0, -60)
+    tiles, meta = getattr(RF, rd)(
+        spark, "/root/reference/autotest/gdrivers/data/" + fn)
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 4672
+    assert all(abs(a - b) < 1e-9 for a, b in zip(meta.gt, want_gt))
+    out = str(tmp_path / fn)
+    getattr(RF, wr)(tiles, meta, out)
+    t2, m2 = getattr(RF, rd)(spark, out)
+    assert checksum(t2, m2).collect()[0]["checksum"] == 4672
+    assert all(abs(a - b) < 1e-9 for a, b in zip(m2.gt, want_gt))
