@@ -1707,3 +1707,105 @@ def write_gs7bg(tiles: DataFrame, meta: RasterMeta, path: str,
                             GSG_NODATA))
         f.write(b"DATA" + struct.pack("<i", meta.width * meta.height * 8))
         f.write(np.ascontiguousarray(arr[::-1], dtype="<f8").tobytes())
+
+
+# ---------------------------------------------------------------------------
+# FARSITE LCP landscape reader (gdal/frmts/raw/lcpdataset.cpp)
+# ---------------------------------------------------------------------------
+
+_LCP_UNIT_NAMES = {
+    "ELEVATION": {0: "Meters", 1: "Feet"},
+    "SLOPE": {0: "Degrees", 1: "Percent"},
+    "ASPECT": {0: "Grass categories", 1: "Grass degrees",
+               2: "Azimuth degrees"},
+    "CANOPY_COV": {0: "Categories (0-4)", 1: "Percent"},
+    "CANOPY_HT": {1: "Meters", 2: "Feet", 3: "Meters x 10",
+                  4: "Feet x 10"},
+    "CBH": {1: "Meters", 2: "Feet", 3: "Meters x 10", 4: "Feet x 10"},
+    "CBD": {1: "kg/m^3", 2: "lb/ft^3", 3: "kg/m^3 x 100",
+            4: "lb/ft^3 x 1000"},
+    "DUFF": {1: "Mg/ha", 2: "t/ac"},
+    "CWD": {},
+}
+_LCP_FM_DESC = {0: "no custom models AND no conversion file needed",
+                1: "custom models BUT no conversion file needed",
+                2: "no custom models BUT conversion file needed",
+                3: "custom models AND conversion file needed"}
+
+
+def read_lcp(spark: SparkSession, path: str, raster_id: str = "lcp",
+             block: int = 256
+             ) -> tuple[DataFrame, RasterMeta, dict]:
+    """FARSITE v4 landscape: 7316-byte header + pixel-interleaved LE
+    int16 bands (5/7/8/10 per crown/ground fuel flags).  Returns
+    (tiles, meta, metadata) where metadata mirrors the reference's
+    dataset + per-band items (lcpdataset.cpp:228-700)."""
+    data = open(path, "rb").read()
+    hdr = data[:7316]
+
+    def i32(off):
+        return struct.unpack_from("<i", hdr, off)[0]
+
+    def i16(off):
+        return struct.unpack_from("<h", hdr, off)[0]
+
+    def cstr(off, ln=256):
+        raw = hdr[off:off + ln]
+        return raw.split(b"\x00")[0].decode("latin-1")
+
+    width, height = i32(4164), i32(4168)
+    crown = i32(0) - 20
+    ground = i32(4) - 20
+    if crown:
+        nbands = 10 if ground else 8
+    else:
+        nbands = 7 if ground else 5
+    east, west, north, south = (struct.unpack_from("<d", hdr, o)[0]
+                                for o in (4172, 4180, 4188, 4196))
+    cellx = struct.unpack_from("<d", hdr, 4208)[0]
+    celly = struct.unpack_from("<d", hdr, 4216)[0]
+    gt = (west, cellx, 0.0, north, 0.0, -celly)
+
+    md = {"LATITUDE": str(i32(8)),
+          "LINEAR_UNIT": {0: "Meters", 1: "Feet"}.get(i32(4204), ""),
+          "DESCRIPTION": cstr(6804, 7316 - 6804)}
+
+    names = ["ELEVATION", "SLOPE", "ASPECT", "FUEL_MODEL", "CANOPY_COV"]
+    if crown:
+        names += ["CANOPY_HT", "CBH", "CBD"]
+    if ground:
+        names += ["DUFF", "CWD"]
+    for i, key in enumerate(names[:nbands]):
+        unit = i16(4224 + 2 * i)
+        if key == "FUEL_MODEL":
+            md["FUEL_MODEL_OPTION"] = str(unit)
+            if unit in _LCP_FM_DESC:
+                md["FUEL_MODEL_OPTION_DESC"] = _LCP_FM_DESC[unit]
+        else:
+            md[f"{key}_UNIT"] = str(unit)
+            nm = _LCP_UNIT_NAMES[key].get(unit)
+            if nm is not None:
+                md[f"{key}_UNIT_NAME"] = nm
+        base = 44 + 412 * i
+        lo, hi, ncls = i32(base), i32(base + 4), i32(base + 8)
+        md[f"{key}_MIN"] = str(lo)
+        md[f"{key}_MAX"] = str(hi)
+        md[f"{key}_NUM_CLASSES"] = str(ncls)
+        if key == "FUEL_MODEL" and 0 < ncls <= 100:
+            vals = [i32(base + 12 + j * 4) for j in range(ncls + 1)]
+            md["FUEL_MODEL_VALUES"] = ",".join(
+                str(v) for v in vals if lo <= v <= hi)
+        md[f"{key}_FILE"] = cstr(4244 + 256 * i)
+
+    pix = np.frombuffer(data, dtype="<i2", offset=7316,
+                        count=width * height * nbands)
+    cube = pix.reshape(height, width, nbands)
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype="int16",
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    frames = [from_array(spark, np.ascontiguousarray(cube[:, :, b]),
+                         meta, band=b) for b in range(nbands)]
+    tiles = frames[0]
+    for f2 in frames[1:]:
+        tiles = tiles.unionByName(f2)
+    return tiles, meta, md

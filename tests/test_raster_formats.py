@@ -610,3 +610,31 @@ def test_surfer_grid_goldens(spark, tmp_path, fn, rd, wr):
     t2, m2 = getattr(RF, rd)(spark, out)
     assert checksum(t2, m2).collect()[0]["checksum"] == 4672
     assert all(abs(a - b) < 1e-9 for a, b in zip(m2.gt, want_gt))
+
+
+# --- FARSITE LCP (autotest/gdrivers/lcp.py goldens) --------------------------
+
+@pytest.mark.parametrize("fn,want_cs,want_gt", [
+    ("test_FARSITE_UTM12.LCP",
+     [18645, 16431, 18851, 26182, 30038, 22077, 30388, 23249],
+     (285807.932887174887583, 30, 0, 5379230.386217921040952, 0, -30)),
+    ("test_USGS_LFNM_Alb83.lcp",
+     [28381, 25824, 28413, 19052, 30164, 22316, 30575, 23304], None),
+])
+def test_lcp_goldens(spark, fn, want_cs, want_gt):      # lcp_1/lcp_2
+    tiles, meta, md = RF.read_lcp(
+        spark, "/root/reference/autotest/gdrivers/data/" + fn)
+    cs = {r["band"]: r["checksum"] for r in checksum(tiles, meta).collect()}
+    assert [cs[i] for i in range(len(want_cs))] == want_cs
+    if want_gt:
+        assert all(abs(a - b) < 1e-5 for a, b in zip(meta.gt, want_gt))
+        assert md["LATITUDE"] == "49"
+        assert md["LINEAR_UNIT"] == "Meters"
+        assert md["ELEVATION_UNIT_NAME"] == "Meters"
+        assert md["ELEVATION_MIN"] == "1064"
+        assert md["ELEVATION_MAX"] == "1492"
+        assert md["SLOPE_FILE"] == "slope.asc"
+        assert md["ASPECT_UNIT_NAME"] == "Azimuth degrees"
+        assert md["FUEL_MODEL_VALUES"] == "1,2,5,8,10,99"
+        assert md["CANOPY_HT_UNIT_NAME"] == "Meters x 10"
+        assert md["CBD_UNIT_NAME"] == "kg/m^3 x 100"
