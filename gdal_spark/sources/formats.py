@@ -1948,3 +1948,267 @@ def write_bna(df: DataFrame, path: str,
             out += lines
     with open(path, "w", encoding="latin-1") as f:
         f.write("\n".join(out) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# GeoRSS driver (gdal/ogr/ogrsf_frmts/georss/ogrgeorsslayer.cpp)
+# ---------------------------------------------------------------------------
+
+def _georss_datetime(s: str) -> str:
+    """RFC822 / ISO8601 → OGR GetFieldAsString(DateTime) form
+    ('2008/12/07 20:13:00+02')."""
+    import datetime as _dt
+    import email.utils as _eu
+    s = s.strip()
+    import re as _re
+    if _re.match(r"\d{4}/\d{2}/\d{2} ", s):
+        return s                     # already the OGR string form
+    if "," in s:                     # RFC 822 (RSS pubDate)
+        dt = _eu.parsedate_to_datetime(s)
+    else:                            # ISO 8601 (Atom)
+        dt = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    off = dt.utcoffset() or _dt.timedelta(0)
+    tot = int(off.total_seconds())
+    sign = "+" if tot >= 0 else "-"
+    tot = abs(tot)
+    hh, rem = divmod(tot, 3600)
+    mm = rem // 60
+    tz = f"{sign}{hh:02d}" + (f":{mm:02d}" if mm else "")
+    return dt.strftime("%Y/%m/%d %H:%M:%S") + tz
+
+
+def _georss_latlon_geom(tag: str, text: str) -> bytes | None:
+    """Simple GeoRSS encodings: lat lon pairs (point/line/polygon) and
+    lat-min lon-min lat-max lon-max (box)."""
+    vals = [float(v) for v in text.split()]
+    pts = np.array(vals).reshape(-1, 2)[:, ::-1]     # lat lon -> x=lon
+    if tag == "point":
+        return G.encode_point(pts[0][0], pts[0][1])
+    if tag == "line":
+        return G.encode_linestring(pts)
+    if tag == "polygon":
+        return G.encode_polygon([pts])
+    if tag == "box":
+        (x0, y0), (x1, y1) = pts
+        ring = np.array([[x0, y0], [x0, y1], [x1, y1], [x1, y0],
+                         [x0, y0]])
+        return G.encode_polygon([ring])
+    return None
+
+
+def _georss_where_geom(el) -> bytes | None:
+    """georss:where with GML content — GML in GeoRSS is lat/lon
+    ordered, so swap after the shared GML parse."""
+    for c in el:
+        w = _gml_geom_wkb(c)
+        if w is not None:
+            kind = G.wkt_from_wkb(w).split(" ", 1)[0].split("(", 1)[0]
+            if kind == "POINT":
+                x, y = G.decode_point(w)
+                return G.encode_point(y, x)
+            import gdal_spark.functions.geomops as GO
+            return GO._map_coords(w, lambda a: a[:, ::-1],
+                                  lambda a: a[:, ::-1])
+    return None
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _attr_name(key: str) -> str:
+    """xml:lang-style attributes become <field>_xml_lang columns."""
+    if key.startswith("{http://www.w3.org/XML/1998/namespace}"):
+        return "xml_" + _local(key)
+    return _local(key)
+
+
+def read_georss(spark: SparkSession, path: str) -> DataFrame:
+    """RSS 2.0 (channel/item) or Atom (feed/entry) with GeoRSS simple
+    or GML geometries.  Repeated elements get 2/3... suffixes and
+    attributes become <field>_<attr> columns; Atom author/contributor
+    subelements flatten to author_name-style fields; the Atom content
+    payload is re-serialized XML (ogrgeorsslayer.cpp field building)."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    is_atom = _local(root.tag) == "feed"
+    if is_atom:
+        items = [e for e in root if _local(e.tag) == "entry"]
+    else:
+        channel = next(e for e in root if _local(e.tag) == "channel")
+        items = [e for e in channel if _local(e.tag) == "item"]
+
+    feats = []
+    order: list[str] = []
+    for item in items:
+        fields: dict[str, str] = {}
+        counts: dict[str, int] = {}
+        wkb = None
+
+        def put(name, value):
+            if name not in order:
+                order.append(name)
+            fields[name] = value
+
+        for el in item:
+            tag = _local(el.tag)
+            ns = el.tag[1:el.tag.index("}")] if el.tag[0] == "{" else ""
+            if "georss" in ns:
+                if tag == "where":
+                    wkb = _georss_where_geom(el)
+                else:
+                    wkb = _georss_latlon_geom(tag, el.text or "")
+                continue
+            counts[tag] = counts.get(tag, 0) + 1
+            base = tag if counts[tag] == 1 else f"{tag}{counts[tag]}"
+            if tag in ("author", "contributor") and is_atom:
+                for sub in el:
+                    put(f"{base}_{_local(sub.tag)}",
+                        (sub.text or "").strip())
+                continue
+            if tag == "content" and is_atom:
+                for k, v in el.attrib.items():
+                    put(f"{base}_{_attr_name(k)}", v)
+                inner = "".join(
+                    ET.tostring(c, encoding="unicode") for c in el)
+                inner = _re.sub(r"\sxmlns:(\w+)=", " xmlns=", inner)
+                inner = _re.sub(r"<(/?)\w+:", r"<\1", inner).strip()
+                put(base, inner)
+                continue
+            for k, v in el.attrib.items():
+                put(f"{base}_{_attr_name(k)}", v)
+            text = (el.text or "").strip()
+            if tag in ("pubDate", "updated", "published") and text:
+                text = _georss_datetime(text)
+            put(base, text)
+        feats.append((fields, wkb))
+
+    rows = [tuple([fid] + [f.get(n) for n in order]
+                  + [bytearray(w) if w else None])
+            for fid, (f, w) in enumerate(feats)]
+    schema = "fid long" + "".join(f", `{n}` string" for n in order) \
+             + ", geometry binary"
+    return spark.createDataFrame(rows, schema)
+
+
+def write_georss(df: DataFrame, path: str, use_atom: bool = False,
+                 geometry_col: str = "geometry") -> None:
+    """GeoRSS sink with simple encodings (lat lon order); attribute
+    columns map back to elements, <field>_<attr> columns to attributes,
+    Atom author_name-style fields to subelements."""
+    import re as _re
+    from xml.sax.saxutils import escape
+    cols = [f.name for f in df.schema.fields
+            if f.name not in ("fid", geometry_col)]
+    out = ['<?xml version="1.0" encoding="UTF-8"?>']
+    if use_atom:
+        out.append('<feed xmlns="http://www.w3.org/2005/Atom" '
+                   'xmlns:georss="http://www.georss.org/georss">')
+    else:
+        out.append('<rss version="2.0" '
+                   'xmlns:georss="http://www.georss.org/georss">')
+        out.append("<channel>")
+        out.append("<title>OGR</title><link>.</link>"
+                   "<description>OGR</description>")
+    item_tag = "entry" if use_atom else "item"
+    for r in df.collect():
+        out.append(f"<{item_tag}>")
+        done = set()
+        for c in cols:
+            if c in done or r[c] is None:
+                continue
+            m = _re.match(r"^(.*?)_(rel|type|href|length|domain|"
+                          r"xml_lang|xml_base)$", c)
+            sub = _re.match(r"^(author|contributor)(\d*)_(\w+)$", c)
+            if use_atom and sub:
+                parent = sub.group(1)
+                group = [c2 for c2 in cols
+                         if c2.startswith(sub.group(1) + sub.group(2)
+                                          + "_")]
+                out.append(f"<{parent}>")
+                for c2 in group:
+                    t = c2.split("_", 1)[1]
+                    if r[c2] is not None:
+                        out.append(f"<{t}>{escape(str(r[c2]))}</{t}>")
+                    done.add(c2)
+                out.append(f"</{parent}>")
+                continue
+            if m and not c.startswith(("author", "contributor")):
+                base = m.group(1)
+                group = [c2 for c2 in cols if c2 == base
+                         or (c2.startswith(base + "_")
+                             and _re.match(r"^%s_(rel|type|href|length|"
+                                           r"domain|xml_lang|xml_base)$"
+                                           % _re.escape(base), c2))]
+                attrs = []
+                text = None
+                for c2 in group:
+                    done.add(c2)
+                    if r[c2] is None:
+                        continue
+                    if c2 == base:
+                        text = str(r[c2])
+                    else:
+                        a = c2[len(base) + 1:].replace("xml_", "xml:")
+                        attrs.append(f'{a}="{escape(str(r[c2]))}"')
+                tag = _re.sub(r"\d+$", "", base)
+                a = (" " + " ".join(attrs)) if attrs else ""
+                if base == "content" and use_atom and text \
+                        and text.lstrip().startswith("<"):
+                    out.append(f"<{tag}{a}>{text}</{tag}>")
+                elif text is not None:
+                    out.append(f"<{tag}{a}>{escape(text)}</{tag}>")
+                else:
+                    out.append(f"<{tag}{a}/>")
+                continue
+            done.add(c)
+            tag = _re.sub(r"\d+$", "", c)
+            val = str(r[c])
+            if use_atom and tag in ("updated", "published"):
+                mm = _re.match(r"(\d+)/(\d+)/(\d+) (\d+):(\d+):(\d+)"
+                               r"([+-]\d+)?(?::(\d+))?", val)
+                if mm:
+                    y, mo, d, h, mi, sec = (int(v) for v in
+                                            mm.groups()[:6])
+                    tzh, tzm = int(mm.group(7) or 0), int(mm.group(8) or 0)
+                    tz = "Z" if tzh == 0 and tzm == 0 else \
+                        "%+03d:%02d" % (tzh, tzm)
+                    val = "%04d-%02d-%02dT%02d:%02d:%02d%s" % (
+                        y, mo, d, h, mi, sec, tz)
+            if tag in ("pubDate",):
+                import datetime as _dt
+                mm = _re.match(r"(\d+)/(\d+)/(\d+) (\d+):(\d+):(\d+)"
+                               r"([+-]\d+)?(?::(\d+))?", val)
+                if mm:
+                    y, mo, d, h, mi, sec = (int(v) for v in
+                                            mm.groups()[:6])
+                    tzh = int(mm.group(7) or 0)
+                    tzm = int(mm.group(8) or 0)
+                    dt = _dt.datetime(y, mo, d, h, mi, sec)
+                    val = dt.strftime("%a, %d %b %Y %H:%M:%S ") + \
+                        "%+03d%02d" % (tzh, tzm)
+            out.append(f"<{tag}>{escape(val)}</{tag}>")
+        wkb = r[geometry_col]
+        if wkb is not None:
+            w = G.wkt_from_wkb(bytes(wkb))
+            kind = w.split(" ", 1)[0].split("(", 1)[0]
+            if kind == "POINT":
+                x, y = G.decode_point(bytes(wkb))
+                out.append(f"<georss:point>{y:.15g} {x:.15g}"
+                           "</georss:point>")
+            elif kind == "LINESTRING":
+                pts = G.decode_linestring(bytes(wkb))
+                body = " ".join(f"{p[1]:.15g} {p[0]:.15g}" for p in pts)
+                out.append(f"<georss:line>{body}</georss:line>")
+            elif kind == "POLYGON":
+                ring = G.decode_polygons(bytes(wkb))[0][0]
+                body = " ".join(f"{p[1]:.15g} {p[0]:.15g}" for p in ring)
+                out.append(f"<georss:polygon>{body}</georss:polygon>")
+        out.append(f"</{item_tag}>")
+    if use_atom:
+        out.append("</feed>")
+    else:
+        out.append("</channel></rss>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")

@@ -517,3 +517,81 @@ def test_bna_ellipses_and_roundtrip(spark, tmp_path):      # ogr_bna_4/write
             assert x["Primary ID"] == y["Primary ID"]
             assert G.wkt_from_wkb(bytes(x["geometry"])) == \
                 G.wkt_from_wkb(bytes(y["geometry"]))
+
+
+# --- GeoRSS driver (autotest/ogr/ogr_georss.py) ------------------------------
+
+GEORSS_D = "/root/reference/autotest/ogr/data/"
+GEORSS_WKTS = [
+    "POINT (2 49)",
+    "LINESTRING (2 48,2.1 48.1,2.2 48)",
+    "POLYGON ((2 50,2.1 50.1,2.2 48.1,2.1 46.1,2 50))",
+    "POLYGON ((2 49,2 49.5,2.2 49.5,2.2 49,2 49))",
+]
+
+
+@pytest.mark.parametrize("fn", ["test_georss_simple.xml",
+                                "test_georss_gml.xml"])
+def test_georss_rss_read(spark, fn):                   # ogr_georss_2/3
+    rows = FMT.read_georss(spark, GEORSS_D + fn).orderBy("fid").collect()
+    assert [G.wkt_from_wkb(bytes(r["geometry"])) for r in rows] == \
+        GEORSS_WKTS
+    r = rows[0]
+    assert r["title"] == "A point"
+    assert r["author"] == "Author"
+    assert r["pubDate"] == "2008/12/07 20:13:00+02"
+    assert r["category"] == "First category"
+    assert r["category_domain"] == "first_domain"
+    assert r["category2"] == "Second category"
+    assert r["category2_domain"] == "second_domain"
+
+
+ATOM_FIELDS = [
+    ("title", "Atom draft-07 snapshot"), ("link_rel", "alternate"),
+    ("link_type", "text/html"),
+    ("link_href", "http://example.org/2005/04/02/atom"),
+    ("link2_rel", "enclosure"), ("link2_type", "audio/mpeg"),
+    ("link2_length", "1337"),
+    ("link2_href", "http://example.org/audio/ph34r_my_podcast.mp3"),
+    ("id", "tag:example.org,2003:3.2397"),
+    ("updated", "2005/07/31 12:29:29+00"),
+    ("published", "2003/12/13 08:29:29-04"),
+    ("author_name", "Mark Pilgrim"), ("author_uri", "http://example.org/"),
+    ("author_email", "f8dy@example.com"),
+    ("contributor_name", "Sam Ruby"),
+    ("contributor2_name", "Joe Gregorio"),
+    ("content_type", "xhtml"), ("content_xml_lang", "en"),
+    ("content_xml_base", "http://diveintomark.org/"),
+]
+
+
+@pytest.mark.parametrize("fn", ["atom_rfc_sample.xml",
+                                "atom_rfc_sample_atom_ns.xml"])
+def test_georss_atom_read(spark, fn):         # ogr_georss_1/_atom_ns
+    r = FMT.read_georss(spark, GEORSS_D + fn).collect()[0]
+    for k, v in ATOM_FIELDS:
+        assert r[k] == v, (k, r[k], v)
+    assert '<div xmlns="http://www.w3.org/1999/xhtml">' in r["content"]
+
+
+def test_georss_rss_write_roundtrip(spark, tmp_path):  # ogr_georss_4
+    src = FMT.read_georss(spark, GEORSS_D + "test_georss_simple.xml")
+    out = str(tmp_path / "rt.xml")
+    FMT.write_georss(src, out)
+    back = FMT.read_georss(spark, out)
+    a, b = src.orderBy("fid").collect(), back.orderBy("fid").collect()
+    for x, y in zip(a, b):
+        assert G.wkt_from_wkb(bytes(x["geometry"])) == \
+            G.wkt_from_wkb(bytes(y["geometry"]))
+        assert x["title"] == y["title"] and x["pubDate"] == y["pubDate"]
+    assert b[0]["category2_domain"] == "second_domain"
+
+
+def test_georss_atom_write_roundtrip(spark, tmp_path):  # ogr_georss_1bis/ter
+    src = FMT.read_georss(spark, GEORSS_D + "atom_rfc_sample.xml")
+    out = str(tmp_path / "atom.xml")
+    FMT.write_georss(src, out, use_atom=True)
+    r = FMT.read_georss(spark, out).collect()[0]
+    for k, v in ATOM_FIELDS:
+        assert r[k] == v, (k, r[k], v)
+    assert '<div xmlns="http://www.w3.org/1999/xhtml">' in r["content"]
