@@ -1809,3 +1809,105 @@ def read_lcp(spark: SparkSession, path: str, raster_id: str = "lcp",
     for f2 in frames[1:]:
         tiles = tiles.unionByName(f2)
     return tiles, meta, md
+
+
+# ---------------------------------------------------------------------------
+# SAGA GIS binary grid (gdal/frmts/saga/sagadataset.cpp .sgrd + .sdat)
+# ---------------------------------------------------------------------------
+
+_SAGA_DTYPES = {"BIT": "uint8", "BYTE_UNSIGNED": "uint8", "BYTE": "int8",
+                "SHORTINT_UNSIGNED": "uint16", "SHORTINT": "int16",
+                "INTEGER_UNSIGNED": "uint32", "INTEGER": "int32",
+                "FLOAT": "float32", "DOUBLE": "float64"}
+_SAGA_NAMES = {v: k for k, v in _SAGA_DTYPES.items() if k != "BIT"}
+
+
+def read_saga(spark: SparkSession, path: str, raster_id: str = "saga",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """SAGA grid: .sgrd ASCII header (DATAFORMAT/BYTEORDER/POSITION/
+    CELLSIZE/NODATA/TOPTOBOTTOM) + raw .sdat payload, rows bottom-up
+    unless TOPTOBOTTOM (sagadataset.cpp:447-560)."""
+    base = path[:-5] if path.lower().endswith((".sdat", ".sgrd")) else path
+    hdr_path, dat_path = base + ".sgrd", base + ".sdat"
+    import os as _os
+    if not _os.path.exists(hdr_path):
+        hdr_path = base + ".SGRD"
+    kv = {}
+    for ln in open(hdr_path, "r", encoding="latin-1"):
+        if "=" in ln:
+            k, v = ln.split("=", 1)
+            kv[k.strip().upper()] = v.strip()
+    nx = int(kv["CELLCOUNT_X"])
+    ny = int(kv["CELLCOUNT_Y"])
+    cell = float(kv["CELLSIZE"])
+    xmin = float(kv["POSITION_XMIN"])
+    ymin = float(kv["POSITION_YMIN"])
+    dtype = _SAGA_DTYPES.get(kv.get("DATAFORMAT", "FLOAT"), "float32")
+    bo = "<" if kv.get("BYTEORDER_BIG",
+                    "FALSE").upper() == "FALSE" else ">"
+    top2bot = kv.get("TOPTOBOTTOM", "FALSE").upper() == "TRUE"
+    nodata = float(kv.get("NODATA_VALUE", "-99999"))
+    off = int(kv.get("DATAFILE_OFFSET", "0"))
+    arr = np.frombuffer(open(dat_path, "rb").read(), offset=off,
+                        dtype=np.dtype(dtype).newbyteorder(bo),
+                        count=nx * ny).reshape(ny, nx)
+    if not top2bot:
+        arr = arr[::-1]
+    gt = (xmin - cell / 2.0, cell, 0.0,
+          ymin + (ny - 1) * cell + cell / 2.0, 0.0, -cell)
+    meta = RasterMeta(raster_id, nx, ny, gt=gt, dtype=dtype,
+                      nodata=nodata, block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(arr).astype(dtype),
+                      meta), meta
+
+
+def write_saga(tiles: DataFrame, meta: RasterMeta, path: str,
+               band: int = 0) -> None:
+    """SAGA sink: bottom-up little-endian .sdat + .sgrd header."""
+    from gdal_spark.raster.model import to_array
+    base = path[:-5] if path.lower().endswith((".sdat", ".sgrd")) else path
+    arr = to_array(tiles, meta, band=band)
+    g = meta.gt
+    cell = g[1]
+    xmin = g[0] + cell / 2.0
+    ymin = g[3] + g[5] * meta.height + cell / 2.0
+    nodata = meta.nodata if meta.nodata is not None else -99999.0
+    with open(base + ".sgrd", "w", encoding="latin-1") as f:
+        f.write("NAME\t= %s\nDESCRIPTION\t= \nUNIT\t= \n"
+                "DATAFILE_OFFSET\t= 0\nDATAFORMAT\t= %s\n"
+                "BYTEORDER_BIG\t= FALSE\n"
+                "POSITION_XMIN\t= %.10f\nPOSITION_YMIN\t= %.10f\n"
+                "CELLCOUNT_X\t= %d\nCELLCOUNT_Y\t= %d\n"
+                "CELLSIZE\t= %.10f\nZ_FACTOR\t= 1.000000\n"
+                "NODATA_VALUE\t= %f\nTOPTOBOTTOM\t= FALSE\n"
+                % (meta.raster_id, _SAGA_NAMES[str(arr.dtype)], xmin,
+                   ymin, meta.width, meta.height, cell, nodata))
+    with open(base + ".sdat", "wb") as f:
+        f.write(np.ascontiguousarray(
+            arr[::-1], dtype=arr.dtype.newbyteorder("<")).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# NOAA .gtx vertical datum shift grid (gdal/frmts/raw/gtxdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_gtx(spark: SparkSession, path: str, raster_id: str = "gtx",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """GTX: 40-byte big-endian header (lat0 lon0 dlat dlon doubles,
+    nrows ncols int32), float32 (or float64) shift values with rows
+    south-to-north."""
+    data = open(path, "rb").read()
+    lat0, lon0, dlat, dlon = struct.unpack_from(">4d", data, 0)
+    ny, nx = struct.unpack_from(">2i", data, 32)
+    dt = ">f8" if len(data) == 40 + 8 * nx * ny else ">f4"
+    arr = np.frombuffer(data, dtype=dt, count=nx * ny,
+                        offset=40).reshape(ny, nx)[::-1]
+    gt = (lon0 - dlon * 0.5, dlon, 0.0,
+          lat0 + dlat * (ny - 1) + dlat * 0.5, 0.0, -dlat)
+    meta = RasterMeta(raster_id, nx, ny, gt=gt,
+                      dtype="float64" if dt == ">f8" else "float32",
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(arr).astype(meta.dtype),
+                      meta), meta

@@ -638,3 +638,23 @@ def test_lcp_goldens(spark, fn, want_cs, want_gt):      # lcp_1/lcp_2
         assert md["FUEL_MODEL_VALUES"] == "1,2,5,8,10,99"
         assert md["CANOPY_HT_UNIT_NAME"] == "Meters x 10"
         assert md["CBD_UNIT_NAME"] == "kg/m^3 x 100"
+
+
+def test_saga_golden_and_roundtrip(spark, tmp_path):    # saga_1/saga_2
+    tiles, meta = RF.read_saga(
+        spark, "/root/reference/autotest/gdrivers/data/4byteFloat.sdat")
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 108
+    assert meta.gt == (328.3, 10.0, 0.0, 650.5, 0.0, -10.0)
+    out = str(tmp_path / "copy.sdat")
+    RF.write_saga(tiles, meta, out)
+    t2, m2 = RF.read_saga(spark, out)
+    assert checksum(t2, m2).collect()[0]["checksum"] == 108
+    assert m2.gt == meta.gt
+
+
+def test_gtx_golden(spark):                             # gtx_1
+    tiles, meta = RF.read_gtx(
+        spark, "/root/reference/autotest/gdrivers/data/hydroc1.gtx")
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 64183
+    want = (276.725, 0.05, 0.0, 42.775, 0.0, -0.05)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(meta.gt, want))
