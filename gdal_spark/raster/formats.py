@@ -1911,3 +1911,92 @@ def read_gtx(spark: SparkSession, path: str, raster_id: str = "gtx",
     from gdal_spark.raster.model import from_array
     return from_array(spark, np.ascontiguousarray(arr).astype(meta.dtype),
                       meta), meta
+
+
+# ---------------------------------------------------------------------------
+# Idrisi RST raster (gdal/frmts/idrisi/IdrisiDataset.cpp, .rst + .rdc)
+# ---------------------------------------------------------------------------
+
+_RST_DTYPES = {"byte": "uint8", "integer": "int16", "real": "float32"}
+
+
+def read_idrisi(spark: SparkSession, path: str, raster_id: str = "rst",
+                block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Idrisi raster: fixed-label .rdc text header + raw top-down .rst
+    payload; byte / integer(int16) / real(float32) / rgb24 (as 3 byte
+    bands, B-G-R interleave per IdrisiDataset.cpp IReadBlock)."""
+    base = path[:-4] if path.lower().endswith((".rst", ".rdc")) else path
+    kv = {}
+    for ln in open(base + ".rdc", "r", encoding="latin-1"):
+        if ":" in ln:
+            k, v = ln.split(":", 1)
+            kv[k.strip()] = v.strip()
+    cols = int(kv["columns"])
+    rows = int(kv["rows"])
+    dt = kv["data type"].lower()
+    xmin, xmax = float(kv["min. X"]), float(kv["max. X"])
+    ymin, ymax = float(kv["min. Y"]), float(kv["max. Y"])
+    gt = (xmin, (xmax - xmin) / cols, 0.0, ymax, 0.0,
+          -(ymax - ymin) / rows)
+    data = open(base + ".rst", "rb").read()
+    from gdal_spark.raster.model import from_array
+    if dt == "rgb24":
+        raw = np.frombuffer(data, dtype=np.uint8,
+                            count=cols * rows * 3).reshape(rows, cols, 3)
+        meta = RasterMeta(raster_id, cols, rows, gt=gt, dtype="uint8",
+                          block=block)
+        # file interleave is B,G,R; bands expose R,G,B (band 1=red)
+        frames = [from_array(spark, np.ascontiguousarray(
+            raw[:, :, 2 - b]), meta, band=b) for b in range(3)]
+        tiles = frames[0]
+        for fr in frames[1:]:
+            tiles = tiles.unionByName(fr)
+        return tiles, meta
+    dtype = _RST_DTYPES[dt]
+    arr = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<"),
+                        count=cols * rows).reshape(rows, cols)
+    meta = RasterMeta(raster_id, cols, rows, gt=gt, dtype=dtype,
+                      block=block)
+    return from_array(spark, np.ascontiguousarray(arr).astype(dtype),
+                      meta), meta
+
+
+def write_idrisi(tiles: DataFrame, meta: RasterMeta, path: str,
+                 band: int = 0) -> None:
+    from gdal_spark.raster.model import to_array
+    base = path[:-4] if path.lower().endswith((".rst", ".rdc")) else path
+    arr = to_array(tiles, meta, band=band)
+    names = {"uint8": "byte", "int16": "integer", "float32": "real"}
+    g = meta.gt
+    with open(base + ".rdc", "w", encoding="latin-1") as f:
+        f.write("file format : IDRISI Raster A.1\n"
+                "file title  : \n"
+                "data type   : %s\n"
+                "file type   : binary\n"
+                "columns     : %d\n"
+                "rows        : %d\n"
+                "ref. system : plane\n"
+                "ref. units  : m\n"
+                "unit dist.  : 1.0000000\n"
+                "min. X      : %.7f\n"
+                "max. X      : %.7f\n"
+                "min. Y      : %.7f\n"
+                "max. Y      : %.7f\n"
+                "pos`n error : unknown\n"
+                "resolution  : unknown\n"
+                "min. value  : %g\n"
+                "max. value  : %g\n"
+                "display min : %g\n"
+                "display max : %g\n"
+                "value units : unspecified\n"
+                "value error : unknown\n"
+                "flag value  : none\n"
+                "flag def`n  : none\n"
+                "legend cats : 0\n"
+                % (names[str(arr.dtype)], meta.width, meta.height,
+                   g[0], g[0] + g[1] * meta.width,
+                   g[3] + g[5] * meta.height, g[3],
+                   arr.min(), arr.max(), arr.min(), arr.max()))
+    with open(base + ".rst", "wb") as f:
+        f.write(np.ascontiguousarray(
+            arr, dtype=arr.dtype.newbyteorder("<")).tobytes())

@@ -658,3 +658,16 @@ def test_gtx_golden(spark):                             # gtx_1
     assert checksum(tiles, meta).collect()[0]["checksum"] == 64183
     want = (276.725, 0.05, 0.0, 42.775, 0.0, -0.05)
     assert all(abs(a - b) < 1e-9 for a, b in zip(meta.gt, want))
+
+
+def test_idrisi_goldens_and_roundtrip(spark, tmp_path):  # idrisi_1/2
+    D = "/root/reference/autotest/gdrivers/data/"
+    tiles, meta = RF.read_idrisi(spark, D + "byte.rst")
+    assert checksum(tiles, meta).collect()[0]["checksum"] == 5044
+    t2, m2 = RF.read_idrisi(spark, D + "real.rst")
+    assert checksum(t2, m2).collect()[0]["checksum"] == 5275
+    out = str(tmp_path / "copy.rst")
+    RF.write_idrisi(tiles, meta, out)
+    t3, m3 = RF.read_idrisi(spark, out)
+    assert checksum(t3, m3).collect()[0]["checksum"] == 5044
+    assert m3.gt == meta.gt
