@@ -2000,3 +2000,196 @@ def write_idrisi(tiles: DataFrame, meta: RasterMeta, path: str,
     with open(base + ".rst", "wb") as f:
         f.write(np.ascontiguousarray(
             arr, dtype=arr.dtype.newbyteorder("<")).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Small classic formats: ELAS, Erdas 7.x LAN/GIS, GRASS ASCII grid,
+# ERMapper ERS (headers per gdal/frmts/{elas,raw,grassasciigrid? ,ers})
+# ---------------------------------------------------------------------------
+
+def read_elas(spark: SparkSession, path: str, raster_id: str = "elas",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """ELAS: 1024-byte big-endian header (NBIH=1024, H4321=4321, line
+    range IL..LL, element range IE..LE, NC bands, IH19 type flags),
+    then band-sequential-within-line records of NBPR bytes
+    (elasdataset.cpp:290-440)."""
+    data = open(path, "rb").read()
+    h = lambda off: struct.unpack_from(">i", data, off)[0]
+    if h(0) != 1024 or h(28) != 4321:
+        raise ValueError("not an ELAS file")
+    nbpr = h(4)
+    height = h(12) - h(8) + 1
+    width = h(20) - h(16) + 1
+    nbands = h(24)
+    t = (data[74] & 0x7E) >> 2
+    bps = data[75]
+    dtype = {(0, 1): "uint8", (1, 1): "uint8", (16, 4): ">f4",
+             (17, 8): ">f8"}[(t, bps)]
+    out_dtype = {"uint8": "uint8", ">f4": "float32",
+                 ">f8": "float64"}[dtype]
+    ysize = struct.unpack_from(">f", data, 48)[0]
+    xsize = struct.unpack_from(">f", data, 52)[0]
+    yoff = h(36)
+    xoff = h(44)
+    gt = (xoff - xsize / 2.0, xsize, 0.0, yoff + ysize / 2.0, 0.0,
+          -abs(ysize))
+    ds = np.dtype(dtype).itemsize * width
+    from gdal_spark.raster.model import from_array
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype=out_dtype,
+                      block=block)
+    frames = []
+    for b in range(nbands):
+        rows = [np.frombuffer(data, dtype=dtype, count=width,
+                              offset=1024 + nbpr * y + b * ds)
+                for y in range(height)]
+        arr = np.vstack(rows).astype(out_dtype)
+        frames.append(from_array(spark, arr, meta, band=b))
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
+
+
+def read_lan(spark: SparkSession, path: str, raster_id: str = "lan",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Erdas 7.x LAN/GIS: 128-byte header (HEAD74 int dims / HEADER
+    float dims; pixel type 0=8bit 1=4bit 2=16bit), BIL payload
+    (landataset.cpp:40-105)."""
+    data = open(path, "rb").read()
+    magic = data[:6]
+    if magic not in (b"HEAD74", b"HEADER"):
+        raise ValueError("not an Erdas LAN file")
+    ptype, nbands = struct.unpack_from("<hh", data, 6)
+    if magic == b"HEADER":
+        width = int(struct.unpack_from("<f", data, 16)[0])
+        height = int(struct.unpack_from("<f", data, 20)[0])
+    else:
+        width, height = struct.unpack_from("<ii", data, 16)
+    ulx, uly, dx, dy = struct.unpack_from("<4f", data, 112)
+    gt = (ulx - dx / 2.0, dx, 0.0, uly + dy / 2.0, 0.0, -dy)
+    from gdal_spark.raster.model import from_array
+    if ptype == 2:
+        dtype, line_bytes = "int16", width * 2 * nbands
+    else:
+        dtype = "uint8"
+        line_bytes = (width * nbands if ptype == 0
+                      else (width * nbands + 1) // 2)
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype=dtype,
+                      block=block)
+    frames = []
+    for b in range(nbands):
+        rows = []
+        for y in range(height):
+            off = 128 + y * line_bytes
+            if ptype == 1:      # 4-bit packed
+                nb = (width + 1) // 2
+                raw = np.frombuffer(data, dtype=np.uint8, count=nb,
+                                    offset=off + b * nb)
+                up = np.empty(nb * 2, np.uint8)
+                up[0::2] = raw >> 4
+                up[1::2] = raw & 0x0F
+                rows.append(up[:width])
+            elif ptype == 2:
+                rows.append(np.frombuffer(data, dtype="<i2", count=width,
+                                          offset=off + b * width * 2))
+            else:
+                rows.append(np.frombuffer(data, dtype=np.uint8,
+                                          count=width,
+                                          offset=off + b * width))
+        arr = np.vstack(rows).astype(dtype)
+        frames.append(from_array(spark, arr, meta, band=b))
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
+
+
+def read_grass_ascii(spark: SparkSession, path: str,
+                     raster_id: str = "grassascii", block: int = 256
+                     ) -> tuple[DataFrame, RasterMeta]:
+    """GRASS ASCII grid (r.out.ascii): north/south/east/west + rows/
+    cols header lines (optional null:), north-up row-major values."""
+    toks = open(path, "r", encoding="latin-1").read().split()
+    kv, i = {}, 0
+    while i + 1 < len(toks) and toks[i].rstrip(":") in (
+            "north", "south", "east", "west", "rows", "cols", "null",
+            "type", "multiplier"):
+        kv[toks[i].rstrip(":")] = toks[i + 1]
+        i += 2
+    rows, cols = int(kv["rows"]), int(kv["cols"])
+    north, south = float(kv["north"]), float(kv["south"])
+    east, west = float(kv["east"]), float(kv["west"])
+    vals = np.array([float(v) for v in toks[i:i + rows * cols]])
+    gt = (west, (east - west) / cols, 0.0, north, 0.0,
+          -(north - south) / rows)
+    meta = RasterMeta(raster_id, cols, rows, gt=gt, dtype="float64",
+                      nodata=float(kv["null"]) if "null" in kv else None,
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, vals.reshape(rows, cols), meta), meta
+
+
+def read_ers(spark: SparkSession, path: str, raster_id: str = "ers",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """ERMapper ERS: nested Begin/End ASCII header next to the raw BIL
+    data file (same path minus .ers); CellType/ByteOrder/NullCellValue,
+    registration cell + DMS coordinate anchor (gdal/frmts/ers)."""
+    kv = {}
+    stack = []
+    for ln in open(path, "r", encoding="latin-1"):
+        s = ln.strip()
+        if s.endswith("Begin"):
+            stack.append(s.split()[0])
+        elif s.endswith("End"):
+            stack.pop()
+        elif "=" in s:
+            k, v = s.split("=", 1)
+            kv[".".join(stack + [k.strip()])] = v.strip().strip('"')
+
+    def dms(v):
+        parts = [float(x) for x in v.split(":")]
+        sign = -1.0 if v.strip().startswith("-") else 1.0
+        return sign * (abs(parts[0]) + parts[1] / 60 + parts[2] / 3600)
+
+    R = "DatasetHeader.RasterInfo."
+    width = int(kv[R + "NrOfCellsPerLine"])
+    height = int(kv[R + "NrOfLines"])
+    nbands = int(kv.get(R + "NrOfBands", "1"))
+    dx = float(kv[R + "CellInfo.Xdimension"])
+    dy = float(kv[R + "CellInfo.Ydimension"])
+    ctype = kv.get(R + "CellType", "Unsigned8BitInteger")
+    bo = kv.get("DatasetHeader.ByteOrder", "LSBFirst")
+    pre = ">" if bo == "MSBFirst" else "<"
+    dtype_map = {"Unsigned8BitInteger": "u1", "Signed8BitInteger": "i1",
+                 "Unsigned16BitInteger": "u2", "Signed16BitInteger": "i2",
+                 "Unsigned32BitInteger": "u4", "Signed32BitInteger": "i4",
+                 "IEEE4ByteReal": "f4", "IEEE8ByteReal": "f8"}
+    base = dtype_map[ctype]
+    lon = dms(kv[R + "RegistrationCoord.Longitude"]) \
+        if R + "RegistrationCoord.Longitude" in kv \
+        else float(kv.get(R + "RegistrationCoord.Eastings", "0"))
+    lat = dms(kv[R + "RegistrationCoord.Latitude"]) \
+        if R + "RegistrationCoord.Latitude" in kv \
+        else float(kv.get(R + "RegistrationCoord.Northings", "0"))
+    regx = float(kv.get(R + "RegistrationCellX", "0"))
+    regy = float(kv.get(R + "RegistrationCellY", "0"))
+    gt = (lon - regx * dx, dx, 0.0, lat + regy * dy, 0.0, -dy)
+    data_path = path[:-4] if path.lower().endswith(".ers") else path
+    data = open(data_path, "rb").read()
+    arr = np.frombuffer(data, dtype=pre + base,
+                        count=width * height * nbands)
+    # BIL: per line, band-sequential
+    cube = arr.reshape(height, nbands, width)
+    out_dtype = str(np.dtype(base))
+    nodata = kv.get(R + "NullCellValue")
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype=out_dtype,
+                      nodata=float(nodata) if nodata else None,
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    frames = [from_array(spark, np.ascontiguousarray(
+        cube[:, b, :]).astype(out_dtype), meta, band=b)
+        for b in range(nbands)]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta

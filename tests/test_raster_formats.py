@@ -671,3 +671,21 @@ def test_idrisi_goldens_and_roundtrip(spark, tmp_path):  # idrisi_1/2
     t3, m3 = RF.read_idrisi(spark, out)
     assert checksum(t3, m3).collect()[0]["checksum"] == 5044
     assert m3.gt == meta.gt
+
+
+def test_small_classic_formats(spark):
+    """ELAS / Erdas LAN (8-bit + 4-bit) / GRASS ASCII / ERMapper ERS
+    read goldens (autotest/gdrivers elas_1, lan_1/2, grassasciigrid_1,
+    ers_1)."""
+    D = "/root/reference/autotest/gdrivers/data/"
+    t, m = RF.read_elas(spark, D + "byte_elas.bin")
+    assert checksum(t, m).collect()[0]["checksum"] == 4672
+    t, m = RF.read_lan(spark, D + "fakelan.lan")
+    assert checksum(t, m).collect()[0]["checksum"] == 10
+    t, m = RF.read_lan(spark, D + "fakelan4bit.lan")
+    assert checksum(t, m).collect()[0]["checksum"] == 10
+    t, m = RF.read_grass_ascii(spark, D + "grassascii.txt")
+    assert checksum(t, m).collect()[0]["checksum"] == 212
+    assert m.gt == (-100.0, 62.5, 0.0, 250.0, 0.0, -41.666666666666664)
+    t, m = RF.read_ers(spark, D + "srtm.ers")
+    assert checksum(t, m).collect()[0]["checksum"] == 64074
