@@ -2193,3 +2193,155 @@ def read_ers(spark: SparkSession, path: str, raster_id: str = "ers",
     for fr in frames[1:]:
         tiles = tiles.unionByName(fr)
     return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# ROI_PAC (gdal/frmts/raw/roipacdataset.cpp), NGSGEOID
+# (gdal/frmts/ngsgeoid), Arc/Info Export grid (gdal/frmts/e00grid),
+# ILWIS (gdal/frmts/ilwis)
+# ---------------------------------------------------------------------------
+
+def read_roipac(spark: SparkSession, path: str, raster_id: str = "roipac",
+                block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """ROI_PAC: <file>.rsc key/value sidecar (WIDTH, FILE_LENGTH,
+    X_FIRST/X_STEP/Y_FIRST/Y_STEP) + raw payload typed by the data
+    file extension (.dem int16, .unw/.cor/.hgt/.msk 2-band float32
+    line-interleaved, .flg byte)."""
+    kv = {}
+    for ln in open(path + ".rsc", "r", encoding="latin-1"):
+        parts = ln.split(None, 1)
+        if len(parts) == 2:
+            kv[parts[0]] = parts[1].strip()
+    width = int(kv["WIDTH"])
+    height = int(kv["FILE_LENGTH"])
+    gt = (float(kv["X_FIRST"]), float(kv["X_STEP"]), 0.0,
+          float(kv["Y_FIRST"]), 0.0, float(kv["Y_STEP"]))
+    ext = path.rsplit(".", 1)[-1].lower()
+    data = open(path, "rb").read()
+    from gdal_spark.raster.model import from_array
+    if ext == "dem":
+        dtype, nbands, line_il = "int16", 1, False
+    elif ext in ("unw", "cor", "hgt", "msk", "trans"):
+        dtype, nbands, line_il = "float32", 2, True
+    elif ext == "flg":
+        dtype, nbands, line_il = "uint8", 1, False
+    else:
+        dtype, nbands, line_il = "float32", 1, False
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype=dtype,
+                      block=block)
+    item = np.dtype(dtype)
+    if nbands == 1:
+        arr = np.frombuffer(data, dtype=item.newbyteorder("<"),
+                            count=width * height).reshape(height, width)
+        return from_array(spark, np.ascontiguousarray(arr).astype(dtype),
+                          meta), meta
+    cube = np.frombuffer(data, dtype=item.newbyteorder("<"),
+                         count=width * height * nbands)
+    cube = cube.reshape(height, nbands, width)    # line-interleaved
+    frames = [from_array(spark, np.ascontiguousarray(
+        cube[:, b, :]).astype(dtype), meta, band=b)
+        for b in range(nbands)]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
+
+
+def read_ngsgeoid(spark: SparkSession, path: str,
+                  raster_id: str = "ngsgeoid", block: int = 256
+                  ) -> tuple[DataFrame, RasterMeta]:
+    """NGS GEOID binary grid: 44-byte header (SLAT WLON DLAT DLON
+    doubles + NLAT NLON IKIND int32, either endianness sniffed from
+    IKIND==1), float32 rows south-to-north
+    (ngsgeoiddataset.cpp:180-300)."""
+    data = open(path, "rb").read()
+    for pre in ("<", ">"):
+        slat, wlon, dlat, dlon = struct.unpack_from(pre + "4d", data, 0)
+        nlat, nlon, ikind = struct.unpack_from(pre + "3i", data, 32)
+        if ikind == 1:
+            break
+    else:
+        raise ValueError("not a NGSGEOID file")
+    arr = np.frombuffer(data, dtype=pre + "f4", count=nlat * nlon,
+                        offset=44).reshape(nlat, nlon)[::-1]
+    gt = (wlon - dlon / 2.0, dlon, 0.0,
+          slat + nlat * dlat - dlat / 2.0, 0.0, -dlat)
+    meta = RasterMeta(raster_id, nlon, nlat, gt=gt, dtype="float32",
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(arr).astype("float32"),
+                      meta), meta
+
+
+def read_e00grid(spark: SparkSession, path: str,
+                 raster_id: str = "e00grid", block: int = 256
+                 ) -> tuple[DataFrame, RasterMeta]:
+    """Arc/Info Export grid (uncompressed EXP 0): GRD record with
+    ncols/nrows/nodata, cell size, bounds, then Fortran E-format values
+    row-major north-first (e00griddataset.cpp)."""
+    import re as _re
+    text = open(path, "r", encoding="latin-1").read()
+    i = text.index("GRD")
+    seg = text[i:text.index("EOG", i)]
+    nums = _re.findall(r"-?\d+\.\d+E[-+]\d+|-?\d+", seg.split("\n", 1)[1])
+    ncols, nrows = int(nums[0]), int(nums[1])
+    nodata = float(nums[3])
+    cellx = float(nums[4])
+    xmin, ymin = float(nums[6]), float(nums[7])
+    ymax = float(nums[9])
+    vals = np.array([float(v) for v in nums[10:10 + ncols * nrows]],
+                    dtype=np.float64)
+    gt = (xmin, cellx, 0.0, ymax, 0.0, -cellx)
+    meta = RasterMeta(raster_id, ncols, nrows, gt=gt, dtype="float32",
+                      nodata=nodata, block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, vals.reshape(nrows, ncols).astype("float32"),
+                      meta), meta
+
+
+def _ilwis_ini(path: str) -> dict:
+    kv = {}
+    section = ""
+    for ln in open(path, "r", encoding="latin-1"):
+        s = ln.strip()
+        if s.startswith("["):
+            section = s.strip("[]")
+        elif "=" in s:
+            k, v = s.split("=", 1)
+            kv[f"{section}.{k}"] = v
+    return kv
+
+
+_ILWIS_TYPES = {"Byte": "uint8", "Int": "int16", "Long": "int32",
+                "Real": "float64", "float": "float32"}
+
+
+def read_ilwis(spark: SparkSession, path: str, raster_id: str = "ilwis",
+               block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """ILWIS raster map: .mpr ini header (MapStore data file + Type),
+    .grf georeference corners, raw top-down payload
+    (gdal/frmts/ilwis/ilwisdataset.cpp)."""
+    import os as _os
+    mpr = _ilwis_ini(path)
+    base_dir = _os.path.dirname(_os.path.abspath(path))
+    size = mpr["Map.Size"].split()
+    height, width = int(size[0]), int(size[1])
+    dtype = _ILWIS_TYPES[mpr["MapStore.Type"].strip()]
+    data_file = _os.path.join(base_dir, mpr["MapStore.Data"].strip())
+    grf = _ilwis_ini(_os.path.join(base_dir,
+                                   mpr["Map.GeoRef"].strip()))
+    xmin = float(grf["GeoRefCorners.MinX"])
+    ymax = float(grf["GeoRefCorners.MaxY"])
+    xmax = float(grf["GeoRefCorners.MaxX"])
+    ymin = float(grf["GeoRefCorners.MinY"])
+    gt = (xmin, (xmax - xmin) / width, 0.0, ymax, 0.0,
+          -(ymax - ymin) / height)
+    off = int(mpr.get("MapStore.StartOffset", "0"))
+    arr = np.frombuffer(open(data_file, "rb").read(), offset=off,
+                        dtype=np.dtype(dtype).newbyteorder("<"),
+                        count=width * height).reshape(height, width)
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype=dtype,
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(arr).astype(dtype),
+                      meta), meta

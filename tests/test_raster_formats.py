@@ -689,3 +689,26 @@ def test_small_classic_formats(spark):
     assert m.gt == (-100.0, 62.5, 0.0, 250.0, 0.0, -41.666666666666664)
     t, m = RF.read_ers(spark, D + "srtm.ers")
     assert checksum(t, m).collect()[0]["checksum"] == 64074
+
+
+def test_batch2_classic_formats(spark):
+    """ROI_PAC / NGSGEOID (both endians) / E00 grid / ILWIS read goldens
+    (autotest/gdrivers roipac_1, ngsgeoid_1/2, e00grid_1, ilwis_1)."""
+    D = "/root/reference/autotest/gdrivers/data/"
+    t, m = RF.read_roipac(spark, D + "srtm.dem")
+    assert checksum(t, m).collect()[0]["checksum"] == 64074
+    assert abs(m.gt[0] - -180.0083333) < 1e-7 and m.gt[1] > 0
+    t, m = RF.read_ngsgeoid(spark, D + "g2009u01_le_truncated.bin")
+    assert checksum(t, m).collect()[0]["checksum"] == 65534
+    want = (229.99166666666667, 0.01666666666667, 0.0,
+            40.00833333333334, 0.0, -0.01666666666667)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(m.gt, want))
+    t, m = RF.read_ngsgeoid(spark, D + "g2009u01_be_truncated.bin")
+    assert checksum(t, m).collect()[0]["checksum"] == 65534
+    t, m = RF.read_e00grid(spark, D + "fake_e00grid.e00")
+    assert checksum(t, m).collect()[0]["checksum"] == 65359
+    assert m.gt == (500000.0, 1000.0, 0.0, 4000000.0, 0.0, -1000.0)
+    assert m.nodata == -32767
+    t, m = RF.read_ilwis(spark, D + "LanduseSmall.mpr")
+    assert checksum(t, m).collect()[0]["checksum"] == 2351
+    assert m.gt == (795480.0, 20.0, 0.0, 8090520.0, 0.0, -20.0)
