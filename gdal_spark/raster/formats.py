@@ -2345,3 +2345,112 @@ def read_ilwis(spark: SparkSession, path: str, raster_id: str = "ilwis",
     from gdal_spark.raster.model import from_array
     return from_array(spark, np.ascontiguousarray(arr).astype(dtype),
                       meta), meta
+
+
+# ---------------------------------------------------------------------------
+# ZMap Plus ASCII grid (gdal/frmts/zmap/zmapdataset.cpp) and
+# AutoPano KRO (gdal/frmts/raw/krodataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_zmap(spark: SparkSession, path: str, raster_id: str = "zmap",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """ZMap Plus grid: '!' comments, '@...,GRID,n' then fieldsize /
+    nodata / decimals header lines, '@' data marker, fixed-width values
+    one COLUMN per record (north-to-south within the column)."""
+    lines = open(path, "r", encoding="latin-1").read().splitlines()
+    i = 0
+    while lines[i].startswith("!"):
+        i += 1
+    vals_per_line = int(lines[i].split(",")[2])
+    t2 = lines[i + 1].split(",")
+    field_size = int(t2[0])
+    nodata = float(t2[1])
+    decimals = int(t2[3])
+    t3 = lines[i + 2].split(",")
+    nrows, ncols = int(t3[0]), int(t3[1])
+    xmin, xmax = float(t3[2]), float(t3[3])
+    ymin, ymax = float(t3[4]), float(t3[5])
+    i += 3
+    while not lines[i].startswith("@"):
+        i += 1
+    i += 1
+    vals = []
+    exp = 10.0 ** decimals
+    for ln in lines[i:]:
+        for j in range(0, len(ln), field_size):
+            tok = ln[j:j + field_size]
+            if tok.strip():
+                vals.append(float(tok) if "." in tok
+                            else int(tok) * exp)
+    arr = np.array(vals[:ncols * nrows]).reshape(ncols, nrows).T
+    gt = (xmin, (xmax - xmin) / ncols, 0.0, ymax, 0.0,
+          -(ymax - ymin) / nrows)
+    meta = RasterMeta(raster_id, ncols, nrows, gt=gt, dtype="float64",
+                      nodata=nodata, block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(arr), meta), meta
+
+
+def write_zmap(tiles: DataFrame, meta: RasterMeta, path: str,
+               band: int = 0) -> None:
+    """ZMap sink mirroring the reference CreateCopy layout
+    (zmapdataset.cpp:560-660): field width 20, 7 decimals, 4 values
+    per line, one column per record."""
+    from gdal_spark.raster.model import to_array
+    arr = to_array(tiles, meta, band=band).astype(np.float64)
+    g = meta.gt
+    nodata = meta.nodata if meta.nodata is not None else 1e30
+    with open(path, "w", encoding="latin-1") as f:
+        f.write("!\n! Created by gdal_spark.\n!\n")
+        f.write("@GRID FILE, GRID, 4\n")
+        f.write("%10d,%10g,%10s,%10d,%10d\n" % (20, nodata, "", 7, 1))
+        f.write("%10d,%10d,%14.7f,%14.7f,%14.7f,%14.7f\n"
+                % (meta.height, meta.width, g[0],
+                   g[0] + g[1] * meta.width,
+                   g[3] + g[5] * meta.height, g[3]))
+        f.write("%10.1f,%10.1f,%10.1f\n" % (0.0, 0.0, 0.0))
+        f.write("@\n")
+        for x in range(meta.width):
+            col = arr[:, x]
+            for j in range(0, meta.height, 4):
+                f.write("".join("%20.7f" % v
+                                for v in col[j:j + 4]) + "\n")
+
+
+def read_kro(spark: SparkSession, path: str, raster_id: str = "kro",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """KRO: 'KRO\\x01' + big-endian xsize/ysize/depth/ncomp, pixel-
+    interleaved big-endian samples (8->Byte, 16->UInt16, 32->Float32)."""
+    data = open(path, "rb").read()
+    if data[:4] != b"KRO\x01":
+        raise ValueError("not a KRO file")
+    w, h, depth, ncomp = struct.unpack_from(">4i", data, 4)
+    dt = {8: "u1", 16: "u2", 32: "f4"}[depth]
+    out_dtype = {"u1": "uint8", "u2": "uint16", "f4": "float32"}[dt]
+    cube = np.frombuffer(data, dtype=">" + dt, count=w * h * ncomp,
+                         offset=20).reshape(h, w, ncomp)
+    meta = RasterMeta(raster_id, w, h, dtype=out_dtype, block=block)
+    from gdal_spark.raster.model import from_array
+    frames = [from_array(spark, np.ascontiguousarray(
+        cube[:, :, b]).astype(out_dtype), meta, band=b)
+        for b in range(ncomp)]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
+
+
+def write_kro(tiles: DataFrame, meta: RasterMeta, path: str,
+              nbands: int = 1) -> None:
+    from gdal_spark.raster.model import to_array
+    bands = [to_array(tiles, meta, band=b) for b in range(nbands)]
+    depth = {np.uint8: 8}.get(bands[0].dtype.type,
+                              {"uint8": 8, "uint16": 16,
+                               "float32": 32}[str(bands[0].dtype)])
+    cube = np.stack(bands, axis=-1)
+    with open(path, "wb") as f:
+        f.write(b"KRO\x01")
+        f.write(struct.pack(">4i", meta.width, meta.height, depth,
+                            nbands))
+        f.write(np.ascontiguousarray(
+            cube, dtype=cube.dtype.newbyteorder(">")).tobytes())

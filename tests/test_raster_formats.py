@@ -712,3 +712,25 @@ def test_batch2_classic_formats(spark):
     t, m = RF.read_ilwis(spark, D + "LanduseSmall.mpr")
     assert checksum(t, m).collect()[0]["checksum"] == 2351
     assert m.gt == (795480.0, 20.0, 0.0, 8090520.0, 0.0, -20.0)
+
+
+def test_zmap_roundtrip(spark, tmp_path):               # zmap_1
+    D = "/root/reference/autotest/gdrivers/data/"
+    tiles, meta = RF.read_geotiff(spark, D + "byte.tif"), \
+        RF.geotiff_meta(D + "byte.tif")
+    out = str(tmp_path / "z.zmap")
+    RF.write_zmap(tiles, meta, out)
+    t2, m2 = RF.read_zmap(spark, out)
+    assert checksum(t2, m2).collect()[0]["checksum"] == 4672
+    assert all(abs(a - b) < 1e-8 for a, b in zip(m2.gt, meta.gt))
+
+
+def test_kro_roundtrip(spark, tmp_path):                # kro_1/2
+    D = "/root/reference/autotest/gdrivers/data/"
+    tiles = RF.read_geotiff(spark, D + "rgbsmall.tif")
+    meta = RF.geotiff_meta(D + "rgbsmall.tif")
+    out = str(tmp_path / "k.kro")
+    RF.write_kro(tiles, meta, out, nbands=3)
+    t2, m2 = RF.read_kro(spark, out)
+    cs = {r["band"]: r["checksum"] for r in checksum(t2, m2).collect()}
+    assert cs[1] == 21053       # green band golden
