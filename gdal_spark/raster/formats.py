@@ -2454,3 +2454,120 @@ def write_kro(tiles: DataFrame, meta: RasterMeta, path: str,
                             nbands))
         f.write(np.ascontiguousarray(
             cube, dtype=cube.dtype.newbyteorder(">")).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Geosoft GXF grid (gdal/frmts/gxf/gxfopen.c)
+# ---------------------------------------------------------------------------
+
+def read_gxf(spark: SparkSession, path: str, raster_id: str = "gxf",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """GXF: #KEYWORD header blocks then #GRID records — uncompressed
+    whitespace values (GTYPE 0) or base-90 groups of GTYPE chars
+    (digit = char-37; '!' dummy, '"' run-length prefix) scaled by
+    #TRANSFORM; default #SENSE 1 stores rows bottom-up
+    (gxfopen.c:404-540).  Dummies map to the reference's -1e12."""
+    lines = open(path, "r", encoding="latin-1").read().splitlines()
+    kv: dict[str, list[str]] = {}
+    grid_start = None
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if ln.startswith("#"):
+            key = ln[1:].strip().upper()
+            if key.startswith("GRID"):
+                grid_start = i + 1
+                break
+            vals = []
+            i += 1
+            while i < len(lines) and not lines[i].startswith("#"):
+                if lines[i].strip():
+                    vals.append(lines[i].strip())
+                i += 1
+            kv[key[:4]] = vals
+            continue
+        i += 1
+
+    width = int(kv["POIN"][0])
+    height = int(kv["ROWS"][0])
+    gtype = int(kv.get("GTYP", ["0"])[0])
+    scale, offset = 1.0, 0.0
+    if "TRAN" in kv:
+        t = kv["TRAN"][0].split()
+        scale, offset = float(t[0]), float(t[1])
+    dummy_text = kv.get("DUMM", [None])[0]
+    DUMMY_TO = -1e12
+    ptsep = float(kv.get("PTSE", ["1"])[0])
+    rwsep = float(kv.get("RWSE", ["1"])[0])
+    xorig = float(kv.get("XORI", ["0"])[0])
+    yorig = float(kv.get("YORI", ["0"])[0])
+    sense = int(kv.get("SENS", ["1"])[0])
+
+    vals: list[float] = []
+    need = width * height
+    if gtype == 0:
+        for ln in lines[grid_start:]:
+            for tok in ln.split():
+                if len(vals) >= need:
+                    break
+                vals.append(DUMMY_TO if tok == dummy_text
+                            else float(tok))
+    else:
+        # base-90 groups; runs and their value may split across lines
+        stream = "".join(ln for ln in lines[grid_start:])
+        groups = [stream[j:j + gtype]
+                  for j in range(0, len(stream) - gtype + 1, gtype)]
+
+        def b90(g, scaled):
+            v = 0
+            for c in g:
+                v = v * 90 + (ord(c) - 37)
+            return v * scale + offset if scaled else v
+
+        gi = 0
+        while len(vals) < need and gi < len(groups):
+            g = groups[gi]
+            if g[0] == "!":
+                vals.append(DUMMY_TO)
+                gi += 1
+            elif g[0] == '"':
+                count = int(b90(groups[gi + 1], False))
+                vg = groups[gi + 2]
+                v = DUMMY_TO if vg[0] == "!" else b90(vg, True)
+                vals.extend([v] * min(count, need - len(vals)))
+                gi += 3
+            else:
+                vals.append(b90(g, True))
+                gi += 1
+
+    arr = np.array(vals[:need], dtype=np.float64).reshape(height, width)
+    if sense in (1, -2):        # raw rows bottom-up -> flip to north-up
+        arr = arr[::-1]
+    gt = (xorig - ptsep / 2.0, ptsep, 0.0,
+          yorig + (height - 0.5) * rwsep, 0.0, -rwsep)
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype="float64",
+                      nodata=DUMMY_TO, block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(arr), meta), meta
+
+
+def read_pnm(spark: SparkSession, path: str, raster_id: str = "pnm",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Netpbm P5/P6 via the engine's PNM codec — one band per channel
+    (gdal/frmts/raw/pnmdataset.cpp semantics)."""
+    from gdal_spark.raster.imagecodec import pnm_decode
+    from gdal_spark.raster.model import from_array
+    arr = pnm_decode(open(path, "rb").read())
+    dtype = str(arr.dtype)
+    if arr.ndim == 2:
+        meta = RasterMeta(raster_id, arr.shape[1], arr.shape[0],
+                          dtype=dtype, block=block)
+        return from_array(spark, np.ascontiguousarray(arr), meta), meta
+    meta = RasterMeta(raster_id, arr.shape[1], arr.shape[0],
+                      dtype=dtype, block=block)
+    frames = [from_array(spark, np.ascontiguousarray(arr[:, :, b]),
+                         meta, band=b) for b in range(arr.shape[2])]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta

@@ -734,3 +734,18 @@ def test_kro_roundtrip(spark, tmp_path):                # kro_1/2
     t2, m2 = RF.read_kro(spark, out)
     cs = {r["band"]: r["checksum"] for r in checksum(t2, m2).collect()}
     assert cs[1] == 21053       # green band golden
+
+
+def test_gxf_and_pnm_goldens(spark):
+    """GXF plain + base-90 compressed (gxf_1/2) and netpbm P5/P6
+    (pnm_1/3) read goldens."""
+    D = "/root/reference/autotest/gdrivers/data/"
+    t, m = RF.read_gxf(spark, D + "small.gxf")
+    assert checksum(t, m).collect()[0]["checksum"] == 90
+    t, m = RF.read_gxf(spark, D + "small2.gxf")
+    assert checksum(t, m).collect()[0]["checksum"] == 65042
+    t, m = RF.read_pnm(spark, D + "byte.pgm")
+    assert checksum(t, m).collect()[0]["checksum"] == 4672
+    t, m = RF.read_pnm(spark, D + "rgbsmall.ppm")
+    cs = {r["band"]: r["checksum"] for r in checksum(t, m).collect()}
+    assert cs[1] == 21053      # band 2 (green) golden
