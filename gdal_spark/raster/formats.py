@@ -2571,3 +2571,199 @@ def read_pnm(spark: SparkSession, path: str, raster_id: str = "pnm",
     for fr in frames[1:]:
         tiles = tiles.unionByName(fr)
     return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# SGI image (gdal/frmts/sgi/sgidataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_sgi(spark: SparkSession, path: str, raster_id: str = "sgi",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """SGI RGB: 512-byte big-endian header (magic 0x01DA, storage 0 =
+    verbatim / 1 = RLE, bpc, xsize/ysize/zsize), rows bottom-up; RLE
+    rows via start/size tables and 0x80-flagged copy/repeat runs
+    (sgidataset.cpp ImageGetRow)."""
+    data = open(path, "rb").read()
+    magic, storage, bpc = struct.unpack_from(">hBB", data, 0)
+    if magic != 0x01DA:
+        raise ValueError("not an SGI image")
+    _dim, xsize, ysize, zsize = struct.unpack_from(">4H", data, 4)
+    if bpc != 1:
+        raise ValueError("only 1 byte per channel supported")
+    from gdal_spark.raster.model import from_array
+    meta = RasterMeta(raster_id, xsize, ysize, dtype="uint8", block=block)
+    bands = []
+    if storage == 0:
+        for z in range(zsize):
+            arr = np.frombuffer(data, dtype=np.uint8, count=xsize * ysize,
+                                offset=512 + z * xsize * ysize
+                                ).reshape(ysize, xsize)[::-1]
+            bands.append(np.ascontiguousarray(arr))
+    else:
+        n = ysize * zsize
+        starts = np.frombuffer(data, dtype=">u4", count=n, offset=512)
+        sizes = np.frombuffer(data, dtype=">u4", count=n,
+                              offset=512 + 4 * n)
+        for z in range(zsize):
+            rows = []
+            for y in range(ysize):
+                raw_y = ysize - 1 - y
+                off = int(starts[raw_y + z * ysize])
+                end = off + int(sizes[raw_y + z * ysize])
+                row = np.empty(xsize, np.uint8)
+                xc, i = 0, off
+                while True:
+                    pixel = data[i]; i += 1
+                    count = pixel & 0x7F
+                    if not count:
+                        break
+                    if pixel & 0x80:
+                        row[xc:xc + count] = np.frombuffer(
+                            data, np.uint8, count, i)
+                        i += count
+                    else:
+                        row[xc:xc + count] = data[i]
+                        i += 1
+                    xc += count
+                rows.append(row)
+            bands.append(np.vstack(rows))
+    frames = [from_array(spark, b, meta, band=i)
+              for i, b in enumerate(bands)]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# BSB / NOAA KAP nautical chart (gdal/frmts/bsb/bsb_read.c)
+# ---------------------------------------------------------------------------
+
+def read_bsb(spark: SparkSession, path: str, raster_id: str = "bsb",
+             block: int = 256
+             ) -> tuple[DataFrame, RasterMeta, list]:
+    """BSB: CRLF'd ASCII header (BSB/RA=w,h + RGB/i,r,g,b palette) up
+    to 0x1A, then the 0x1A 0x00 marker, a color-depth byte, and one
+    run-length scanline per row (varint row marker, runs of
+    value<<shift | count with 0x80 continuation, 0x00 terminator).
+    Uses the trailing big-endian line-offset index when present, and
+    the reference's resync rule for rows whose terminator appears
+    early (bsb_read.c:481-560, BSBReadScanline).  Returns
+    (tiles, meta, palette) — band values are palette indices, as the
+    reference band exposes them."""
+    import re as _re
+    data = open(path, "rb").read()
+    hdr_end = data.index(b"\x1a")
+    header = data[:hdr_end].decode("latin-1")
+    width = height = None
+    palette = []
+    for ln in header.splitlines():
+        s = ln.strip()
+        if ",RA=" in s or s.startswith(("BSB/", "NOS/")):
+            m = _re.search(r"RA=(\d+),(\d+)", s)
+            if m:
+                width, height = int(m.group(1)), int(m.group(2))
+        elif s.startswith("RGB/"):
+            idx, r, g, b = (int(v) for v in s[4:].split(","))
+            palette.append((idx, r, g, b))
+    if width is None:
+        raise ValueError("BSB header without RA= dimensions")
+    i = hdr_end
+    while not (data[i] == 0x1A and data[i + 1] == 0x00):
+        i += 1
+    i += 2
+    color_size = data[i]
+    if 0x31 <= color_size <= 0x38:
+        color_size -= 0x30
+    i += 1
+    first_line = i
+    shift = 7 - color_size
+    vmask = ((1 << color_size) - 1) << shift
+    cmask = (1 << (7 - color_size)) - 1
+
+    def read_marker(j, y):
+        marker = 0
+        while True:
+            b = data[j]; j += 1
+            while y != 0 and marker == 0 and b == 0:
+                b = data[j]; j += 1
+            marker = marker * 128 + (b & 0x7F)
+            if not (b & 0x80):
+                return marker, j
+
+    # trailing index table: last 4 bytes point at nYSize BE offsets
+    offsets = None
+    tail = struct.unpack_from(">I", data, len(data) - 4)[0]
+    if first_line < tail and tail + 4 * height <= len(data) - 4 + 4:
+        cand = list(struct.unpack_from(">%dI" % height, data, tail)) \
+            if tail + 4 * height <= len(data) - 4 else None
+        if cand and all(first_line <= o < tail for o in cand):
+            ok = True
+            for y, o in enumerate(cand):
+                mk, _ = read_marker(o, y)
+                if mk not in (y, y + 1):
+                    ok = False
+                    break
+            if ok:
+                offsets = cand
+
+    rows = []
+    i = first_line
+    for y in range(height):
+        if len(rows) != y:
+            break
+        try:
+            if offsets is not None:
+                i = offsets[y]
+            _mk, i = read_marker(i, y)
+        except IndexError:
+            break
+        row = np.zeros(width, np.uint8)
+        ip = 0
+        truncated = False
+        while True:
+            while i < len(data):
+                b = data[i]; i += 1
+                if b == 0:
+                    break
+                val = (b & vmask) >> shift
+                count = b & cmask
+                while b & 0x80:
+                    if i >= len(data):
+                        truncated = True
+                        break
+                    b = data[i]; i += 1
+                    count = count * 128 + (b & 0x7F)
+                if truncated:
+                    break
+                count = min(count, width - ip - 1)
+                row[ip:ip + count + 1] = val
+                ip += count + 1
+            else:
+                truncated = True
+            if truncated:
+                break
+            if ip == width - 1:
+                row[ip] = 0
+                ip += 1
+            if ip >= width or y == height - 1 or offsets is not None \
+                    or i >= len(data):
+                break
+            # early terminator: only a valid next-line marker ends the
+            # row; otherwise the following runs still belong to it
+            mk, _ = read_marker(i, y + 1)
+            if mk in (y + 1, y + 2):
+                break
+        if truncated:
+            break
+        rows.append(row)
+    while len(rows) < height:
+        rows.append(np.zeros(width, np.uint8))   # unreadable rows
+    arr = np.vstack(rows)
+    # band indices shift down by one (bsbdataset.cpp:150 'indices
+    # start at 1'); zeros stay zero
+    arr = np.where(arr > 0, arr - 1, 0).astype(np.uint8)
+    meta = RasterMeta(raster_id, width, height, dtype="uint8",
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, arr, meta), meta, palette

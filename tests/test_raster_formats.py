@@ -749,3 +749,23 @@ def test_gxf_and_pnm_goldens(spark):
     t, m = RF.read_pnm(spark, D + "rgbsmall.ppm")
     cs = {r["band"]: r["checksum"] for r in checksum(t, m).collect()}
     assert cs[1] == 21053      # band 2 (green) golden
+
+
+def test_sgi_golden(spark):                              # sgi_1
+    t, m = RF.read_sgi(
+        spark, "/root/reference/autotest/gdrivers/data/byte.sgi")
+    assert checksum(t, m).collect()[0]["checksum"] == 4672
+
+
+@pytest.mark.parametrize("fn,cs", [
+    ("rgbsmall.kap", 30321),                # bsb_2
+    ("rgbsmall_index.kap", 30321),          # bsb_4
+    ("rgbsmall_with_line_break.kap", 30321),  # bsb_5
+    ("rgbsmall_truncated.kap", 29696),      # bsb_6
+    ("rgbsmall_truncated2.kap", 29696),     # bsb_7
+])
+def test_bsb_goldens(spark, fn, cs):
+    t, m, pal = RF.read_bsb(
+        spark, "/root/reference/autotest/gdrivers/data/" + fn)
+    assert checksum(t, m).collect()[0]["checksum"] == cs
+    assert len(pal) == 127
