@@ -2767,3 +2767,206 @@ def read_bsb(spark: SparkSession, path: str, raster_id: str = "bsb",
                       block=block)
     from gdal_spark.raster.model import from_array
     return from_array(spark, arr, meta), meta, palette
+
+
+# ---------------------------------------------------------------------------
+# WinDisp IDA (gdal/frmts/raw/idadataset.cpp) and Panorama RMF
+# (gdal/frmts/rmf/rmfdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_ida(spark: SparkSession, path: str, raster_id: str = "ida",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """IDA: 512-byte header (imagetype@22, proj@23, ysize@30, xsize@32
+    little-endian int16s, geotransform as 4-byte Turbo-Pascal reals),
+    one uint8 band top-down."""
+    data = open(path, "rb").read()
+    height = data[30] + data[31] * 256
+    width = data[32] + data[33] * 256
+    if 512 + width * height != len(data):
+        raise ValueError("not an IDA file (size mismatch)")
+    arr = np.frombuffer(data, dtype=np.uint8, count=width * height,
+                        offset=512).reshape(height, width)
+    meta = RasterMeta(raster_id, width, height, dtype="uint8",
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(arr), meta), meta
+
+
+def _rmf_lzw_decompress(src: bytes, out_size: int) -> bytes:
+    """RMF 12-bit LZW with the reference's hash-addressed string table
+    (rmflzw.cpp LZWUpdateTab/LZWDecompress) — ported bit-exactly,
+    including signed-char hashing."""
+    TAB = 4096
+    used = [False] * TAB
+    nxt = [0] * TAB
+    pred = [0] * TAB
+    foll = [0] * TAB
+
+    def update(ipred, bfoll):
+        f = bfoll - 256 if bfoll >= 128 else bfoll
+        nlocal = ((ipred + f) | 0x0800) & 0xFFFFFFFF
+        nlocal = ((nlocal * nlocal) & 0xFFFFFFFF) >> 6 & 0x0FFF
+        if not used[nlocal]:
+            n = nlocal
+        else:
+            while nxt[nlocal] != 0:
+                nlocal = nxt[nlocal]
+            n = (nlocal + 101) & 0x0FFF
+            while used[n]:
+                n += 1
+                if n >= TAB:
+                    n = 0
+            nxt[nlocal] = n
+        used[n] = True
+        nxt[n] = 0
+        pred[n] = ipred
+        foll[n] = bfoll
+
+    NO_PRED = 0xFFFF
+    for c in range(256):
+        update(NO_PRED, c)
+
+    out = bytearray()
+    i, n_in = 0, len(src)
+    count = TAB - 256
+    code = ((src[0] << 4) & 0xFF0) + ((src[1] >> 4) & 0x0F)
+    i += 1
+    n_in -= 1
+    old_code = code
+    bitsleft = True
+    fin_char = foll[code]
+    out.append(fin_char)
+    last_char = 0
+    while n_in > 0 and len(out) < out_size:
+        if bitsleft:
+            code = (src[i] & 0x0F) << 8
+            i += 1
+            n_in -= 1
+            if n_in <= 0:
+                break
+            code += src[i]
+            i += 1
+            n_in -= 1
+            bitsleft = False
+        else:
+            code = (src[i] << 4) & 0xFF0
+            i += 1
+            n_in -= 1
+            if n_in <= 0:
+                break
+            code += (src[i] >> 4) & 0x0F
+            bitsleft = True
+        in_code = code
+        if used[code]:
+            new_code = False
+        else:
+            code = old_code
+            last_char = fin_char
+            new_code = True
+        stack = bytearray()
+        while pred[code] != NO_PRED:
+            stack.append(foll[code])
+            code = pred[code]
+        fin_char = foll[code]
+        out.append(fin_char)
+        out.extend(reversed(stack))
+        if new_code:
+            fin_char = last_char
+            out.append(fin_char)
+        if count > 0:
+            count -= 1
+            update(old_code, fin_char)
+        old_code = in_code
+    return bytes(out[:out_size])
+
+
+def read_rmf(spark: SparkSession, path: str, raster_id: str = "rmf",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Panorama RMF (RSW raster / MTW matrix): 320-byte header with a
+    tile table of (offset,size) pairs; uncompressed tiles row-major,
+    24-bit RSW pixels interleaved B,G,R (rmfdataset.cpp:1130-1300)."""
+    data = open(path, "rb").read()
+    sig = data[:4]
+    if sig not in (b"RSW\x00", b"MTW\x00", b"\x00WSR", b"\x00WTM"):
+        raise ValueError("not an RMF file")
+    is_mtw = sig in (b"MTW\x00", b"\x00WTM")
+    endian = ">" if sig in (b"\x00WSR", b"\x00WTM") else "<"
+    u = lambda off: struct.unpack_from(endian + "I", data, off)[0]
+    d = lambda off: struct.unpack_from(endian + "d", data, off)[0]
+    depth = u(52)
+    height, width = u(56), u(60)
+    nxt, nyt = u(64), u(68)
+    th, tw = u(72), u(76)
+    last_th, last_tw = u(80), u(84)
+    tbl_off, tbl_size = u(104), u(108)
+    compression = data[208]
+    pixel = d(152)
+    lly, llx = d(160), d(168)
+    gt = (llx, pixel, 0.0, lly + height * pixel, 0.0, -pixel)
+    ntiles = tbl_size // 8
+    tiles_tbl = [(u(tbl_off + 8 * i), u(tbl_off + 8 * i + 4))
+                 for i in range(ntiles)]
+    if is_mtw:
+        dtype = {8: "int8", 16: "int16", 32: "int32", 64: "float64"}[depth]
+        nbands = 1
+        bpp = np.dtype(dtype).itemsize
+    else:
+        dtype = "uint8"
+        nbands = 3 if depth in (24, 32) else 1
+        bpp = depth // 8
+    item = np.dtype(dtype).itemsize
+    cube = np.zeros((height, width, nbands), dtype=dtype)
+    for ty in range(nyt):
+        for tx in range(nxt):
+            off, size = tiles_tbl[ty * nxt + tx]
+            cur_th = last_th if (last_th and ty == nyt - 1) else th
+            cur_tw = last_tw if (last_tw and tx == nxt - 1) else tw
+            raw = np.frombuffer(data, np.uint8, size, off)
+            want = th * tw * bpp
+            if compression == 1 and size < want:
+                raw = np.frombuffer(
+                    _rmf_lzw_decompress(bytes(raw), want), np.uint8)
+                size = len(raw)
+            buf = np.zeros(th * tw * bpp, np.uint8)
+            buf[:min(size, len(buf))] = raw[:min(size, len(buf))]
+            # NOTE: tile bytes are NOT swapped for BE files — the
+            # reference's ReadBuffer swap is compiled only on MSB hosts
+            # (rmfdataset.cpp '#ifdef CPL_MSB'), and the goldens encode
+            # the LE-host behavior.
+            y0, x0 = ty * th, tx * tw
+            packed = bool(last_tw) and tx == nxt - 1
+            if nbands == 1:
+                tile = buf.view(dtype)
+                if packed:   # last-column tiles store cur_tw-wide rows
+                    cube[y0:y0 + cur_th, x0:x0 + cur_tw, 0] = \
+                        tile[:cur_th * cur_tw].reshape(cur_th, cur_tw)
+                else:
+                    cube[y0:y0 + cur_th, x0:x0 + cur_tw, 0] = \
+                        tile.reshape(th, tw)[:cur_th, :cur_tw]
+            else:
+                # pixels stored B,G,R(,pad) -> bands R,G,B; the block
+                # fills LINEARLY from the tile's pixel stream, exactly
+                # as the reference does (rmfdataset.cpp:347-366) — for
+                # partial-width tiles the rows smear, and the goldens
+                # encode that behavior
+                npix = min(size // bpp, th * tw)
+                pix = buf[:th * tw * bpp].reshape(th * tw, bpp)
+                for b, comp in ((0, 2), (1, 1), (2, 0)):
+                    blockf = np.zeros(th * tw, np.uint8)
+                    blockf[:npix] = pix[:npix, comp]
+                    if packed:   # restride per rmfdataset.cpp:287 memmove
+                        blk = blockf[:cur_th * cur_tw].reshape(cur_th,
+                                                               cur_tw)
+                        cube[y0:y0 + cur_th, x0:x0 + cur_tw, b] = blk
+                    else:
+                        cube[y0:y0 + cur_th, x0:x0 + cur_tw, b] = \
+                            blockf.reshape(th, tw)[:cur_th, :cur_tw]
+    meta = RasterMeta(raster_id, width, height, gt=gt, dtype=dtype,
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    frames = [from_array(spark, np.ascontiguousarray(cube[:, :, b]),
+                         meta, band=b) for b in range(nbands)]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta

@@ -769,3 +769,24 @@ def test_bsb_goldens(spark, fn, cs):
         spark, "/root/reference/autotest/gdrivers/data/" + fn)
     assert checksum(t, m).collect()[0]["checksum"] == cs
     assert len(pal) == 127
+
+
+def test_ida_golden(spark):                              # ida_2
+    t, m = RF.read_ida(
+        spark, "/root/reference/autotest/gdrivers/data/DWI01012.AFC")
+    assert checksum(t, m).collect()[0]["checksum"] == 4026
+
+
+@pytest.mark.parametrize("fn,want", [
+    ("byte.rsw", [4672]),                        # rmf_1
+    ("byte-lzw.rsw", [4672]),                    # rmf_2
+    ("float64.mtw", [4672]),                     # rmf_3
+    ("rgbsmall.rsw", [21212, 21053, 21349]),     # rmf_4
+    ("rgbsmall-lzw.rsw", [21212, 21053, 21349]),  # rmf_5
+    ("big-endian.rsw", [7782, 8480, 4195]),      # rmf_6
+])
+def test_rmf_goldens(spark, fn, want):
+    t, m = RF.read_rmf(
+        spark, "/root/reference/autotest/gdrivers/data/" + fn)
+    cs = {r["band"]: r["checksum"] for r in checksum(t, m).collect()}
+    assert [cs[i] for i in range(len(want))] == want
