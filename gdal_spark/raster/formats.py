@@ -2970,3 +2970,139 @@ def read_rmf(spark: SparkSession, path: str, raster_id: str = "rmf",
     for fr in frames[1:]:
         tiles = tiles.unionByName(fr)
     return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# Northwood / Vertical Mapper GRD + GRC (gdal/frmts/northwood)
+# ---------------------------------------------------------------------------
+
+def _nwt_header(data: bytes) -> dict:
+    h = {}
+    u16 = lambda o: struct.unpack_from("<H", data, o)[0]
+    f32 = lambda o: struct.unpack_from("<f", data, o)[0]
+    d64 = lambda o: struct.unpack_from("<d", data, o)[0]
+    h["xside"] = u16(9) or struct.unpack_from("<I", data, 128)[0]
+    h["yside"] = u16(11) or struct.unpack_from("<I", data, 132)[0]
+    h["minx"], h["maxx"] = d64(13), d64(21)
+    h["miny"], h["maxy"] = d64(29), d64(37)
+    h["zmin"], h["zmax"] = f32(45), f32(49)
+    n = u16(516)
+    h["inflections"] = [(f32(518 + 7 * i), data[522 + 7 * i],
+                         data[523 + 7 * i], data[524 + 7 * i])
+                        for i in range(n)]
+    h["bpp"] = data[1023] * 8
+    return h
+
+
+def _nwt_color_map(h: dict, map_size: int = 4096) -> np.ndarray:
+    """nwt_LoadColors + createIP + linearColor (northwood.cpp:256-400),
+    including the reference's unsigned-char slope-increment cast."""
+    cmap = np.zeros((map_size, 3), np.int32)
+    wark = [0]
+
+    def create_ip(index, r, g, b):
+        if index == 0:
+            cmap[0] = (r, g, b)
+            return
+        if index <= wark[0]:
+            return
+        wm = wark[0]
+        for ci, target in enumerate((r, g, b)):
+            slope = float(target - cmap[wm][ci]) / float(index - wm)
+            for i in range(wm + 1, index):
+                # (unsigned char) cast of the increment, as the
+                # reference does — negative slopes wrap
+                inc = int((i - wm) * slope + 0.5) & 0xFF
+                cmap[i][ci] = (cmap[wm][ci] + inc) & 0xFF
+        cmap[index] = (r, g, b)
+        wark[0] = index
+
+    def linear_color(lo, hi, mid):
+        if mid < lo[0]:
+            return lo[1:]
+        if mid > hi[0]:
+            return hi[1:]
+        sc = (mid - lo[0]) / (hi[0] - lo[0])
+        return tuple(int(sc * (hi[k + 1] - lo[k + 1]) + lo[k + 1] + 0.5)
+                     for k in range(3))
+
+    infl = h["inflections"]
+    zmin, zmax = h["zmin"], h["zmax"]
+    create_ip(0, 255, 255, 255)
+    if zmin <= infl[0][0]:
+        create_ip(1, *infl[0][1:])
+    i = 0
+    while i < len(infl):
+        if zmin < infl[i][0]:
+            r, g, b = linear_color(infl[i - 1], infl[i], zmin)
+            create_ip(1, r, g, b)
+            break
+        i += 1
+    if i >= len(infl):
+        create_ip(1, *infl[-1][1:])
+        create_ip(map_size - 1, *infl[-1][1:])
+    else:
+        index = 0
+        while i < len(infl):
+            if zmax < infl[i][0]:
+                r, g, b = linear_color(infl[i - 1], infl[i], zmax)
+                index = map_size - 1
+                create_ip(index, r, g, b)
+                break
+            index = int((infl[i][0] - zmin) / (zmax - zmin) * map_size)
+            if index >= map_size:
+                index = map_size - 1
+            create_ip(index, *infl[i][1:])
+            i += 1
+        if index < map_size - 1:
+            create_ip(map_size - 1, *infl[-1][1:])
+    return cmap.astype(np.uint8)
+
+
+def read_nwt_grd(spark: SparkSession, path: str,
+                 raster_id: str = "nwt_grd", block: int = 256
+                 ) -> tuple[DataFrame, RasterMeta]:
+    """Northwood GRD: 1024-byte header + uint16 LE samples; bands
+    1-3 = RGB from the inflection-ramp color map at raw/16, band 4
+    would be Z (grddataset.cpp IReadBlock).  This reader returns the
+    3 color bands (the checksummed surface)."""
+    data = open(path, "rb").read()
+    h = _nwt_header(data)
+    w, ht = h["xside"], h["yside"]
+    raw = np.frombuffer(data, dtype="<u2", count=w * ht,
+                        offset=1024).reshape(ht, w)
+    cmap = _nwt_color_map(h)
+    rgb = cmap[raw // 16]
+    gt = (h["minx"] - (h["maxx"] - h["minx"]) / (w - 1) / 2,
+          (h["maxx"] - h["minx"]) / (w - 1), 0.0,
+          h["maxy"] + (h["maxy"] - h["miny"]) / (ht - 1) / 2, 0.0,
+          -(h["maxy"] - h["miny"]) / (ht - 1))
+    meta = RasterMeta(raster_id, w, ht, gt=gt, dtype="uint8", block=block)
+    from gdal_spark.raster.model import from_array
+    frames = [from_array(spark, np.ascontiguousarray(rgb[:, :, b]),
+                         meta, band=b) for b in range(3)]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
+
+
+def read_nwt_grc(spark: SparkSession, path: str,
+                 raster_id: str = "nwt_grc", block: int = 256
+                 ) -> tuple[DataFrame, RasterMeta]:
+    """Northwood classified GRC: one band of class indices
+    (grcdataset.cpp IReadBlock)."""
+    data = open(path, "rb").read()
+    h = _nwt_header(data)
+    w, ht = h["xside"], h["yside"]
+    bpp = data[1023] * 4 if data[1023] else 16
+    if data[4:5] == b"8":
+        bpp = 16 if data[1023] == 0 else data[1023] * 4
+    dtype = {8: "uint8", 16: "<u2", 32: "<u4"}[bpp]
+    raw = np.frombuffer(data, dtype=dtype, count=w * ht,
+                        offset=1024).reshape(ht, w)
+    out_dtype = {8: "uint8", 16: "uint16", 32: "uint32"}[bpp]
+    meta = RasterMeta(raster_id, w, ht, dtype=out_dtype, block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, np.ascontiguousarray(raw).astype(out_dtype),
+                      meta), meta

@@ -790,3 +790,12 @@ def test_rmf_goldens(spark, fn, want):
         spark, "/root/reference/autotest/gdrivers/data/" + fn)
     cs = {r["band"]: r["checksum"] for r in checksum(t, m).collect()}
     assert [cs[i] for i in range(len(want))] == want
+
+
+def test_northwood_goldens(spark):                      # nwt_grd_1 / grc_1
+    D = "/root/reference/autotest/gdrivers/data/"
+    t, m = RF.read_nwt_grd(spark, D + "nwt_grd.grd")
+    cs = {r["band"]: r["checksum"] for r in checksum(t, m).collect()}
+    assert [cs[i] for i in range(3)] == [28093, 33626, 20260]
+    t, m = RF.read_nwt_grc(spark, D + "nwt_grc.grc")
+    assert checksum(t, m).collect()[0]["checksum"] == 46760
