@@ -3106,3 +3106,132 @@ def read_nwt_grc(spark: SparkSession, path: str,
     from gdal_spark.raster.model import from_array
     return from_array(spark, np.ascontiguousarray(raw).astype(out_dtype),
                       meta), meta
+
+
+# ---------------------------------------------------------------------------
+# HF2/HFZ heightfield (gdal/frmts/hf2/hf2dataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_hf2(spark: SparkSession, path: str, raster_id: str = "hf2",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """HF2: little-endian header (dims, tile size, vertical precision),
+    'bin' extended-header blocks (georef-extents → geotransform), then
+    bottom-up tile rows; each tile = per-row delta streams (word-size
+    byte, int32 seed, diffs) scaled by a per-tile scale/offset."""
+    import gzip as _gzip
+    raw = open(path, "rb").read()
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gzip.decompress(raw)
+    if raw[:4] != b"HF2\x00":
+        raise ValueError("not an HF2 file")
+    xsize, ysize = struct.unpack_from("<ii", raw, 6)
+    (tile,) = struct.unpack_from("<h", raw, 14)
+    _vert, _horiz = struct.unpack_from("<ff", raw, 16)
+    (ext_len,) = struct.unpack_from("<i", raw, 24)
+    pos = 28
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    end_ext = pos + ext_len
+    while pos < end_ext:
+        btype = raw[pos:pos + 4]
+        name = raw[pos + 4:pos + 20].split(b"\x00")[0].decode("latin-1")
+        (blen,) = struct.unpack_from("<i", raw, pos + 20)
+        body = pos + 24
+        if btype.startswith(b"bin") and name == "georef-extents":
+            minx, maxx, miny, maxy = struct.unpack_from("<4d", raw,
+                                                        body + 2)
+            gt = (minx, (maxx - minx) / xsize, 0.0, maxy, 0.0,
+                  -(maxy - miny) / ysize)
+        pos = body + blen
+    nxb = (xsize + tile - 1) // tile
+    nyb = (ysize + tile - 1) // tile
+    arr = np.zeros((ysize, xsize), np.float32)
+    i = pos
+    for jb in range(nyb):          # bottom tile row first
+        for ib in range(nxb):
+            tw = min(tile, xsize - ib * tile)
+            thh = min(tile, ysize - jb * tile)
+            scale, off = struct.unpack_from("<ff", raw, i)
+            i += 8
+            for k in range(thh):
+                wsize = raw[i]
+                i += 1
+                (val,) = struct.unpack_from("<i", raw, i)
+                i += 4
+                n = tw - 1
+                if wsize == 1:
+                    diffs = np.frombuffer(raw, np.int8, n, i)
+                elif wsize == 2:
+                    diffs = np.frombuffer(raw, "<i2", n, i)
+                else:
+                    diffs = np.frombuffer(raw, "<i4", n, i)
+                i += wsize * n
+                vals = val + np.concatenate(
+                    [[0], np.cumsum(diffs, dtype=np.int64)])
+                # global row: tile rows bottom-up within bottom-up tiles
+                gy = ysize - 1 - (jb * tile + k)
+                arr[gy, ib * tile:ib * tile + tw] = \
+                    vals.astype(np.float64) * scale + off
+    meta = RasterMeta(raster_id, xsize, ysize, gt=gt, dtype="float32",
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, arr, meta), meta
+
+
+def write_hf2(tiles: DataFrame, meta: RasterMeta, path: str,
+              band: int = 0, tile_size: int = 256,
+              compress: bool = False) -> None:
+    """HF2 sink mirroring the reference CreateCopy int16 path
+    (hf2dataset.cpp:820-1000): per-row adaptive word size deltas,
+    bottom-up tiles; gzip container when compress (.hfz)."""
+    import gzip as _gzip
+    import io as _io
+    from gdal_spark.raster.model import to_array
+    arr = np.round(to_array(tiles, meta, band=band)).astype(np.int64)
+    xsize, ysize = meta.width, meta.height
+    g = meta.gt
+    out = _io.BytesIO()
+    out.write(b"HF2\x00")
+    out.write(struct.pack("<h", 0))
+    out.write(struct.pack("<ii", xsize, ysize))
+    out.write(struct.pack("<h", tile_size))
+    out.write(struct.pack("<ff", 1.0,
+                          (abs(g[1]) + abs(g[5])) / 2.0))
+    ext = _io.BytesIO()
+    ext.write(b"bin\x00" + b"georef-extents" + b"\x00\x00")
+    ext.write(struct.pack("<i", 34))
+    ext.write(struct.pack("<h", 0))
+    ext.write(struct.pack("<4d", g[0], g[0] + xsize * g[1],
+                          g[3] + ysize * g[5], g[3]))
+    blob = ext.getvalue()
+    out.write(struct.pack("<i", len(blob)))
+    out.write(blob)
+    nxb = (xsize + tile_size - 1) // tile_size
+    nyb = (ysize + tile_size - 1) // tile_size
+    for jb in range(nyb):
+        for ib in range(nxb):
+            tw = min(tile_size, xsize - ib * tile_size)
+            thh = min(tile_size, ysize - jb * tile_size)
+            sub = arr[max(0, ysize - (jb + 1) * tile_size):
+                      ysize - jb * tile_size,
+                      ib * tile_size:ib * tile_size + tw]
+            out.write(struct.pack("<ff", 1.0, 0.0))
+            for k in range(thh):
+                row = sub[thh - k - 1]
+                diffs = np.diff(row)
+                if len(diffs) and (diffs.max() > 32767
+                                   or diffs.min() < -32768):
+                    ws = 4
+                elif len(diffs) and (diffs.max() > 127
+                                     or diffs.min() < -128):
+                    ws = 2
+                else:
+                    ws = 1
+                out.write(bytes([ws]))
+                out.write(struct.pack("<i", int(row[0])))
+                dt = {1: np.int8, 2: "<i2", 4: "<i4"}[ws]
+                out.write(diffs.astype(dt).tobytes())
+    data = out.getvalue()
+    if compress:
+        data = _gzip.compress(data)
+    with open(path, "wb") as f:
+        f.write(data)

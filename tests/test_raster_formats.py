@@ -799,3 +799,18 @@ def test_northwood_goldens(spark):                      # nwt_grd_1 / grc_1
     assert [cs[i] for i in range(3)] == [28093, 33626, 20260]
     t, m = RF.read_nwt_grc(spark, D + "nwt_grc.grc")
     assert checksum(t, m).collect()[0]["checksum"] == 46760
+
+
+def test_hf2_roundtrip(spark, tmp_path):                # hf2_1 / hf2_2
+    D = "/root/reference/autotest/gdrivers/data/"
+    tiles = RF.read_geotiff(spark, D + "byte.tif")
+    meta = RF.geotiff_meta(D + "byte.tif")
+    out = str(tmp_path / "t.hf2")
+    RF.write_hf2(tiles, meta, out)
+    t2, m2 = RF.read_hf2(spark, out)
+    assert checksum(t2, m2).collect()[0]["checksum"] == 4672
+    assert all(abs(a - b) < 1e-8 for a, b in zip(m2.gt, meta.gt))
+    out2 = str(tmp_path / "t.hfz")
+    RF.write_hf2(tiles, meta, out2, tile_size=10, compress=True)
+    t3, m3 = RF.read_hf2(spark, out2)
+    assert checksum(t3, m3).collect()[0]["checksum"] == 4672
