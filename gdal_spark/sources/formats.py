@@ -2212,3 +2212,208 @@ def write_georss(df: DataFrame, path: str, use_atom: bool = False,
         out.append("</channel></rss>")
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(out) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Arc/Info Generate driver (gdal/ogr/ogrsf_frmts/arcgen)
+# ---------------------------------------------------------------------------
+
+def read_arcgen(spark: SparkSession, path: str) -> DataFrame:
+    """Arc Generate: points files are 'id,x,y[,z]' one-liners ending
+    END; line/polygon files are 'id' + coordinate lines + END per
+    feature with a final END; polygon vs line decided by whether the
+    first feature's ring closes (ograrcgendatasource.cpp:100-200).
+    2-D WKB out (Z dropped, the engine contract)."""
+    lines = [ln.strip() for ln in
+             open(path, "r", encoding="latin-1").read().splitlines()
+             if ln.strip()]
+    ends = [i for i, ln in enumerate(lines) if ln.upper() == "END"]
+    multi = len(ends) >= 2
+    rows = []
+    if not multi:
+        for fid, ln in enumerate(lines):
+            if ln.upper() == "END":
+                break
+            toks = [t for t in ln.replace(",", " ").split()]
+            rows.append((fid, int(float(toks[0])), bytearray(
+                G.encode_point(float(toks[1]), float(toks[2])))))
+        schema = "fid long, ID long, geometry binary"
+        return spark.createDataFrame(rows, schema)
+    feats = []
+    i = 0
+    while i < len(lines):
+        if lines[i].upper() == "END":
+            break
+        fid_line = lines[i].replace(",", " ").split()
+        ident = int(float(fid_line[0]))
+        i += 1
+        coords = []
+        while i < len(lines) and lines[i].upper() != "END":
+            toks = lines[i].replace(",", " ").split()
+            coords.append((float(toks[0]), float(toks[1])))
+            i += 1
+        i += 1
+        feats.append((ident, np.array(coords)))
+    is_polygon = len(feats) > 0 and len(feats[0][1]) > 2 and \
+        tuple(feats[0][1][0]) == tuple(feats[0][1][-1])
+    for fid, (ident, pts) in enumerate(feats):
+        wkb = G.encode_polygon([pts]) if is_polygon \
+            else G.encode_linestring(pts)
+        rows.append((fid, ident, bytearray(wkb)))
+    return spark.createDataFrame(rows, "fid long, ID long, geometry binary")
+
+
+# ---------------------------------------------------------------------------
+# HTF (Hydrographic Transfer Format, gdal/ogr/ogrsf_frmts/htf)
+# ---------------------------------------------------------------------------
+
+def read_htf(spark: SparkSession, path: str,
+             layer: str = "polygon") -> DataFrame:
+    """HTF: 'polygon' layer (attribute lines + lat/lon/easting/northing
+    coordinate rows; rings close on repeats of their first coordinate,
+    ogrhtflayer.cpp:340-460) and 'sounding' layer ([NN] NAME = ...
+    header fields, field-population key, one record per line)."""
+    lines = open(path, "r", encoding="latin-1").read().splitlines()
+    if layer == "polygon":
+        rows = []
+        i = 0
+        while i < len(lines) and lines[i].strip() != "POLYGON DATA":
+            i += 1
+        i += 1
+        fid = 0
+        desc = ident = None
+        rings, cur = [], []
+        first = island = None
+        in_island = False
+
+        def finish():
+            nonlocal desc, ident, rings, cur, first, island, in_island
+            if len(cur) >= 3:
+                if tuple(cur[0]) != tuple(cur[-1]):
+                    cur.append(cur[0])
+                rings.append(np.array(cur, np.float64))
+            if rings:
+                rows.append((len(rows), desc,
+                             int(ident) if ident and ident.isdigit()
+                             else None,
+                             bytearray(G.encode_polygon(rings))))
+            desc = ident = None
+            rings, cur = [], []
+            first = island = None
+            in_island = False
+
+        while i < len(lines):
+            ln = lines[i].strip()
+            i += 1
+            if ln.startswith(";"):
+                continue
+            if ln == "":
+                if rings or cur or desc is not None:
+                    finish()
+                continue
+            if ln == "END OF POLYGON DATA":
+                if rings or cur or desc is not None:
+                    finish()
+                break
+            if ln.startswith("POLYGON DESCRIPTION: "):
+                desc = ln[len("POLYGON DESCRIPTION: "):]
+            elif ln.startswith("POLYGON IDENTIFIER: "):
+                ident = ln[len("POLYGON IDENTIFIER: "):]
+            elif ln.startswith(("SEAFLOOR COVERAGE", "POSITION ACCURACY",
+                                "DEPTH ACCURACY")):
+                pass
+            else:
+                toks = ln.split()
+                if len(toks) != 4:
+                    continue
+                e, n = float(toks[2]), float(toks[3])
+                if first is None:
+                    first = (e, n)
+                    cur.append((e, n))
+                elif (e, n) == first:
+                    if not in_island:
+                        cur.append((e, n))
+                        rings.append(np.array(cur, np.float64))
+                        cur = []
+                        in_island = True
+                elif in_island and not cur:
+                    island = (e, n)
+                    cur.append((e, n))
+                elif in_island and (e, n) == island:
+                    cur.append((e, n))
+                    rings.append(np.array(cur, np.float64))
+                    cur = []
+                else:
+                    cur.append((e, n))
+        return spark.createDataFrame(
+            rows, "fid long, DESCRIPTION string, IDENTIFIER long, "
+                  "geometry binary")
+
+    # sounding layer
+    import re as _re
+    fields = []
+    i = 0
+    in_hdr = False
+    while i < len(lines):
+        ln = lines[i].strip()
+        if ln.startswith("SOUNDING HEADER"):
+            in_hdr = True
+        elif in_hdr and _re.match(r"^\[\d\d\] .+=", ln):
+            name = ln[5:ln.index(" =")].strip().replace(" ", "_")
+            fields.append(name)
+        elif ln == "END OF SOUNDING HEADER":
+            in_hdr = False
+        elif ln == "SOUNDING DATA":
+            i += 1
+            break
+        i += 1
+    presence = [True] * len(fields)
+    if i < len(lines) and lines[i].strip().startswith("[") \
+            and len(lines[i].strip()) == 2 + len(fields):
+        fpk = lines[i].strip()
+        presence = [fpk[1 + k] != "0" for k in range(len(fields))]
+        i += 1
+    num_int = {"REJECTED_SOUNDING", "FIX_NUMBER", "NBA_FLAG",
+               "SOUND_VELOCITY", "PLOTTED_SOUNDING"}
+    num_real = {"LATITUDE", "LONGITUDE", "EASTING", "NORTHING", "DEPTH",
+                "TPE_POSITION", "TPE_DEPTH", "TIDE",
+                "DEEP_WATER_CORRECTION", "VERTICAL_BIAS_CORRECTION"}
+    rows = []
+    fid = 0
+    while i < len(lines):
+        ln = lines[i].strip()
+        i += 1
+        if ln == "" or ln.startswith(";"):
+            continue
+        if ln == "END OF SOUNDING DATA":
+            break
+        toks = ln.split(" ")
+        vals = {}
+        t = 0
+        for k, name in enumerate(fields):
+            if not presence[k] or t >= len(toks):
+                vals[name] = None
+                continue
+            v = toks[t]
+            t += 1
+            vals[name] = None if v == "*" else v
+        east = float(vals.get("EASTING") or 0)
+        north = float(vals.get("NORTHING") or 0)
+        row = [fid]
+        for name in fields:
+            v = vals[name]
+            if v is not None and name in num_int:
+                v = int(float(v))
+            elif v is not None and name in num_real:
+                v = float(v)
+            row.append(v)
+        row.append(bytearray(G.encode_point(east, north)))
+        rows.append(tuple(row))
+        fid += 1
+    schema = "fid long"
+    for name in fields:
+        t = ("long" if name in num_int
+             else "double" if name in num_real else "string")
+        schema += f", `{name}` {t}"
+    schema += ", geometry binary"
+    return spark.createDataFrame(rows, schema)

@@ -595,3 +595,38 @@ def test_georss_atom_write_roundtrip(spark, tmp_path):  # ogr_georss_1bis/ter
     for k, v in ATOM_FIELDS:
         assert r[k] == v, (k, r[k], v)
     assert '<div xmlns="http://www.w3.org/1999/xhtml">' in r["content"]
+
+
+# --- Arc Generate + HTF drivers (ogr_arcgen.py / ogr_htf.py) -----------------
+
+def test_arcgen(spark):                                    # ogr_arcgen_1..6
+    D = "/root/reference/autotest/ogr/data/"
+    pts = FMT.read_arcgen(spark, D + "points.gen").orderBy("fid").collect()
+    assert [(r["ID"], G.wkt_from_wkb(bytes(r["geometry"]))) for r in pts] \
+        == [(1, "POINT (2 49)"), (2, "POINT (3 50)")]
+    lns = FMT.read_arcgen(spark, D + "lines.gen").orderBy("fid").collect()
+    assert G.wkt_from_wkb(bytes(lns[0]["geometry"])) == \
+        "LINESTRING (2 49,3 50)"
+    pol = FMT.read_arcgen(spark, D + "polygons.gen").collect()
+    assert G.wkt_from_wkb(bytes(pol[0]["geometry"])) == \
+        "POLYGON ((2 49,2 50,3 50,3 49,2 49))"
+    # 25d variants parse too (Z drops at the engine's 2-D WKB)
+    p25 = FMT.read_arcgen(spark, D + "points25d.gen").collect()
+    assert G.wkt_from_wkb(bytes(p25[0]["geometry"])) == "POINT (2 49)"
+
+
+def test_htf(spark):                                       # ogr_htf_1
+    P = "/root/reference/autotest/ogr/data/test.htf"
+    pol = FMT.read_htf(spark, P, "polygon").orderBy("fid").collect()
+    assert G.wkt_from_wkb(bytes(pol[0]["geometry"])) == (
+        "POLYGON ((320830 7678810,350840 7658030,308130 7595560,"
+        "278310 7616820,320830 7678810))")
+    assert G.wkt_from_wkb(bytes(pol[1]["geometry"])) == (
+        "POLYGON ((320830 7678810,350840 7658030,308130 7595560,"
+        "278310 7616820,320830 7678810),(0 0,0 1,1 1,0 0))")
+    assert pol[1]["IDENTIFIER"] == 2
+    snd = FMT.read_htf(spark, P, "sounding")
+    assert snd.count() == 2
+    r = snd.orderBy("fid").collect()[0]
+    assert G.wkt_from_wkb(bytes(r["geometry"])) == "POINT (278670 7616330)"
+    assert r["OTHER3"] == "other3"
