@@ -2417,3 +2417,85 @@ def read_htf(spark: SparkSession, path: str,
         schema += f", `{name}` {t}"
     schema += ", geometry binary"
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# SEG-P1 / UKOOA P1-90 seismic shotpoints (gdal/ogr/ogrsf_frmts/segukooa)
+# ---------------------------------------------------------------------------
+
+def _seg_points(path: str):
+    """(linename, pointnumber, reshoot, lat, lon, easting, northing,
+    depth) per record; handles both the SEG-P1 and UKOOA P1/90 column
+    layouts (ogrsegukooalayer.cpp:294-470, 698)."""
+    feats = []
+    for ln in open(path, "r", encoding="latin-1").read().splitlines():
+        ln = ln.rstrip()
+        if not ln or ln[0] == "H" or len(ln) < 46:
+            continue
+        F = lambda off, n: ln[off - 1:off - 1 + n]
+        if ln[0] == "A":        # UKOOA P1/90
+            name = F(2, 12).rstrip()
+            ptnum = int(F(20, 6))
+            lat = (int(F(26, 2)) + int(F(28, 2)) / 60.0
+                   + float(F(30, 5)) / 3600.0)
+            if ln[34] == "S":
+                lat = -lat
+            lon = (int(F(36, 3)) + int(F(39, 2)) / 60.0
+                   + float(F(41, 5)) / 3600.0)
+            if ln[45] == "W":
+                lon = -lon
+            e = float(F(47, 9)) if len(ln) >= 64 else None
+            n = float(F(56, 9)) if len(ln) >= 64 else None
+            d = float(F(65, 6)) if len(ln) >= 70 else None
+            feats.append((name, ptnum, None, lat, lon, e, n, d))
+        else:                   # SEG-P1, standard latitude column 27
+            # data-record test = DetectLatitudeColumn's N/S + E/W probe
+            if len(ln) < 45 or ln[34] not in "NS" or ln[44] not in "EW":
+                continue
+            name = F(2, 16).rstrip()
+            ptnum = int(F(18, 8))
+            reshoot = F(26, 1)
+            lat = (int(F(27, 2)) + int(F(29, 2)) / 60.0
+                   + int(F(31, 4)) / 100.0 / 3600.0)
+            if ln[34] == "S":
+                lat = -lat
+            lon = (int(F(36, 3)) + int(F(39, 2)) / 60.0
+                   + int(F(41, 4)) / 100.0 / 3600.0)
+            if ln[44] == "W":
+                lon = -lon
+            e = float(F(46, 8)) if len(ln) >= 61 else None
+            n = float(F(54, 8)) if len(ln) >= 61 else None
+            d = float(F(62, 5)) if len(ln) >= 66 else None
+            feats.append((name, ptnum, reshoot, lat, lon, e, n, d))
+    return feats
+
+
+def read_segukooa(spark: SparkSession, path: str,
+                  layer: str = "points") -> DataFrame:
+    """SEG-P1 / UKOOA shotpoint file: 'points' = one row per record
+    with lon/lat geometry; 'lines' = consecutive same-LINENAME points
+    chained into linestrings (OGRSEGUKOOALineLayer)."""
+    feats = _seg_points(path)
+    if layer == "points":
+        rows = [(i, f[0], f[1], f[2], f[4], f[3], f[5], f[6], f[7],
+                 bytearray(G.encode_point(f[4], f[3])))
+                for i, f in enumerate(feats)]
+        return spark.createDataFrame(
+            rows, "fid long, LINENAME string, POINTNUMBER long, "
+                  "RESHOOTCODE string, LONGITUDE double, LATITUDE double, "
+                  "EASTING double, NORTHING double, DEPTH double, "
+                  "geometry binary")
+    rows = []
+    cur_name, pts = None, []
+    for f in feats:
+        if f[0] != cur_name:
+            if pts and len(pts) >= 2:
+                rows.append((len(rows), cur_name, bytearray(
+                    G.encode_linestring(np.array(pts)))))
+            cur_name, pts = f[0], []
+        pts.append((f[4], f[3]))
+    if pts and len(pts) >= 2:
+        rows.append((len(rows), cur_name,
+                     bytearray(G.encode_linestring(np.array(pts)))))
+    return spark.createDataFrame(
+        rows, "fid long, LINENAME string, geometry binary")

@@ -630,3 +630,26 @@ def test_htf(spark):                                       # ogr_htf_1
     r = snd.orderBy("fid").collect()[0]
     assert G.wkt_from_wkb(bytes(r["geometry"])) == "POINT (278670 7616330)"
     assert r["OTHER3"] == "other3"
+
+
+# --- SEG-P1 / UKOOA P1-90 (ogr_segukooa.py) ----------------------------------
+
+@pytest.mark.parametrize("fn", ["test.segp1", "test.ukooa"])
+def test_segukooa(spark, fn):                       # ogr_segp1/ukooa_points+lines
+    D = "/root/reference/autotest/ogr/data/"
+    pts = FMT.read_segukooa(spark, D + fn, "points").orderBy("fid").collect()
+    r = pts[0]
+    assert r["LINENAME"] == "firstline"
+    assert r["POINTNUMBER"] == 10
+    assert r["LONGITUDE"] == 2 and r["LATITUDE"] == 49
+    assert r["EASTING"] == 426857 and r["NORTHING"] == 5427937
+    assert r["DEPTH"] == 1234
+    if fn == "test.segp1":
+        assert r["RESHOOTCODE"] == " "
+    assert G.wkt_from_wkb(bytes(r["geometry"])) == "POINT (2 49)"
+    lns = FMT.read_segukooa(spark, D + fn, "lines").orderBy("fid").collect()
+    assert [l["LINENAME"] for l in lns] == ["firstline", "secondline"]
+    assert G.wkt_from_wkb(bytes(lns[0]["geometry"])) == \
+        "LINESTRING (2 49,2 49.5)"
+    assert G.wkt_from_wkb(bytes(lns[1]["geometry"])) == \
+        "LINESTRING (-2 -49,-2.5 -49)"
