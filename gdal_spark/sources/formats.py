@@ -2499,3 +2499,92 @@ def read_segukooa(spark: SparkSession, path: str,
                      bytearray(G.encode_linestring(np.array(pts)))))
     return spark.createDataFrame(
         rows, "fid long, LINENAME string, geometry binary")
+
+
+# ---------------------------------------------------------------------------
+# GPS TrackMaker GTM (gdal/ogr/ogrsf_frmts/gtm/gtm.cpp)
+# ---------------------------------------------------------------------------
+
+def read_gtm(spark: SparkSession, path: str,
+             layer: str = "waypoints") -> DataFrame:
+    """GTM 211 binary: counted header strings, datum block, map images,
+    then waypoints (lat/lon doubles, 10-char name, counted comment,
+    icon, date seconds since the GTM epoch 631065600), trackpoints
+    (25-byte records with a start flag) and track headers.  Layers
+    'waypoints' and 'tracks' (gtm.cpp readHeaderNumbers /
+    fetchNextWaypoint / fetchNextTrack)."""
+    import datetime as _dt
+    data = open(path, "rb").read()
+    u16 = lambda o: struct.unpack_from("<H", data, o)[0]
+    i32 = lambda o: struct.unpack_from("<i", data, o)[0]
+    f32 = lambda o: struct.unpack_from("<f", data, o)[0]
+    d64 = lambda o: struct.unpack_from("<d", data, o)[0]
+    nwptstyles = i32(27)
+    nwpts, ntcks = i32(35), i32(39)
+    n_maps, n_tk = i32(63), i32(67)
+    pos = 99
+    for _ in range(4):
+        pos += 2 + u16(pos)
+    header_size = pos
+    pos = header_size + 58      # datum block
+    for _ in range(n_maps):
+        pos += 2 + u16(pos)
+        pos += 2 + u16(pos)
+        pos += 30
+
+    def gtm_time(secs):
+        if secs == 0:
+            return None
+        dt = _dt.datetime.utcfromtimestamp(secs + 631065600)
+        return dt.strftime("%Y/%m/%d %H:%M:%S")
+
+    wpts = []
+    for _ in range(nwpts):
+        lat, lon = d64(pos), d64(pos + 8)
+        name = data[pos + 16:pos + 26].decode("latin-1").rstrip()
+        clen = u16(pos + 26)
+        comment = data[pos + 28:pos + 28 + clen].decode("latin-1")
+        icon = u16(pos + 28 + clen)
+        date = i32(pos + 28 + clen + 3)
+        wpts.append((lat, lon, name, comment, icon, gtm_time(date)))
+        pos += 26 + 2 + clen + 15
+    if layer == "waypoints":
+        rows = [(i, w[2], w[3], w[4], w[5],
+                 bytearray(G.encode_point(w[1], w[0])))
+                for i, w in enumerate(wpts)]
+        return spark.createDataFrame(
+            rows, "fid long, name string, comment string, icon long, "
+                  "time string, geometry binary")
+
+    if nwpts != 0:
+        for _ in range(nwptstyles):
+            pos += 4
+            pos += 2 + u16(pos)
+            pos += 24
+    tck_off = pos
+    tcks = []
+    for k in range(ntcks):
+        o = tck_off + 25 * k
+        tcks.append((d64(o), d64(o + 8), data[o + 20], i32(o + 16)))
+    pos = tck_off + 25 * ntcks
+    rows = []
+    ti = 0
+    for fid in range(n_tk):
+        nlen = u16(pos)
+        name = data[pos + 2:pos + 2 + nlen].decode("latin-1")
+        ttype = data[pos + 2 + nlen]
+        color = i32(pos + 3 + nlen)
+        pos += 2 + nlen + 1 + 4 + 7
+        pts = []
+        if ti < len(tcks) and tcks[ti][2] == 1:
+            pts.append((tcks[ti][1], tcks[ti][0]))
+            ti += 1
+            while ti < len(tcks) and tcks[ti][2] == 0:
+                pts.append((tcks[ti][1], tcks[ti][0]))
+                ti += 1
+        if len(pts) >= 2:
+            rows.append((fid, name, int(ttype), color, bytearray(
+                G.encode_linestring(np.array(pts)))))
+    return spark.createDataFrame(
+        rows, "fid long, name string, type long, color long, "
+              "geometry binary")

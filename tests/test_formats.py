@@ -653,3 +653,28 @@ def test_segukooa(spark, fn):                       # ogr_segp1/ukooa_points+lin
         "LINESTRING (2 49,2 49.5)"
     assert G.wkt_from_wkb(bytes(lns[1]["geometry"])) == \
         "LINESTRING (-2 -49,-2.5 -49)"
+
+
+# --- GPS TrackMaker GTM (ogr_gtm.py) -----------------------------------------
+
+def test_gtm(spark):                                   # ogr_gtm_read_1/2
+    P = "/root/reference/autotest/ogr/data/samplemap.gtm"
+    w = FMT.read_gtm(spark, P, "waypoints").orderBy("fid").collect()
+    assert len(w) == 3
+    assert w[0]["name"] == "WAY6"
+    assert w[0]["comment"] == "Santa Cruz Stadium"
+    assert w[0]["icon"] == 92
+    assert w[0]["time"] == "2009/12/18 17:32:41"
+    assert G.wkt_from_wkb(bytes(w[0]["geometry"])).startswith(
+        "POINT (-47.7899742126")
+    assert w[1]["comment"] == "Joe's Goalkeeper Pub"
+    assert w[1]["icon"] == 4
+    assert w[1]["time"] == "2009/12/18 17:34:46"
+    assert w[2]["name"] == "33543400" and w[2]["time"] is None
+    t = FMT.read_gtm(spark, P, "tracks").orderBy("fid").collect()
+    assert [(r["name"], r["type"], r["color"]) for r in t] == [
+        ("San Sebastian Street", 2, 0),
+        ("Barao do Amazonas Street", 1, 0),
+        ("Curupira Park", 17, 46848)]
+    assert G.wkt_from_wkb(bytes(t[0]["geometry"])).startswith(
+        "LINESTRING (-47.8074816074")
