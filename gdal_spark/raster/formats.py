@@ -3235,3 +3235,143 @@ def write_hf2(tiles: DataFrame, meta: RasterMeta, path: str,
         data = _gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+# ---------------------------------------------------------------------------
+# NASA PDS3 (gdal/frmts/pds/pdsdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def _pds_label(path: str) -> dict:
+    """ODL label → flat dict with OBJECT nesting as dotted prefixes
+    ('IMAGE.LINES'); END stops the parse."""
+    kv = {}
+    stack = []
+    for ln in open(path, "r", encoding="latin-1", errors="replace"):
+        s = ln.strip()
+        if not s or s.startswith("/*"):
+            continue
+        if s == "END":
+            break
+        if "=" not in s:
+            continue
+        k, v = s.split("=", 1)
+        k, v = k.strip(), v.split("/*")[0].strip()
+        if k == "OBJECT":
+            stack.append(v)
+            continue
+        if k == "END_OBJECT":
+            if stack:
+                stack.pop()
+            continue
+        kv[".".join(stack + [k])] = v
+    return kv
+
+
+def _pds_value(v: str) -> str:
+    v = v.strip()
+    if "<" in v:
+        v = v[:v.index("<")].strip()
+    return v.strip('"').strip()
+
+
+def read_pds(spark: SparkSession, path: str, raster_id: str = "pds",
+             block: int = 256
+             ) -> tuple[DataFrame, RasterMeta]:
+    """PDS3 IMAGE: ^IMAGE pointer (records / <BYTES> / detached file
+    with offset), SAMPLE_TYPE/SAMPLE_BITS typing (MSB default),
+    equirect/sinusoidal geotransform from MAP_SCALE +
+    LINE/SAMPLE_PROJECTION_OFFSET with the reference's -0.5 center
+    shift (pdsdataset.cpp:300-420, 673-930).  Truncated payloads fill
+    the remainder with zeros, as the failed-block reads do."""
+    import os as _os
+    import re as _re
+    kv = _pds_label(path)
+    ptr = kv.get("^IMAGE", "")
+    record_bytes = int(_pds_value(kv.get("RECORD_BYTES", "1")) or 1)
+    data_path, skip = path, 0
+    if ptr.startswith("("):
+        inner = ptr.strip("()")
+        parts = [p.strip() for p in inner.split(",")]
+        fname = parts[0].strip('"')
+        data_path = _os.path.join(_os.path.dirname(_os.path.abspath(path)),
+                                  fname)
+        if len(parts) > 1:
+            off = int(_re.sub(r"[^\d]", "", parts[1]))
+            skip = off - 1 if "<BYTES>" in parts[1] else \
+                (off - 1) * record_bytes
+    elif ptr.startswith('"'):
+        data_path = _os.path.join(_os.path.dirname(_os.path.abspath(path)),
+                                  ptr.strip('"'))
+    elif ptr:
+        n = int(_pds_value(ptr))
+        skip = n - 1 if "<BYTES>" in ptr else (n - 1) * record_bytes
+    lines_ = int(_pds_value(kv["IMAGE.LINES"]))
+    cols = int(_pds_value(kv["IMAGE.LINE_SAMPLES"]))
+    nbands = int(_pds_value(kv.get("IMAGE.BANDS", "1")))
+    bits = int(_pds_value(kv.get("IMAGE.SAMPLE_BITS", "8")))
+    st = _pds_value(kv.get("IMAGE.SAMPLE_TYPE", "MSB_INTEGER"))
+    le = st in ("LSB_INTEGER", "LSB", "LSB_UNSIGNED_INTEGER",
+                "LSB_SIGNED_INTEGER", "UNSIGNED_INTEGER", "VAX_REAL",
+                "VAX_INTEGER", "PC_INTEGER", "PC_REAL")
+    order = "<" if le else ">"
+    if bits == 8:
+        dtype, nodata = "u1", 0.0
+    elif bits == 16:
+        dtype = "u2" if "UNSIGNED" in st else "i2"
+        nodata = -32768.0
+    elif bits == 32:
+        dtype, nodata = "f4", -3.4028226550889045e+38
+    else:
+        dtype, nodata = "f8", -3.4028226550889045e+38
+    missing = kv.get("IMAGE.MISSING", kv.get("IMAGE.MISSING_CONSTANT"))
+    if missing:
+        m = _pds_value(missing)
+        if not m.startswith("16#"):
+            nodata = float(m)
+    scale = float(_pds_value(kv.get("IMAGE.SCALING_FACTOR", "1.0")))
+    offset = float(_pds_value(kv.get("IMAGE.OFFSET", "0.0")))
+
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+    def proj_key(name):
+        suffix = "IMAGE_MAP_PROJECTION." + name
+        for k in kv:
+            if k.endswith(suffix):
+                return k
+        return None
+
+    kscale = proj_key("MAP_SCALE")
+    if kscale:
+        raw = kv[kscale]
+        xdim = float(_pds_value(raw))
+        unit = raw[raw.index("<") + 1:raw.index(">")].split("/")[0] \
+            if "<" in raw else "KM"
+        if unit.upper() in ("M", "METER", "METERS"):
+            pass
+        elif unit.upper() == "CM":
+            xdim /= 100.0
+        else:
+            xdim *= 1000.0
+        ydim = -xdim
+        klin = proj_key("LINE_PROJECTION_OFFSET")
+        ksam = proj_key("SAMPLE_PROJECTION_OFFSET")
+        yul = float(_pds_value(kv[klin])) if klin else 0.0
+        xul = float(_pds_value(kv[ksam])) if ksam else 0.0
+        gt = ((xul - 0.5) * xdim * -1.0, xdim, 0.0,
+              (yul - 0.5) * -ydim * 1.0, 0.0, ydim)
+    item = np.dtype(dtype).itemsize
+    want = lines_ * cols * nbands * item
+    payload = open(data_path, "rb").read()[skip:skip + want]
+    buf = np.zeros(want, np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+    cube = buf.view(order + dtype).reshape(nbands, lines_, cols)
+    out_dtype = str(np.dtype(dtype))
+    meta = RasterMeta(raster_id, cols, lines_, gt=gt, dtype=out_dtype,
+                      nodata=nodata, block=block)
+    from gdal_spark.raster.model import from_array
+    frames = [from_array(spark, np.ascontiguousarray(
+        cube[b]).astype(out_dtype), meta, band=b) for b in range(nbands)]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta, scale, offset

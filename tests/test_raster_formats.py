@@ -814,3 +814,30 @@ def test_hf2_roundtrip(spark, tmp_path):                # hf2_1 / hf2_2
     RF.write_hf2(tiles, meta, out2, tile_size=10, compress=True)
     t3, m3 = RF.read_hf2(spark, out2)
     assert checksum(t3, m3).collect()[0]["checksum"] == 4672
+
+
+@pytest.mark.parametrize("fn,cs,gt,nodata", [
+    ("mc02_truncated.img", 47151,
+     (-10668384.903788566589355, 926.115274429321289, 0,
+      3852176.483988761901855, 0, -926.115274429321289), 0.0),   # pds_1
+    ("fl73n003_truncated.img", 34962,
+     (587861.55900404998, 75.000002980232239, 0.0,
+      -7815243.4746123618, 0.0, -75.000002980232239), 7.0),      # pds_2
+    ("fl73n003_alt_truncated.img", 34962, None, 7.0),            # pds_2b
+    ("EN0001426030M_truncated.IMG", 1367,
+     (0, 1, 0, 0, 0, 1), -32768.0),                              # pds_3
+    ("pds_3177.lbl", 3418,
+     (6119184.3590369327, 1.0113804322107001, 0.0,
+      -549696.39009125973, 0.0, -1.0113804322107001), 0.0),      # pds_4
+])
+def test_pds_goldens(spark, fn, cs, gt, nodata):
+    tiles, meta, scale, offset = RF.read_pds(
+        spark, "/root/reference/autotest/gdrivers/data/" + fn)
+    assert checksum(tiles, meta).collect()[0]["checksum"] == cs
+    if gt:
+        # the autotest's own gt epsilon: (|gt1|+|gt2|)/100
+        eps = (abs(gt[1]) + abs(gt[2])) / 100.0
+        assert all(abs(a - b) <= eps for a, b in zip(meta.gt, gt))
+    assert meta.nodata == nodata
+    if fn.startswith("fl73n003_truncated"):
+        assert scale == 0.2 and offset == -20.2
