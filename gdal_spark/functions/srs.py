@@ -45,6 +45,13 @@ from dataclasses import dataclass
 import numpy as np
 
 from gdal_spark.functions import proj as PJ
+from gdal_spark.functions import projections as PX
+from gdal_spark.functions.projections import (  # noqa: F401 (re-export)
+    CassiniSoldner, EquidistantConic, EquidistantCylindrical,
+    HotineObliqueMercator, Krovak, LambertConformalConic1SP,
+    LambertConformalConic2SPBelgium, LambertConformalConicWest,
+    ObliqueStereographic, Polyconic, SwissObliqueMercator,
+    TransverseMercatorSouth, UnitScaled)
 
 WGS84 = (6378137.0, 1.0 / 298.257223563)
 CLARKE_1866 = (6378206.4, 1.0 - 6356583.8 / 6378206.4)
@@ -667,6 +674,18 @@ _PROJ_WKT_NAMES = {
     "laea": "Lambert_Azimuthal_Equal_Area",
     "mercator": "Mercator_1SP",
     "sinusoidal": "Sinusoidal",
+    "lcc1sp": "Lambert_Conformal_Conic_1SP",
+    "lcc2sp_belgium": "Lambert_Conformal_Conic_2SP_Belgium",
+    "lcc_west": "Lambert_Conformal_Conic_1SP",  # + axis flip, no WKT1 name
+    "cassini": "Cassini_Soldner",
+    "tmerc_south": "Transverse_Mercator_South_Orientated",
+    "sterea": "Oblique_Stereographic",
+    "omerc": "Hotine_Oblique_Mercator",
+    "somerc": "Swiss_Oblique_Cylindrical",
+    "poly": "Polyconic",
+    "krovak": "Krovak",
+    "eqc": "Equirectangular",
+    "eqdc": "Equidistant_Conic",
 }
 
 
@@ -677,6 +696,10 @@ def crs_to_wkt(crs) -> str:
     if isinstance(crs, DatumShifted):
         towtxt = ",TOWGS84[" + ",".join(repr(float(v))
                                         for v in crs.towgs84) + "]"
+        crs = crs.crs
+    unit_m = 1.0
+    if isinstance(crs, PX.UnitScaled):
+        unit_m = crs.metres_per_unit
         crs = crs.crs
     a = getattr(crs, "a", WGS84[0])
     f = getattr(crs, "f", WGS84[1])
@@ -719,15 +742,73 @@ def crs_to_wkt(crs) -> str:
     elif isinstance(crs, Sinusoidal):
         params = [("longitude_of_center", crs.lon0),
                   ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.LambertConformalConic1SP):
+        params = [("latitude_of_origin", crs.lat0),
+                  ("central_meridian", crs.lon0),
+                  ("scale_factor", crs.k0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.LambertConformalConic2SPBelgium):
+        params = [("standard_parallel_1", crs.lat1),
+                  ("standard_parallel_2", crs.lat2),
+                  ("latitude_of_origin", crs.lat0),
+                  ("central_meridian", crs.lon0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, (PX.CassiniSoldner, PX.Polyconic)):
+        params = [("latitude_of_origin", crs.lat0),
+                  ("central_meridian", crs.lon0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.TransverseMercatorSouth):
+        params = [("latitude_of_origin", crs.lat0),
+                  ("central_meridian", crs.lon0),
+                  ("scale_factor", crs.k0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.ObliqueStereographic):
+        params = [("latitude_of_origin", crs.lat0),
+                  ("central_meridian", crs.lon0),
+                  ("scale_factor", crs.k0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.HotineObliqueMercator):
+        params = [("latitude_of_center", crs.latc),
+                  ("longitude_of_center", crs.lonc),
+                  ("azimuth", crs.alphac),
+                  ("rectified_grid_angle", crs.gammac),
+                  ("scale_factor", crs.k0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.SwissObliqueMercator):
+        params = [("latitude_of_center", crs.lat0),
+                  ("longitude_of_center", crs.lon0),
+                  ("scale_factor", crs.k0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.Krovak):
+        params = [("latitude_of_center", crs.latc),
+                  ("longitude_of_center", crs.lon0),
+                  ("azimuth", crs.alphac),
+                  ("pseudo_standard_parallel_1", crs.latp),
+                  ("scale_factor", crs.kp),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.EquidistantCylindrical):
+        params = [("standard_parallel_1", crs.lat1),
+                  ("central_meridian", crs.lon0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
+    elif isinstance(crs, PX.EquidistantConic):
+        params = [("standard_parallel_1", crs.lat1),
+                  ("standard_parallel_2", crs.lat2),
+                  ("latitude_of_origin", crs.lat0),
+                  ("central_meridian", crs.lon0),
+                  ("false_easting", crs.fe), ("false_northing", crs.fn)]
     else:
         raise ValueError(f"cannot serialize {crs!r}")
     proj_name = _PROJ_WKT_NAMES[crs.name]
     if isinstance(crs, Mercator) and crs.lat_ts != 0.0:
         proj_name = "Mercator_2SP"
+    if isinstance(crs, PX.HotineObliqueMercator) and crs.variant_b:
+        proj_name = "Hotine_Oblique_Mercator_Azimuth_Center"
     body = ",".join(f'PARAMETER["{k}",{v!r}]' for k, v in params)
+    unit = ('UNIT["metre",1]' if unit_m == 1.0
+            else f'UNIT["unit",{unit_m!r}]')
     return (f'PROJCS["{crs.name}",{geogcs},'
             f'PROJECTION["{proj_name}"],{body},'
-            f'UNIT["metre",1]]')
+            f'{unit}]')
 
 
 def _wkt_nodes(wkt: str, kind: str) -> list[list[str]]:
@@ -793,6 +874,14 @@ def crs_from_wkt(wkt: str):
         f = 0.0 if rf == 0 else 1.0 / rf
     g = params.get
     out = _crs_from_method(method, g, a, f, wkt)
+    units = _wkt_nodes(wkt, "UNIT")
+    if units:  # last UNIT node = the PROJCS linear unit
+        try:
+            unit_m = float(units[-1][1])
+        except (ValueError, IndexError):
+            unit_m = 1.0
+        if unit_m != 1.0 and not isinstance(out, Geographic):
+            out = PX.UnitScaled(out, unit_m)
     return DatumShifted(out, tow) if tow else out
 
 
@@ -833,6 +922,71 @@ def _crs_from_method(method, g, a, f, wkt):
             fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
     if method == "Popular_Visualisation_Pseudo_Mercator":
         return WebMercator()
+    if method == "Lambert_Conformal_Conic_1SP":
+        return PX.LambertConformalConic1SP(
+            lat0=g("latitude_of_origin", 0.0), lon0=g("central_meridian", 0.0),
+            k0=g("scale_factor", 1.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Lambert_Conformal_Conic_2SP_Belgium":
+        return PX.LambertConformalConic2SPBelgium(
+            lat1=g("standard_parallel_1", 0.0),
+            lat2=g("standard_parallel_2", 0.0),
+            lat0=g("latitude_of_origin", 0.0), lon0=g("central_meridian", 0.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Cassini_Soldner":
+        return PX.CassiniSoldner(
+            lat0=g("latitude_of_origin", 0.0), lon0=g("central_meridian", 0.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Transverse_Mercator_South_Orientated":
+        return PX.TransverseMercatorSouth(
+            lon0=g("central_meridian", 0.0), k0=g("scale_factor", 1.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0),
+            lat0=g("latitude_of_origin", 0.0), a=a, f=f)
+    if method in ("Oblique_Stereographic", "Double_Stereographic"):
+        return PX.ObliqueStereographic(
+            lat0=g("latitude_of_origin", 0.0), lon0=g("central_meridian", 0.0),
+            k0=g("scale_factor", 1.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method in ("Hotine_Oblique_Mercator",
+                  "Hotine_Oblique_Mercator_Azimuth_Center"):
+        az = g("azimuth", 0.0)
+        return PX.HotineObliqueMercator(
+            latc=g("latitude_of_center", 0.0),
+            lonc=g("longitude_of_center", 0.0),
+            alphac=az, gammac=g("rectified_grid_angle", az),
+            k0=g("scale_factor", 1.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f,
+            variant_b=(method == "Hotine_Oblique_Mercator_Azimuth_Center"))
+    if method == "Swiss_Oblique_Cylindrical":
+        return PX.SwissObliqueMercator(
+            lat0=g("latitude_of_center", g("latitude_of_origin", 0.0)),
+            lon0=g("longitude_of_center", g("central_meridian", 0.0)),
+            k0=g("scale_factor", 1.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Polyconic":
+        return PX.Polyconic(
+            lat0=g("latitude_of_origin", 0.0), lon0=g("central_meridian", 0.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Krovak":
+        return PX.Krovak(
+            latc=g("latitude_of_center", 49.5),
+            lon0=g("longitude_of_center", 24.0 + 50.0 / 60.0),
+            alphac=g("azimuth", 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0),
+            latp=g("pseudo_standard_parallel_1", 78.5),
+            kp=g("scale_factor", 0.9999),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method in ("Equirectangular", "Equidistant_Cylindrical"):
+        return PX.EquidistantCylindrical(
+            lat1=g("standard_parallel_1", g("latitude_of_origin", 0.0)),
+            lon0=g("central_meridian", 0.0),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
+    if method == "Equidistant_Conic":
+        return PX.EquidistantConic(
+            lat1=g("standard_parallel_1", 0.0),
+            lat2=g("standard_parallel_2", 0.0),
+            lat0=g("latitude_of_origin", g("latitude_of_center", 0.0)),
+            lon0=g("central_meridian", g("longitude_of_center", 0.0)),
+            fe=g("false_easting", 0.0), fn=g("false_northing", 0.0), a=a, f=f)
     if method == "Mercator_1SP":
         # the spherical pseudo-Mercator WKT GDAL writes for EPSG 3857
         # also spells Mercator_1SP — disambiguate on the spheroid /
@@ -1439,19 +1593,15 @@ def suggested_warp_output(width: int, height: int, dst_from_src,
 
 def crs_from_epsg(code: int):
     """``importFromEPSG`` analog (gdal/ogr/ogrspatialreference.cpp
-    importFromEPSG) for the engine's closed-form CRS family. Parameter
-    values are the published EPSG definitions (public registry facts):
-
-    - 4326 → geographic WGS84
-    - 3857 / 900913 → spherical WebMercator
-    - 326zz / 327zz → UTM zone zz north / south (WGS84)
-    - 5070 → CONUS Albers Equal Area (NAD83 params on the WGS84-close
-      GRS80 ellipsoid; sub-mm difference at these latitudes)
-    - 102004 / 5069-style LCC → Lambert Conformal Conic CONUS
-
-    Anything else raises — the reference delegates the long tail to the
-    PROJ database, which is out of scope here (use the explicit CRS
-    dataclasses or WKT for custom definitions)."""
+    importFromEPSG + gdal/ogr/ogr_fromepsg.cpp). Since round 4 this is
+    **registry-driven**: `functions/epsg.py` builds ~3,920 projected +
+    475 geographic CRS from the bundled EPSG Geodetic Parameter Dataset
+    tables (gdal_spark/data/epsg/*, the same public EPSG CSV data
+    GDAL's importFromEPSG reads), covering 18 projection method
+    families. The closed-form fast paths below (WGS84 UTM zones,
+    WebMercator aliases, ESRI codes) are kept first: they avoid the
+    registry parse and carry the engine's precomputed Krüger
+    coefficients."""
     code = int(code)
     if code == 4326:
         return Geographic()
@@ -1492,8 +1642,13 @@ def crs_from_epsg(code: int):
                                  fe=400000.0, fn=-100000.0, lat0=49.0,
                                  a=6377563.396, f=1.0 / 299.3249646)
         return DatumShifted(bng, OSGB36_TOWGS84)
-    raise ValueError(f"EPSG:{code} not in the built-in registry; "
-                     "construct the CRS dataclass or pass WKT")
+    from gdal_spark.functions import epsg as _epsg
+    try:
+        return _epsg.from_epsg(code)
+    except ValueError:
+        raise ValueError(
+            f"EPSG:{code} not in the bundled EPSG registry tables; "
+            "construct the CRS dataclass or pass WKT") from None
 
 
 # ---------------------------------------------------------------------------

@@ -405,5 +405,10 @@ def test_crs_from_epsg():
     alb = S.crs_from_epsg(5070)
     x, y = alb.forward(np.array([-96.0]), np.array([23.0]))
     assert abs(float(x[0])) < 1e-6 and abs(float(y[0])) < 1e-6  # origin
-    with pytest.raises(ValueError, match="not in the built-in"):
-        S.crs_from_epsg(2154)  # Lambert-93: not in the registry (use WKT)
+    # since round 4 the long tail resolves through the bundled EPSG
+    # registry tables (functions/epsg.py)
+    l93 = S.crs_from_epsg(2154)  # RGF93 / Lambert-93
+    base = l93.crs if isinstance(l93, S.DatumShifted) else l93
+    assert isinstance(base, S.LambertConformalConic)
+    with pytest.raises(ValueError, match="not in the bundled"):
+        S.crs_from_epsg(999999)
