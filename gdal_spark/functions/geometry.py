@@ -74,12 +74,30 @@ def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
 # WKB decode
 # ---------------------------------------------------------------------------
 
+def _parse_wkb_type(raw: int) -> tuple[int, bool]:
+    """(base type, has_z) — accepts the 99-402 wkb25DBit spelling and the
+    ISO +1000 Z codes (gdal/ogr/ogr_core.h:309-369 / wkbHasZ)."""
+    has_z = bool(raw & 0x80000000)
+    base = raw & 0x0FFFFFFF
+    if 1000 <= base < 2000:
+        base -= 1000
+        has_z = True
+    return base, has_z
+
+
 def _read_header(buf: memoryview, off: int) -> tuple[int, str, int]:
     byte_order = buf[off]
     endian = "<" if byte_order == 1 else ">"
     (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
-    gtype = gtype & 0xFF  # strip 2.5D / SRID flag variants
-    return gtype, endian, off + 5
+    return _parse_wkb_type(gtype)[0], endian, off + 5
+
+
+def _read_header_ex(buf: memoryview, off: int) -> tuple[int, bool, str, int]:
+    byte_order = buf[off]
+    endian = "<" if byte_order == 1 else ">"
+    (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
+    base, has_z = _parse_wkb_type(gtype)
+    return base, has_z, endian, off + 5
 
 
 def encode_geometrycollection(parts: list[bytes]) -> bytes:
@@ -93,22 +111,26 @@ def encode_geometrycollection(parts: list[bytes]) -> bytes:
 
 def _geom_end(buf: memoryview, off: int) -> int:
     """Byte offset one past the geometry starting at ``off`` (walks
-    nested types so collections can be split without a registry)."""
-    gtype, endian, body = _read_header(buf, off)
+    nested types so collections can be split without a registry).
+    Dimension-aware: 2.5D/Z points are 24 bytes; the ISO curve types
+    (CircularString=8 point-list, CompoundCurve=9 / CurvePolygon=10 /
+    MultiCurve=11 / MultiSurface=12 sub-geometry lists) are walked too."""
+    gtype, has_z, endian, body = _read_header_ex(buf, off)
+    psize = 24 if has_z else 16
     if gtype == WKB_POINT:
-        return body + 16
-    if gtype == WKB_LINESTRING:
+        return body + psize
+    if gtype in (WKB_LINESTRING, 8):
         (n,) = struct.unpack_from(endian + "I", buf, body)
-        return body + 4 + 16 * n
+        return body + 4 + psize * n
     if gtype == WKB_POLYGON:
         (nr,) = struct.unpack_from(endian + "I", buf, body)
         p = body + 4
         for _ in range(nr):
             (n,) = struct.unpack_from(endian + "I", buf, p)
-            p += 4 + 16 * n
+            p += 4 + psize * n
         return p
     if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
-                 WKB_GEOMETRYCOLLECTION):
+                 WKB_GEOMETRYCOLLECTION, 9, 10, 11, 12):
         (ng,) = struct.unpack_from(endian + "I", buf, body)
         p = body + 4
         for _ in range(ng):
@@ -134,26 +156,32 @@ def decode_collection(wkb: bytes) -> list[bytes]:
 
 
 def decode_point(wkb: bytes) -> tuple[float, float]:
-    gtype, endian, off = _read_header(memoryview(wkb), 0)
+    gtype, _z, endian, off = _read_header_ex(memoryview(wkb), 0)
     if gtype != WKB_POINT:
         raise ValueError(f"not a point: type {gtype}")
     x, y = struct.unpack_from(endian + "dd", wkb, off)
     return x, y
 
 
-def _decode_ring(buf: memoryview, endian: str, off: int) -> tuple[np.ndarray, int]:
+def _decode_ring(buf: memoryview, endian: str, off: int,
+                 dim: int = 2) -> tuple[np.ndarray, int]:
+    """Ring/point-list decode; Z (dim=3) coordinates are dropped to 2-D —
+    the 2-D kernels below operate on x/y only, matching the reference's
+    planar operations on 2.5D data."""
     (n,) = struct.unpack_from(endian + "I", buf, off)
     off += 4
-    arr = np.frombuffer(buf, dtype=endian + "f8", count=2 * n, offset=off)
-    return arr.reshape(n, 2).copy(), off + 16 * n
+    arr = np.frombuffer(buf, dtype=endian + "f8", count=dim * n, offset=off)
+    arr = arr.reshape(n, dim)
+    return arr[:, :2].copy() if dim > 2 else arr.copy(), off + 8 * dim * n
 
 
-def _decode_polygon_body(buf: memoryview, endian: str, off: int) -> tuple[list[np.ndarray], int]:
+def _decode_polygon_body(buf: memoryview, endian: str, off: int,
+                         dim: int = 2) -> tuple[list[np.ndarray], int]:
     (nrings,) = struct.unpack_from(endian + "I", buf, off)
     off += 4
     rings = []
     for _ in range(nrings):
-        r, off = _decode_ring(buf, endian, off)
+        r, off = _decode_ring(buf, endian, off, dim)
         rings.append(r)
     return rings, off
 
@@ -162,19 +190,20 @@ def decode_polygons(wkb: bytes) -> list[list[np.ndarray]]:
     """Decode Polygon or MultiPolygon WKB → list of polygons, each a list of
     rings (exterior first). A Polygon decodes to a 1-element list."""
     buf = memoryview(wkb)
-    gtype, endian, off = _read_header(buf, 0)
+    gtype, has_z, endian, off = _read_header_ex(buf, 0)
     if gtype == WKB_POLYGON:
-        rings, _ = _decode_polygon_body(buf, endian, off)
+        rings, _ = _decode_polygon_body(buf, endian, off, 3 if has_z else 2)
         return [rings]
     if gtype == WKB_MULTIPOLYGON:
         (nparts,) = struct.unpack_from(endian + "I", buf, off)
         off += 4
         polys = []
         for _ in range(nparts):
-            ptype, pend, off = _read_header(buf, off)
+            ptype, pz, pend, off = _read_header_ex(buf, off)
             if ptype != WKB_POLYGON:
                 raise ValueError("multipolygon part is not a polygon")
-            rings, off = _decode_polygon_body(buf, pend, off)
+            rings, off = _decode_polygon_body(buf, pend, off,
+                                              3 if pz else 2)
             polys.append(rings)
         return polys
     raise ValueError(f"unsupported geometry type {gtype}")
@@ -182,10 +211,10 @@ def decode_polygons(wkb: bytes) -> list[list[np.ndarray]]:
 
 def decode_linestring(wkb: bytes) -> np.ndarray:
     buf = memoryview(wkb)
-    gtype, endian, off = _read_header(buf, 0)
+    gtype, has_z, endian, off = _read_header_ex(buf, 0)
     if gtype != WKB_LINESTRING:
         raise ValueError(f"not a linestring: type {gtype}")
-    arr, _ = _decode_ring(buf, endian, off)
+    arr, _ = _decode_ring(buf, endian, off, 3 if has_z else 2)
     return arr
 
 
@@ -222,7 +251,11 @@ def wkt_from_wkb(wkb: bytes) -> str:
     Numbers use %.15g (integral coords print without a decimal point, as
     OGRMakeWktCoordinate does)."""
     buf = memoryview(wkb)
-    gtype, endian, off = _read_header(buf, 0)
+    gtype, has_z, endian, off = _read_header_ex(buf, 0)
+    if has_z or gtype >= 8:
+        # Z / ISO-curve surface lives in the dimension-aware codec
+        from . import curves as _curves
+        return _curves.wkt_from_geom(_curves.decode_geom(wkb))
     if gtype == WKB_POINT:
         x, y = decode_point(wkb)
         return f"POINT ({_fmt(x)} {_fmt(y)})"
@@ -311,6 +344,17 @@ def wkb_from_wkt(wkt: str) -> bytes:
     head, _, rest = s.partition("(")
     kind = head.strip().upper()
     body = rest.rsplit(")", 1)[0] if rest else ""
+    base_kind = kind.split()[0] if kind else ""
+    first = body.split(",", 1)[0] if body else ""
+    needs_ext = (
+        base_kind in ("CIRCULARSTRING", "COMPOUNDCURVE", "CURVEPOLYGON",
+                      "MULTICURVE", "MULTISURFACE")
+        or " Z" in kind or kind.endswith("Z EMPTY")
+        or len(first.replace("(", " ").split()) >= 3)
+    if needs_ext:
+        # Z / ISO-curve WKT lives in the dimension-aware codec
+        from . import curves as _curves
+        return _curves.encode_geom(_curves.geom_from_wkt(wkt))
     if s.upper().endswith("EMPTY"):
         body = ""
         kind = s.upper().replace("EMPTY", "").strip()
@@ -452,14 +496,14 @@ def geometry_envelope(wkb: bytes) -> tuple[float, float, float, float]:
     off += 4
     xs, ys = [], []
     for _ in range(n):
-        gt2, e2, body = _read_header(buf, off)
+        gt2, z2, e2, body = _read_header_ex(buf, off)
         if gt2 == WKB_POINT:
             x, y = struct.unpack_from(e2 + "dd", buf, body)
             xs.append(np.array([x]))
             ys.append(np.array([y]))
-            off = body + 16
+            off = body + (24 if z2 else 16)
         else:  # linestring member
-            coords, off = _decode_ring(buf, e2, body)
+            coords, off = _decode_ring(buf, e2, body, 3 if z2 else 2)
             xs.append(coords[:, 0])
             ys.append(coords[:, 1])
     ax = np.concatenate(xs)

@@ -4151,3 +4151,74 @@ QUERIES["rasterize_alltouched"] = (q_rasterize_alltouched,
                                    ORACLE_RASTERIZE_ALLTOUCHED)
 
 QUERIES["gdal_merge"] = (q_gdal_merge, ORACLE_GDAL_MERGE)
+
+
+# ---------------------------------------------------------------------------
+# ISO curve geometries (round 4): CircularString / CurvePolygon codec,
+# GDAL-exact arc stroking + arc measures (functions/curves.py)
+# ---------------------------------------------------------------------------
+
+def q_curve_area(spark, sf_dir):
+    """Curve-geometry gate: per nation row build a full-circle
+    CURVEPOLYGON (CIRCULARSTRING) in WKT, round-trip it through the
+    dimension-aware codec, then compute (a) exact area via the
+    IsFullCircle πR² branch (ogrcircularstring.cpp:668), (b) exact arc
+    length R·|Δα| (:171), (c) the stroked vertex count under the
+    curveToLineString stealth-step rule (ogrgeometryfactory.cpp:3331 —
+    nSteps = round(|Δα|/step) lifted to 7-plus-even), and (d) the
+    shoelace area of the stroked ring. The oracle reproduces all four in
+    closed form (regular-polygon area 0.5·n·R²·sin(2π/n))."""
+    nat = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    schema = ("n_nationkey bigint, r int, step_deg int, area_exact double, "
+              "len_exact double, npts int, area_stroked double")
+
+    def compute(batches):
+        import pandas as pd
+        from gdal_spark.functions import curves as C
+        from gdal_spark.functions import geometry as G
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"].astype("int64"):
+                k = int(k)
+                r = k % 7 + 1
+                step = 3 + k % 13
+                cx, cy = float(k * 10), float(k % 5 * 7)
+                wkt = (f"CURVEPOLYGON (CIRCULARSTRING ({cx - r} {cy},"
+                       f"{cx + r} {cy},{cx - r} {cy}))")
+                g = C.decode_geom(C.encode_geom(C.geom_from_wkt(wkt)))
+                ring = C.geom_to_linear(g, float(step)).parts[0]
+                rows.append((k, r, step,
+                             round(C.curve_area(g), 6),
+                             round(C.curve_length(g.parts[0]), 6),
+                             len(ring),
+                             round(G.ring_area(ring), 6)))
+            yield pd.DataFrame(rows, columns=[
+                "n_nationkey", "r", "step_deg", "area_exact", "len_exact",
+                "npts", "area_stroked"])
+
+    return nat.mapInPandas(compute, schema)
+
+
+ORACLE_CURVE_AREA = """
+WITH base AS (
+  SELECT n_nationkey, CAST(n_nationkey % 7 + 1 AS INTEGER) AS r,
+         CAST(3 + n_nationkey % 13 AS INTEGER) AS step_deg
+  FROM nation),
+m AS (
+  SELECT *, CASE WHEN n0 < 7 THEN 7
+                 ELSE 7 + 2 * CAST(floor((n0 - 6) / 2.0) AS INTEGER)
+            END AS nsteps
+  FROM (SELECT *, CAST(floor(360.0 / step_deg + 0.5) AS INTEGER) AS n0
+        FROM base))
+SELECT n_nationkey, r, step_deg,
+       ROUND(pi() * r * r, 6) AS area_exact,
+       ROUND(2 * pi() * r, 6) AS len_exact,
+       CAST(nsteps + 1 AS INTEGER) AS npts,
+       ROUND(0.5 * nsteps * r * r * sin(2 * pi() / nsteps), 6)
+           AS area_stroked
+FROM m
+"""
+
+QUERIES["curve_area"] = (q_curve_area, ORACLE_CURVE_AREA)
