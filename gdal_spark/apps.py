@@ -582,6 +582,19 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
         return RFMT.read_bt(spark, src, block=block)
     if low.endswith(".hgt"):
         return RFMT.read_srtmhgt(spark, src, block=block)
+    if low.endswith(".nc") or low.startswith("netcdf:"):
+        from gdal_spark.raster import netcdf as NCDF
+        if low.startswith("netcdf:"):
+            rest = src[7:]
+            path, _, var = rest.rpartition(":")
+            if not path:  # NETCDF:file with no variable
+                path, var = rest, None
+            path = path.strip('"')
+            return NCDF.read_netcdf(spark, path, var or None, block=block)
+        return NCDF.read_netcdf(spark, src, block=block)
+    if low.endswith((".grb", ".grib", ".grib2", ".grb2")):
+        from gdal_spark.raster import grib as GRB
+        return GRB.read_grib(spark, src, block=block)
     if low.endswith((".bil", ".flt", ".img", ".dat")):
         # sidecar sniff: an ENVI-magic .hdr routes to the ENVI driver,
         # a keyword .hdr to EHdr (GDALIdentify order for raw rasters)
@@ -593,6 +606,18 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
                 if first.upper().startswith("ENVI"):
                     return RFMT.read_envi(spark, src, block=block)
                 return RFMT.read_ehdr(spark, src, block=block)
+    # content sniff (GDALIdentify order): GRIB and netCDF carry magics,
+    # including NDFD '****'-framed GRIB (.bin)
+    import os as _os2
+    if _os2.path.exists(src):
+        with open(src, "rb") as fh:
+            head = fh.read(512)
+        if head[:3] == b"CDF":
+            from gdal_spark.raster import netcdf as NCDF
+            return NCDF.read_netcdf(spark, src, block=block)
+        if b"GRIB" in head[:256]:
+            from gdal_spark.raster import grib as GRB
+            return GRB.read_grib(spark, src, block=block)
     raise ValueError(f"unrecognized raster source {src!r}")
 
 
