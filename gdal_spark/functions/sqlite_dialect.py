@@ -146,3 +146,139 @@ def ogr_inflate(col: Column) -> Column:
                 return None
         return s.map(un)
     return F.pandas_udf(fn, "binary")(col)
+
+
+# ---------------------------------------------------------------------------
+# SpatiaLite aggregate functions: MakeLine / Collect / Extent
+# (the dialect's SpatiaLite surface, ogr_sql_sqlite.dox:104-126;
+# semantics per the public SpatiaLite SQL reference)
+# ---------------------------------------------------------------------------
+
+def st_envelope_cols(wkb_col: Column):
+    """Per-geometry envelope as (minx, miny, maxx, maxy) struct — one
+    Arrow-batched pass; the downstream Extent() agg is then pure JVM
+    min/max."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from gdal_spark.functions import geometry as G
+
+    schema = StructType([StructField(c, DoubleType())
+                         for c in ("minx", "miny", "maxx", "maxy")])
+
+    @F.pandas_udf(schema)
+    def fn(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for wkb in s:
+            try:
+                rows.append(G.geometry_envelope(bytes(wkb)))
+            except Exception:
+                rows.append((None, None, None, None))
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    return fn(wkb_col)
+
+
+def extent_agg(df: DataFrame, group_cols: list[str],
+               wkb_col: str = "wkb") -> DataFrame:
+    """SpatiaLite ``Extent(geom)`` aggregate: per-group envelope as a
+    5-point rectangle POLYGON (WKB in ``extent_wkb``). Envelope columns
+    reduce with map-side-combinable min/max — one exchange; the polygon
+    assembly is driver-free column math on the tiny grouped result."""
+    env = df.withColumn("_env", st_envelope_cols(F.col(wkb_col)))
+    agg = (env.groupBy(*group_cols)
+           .agg(F.min("_env.minx").alias("minx"),
+                F.min("_env.miny").alias("miny"),
+                F.max("_env.maxx").alias("maxx"),
+                F.max("_env.maxy").alias("maxy")))
+
+    from pyspark.sql.types import BinaryType
+
+    from gdal_spark.functions import geometry as G
+
+    @F.pandas_udf(BinaryType())
+    def rect(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+             maxy: pd.Series) -> pd.Series:
+        import numpy as np
+        out = []
+        for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy):
+            ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                             (x0, y0)])
+            out.append(G.encode_polygon([ring]))
+        return pd.Series(out)
+
+    return agg.withColumn(
+        "extent_wkb", rect("minx", "miny", "maxx", "maxy"))
+
+
+_MULTI_OF = {1: 4, 2: 5, 3: 6}
+
+
+def collect_agg(df: DataFrame, group_cols: list[str],
+                wkb_col: str = "wkb",
+                order_col: str | None = None) -> DataFrame:
+    """SpatiaLite ``Collect(geom)`` / ``ST_Collect`` aggregate: uniform
+    Point/LineString/Polygon groups collect into the matching Multi
+    type, mixed groups into a GEOMETRYCOLLECTION (``collect_wkb``).
+
+    Shape: JVM ``collect_list`` of (order, wkb) structs per group (one
+    shuffle with partial aggregation), then a per-group Arrow pass
+    assembles the multi-WKB. Group payloads must fit an executor — the
+    same contract as the reference's in-memory aggregate."""
+    from pyspark.sql.types import BinaryType
+
+    from gdal_spark.functions import geometry as G
+
+    okey = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    rows = df.select(*group_cols,
+                     F.struct(okey.alias("o"),
+                              F.col(wkb_col).alias("g")).alias("_sg"))
+    agg = rows.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_sg")).alias("_gs"))
+
+    @F.pandas_udf(BinaryType())
+    def assemble(col: pd.Series) -> pd.Series:
+        out = []
+        for items in col:
+            wkbs = [bytes(it["g"]) for it in items]
+            kinds = {G._read_header(memoryview(w), 0)[0] for w in wkbs}
+            if len(kinds) == 1 and next(iter(kinds)) in _MULTI_OF:
+                kind = next(iter(kinds))
+                mtype = _MULTI_OF[kind]
+                import struct as _st
+                body = [b"\x01", _st.pack("<II", mtype, len(wkbs))]
+                body.extend(wkbs)
+                out.append(b"".join(body))
+            else:
+                out.append(G.encode_geometrycollection(wkbs))
+        return pd.Series(out)
+
+    return agg.withColumn("collect_wkb", assemble("_gs")).drop("_gs")
+
+
+def make_line_agg(df: DataFrame, group_cols: list[str],
+                  point_col: str = "wkb",
+                  order_col: str | None = None) -> DataFrame:
+    """SpatiaLite ``MakeLine(point)`` aggregate: per-group LINESTRING
+    through the points in ``order_col`` order (``line_wkb``)."""
+    from pyspark.sql.types import BinaryType
+
+    from gdal_spark.functions import geometry as G
+
+    okey = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    rows = df.select(*group_cols,
+                     F.struct(okey.alias("o"),
+                              F.col(point_col).alias("g")).alias("_sg"))
+    agg = rows.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_sg")).alias("_gs"))
+
+    @F.pandas_udf(BinaryType())
+    def assemble(col: pd.Series) -> pd.Series:
+        import numpy as np
+        out = []
+        for items in col:
+            pts = np.array([G.decode_point(bytes(it["g"]))
+                            for it in items])
+            out.append(G.encode_linestring(pts))
+        return pd.Series(out)
+
+    return agg.withColumn("line_wkb", assemble("_gs")).drop("_gs")

@@ -89,7 +89,10 @@ def connected_components(edges: DataFrame, src: str = "src",
     e = e.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence agg below is the action that
+        # materializes it, so each round runs exactly ONE job (the r3
+        # eager+agg pair was two)
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # Checksum in decimal(38,0): sum of 64-bit hashes overflows
         # long (ANSI mode raises); decimal is exact at any edge count.
         sig = nxt.agg(
