@@ -1763,3 +1763,34 @@ def gcps_to_geotransform(gcps, approx_ok: bool = True):
                 or (np.abs(ey - arr[:, 3]) > 0.25 * px_size).any():
             return None
     return gt
+
+
+def sql_omerc_forward(crs, lon: str, lat: str) -> tuple[str, str]:
+    """DuckDB/Spark SQL text for the Hotine Oblique Mercator forward
+    (EPSG 9812/9815; same constant doubles as
+    :meth:`projections.HotineObliqueMercator.forward`). Domain-limited:
+    no longitude wrap guard — callers feed points near the projection
+    centre, as the oracle queries do."""
+    e, A, B, H, gamma0, lam0, uc, sign = crs._consts()
+    d2r = _d(math.pi / 180.0)
+    er = _d(e)
+    s = f"sin(({lat}) * {d2r})"
+    t = (f"(tan({_d(math.pi / 4.0)} - ({lat}) * {_d(math.pi / 360.0)}) / "
+         f"pow((1.0 - {er} * {s}) / (1.0 + {er} * {s}), {_d(e / 2.0)}))")
+    q = f"({_d(H)} / pow({t}, {_d(B)}))"
+    big_s = f"(({q} - 1.0 / {q}) / 2.0)"
+    big_t = f"(({q} + 1.0 / {q}) / 2.0)"
+    dlam = f"((({lon}) * {d2r}) - {_d(lam0)})"
+    big_v = f"sin({_d(B)} * {dlam})"
+    cg0, sg0 = _d(math.cos(gamma0)), _d(math.sin(gamma0))
+    big_u = f"((-{big_v} * {cg0} + {big_s} * {sg0}) / {big_t})"
+    v = f"({_d(A)} * ln((1.0 - {big_u}) / (1.0 + {big_u})) / {_d(2.0 * B)})"
+    u = (f"({_d(A)} * atan2({big_s} * {cg0} + {big_v} * {sg0}, "
+         f"cos({_d(B)} * {dlam})) / {_d(B)})")
+    if crs.variant_b:
+        u = f"({u} - {_d(abs(uc) * sign)})"
+    g = math.radians(crs.gammac)
+    cg, sg = _d(math.cos(g)), _d(math.sin(g))
+    x = f"({_d(crs.fe)} + {v} * {cg} + {u} * {sg})"
+    y = f"({_d(crs.fn)} + {u} * {cg} - {v} * {sg})"
+    return x, y

@@ -25,6 +25,7 @@ import math
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gdal_spark.functions import geometry as G
 
@@ -1215,10 +1216,20 @@ def _translate_insert(dxf, e, pending):
     return e.feat
 
 
-def read_dxf(spark: SparkSession, path: str) -> DataFrame:
+def read_dxf(spark: SparkSession, path: str,
+             distributed: bool | None = None) -> DataFrame:
     """Read a DXF file into a DataFrame, one row per entity in file
     order (blocks inlined), with the reference's six attribute fields
-    plus ogr_style and 2-D WKB geometry."""
+    plus ogr_style and 2-D WKB geometry.
+
+    Files above 8 MB parse executor-side by default (the ENTITIES
+    section splits on entity boundaries — read_dxf_distributed); small
+    files parse on the driver in one pass."""
+    import os as _os
+    if distributed is None:
+        distributed = _os.path.getsize(path) > (8 << 20)
+    if distributed:
+        return read_dxf_distributed(spark, path)
     dxf = _DXFFile(path)
     rows = []
     # position at the ENTITIES section
@@ -1347,3 +1358,216 @@ def write_dxf(df: DataFrame, path: str) -> None:
     out += ["  0", "ENDSEC", "  0", "EOF", ""]
     with open(path, "w", encoding="latin-1") as f:
         f.write("\n".join(out))
+
+
+# ---------------------------------------------------------------------------
+# Distributed (executor-side) ENTITIES parse
+# ---------------------------------------------------------------------------
+
+_NON_TOP = frozenset({"VERTEX", "SEQEND", "ATTRIB", "ENDSEC", "ENDBLK",
+                      "EOF", "SECTION", "TABLE", "ENDTAB", "BLOCK"})
+
+
+class _TextReader:
+    """_Reader twin over an in-memory pair list (executor-side ranges)."""
+
+    def __init__(self, pairs):
+        self.pairs = pairs
+        self.i = 0
+
+    def read(self):
+        if self.i >= len(self.pairs):
+            return -1, ""
+        p = self.pairs[self.i]
+        self.i += 1
+        return p
+
+    def unread(self):
+        self.i -= 1
+
+
+def _pairs_of_text(text: str) -> list[tuple[int, str]]:
+    lines = text.splitlines()
+    pairs = []
+    for i in range(0, len(lines) - 1, 2):
+        try:
+            code = int(lines[i].strip() or "0")
+        except ValueError:
+            code = 0
+        if code != 999:
+            pairs.append((code, lines[i + 1]))
+    return pairs
+
+
+def _preamble_context(path: str, chunk: int = 1 << 20):
+    """Driver-side: scan only as far as the ENTITIES section marker,
+    parse the preamble (header/tables/blocks), and return
+    (context _DXFFile, entities byte offset, file size). The driver
+    never reads the entity payload of a large file."""
+    import os
+    import re
+
+    pat = re.compile(rb"(?:\A|\r?\n)[ \t]*0[ \t]*\r?\n"
+                     rb"SECTION[ \t]*\r?\n[ \t]*2[ \t]*\r?\n"
+                     rb"ENTITIES[ \t]*\r?\n")
+    buf = b""
+    m = None
+    with open(path, "rb") as fh:
+        while True:
+            c = fh.read(chunk)
+            buf += c
+            m = pat.search(buf)
+            if m is not None or not c:
+                break
+    if m is None:
+        raise ValueError(f"{path}: no ENTITIES section")
+    ent_start = m.end()
+    dxf = _DXFFile.__new__(_DXFFile)
+    dxf.header = {}
+    dxf.layers = {}
+    dxf.linetypes = {}
+    dxf.blocks = {}
+    dxf.r = _TextReader(_pairs_of_text(buf[:m.start()].decode("latin-1")))
+    dxf._parse_preamble()
+    return dxf, ent_start, os.path.getsize(path)
+
+
+def _pairs_with_offsets(raw: bytes, base: int, aligned: bool):
+    """(code, value, byte offset) triples from a byte slice. When the
+    slice does not start at a known code line (``aligned=False``), the
+    first partial line is dropped and the stream aligns at the first
+    '0 / <top-level entity>' boundary (split-alignment heuristic — the
+    same shape as Hadoop text-split alignment)."""
+    text = raw.decode("latin-1")
+    lines = text.splitlines(keepends=True)
+    offs = []
+    pos = base
+    for ln in lines:
+        offs.append(pos)
+        pos += len(ln)
+    vals = [ln.rstrip("\r\n") for ln in lines]
+    start_i = 0
+    if not aligned:
+        start_i = None
+        for j in range(1, len(vals) - 1):
+            if vals[j].strip() == "0":
+                nxt = vals[j + 1].strip()
+                if (nxt and nxt not in _NON_TOP and nxt.isupper()
+                        and nxt.replace("_", "").isalnum()):
+                    start_i = j
+                    break
+        if start_i is None:
+            return [], []
+    pairs, poffs = [], []
+    for i in range(start_i, len(vals) - 1, 2):
+        try:
+            code = int(vals[i].strip() or "0")
+        except ValueError:
+            code = 0
+        if code != 999:
+            pairs.append((code, vals[i + 1]))
+            poffs.append(offs[i])
+    return pairs, poffs
+
+
+def _parse_entity_range(path: str, ctx: "_DXFFile", start: int, end: int,
+                        fsize: int, aligned: bool,
+                        tail: int = 8 << 20):
+    """Executor-side: parse every entity whose start offset lies in
+    [start, end), reading past ``end`` as needed to finish the last
+    entity (bounded by ``tail``)."""
+    read_to = min(end + tail, fsize)
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        raw = fh.read(read_to - start)
+    pairs, poffs = _pairs_with_offsets(raw, start, aligned)
+    if not pairs:
+        return
+    dxf = _DXFFile.__new__(_DXFFile)
+    dxf.header = ctx.header
+    dxf.layers = ctx.layers
+    dxf.linetypes = ctx.linetypes
+    dxf.blocks = ctx.blocks
+    dxf.r = _TextReader(pairs)
+    truncated = read_to < fsize
+    pending: list[dict] = []
+    while True:
+        while pending:
+            yield pending.pop(0)
+        i = dxf.r.i
+        code, val = dxf.r.read()
+        if code == -1:
+            if truncated:
+                raise RuntimeError(
+                    f"DXF range [{start},{end}) ran past its {tail}-byte "
+                    f"tail mid-entity; raise the tail")
+            return
+        if code != 0:
+            continue
+        if val in ("ENDSEC", "EOF"):
+            return
+        if poffs[i] >= end:
+            return
+        e = _EntityReader(dxf)
+        feat = _translate_entity(dxf, e, val, pending)
+        if feat is not None:
+            yield feat
+
+
+def read_dxf_distributed(spark: SparkSession, path: str,
+                         n_ranges: int = 32) -> DataFrame:
+    """Executor-side DXF ENTITIES parse: the driver reads only the
+    preamble (header/tables/blocks context, broadcast to tasks); the
+    entity section splits into ``n_ranges`` byte ranges parsed in
+    parallel, aligned on top-level entity boundaries. Output is
+    identical to :func:`read_dxf` (same columns, same file-order fids —
+    per-range sequence numbers are rebased by a tiny per-range count
+    aggregate)."""
+    import pandas as pd
+
+    ctx, ent_start, fsize = _preamble_context(path)
+    span = max(fsize - ent_start, 1)
+    n = max(1, min(n_ranges, span // (64 << 10) + 1))
+    bounds = [ent_start + span * k // n for k in range(n)] + [fsize]
+    ranges = [(k, bounds[k], bounds[k + 1]) for k in range(n)]
+
+    schema = ("rid int, seq long, Layer string, SubClasses string, "
+              "ExtendedEntity string, Linetype string, "
+              "EntityHandle string, Text string, ogr_style string, "
+              "geometry binary")
+
+    spec = spark.createDataFrame(ranges, "rid int, start long, end long")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, s, e0 in zip(pdf["rid"], pdf["start"], pdf["end"]):
+                for seq, f in enumerate(_parse_entity_range(
+                        path, ctx, int(s), int(e0), fsize,
+                        aligned=(int(s) == ent_start))):
+                    g = f.get("geom")
+                    rows.append((int(rid), seq, f["Layer"],
+                                 f["SubClasses"], f["ExtendedEntity"],
+                                 f["Linetype"], f["EntityHandle"],
+                                 f["Text"], f.get("style") or None,
+                                 bytearray(_to_wkb(g))
+                                 if g is not None else None))
+            yield pd.DataFrame(rows, columns=[
+                "rid", "seq", "Layer", "SubClasses", "ExtendedEntity",
+                "Linetype", "EntityHandle", "Text", "ogr_style",
+                "geometry"])
+
+    feats = spec.repartition(n, "rid").mapInPandas(run, schema).cache()
+    # rebase per-range sequences to global file-order fids (K tiny rows)
+    counts = {r["rid"]: r["n"] for r in
+              feats.groupBy("rid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for k in range(n):
+        offsets[k] = acc
+        acc += counts.get(k, 0)
+    odf = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "rid int, off long")
+    return (feats.join(F.broadcast(odf), "rid")
+            .select((F.col("off") + F.col("seq")).alias("fid"),
+                    "Layer", "SubClasses", "ExtendedEntity", "Linetype",
+                    "EntityHandle", "Text", "ogr_style", "geometry"))

@@ -2588,3 +2588,115 @@ def read_gtm(spark: SparkSession, path: str,
     return spark.createDataFrame(
         rows, "fid long, name string, type long, color long, "
               "geometry binary")
+
+
+def read_gpx_distributed(spark: SparkSession, path: str,
+                         n_ranges: int = 32) -> DataFrame:
+    """Executor-side GPX waypoints parse: the file splits into byte
+    ranges; each task regex-extracts the complete ``<wpt>`` elements
+    whose start offset falls in its range (flat top-level elements, so
+    ranges align trivially) and parses them with ElementTree. Output is
+    identical to ``read_gpx(layer='waypoints')`` including file-order
+    fids (per-range counts rebase the sequence numbers).
+
+    The hierarchical layers (tracks / track_points) keep the driver
+    parse: their ids depend on global document position by definition.
+    """
+    import os
+    import re
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gdal_spark.functions import geometry as G
+
+    fsize = os.path.getsize(path)
+    n = max(1, min(n_ranges, fsize // (64 << 10) + 1))
+    bounds = [fsize * k // n for k in range(n)] + [fsize]
+    spec = spark.createDataFrame(
+        [(k, bounds[k], bounds[k + 1]) for k in range(n)],
+        "rid int, start long, end long")
+
+    pat = re.compile(rb"<(?:\w+:)?wpt[\s/>]")
+    closepat = re.compile(rb"</(?:\w+:)?wpt\s*>")
+    tail = 4 << 20
+
+    schema = ("rid int, seq long, ele double, name string, cmt string, "
+              "desc string, src string, link1_href string, "
+              "link1_text string, link1_type string, link2_href string, "
+              "link2_text string, link2_type string, time string, "
+              "geometry binary")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, s, e0 in zip(pdf["rid"], pdf["start"], pdf["end"]):
+                s, e0 = int(s), int(e0)
+                read_to = min(e0 + tail, fsize)
+                with open(path, "rb") as fh:
+                    fh.seek(s)
+                    raw = fh.read(read_to - s)
+                seq = 0
+                for m in pat.finditer(raw):
+                    if s + m.start() >= e0:
+                        break
+                    # element end: the next </wpt>, or a self-closing
+                    # <wpt .../> (no nested wpt elements exist in GPX)
+                    nxt = pat.search(raw, m.end())
+                    limit = nxt.start() if nxt else len(raw)
+                    cm = closepat.search(raw, m.start(), limit)
+                    if cm is not None:
+                        frag = raw[m.start():cm.end()]
+                    else:
+                        gt = raw.index(b">", m.start())
+                        if raw[gt - 1:gt + 1] != b"/>":
+                            raise RuntimeError(
+                                "unterminated wpt element in range")
+                        frag = raw[m.start():gt + 1]
+                    el = ET.fromstring(frag)
+
+                    def kids(el2, nm):
+                        return [c for c in el2
+                                if _strip_ns(c.tag) == nm]
+
+                    def txt(el2, nm):
+                        k = kids(el2, nm)
+                        return k[0].text if k else None
+
+                    links = kids(el, "link")
+                    vals = [float(txt(el, "ele"))
+                            if txt(el, "ele") is not None else None,
+                            txt(el, "name"), txt(el, "cmt"),
+                            txt(el, "desc"), txt(el, "src")]
+                    for i in (1, 2):
+                        ln = links[i - 1] if len(links) >= i else None
+                        vals.extend([
+                            ln.get("href") if ln is not None else None,
+                            txt(ln, "text") if ln is not None else None,
+                            txt(ln, "type") if ln is not None else None])
+                    vals.append(_ogr_datetime(txt(el, "time")))
+                    wkb = bytearray(G.encode_point(float(el.get("lon")),
+                                                   float(el.get("lat"))))
+                    rows.append((int(rid), seq, *vals, wkb))
+                    seq += 1
+            yield pd.DataFrame(rows, columns=[
+                "rid", "seq", "ele", "name", "cmt", "desc", "src",
+                "link1_href", "link1_text", "link1_type", "link2_href",
+                "link2_text", "link2_type", "time", "geometry"])
+
+    feats = spec.repartition(n, "rid").mapInPandas(run, schema).cache()
+    counts = {r["rid"]: r["n"] for r in
+              feats.groupBy("rid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for k in range(n):
+        offsets[k] = acc
+        acc += counts.get(k, 0)
+    odf = spark.createDataFrame([(k, v) for k, v in offsets.items()],
+                                "rid int, off long")
+    return (feats.join(F.broadcast(odf), "rid")
+            .select((F.col("off") + F.col("seq")).alias("fid"),
+                    "ele", "name", "cmt", "desc", "src", "link1_href",
+                    "link1_text", "link1_type", "link2_href",
+                    "link2_text", "link2_type", "time", "geometry"))

@@ -279,3 +279,37 @@ def test_dxf_write_roundtrip(spark, tmp_path):             # ogr_dxf_12
     assert back[1]["Layer"] == "0"
     assert G.wkt_from_wkb(bytes(back[1]["geometry"])) == \
         "POLYGON ((0 0,100 0,100 100,0 0))"
+
+
+def test_distributed_parse_matches_driver_parse(spark, tmp_path):
+    """read_dxf_distributed must be row-identical to the driver parse,
+    including file-order fids, across real multi-range splits."""
+    from gdal_spark.sources import dxf as DXF
+
+    D = "/root/reference/autotest/ogr/data/"
+    for fn in ["assorted.dxf", "LWPOLYLINE-OCS.dxf", "hatch.dxf"]:
+        a = DXF.read_dxf(spark, D + fn).orderBy("fid").collect()
+        b = DXF.read_dxf_distributed(spark, D + fn, n_ranges=5) \
+            .orderBy("fid").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], fn
+
+
+def test_distributed_parse_multirange_alignment(spark, tmp_path):
+    """Force genuine multi-range splits: tile the assorted-entity body
+    until the ENTITIES span crosses several 64 KiB range floors, then
+    check the split parse is identical to the single-pass parse."""
+    from gdal_spark.sources import dxf as DXF
+
+    src = open("/root/reference/autotest/ogr/data/assorted.dxf",
+               encoding="latin-1").read()
+    head, _, rest = src.partition("ENTITIES\n")
+    body, _, tail = rest.partition("  0\nENDSEC")
+    big = head + "ENTITIES\n" + body * 40 + "  0\nENDSEC" + tail
+    p = tmp_path / "big.dxf"
+    p.write_text(big, encoding="latin-1")
+    a = DXF.read_dxf(spark, str(p), distributed=False) \
+        .orderBy("fid").collect()
+    b = DXF.read_dxf_distributed(spark, str(p), n_ranges=7) \
+        .orderBy("fid").collect()
+    assert len(a) == 16 * 40
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

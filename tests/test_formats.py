@@ -678,3 +678,25 @@ def test_gtm(spark):                                   # ogr_gtm_read_1/2
         ("Curupira Park", 17, 46848)]
     assert G.wkt_from_wkb(bytes(t[0]["geometry"])).startswith(
         "LINESTRING (-47.8074816074")
+
+
+def test_gpx_distributed_matches_driver(spark, tmp_path):
+    """Executor-side waypoint parse is row-identical to the driver
+    parse, across genuine multi-range splits (waypoint block tiled
+    past several 64 KiB range floors)."""
+    a = FMT.read_gpx(spark, GPX, "waypoints").orderBy("fid").collect()
+    b = FMT.read_gpx_distributed(spark, GPX, n_ranges=4) \
+        .orderBy("fid").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    src = open(GPX, encoding="utf-8").read()
+    i0 = src.index("<wpt")
+    i1 = src.index("<rte>")  # covers both wpt forms incl. self-closing
+    big = src[:i0] + src[i0:i1] * 400 + src[i1:]
+    p = tmp_path / "big.gpx"
+    p.write_text(big, encoding="utf-8")
+    a = FMT.read_gpx(spark, str(p), "waypoints").orderBy("fid").collect()
+    b = FMT.read_gpx_distributed(spark, str(p), n_ranges=6) \
+        .orderBy("fid").collect()
+    assert len(a) == 2 * 400
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
