@@ -595,6 +595,14 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
     if low.endswith((".grb", ".grib", ".grib2", ".grb2")):
         from gdal_spark.raster import grib as GRB
         return GRB.read_grib(spark, src, block=block)
+    if low.endswith((".h5", ".hdf5")) or low.startswith("hdf5:"):
+        from gdal_spark.raster import hdf5 as H5F
+        if low.startswith("hdf5:"):
+            rest = src[5:]
+            path, _, dset = rest.partition("://")
+            path = path.strip('"')
+            return H5F.read_hdf5(spark, path, dset or None, block=block)
+        return H5F.read_hdf5(spark, src, block=block)
     if low.endswith((".bil", ".flt", ".img", ".dat")):
         # sidecar sniff: an ENVI-magic .hdr routes to the ENVI driver,
         # a keyword .hdr to EHdr (GDALIdentify order for raw rasters)

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gdal_spark.functions import geometry as G
+from gdal_spark.functions import curves as C
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("src", T.StringType()),
@@ -319,23 +320,33 @@ def write_csv_features(df: DataFrame, path: str,
 _SHP_NULL, _SHP_POINT, _SHP_POLYLINE, _SHP_POLYGON, _SHP_MULTIPOINT = 0, 1, 3, 5, 8
 
 
+def _group_rings(rings: list[np.ndarray]) -> list[list[int]]:
+    """Shapefile ring→polygon assignment on the XY projection: outer
+    rings are clockwise (negative shoelace area), holes counter-
+    clockwise; each hole attaches to the outer ring containing its
+    first vertex. Returns ring-index groups (outer first)."""
+    xy = [r[:, :2] for r in rings]
+    outer_idx = [i for i, r in enumerate(xy)
+                 if G._ring_area_signed(r) <= 0]
+    if not outer_idx:  # degenerate: treat everything as outer
+        return [[i] for i in range(len(rings))]
+    groups = {i: [i] for i in outer_idx}
+    for i, r in enumerate(xy):
+        if i in groups:
+            continue
+        px, py = float(r[0, 0]), float(r[0, 1])
+        host = next((o for o in outer_idx
+                     if G.py_point_in_ring(px, py, xy[o])), outer_idx[0])
+        groups[host].append(i)
+    return [groups[o] for o in outer_idx]
+
+
 def _rings_to_wkb(rings: list[np.ndarray]) -> bytes:
-    """Shapefile polygon record → WKB Polygon/MultiPolygon. Outer rings
-    are clockwise (negative shoelace area), holes counter-clockwise; each
-    hole attaches to the outer ring containing its first vertex."""
-    outers = [(r, []) for r in rings if G._ring_area_signed(r) <= 0]
-    if not outers:  # degenerate: treat everything as outer
-        outers = [(r, []) for r in rings]
-    elif len(outers) < len(rings):
-        for r in rings:
-            if G._ring_area_signed(r) > 0:
-                px, py = float(r[0, 0]), float(r[0, 1])
-                host = next((o for o in outers
-                             if G.py_point_in_ring(px, py, o[0])), outers[0])
-                host[1].append(r)
-    if len(outers) == 1:
-        return G.encode_polygon([outers[0][0], *outers[0][1]])
-    return G.encode_multipolygon([[o, *h] for o, h in outers])
+    """Shapefile polygon record → WKB Polygon/MultiPolygon."""
+    groups = _group_rings(rings)
+    if len(groups) == 1:
+        return G.encode_polygon([rings[i] for i in groups[0]])
+    return G.encode_multipolygon([[rings[i] for i in g] for g in groups])
 
 
 def parse_shp(data: bytes) -> list[bytes | None]:
@@ -372,6 +383,68 @@ def parse_shp(data: bytes) -> list[bytes | None]:
             else:
                 geoms.append(G.encode_linestring(segs[0]) if len(segs) == 1
                              else G.encode_multilinestring(segs))
+        elif stype in (11, 21):          # PointZ / PointM
+            x, y = struct.unpack_from("<dd", data, off + 4)
+            if stype == 11:
+                (z,) = struct.unpack_from("<d", data, off + 20)
+                geoms.append(C.encode_geom(C.Geom(
+                    G.WKB_POINT, True, np.array([[x, y, z]]))))
+            else:                        # M-only: 2-D in the reference
+                geoms.append(G.encode_point(x, y))
+        elif stype in (18, 28):          # MultiPointZ / MultiPointM
+            (npts,) = struct.unpack_from("<i", data, off + 36)
+            pts = np.frombuffer(data, dtype="<f8", count=2 * npts,
+                                offset=off + 40).reshape(npts, 2)
+            if stype == 18:
+                zoff = off + 40 + 16 * npts + 16
+                z = np.frombuffer(data, dtype="<f8", count=npts,
+                                  offset=zoff)
+                parts = [C.Geom(G.WKB_POINT, True,
+                                np.array([[p[0], p[1], zv]]))
+                         for p, zv in zip(pts, z)]
+                geoms.append(C.encode_geom(C.Geom(
+                    G.WKB_MULTIPOINT, True, parts=parts)))
+            else:
+                geoms.append(G.encode_multipoint(pts))
+        elif stype in (13, 15, 23, 25):  # PolyLineZ/PolygonZ/+M twins
+            nparts, npts = struct.unpack_from("<ii", data, off + 36)
+            parts = np.frombuffer(data, dtype="<i4", count=nparts,
+                                  offset=off + 44)
+            pbase = off + 44 + 4 * nparts
+            pts = np.frombuffer(data, dtype="<f8", count=2 * npts,
+                                offset=pbase).reshape(npts, 2)
+            has_z = stype in (13, 15)
+            if has_z:
+                z = np.frombuffer(data, dtype="<f8", count=npts,
+                                  offset=pbase + 16 * npts + 16)
+                pts = np.column_stack([pts, z])
+            bounds = np.append(parts, npts)
+            segs = [pts[bounds[i]:bounds[i + 1]].copy()
+                    for i in range(nparts)]
+            if stype in (15, 25):
+                if not has_z:
+                    geoms.append(_rings_to_wkb(segs))
+                else:
+                    groups = _group_rings(segs)
+                    polys = [C.Geom(G.WKB_POLYGON, True,
+                                    parts=[segs[i] for i in grp])
+                             for grp in groups]
+                    geoms.append(C.encode_geom(
+                        polys[0] if len(polys) == 1 else
+                        C.Geom(G.WKB_MULTIPOLYGON, True, parts=polys)))
+            else:
+                if not has_z:
+                    geoms.append(G.encode_linestring(segs[0])
+                                 if len(segs) == 1
+                                 else G.encode_multilinestring(segs))
+                elif len(segs) == 1:
+                    geoms.append(C.encode_geom(C.Geom(
+                        G.WKB_LINESTRING, True, segs[0])))
+                else:
+                    geoms.append(C.encode_geom(C.Geom(
+                        G.WKB_MULTILINESTRING, True,
+                        parts=[C.Geom(G.WKB_LINESTRING, True, s)
+                               for s in segs])))
         else:
             raise ValueError(f"unsupported shape type {stype}")
         off = end

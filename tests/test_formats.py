@@ -700,3 +700,46 @@ def test_gpx_distributed_matches_driver(spark, tmp_path):
         .orderBy("fid").collect()
     assert len(a) == 2 * 400
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_shapefile_z_types(spark):                     # ogr_shape_60
+    """XYZM point shapefile reads as a 3-D point (1 2 3) — the
+    reference drops M (no M support in its 2.0-era core) and keeps Z."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources.formats import parse_shp
+    data = open("/root/reference/autotest/ogr/data/testpointzm.shp",
+                "rb").read()
+    geoms = parse_shp(data)
+    assert [G.wkt_from_wkb(g) for g in geoms] == ["POINT (1 2 3)"]
+
+
+def test_shapefile_z_synthetic_roundtrip(spark):
+    """PolyLineZ / PolygonZ / MultiPointZ records decode with Z kept
+    (synthetic records, built to the public shapefile spec)."""
+    import struct
+
+    import numpy as np
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources.formats import parse_shp
+
+    def rec(recno, content):
+        return struct.pack(">ii", recno, len(content) // 2) + content
+
+    # PolyLineZ: 1 part, 2 points with z
+    pts = [(0.0, 0.0, 5.0), (1.0, 1.0, 6.0)]
+    body = struct.pack("<i4dii", 13, 0, 0, 1, 1, 1, 2)
+    body += struct.pack("<i", 0)
+    body += struct.pack("<4d", *(c for p in pts for c in p[:2]))
+    body += struct.pack("<2d", 5.0, 6.0) + struct.pack("<2d", 5.0, 6.0)
+    # PolygonZ: CW square with z
+    ring = [(0, 0), (0, 2), (2, 2), (2, 0), (0, 0)]
+    body2 = struct.pack("<i4dii", 15, 0, 0, 2, 2, 1, 5)
+    body2 += struct.pack("<i", 0)
+    body2 += struct.pack(f"<{10}d", *(c for p in ring for c in p))
+    body2 += struct.pack("<2d", 9.0, 9.0) + struct.pack("<5d", *([9.0] * 5))
+    data = b"\x00" * 100 + rec(1, body) + rec(2, body2)
+    g1, g2 = parse_shp(data)
+    assert G.wkt_from_wkb(g1) == "LINESTRING (0 0 5,1 1 6)"
+    assert G.wkt_from_wkb(g2) == \
+        "POLYGON ((0 0 9,0 2 9,2 2 9,2 0 9,0 0 9))"

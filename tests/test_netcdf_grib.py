@@ -168,3 +168,41 @@ def test_grib_mismatched_band_spark(spark):
     b4 = tiles.filter("band = 3")
     row = checksum(b4, meta).collect()[0]
     assert row["checksum"] == 4081
+
+
+# --- HDF5 -------------------------------------------------------------------
+
+def test_hdf5_subdataset_order():                         # hdf5_2
+    from gdal_spark.raster import hdf5 as H5
+    data = open(D + "groups.h5", "rb").read()
+    assert H5.subdatasets(data) == ["/MyGroup/Group_A/dset2",
+                                    "/MyGroup/dset1"]
+
+
+def test_hdf5_checksums():                                # hdf5_3/4/5
+    from gdal_spark.raster import hdf5 as H5
+    data = open(D + "u8be.h5", "rb").read()
+    assert py_checksum(H5.read_band(data, "/TestArray")) == 135
+    data = open(D + "groups.h5", "rb").read()
+    assert py_checksum(H5.read_band(data, "/MyGroup/dset1")) == 18
+
+
+def test_hdf5_chunked_btree():
+    # CSK fixtures use 16x16 chunked layout (zero payload by design)
+    import numpy as np
+
+    from gdal_spark.raster import hdf5 as H5
+    data = open(D + "CSK_DGM.h5", "rb").read()
+    h5 = H5.H5File(data)
+    ds = h5.datasets["/S01/SBI"]
+    assert ds.layout == "chunked" and ds.chunk_dims[:2] == (16, 16)
+    arr = h5.read("/S01/SBI")
+    assert arr.shape == (20, 10) and np.count_nonzero(arr) == 0
+
+
+def test_hdf5_spark_read(spark):
+    from gdal_spark.apps import open_raster
+    from gdal_spark.raster.checksum import checksum
+    t, m = open_raster(spark, f'HDF5:"{D}u8be.h5"://TestArray')
+    assert (m.width, m.height) == (5, 6)
+    assert checksum(t, m).collect()[0]["checksum"] == 135
