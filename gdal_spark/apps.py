@@ -595,6 +595,16 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
     if low.endswith((".grb", ".grib", ".grib2", ".grb2")):
         from gdal_spark.raster import grib as GRB
         return GRB.read_grib(spark, src, block=block)
+    if low.endswith(".hdf") or low.startswith("hdf4_sds:"):
+        from gdal_spark.raster import hdf4 as H4F
+        if low.startswith("hdf4_sds:"):
+            # HDF4_SDS:SUBTYPE:"file":index (hdf4dataset.cpp naming)
+            parts = src.split(":")
+            path = parts[2].strip('"')
+            h4 = H4F.H4File(open(path, "rb").read())
+            name = h4.sds[int(parts[3])].name
+            return H4F.read_hdf4(spark, path, name, block=block)
+        return H4F.read_hdf4(spark, src, block=block)
     if low.endswith((".h5", ".hdf5")) or low.startswith("hdf5:"):
         from gdal_spark.raster import hdf5 as H5F
         if low.startswith("hdf5:"):

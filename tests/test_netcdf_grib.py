@@ -206,3 +206,27 @@ def test_hdf5_spark_read(spark):
     t, m = open_raster(spark, f'HDF5:"{D}u8be.h5"://TestArray')
     assert (m.width, m.height) == (5, 6)
     assert checksum(t, m).collect()[0]["checksum"] == 135
+
+
+# --- HDF4 -------------------------------------------------------------------
+
+def test_hdf4_sds_scan():
+    from gdal_spark.raster import hdf4 as H4
+    data = open(D + "hdifftst2.hdf", "rb").read()
+    h4 = H4.H4File(data)
+    assert [s.name for s in h4.sds] == ["dset1", "dset2", "dset3"]
+    assert all(s.dims == (3, 2) and s.dtype == ">i4" for s in h4.sds)
+    # hdiff fixture: dset1 == dset2, dset3 differs
+    assert np.array_equal(h4.read(h4.sds[0]), h4.read(h4.sds[1]))
+    assert h4.read(h4.sds[0]).ravel().tolist() == [1, 2, 3, 4, 5, 6]
+    assert not np.array_equal(h4.read(h4.sds[0]), h4.read(h4.sds[2]))
+
+
+def test_hdf4_spark_read(spark):
+    from gdal_spark.apps import open_raster
+    t, m = open_raster(
+        spark, f'HDF4_SDS:UNKNOWN:"{D}hdifftst2.hdf":2')
+    assert (m.width, m.height) == (2, 3)
+    from gdal_spark.raster.model import to_array
+    arr = to_array(t, m)
+    assert arr.ravel().tolist() == [120, 80, 0, 100, 0, 50]
