@@ -1040,3 +1040,358 @@ def wkb_force_2d(wkb: bytes) -> bytes:
 
     flatten(g)
     return encode_geom(g)
+
+
+# ---------------------------------------------------------------------------
+# Curve re-detection: curveFromLineString / GetCurveGeometry
+# (ports of OGRGF_FixAngle:3663, OGRGF_DetectArc:3682,
+#  OGRGeometryFactory::curveFromLineString:4183)
+# ---------------------------------------------------------------------------
+
+def _fix_angle(start: float, stop: float, alpha: float) -> float:
+    """OGRGF_FixAngle: shift alpha by 2π multiples between start/stop."""
+    if start < stop:
+        while alpha <= start + 1e-8:
+            alpha += 2 * math.pi
+    else:
+        while alpha >= start - 1e-8:
+            alpha -= 2 * math.pi
+    return alpha
+
+
+_ALMOST_INT = 1e-8
+
+
+def _is_almost_integer(x: float) -> bool:
+    return abs(x - math.floor(x + 0.5)) < _ALMOST_INT
+
+
+def _detect_arc(coords: np.ndarray, has_z: bool, i: int, state: dict,
+                is_ring: bool) -> int:
+    """Port of OGRGF_DetectArc: try to start/extend an arc at vertex i.
+    ``state`` carries the under-construction compound members:
+    'cc' (list of member Geoms), 'cs' (current circularstring point
+    list), 'ls' (current linestring point list). Returns the next
+    vertex index, or -1 (no arc here), or -2 (consumed to the end)."""
+    n = len(coords)
+    if i + 3 >= n:
+        return -1
+    p0, p1, p2 = coords[i], coords[i + 1], coords[i + 2]
+    params = get_curve_parameters(p0[0], p0[1], p1[0], p1[1],
+                                  p2[0], p2[1])
+    if params is None:
+        return -1
+    R1, cx1, cy1, a0_1, a1_1, a2_1 = params
+    if not abs(a2_1 - a0_1) < 2 * 20.0 / 180.0 * math.pi:
+        return -1
+
+    d10 = a1_1 - a0_1
+    d21 = a2_1 - a1_1
+    max_delta = max(abs(d10), abs(d21))
+    alpha_ratio_ref = (get_hidden_value(p1[0], p1[1])
+                       | (get_hidden_value(p2[0], p2[1]) << 16))
+    found_ffff = False
+    found_reversed = False
+    valid_ratio = 0 < alpha_ratio_ref < 0xFFFFFFFF
+    count_valid = 1
+
+    scale = max(1.0, R1, abs(cx1), abs(cy1))
+    scale = 10.0 ** math.ceil(math.log10(scale))
+    inv_scale = 1.0 / scale
+    initial_const_step = (abs(d10 - d21) / max_delta) < 1e-4
+    delta_eps = max_delta * 1e-4 if initial_const_step else max_delta / 10
+
+    i_mid = -1
+    last_valid_alpha = a2_1
+    last_log_rel = 0.0
+    j = i + 1
+    while j + 2 < n:
+        q1, q2, q3 = coords[j], coords[j + 1], coords[j + 2]
+        params2 = get_curve_parameters(q1[0], q1[1], q2[0], q2[1],
+                                       q3[0], q3[1])
+        if params2 is None:
+            break
+        R2, cx2, cy2, a0_2, a1_2, a2_2 = params2
+        rdR = abs(R1 - R2) * inv_scale
+        rdx = abs(cx1 - cx2) * inv_scale
+        rdy = abs(cy1 - cy2) * inv_scale
+        if (rdR > 1e-6 and rdx > 1e-6 and rdy > 1e-6) \
+                or d10 * (a1_2 - a0_2) < 0:
+            break
+        if rdR > 0 and rdx > 0 and rdy > 0:
+            log_rel = min(abs(math.log10(rdR)), abs(math.log10(rdx)),
+                          abs(math.log10(rdy)))
+            if (log_rel > 0 and last_log_rel > 0 and last_log_rel >= 8
+                    and log_rel <= 8 and log_rel < last_log_rel - 2):
+                break
+            last_log_rel = log_rel
+        s10, s21 = abs(a1_2 - a0_2), abs(a2_2 - a1_2)
+        if not (s10 < 2 * max_delta and s21 < 2 * max_delta):
+            break
+
+        if valid_ratio and j > i + 1 and (i % 2) != (j % 2):
+            rev = ((get_hidden_value(q1[0], q1[1]) << 16)
+                   | get_hidden_value(q2[0], q2[1]))
+            if not found_ffff and rev == 0xFFFFFFFF:
+                found_ffff = True
+                count_valid += 1
+            elif found_ffff and not found_reversed and rev == 0xFFFFFFFF:
+                count_valid += 1
+            elif found_ffff and not found_reversed \
+                    and rev == alpha_ratio_ref:
+                found_reversed = True
+                count_valid += 1
+            else:
+                if initial_const_step \
+                        and abs(last_valid_alpha - a0_1) >= math.pi \
+                        and count_valid > 10:
+                    if last_valid_alpha - a0_1 > 0:
+                        while (last_valid_alpha - a0_1 - max_delta
+                               - math.pi > -max_delta / 10):
+                            last_valid_alpha -= max_delta
+                            j -= 1
+                    else:
+                        while (last_valid_alpha - a0_1 + max_delta
+                               + math.pi < max_delta / 10):
+                            last_valid_alpha += max_delta
+                            j -= 1
+                    q2 = coords[j + 1]
+                    break
+                valid_ratio = False
+
+        last_valid_alpha = _fix_angle(a0_1, a1_1, a2_2)
+
+        if j > i + 1 and i_mid < 0 \
+                and delta_eps < 1.0 / 180.0 * math.pi:
+            if abs(s10 - max_delta) > delta_eps:
+                i_mid = j + (0 if initial_const_step else 1)
+            elif abs(s21 - max_delta) > delta_eps:
+                i_mid = j + (1 if initial_const_step else 2)
+        j += 1
+
+    if j < i + 3:
+        return -1
+    valid_ratio = valid_ratio and found_ffff and found_reversed
+
+    # flush pending linestring into the compound
+    ls = state.get("ls")
+    if ls is not None:
+        scale2 = max(1.0, abs(p0[0]), abs(p0[1]))
+        if (abs(ls[-1][0] - p0[0]) / scale2 > 1e-8
+                or abs(ls[-1][1] - p0[1]) / scale2 > 1e-8):
+            ls.append(tuple(p0))
+        if len(ls) >= 2:
+            state.setdefault("cc", []).append(
+                Geom(G.WKB_LINESTRING, has_z,
+                     np.asarray(ls, dtype=np.float64)))
+        state["ls"] = None
+
+    if state.get("cs") is None:
+        state["cs"] = [tuple(p0)]
+    cs = state["cs"]
+
+    # reference: poFinalPoint = (j+2 >= numPoints) ? p3 : p2, where at
+    # natural exit j = n-2 and p3 = coords[n-1] = coords[j+1], and at a
+    # break p2 = coords[j+1] — i.e. always coords[j+1]
+    final_pt = coords[j + 1] if j + 1 < n else coords[n - 1]
+
+    xmid = ymid = zmid = 0.0
+    if valid_ratio:
+        if final_pt[0] > p0[0] or (final_pt[0] == p0[0]
+                                   and final_pt[1] > p0[1]):
+            # NeedSwitchArcOrder(p0, final)
+            amid = last_valid_alpha + alpha_ratio_ref * \
+                (a0_1 - last_valid_alpha) / _HIDDEN_ALPHA_SCALE
+            amid = _fix_angle(a0_1, last_valid_alpha, amid)
+        else:
+            amid = a0_1 + alpha_ratio_ref * \
+                (last_valid_alpha - a0_1) / _HIDDEN_ALPHA_SCALE
+        xmid = cx1 + R1 * math.cos(amid)
+        ymid = cy1 + R1 * math.sin(amid)
+
+        if has_z:
+            last_alpha = 0.0
+            last_z = 0.0
+            k = i
+            while k < j + 2:
+                p = coords[k]
+                alpha = math.atan2(p[1] - cy1, p[0] - cx1)
+                alpha = _fix_angle(a0_1, last_valid_alpha, alpha)
+                if k > i and ((alpha < last_valid_alpha
+                               and amid < alpha)
+                              or (alpha > last_valid_alpha
+                                  and amid > alpha)):
+                    ratio = (amid - last_alpha) / (alpha - last_alpha)
+                    zmid = (1 - ratio) * last_z + ratio * p[2]
+                    break
+                last_alpha, last_z = alpha, p[2]
+                k += 1
+            else:
+                zmid = last_z
+            if _is_almost_integer(zmid):
+                zmid = math.floor(zmid + 0.5)
+
+        if R1 > 1e-5:
+            start_end_int = (_is_almost_integer(p0[0])
+                             and _is_almost_integer(p0[1])
+                             and _is_almost_integer(final_pt[0])
+                             and _is_almost_integer(final_pt[1]))
+            if start_end_int \
+                    and abs(xmid - math.floor(xmid + 0.5)) / scale < 1e-4 \
+                    and abs(ymid - math.floor(ymid + 0.5)) / scale < 1e-4:
+                xmid = float(math.floor(xmid + 0.5))
+                ymid = float(math.floor(ymid + 0.5))
+                best_err = abs(R1 - math.hypot(xmid - cx1, ymid - cy1))
+                best_x = best_y = 0
+                if best_err > 0.001 and R1 > 2:
+                    sr = 1
+                    max_c = max(abs(p0[0]), abs(p0[1]), final_pt[0],
+                                final_pt[1], xmid, ymid)
+                    if R1 > max_c * 1000:
+                        sr = 100
+                    elif R1 > max_c * 10:
+                        sr = 10
+                    for iy in range(-sr, sr + 1):
+                        for ix in range(-sr, sr + 1):
+                            cxm, cym = xmid + ix, ymid + iy
+                            if abs(cxm - p0[0]) < 1e-8 \
+                                    and abs(cym - p0[1]) < 1e-8:
+                                continue
+                            if abs(cxm - final_pt[0]) < 1e-8 \
+                                    and abs(cym - final_pt[1]) < 1e-8:
+                                continue
+                            err = abs(R1 - math.hypot(cxm - cx1,
+                                                      cym - cy1))
+                            if err < best_err:
+                                best_x, best_y, best_err = ix, iy, err
+                xmid += best_x
+                ymid += best_y
+            else:
+                if abs(xmid) < 100000000:
+                    xmid = math.floor(xmid * 100000000 + 0.5) / 100000000.0
+                if abs(ymid) < 100000000:
+                    ymid = math.floor(ymid * 100000000 + 0.5) / 100000000.0
+
+    def _mk(p, x=None, y=None, z=None):
+        row = list(p[:3] if has_z else p[:2])
+        if x is not None:
+            row[0] = x
+        if y is not None:
+            row[1] = y
+        if has_z and z is not None:
+            row[2] = z
+        return tuple(row)
+
+    full_circle = (p0[0] == final_pt[0] and p0[1] == final_pt[1]
+                   and (not has_z or p0[2] == final_pt[2]))
+    if full_circle and not is_ring:
+        cs.append(_mk(coords[(i + j + 2) // 4]))
+        if valid_ratio:
+            cs.append(_mk(coords[(i + j + 2) // 4], xmid, ymid, zmid))
+        else:
+            cs.append(_mk(coords[(i + j + 1) // 2]))
+        cs.append(_mk(coords[3 * (i + j + 2) // 4]))
+    elif valid_ratio:
+        cs.append(_mk(p0, xmid, ymid, zmid))
+    elif 1 <= i_mid < j:
+        cs.append(_mk(coords[i_mid]))
+    else:
+        cs.append(_mk(coords[(i + j + 1) // 2]))
+    cs.append(_mk(final_pt))
+
+    if j + 2 >= n:
+        return -2
+    return j + 1
+
+
+def curve_from_linestring(coords: np.ndarray, has_z: bool,
+                          is_ring: bool = False) -> Geom:
+    """OGRGeometryFactory::curveFromLineString: LINESTRING →
+    CIRCULARSTRING / COMPOUNDCURVE / LINESTRING."""
+    state: dict = {"cc": [], "cs": None, "ls": None}
+    n = len(coords)
+    i = 0
+    ended = False
+    while i < n:
+        new_i = _detect_arc(coords, has_z, i, state, is_ring)
+        if new_i == -2:
+            ended = True
+            break
+        if new_i >= 0:
+            i = new_i
+            continue
+        if state["cs"] is not None:
+            state["cc"].append(Geom(WKB_CIRCULARSTRING, has_z,
+                                    np.asarray(state["cs"],
+                                               dtype=np.float64)))
+            state["cs"] = None
+        p = coords[i]
+        if state["ls"] is None:
+            state["ls"] = [tuple(p[:3] if has_z else p[:2])]
+        else:
+            sc = max(1.0, abs(p[0]), abs(p[1]))
+            last = state["ls"][-1]
+            if (abs(last[0] - p[0]) / sc > 1e-8
+                    or abs(last[1] - p[1]) / sc > 1e-8):
+                state["ls"].append(tuple(p[:3] if has_z else p[:2]))
+        i += 1
+
+    cc = state["cc"]
+    cs = (Geom(WKB_CIRCULARSTRING, has_z,
+               np.asarray(state["cs"], dtype=np.float64))
+          if state["cs"] is not None else None)
+    ls = (Geom(G.WKB_LINESTRING, has_z,
+               np.asarray(state["ls"], dtype=np.float64))
+          if state["ls"] is not None else None)
+
+    src = Geom(G.WKB_LINESTRING, has_z,
+               coords[:, :3 if has_z else 2].copy())
+    if ls is not None and len(ls.coords) < 2:
+        ls = None
+        if cc:
+            if len(cc) == 1:
+                return cc[0]
+            return Geom(WKB_COMPOUNDCURVE, has_z, parts=cc)
+        return src
+    if cc:
+        cc.append(ls if ls is not None else cs)
+        return Geom(WKB_COMPOUNDCURVE, has_z,
+                    parts=[m for m in cc if m is not None])
+    if ls is not None:
+        return ls
+    if cs is not None:
+        return cs
+    return src
+
+
+def get_curve_geometry(g: Geom, is_ring: bool = False) -> Geom:
+    """OGRGeometry::getCurveGeometry over the tree: LineString →
+    detected curve, Polygon → CurvePolygon (when any ring curves),
+    MultiLineString → MultiCurve, MultiPolygon → MultiSurface."""
+    if g.kind == G.WKB_LINESTRING:
+        if g.coords is None or len(g.coords) < 4:
+            return g
+        return curve_from_linestring(g.coords, g.has_z, is_ring)
+    if g.kind == G.WKB_POLYGON:
+        rings = [curve_from_linestring(r, g.has_z, is_ring=True)
+                 if len(r) >= 4 else Geom(G.WKB_LINESTRING, g.has_z, r)
+                 for r in g.parts]
+        if all(r.kind == G.WKB_LINESTRING for r in rings):
+            return g
+        return Geom(WKB_CURVEPOLYGON, g.has_z, parts=[
+            r if r.kind != G.WKB_LINESTRING else r.coords
+            for r in rings])
+    if g.kind == G.WKB_MULTILINESTRING:
+        parts = [get_curve_geometry(p) for p in g.parts]
+        if all(p.kind == G.WKB_LINESTRING for p in parts):
+            return g
+        return Geom(WKB_MULTICURVE, g.has_z, parts=parts)
+    if g.kind == G.WKB_MULTIPOLYGON:
+        parts = [get_curve_geometry(p) for p in g.parts]
+        if all(p.kind == G.WKB_POLYGON for p in parts):
+            return g
+        return Geom(WKB_MULTISURFACE, g.has_z, parts=parts)
+    if g.kind == G.WKB_GEOMETRYCOLLECTION:
+        parts = [get_curve_geometry(p) for p in g.parts]
+        return Geom(g.kind, g.has_z, parts=parts)
+    return g

@@ -138,17 +138,34 @@ def _load_source(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def _encode_points_xy(df: DataFrame, x: str, y: str) -> DataFrame:
+def _encode_points_xy(df: DataFrame, x: str, y: str,
+                      z: str | None = None) -> DataFrame:
     cols = [c for c in df.schema.fieldNames() if c != "geometry"]
     xi, yi = cols.index(x), cols.index(y)
+    zi = cols.index(z) if z else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gdal_spark.functions import curves as CV
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["geometry"] = [
-                None if pd.isna(vx) or pd.isna(vy)
-                else bytearray(G.encode_point(float(vx), float(vy)))
-                for vx, vy in zip(pdf.iloc[:, xi], pdf.iloc[:, yi])]
+            if zi is None:
+                pdf["geometry"] = [
+                    None if pd.isna(vx) or pd.isna(vy)
+                    else bytearray(G.encode_point(float(vx), float(vy)))
+                    for vx, vy in zip(pdf.iloc[:, xi], pdf.iloc[:, yi])]
+            else:
+                # z column present: 2.5-D points (ogr_vrt_2 semantics)
+                pdf["geometry"] = [
+                    None if pd.isna(vx) or pd.isna(vy)
+                    else bytearray(CV.encode_geom(CV.Geom(
+                        G.WKB_POINT, True,
+                        np.array([[float(vx), float(vy),
+                                   0.0 if pd.isna(vz) else float(vz)]]))))
+                    for vx, vy, vz in zip(pdf.iloc[:, xi],
+                                          pdf.iloc[:, yi],
+                                          pdf.iloc[:, zi])]
             yield pdf
 
     base = df.select(cols)
@@ -270,7 +287,7 @@ def read_vrt_vector(spark: SparkSession, src: str,
         x, y = gf.get("x"), gf.get("y")
         if not x or not y:
             raise ValueError("PointFromColumns requires x= and y=")
-        df = _encode_points_xy(df, x, y)
+        df = _encode_points_xy(df, x, y, gf.get("z"))
         geom_src_cols = [c for c in (x, y, gf.get("z")) if c]
     elif enc == "WKT":
         field = gf.get("field")

@@ -298,3 +298,112 @@ def test_stealth_hidden_bits_roundtrip():
     assert 0.0 < ratio < 1.0
     # middle intermediates carry the 0xFFFF marker
     assert C.get_hidden_value(c[3, 0], c[3, 1]) == 0xFFFF
+
+
+# --- curve re-detection (GetCurveGeometry; autotest ogr_geom.py
+# ogr_geom_getcurvegeometry ports) ------------------------------------------
+
+def _rt(wkt, step=0.0):
+    g1 = C.geom_from_wkt(wkt)
+    g3 = C.get_curve_geometry(C.geom_to_linear(g1, step))
+    return C.wkt_from_geom(g3)
+
+
+RANDOM_ARCS = [
+    "CIRCULARSTRING (1 2,3 1,5 6)",
+    "CIRCULARSTRING (1 -2,3 -1,5 -6)",
+    "CIRCULARSTRING (-1 2,-3 1,-5 6)",
+    "CIRCULARSTRING (5 6,3 1,1 2)",
+    "CIRCULARSTRING (-5 6,-3 1,-1 2)",
+    "CIRCULARSTRING (5 -6,3 -1,1 -2)",
+    "CIRCULARSTRING (215725 -977513,872751 872597,560240 -7500)",
+    "CIRCULARSTRING (-492367 816163,537838 -421954,745494 -65479)",
+    "CIRCULARSTRING (543208 -865295,582257 635396,563925 -68156)",
+    "CIRCULARSTRING (-481 -193,1 329,-692 -421)",
+    "CIRCULARSTRING (525407 781005,710737 463833,-674365 340022)",
+    "CIRCULARSTRING (743949 709309,743952 709307,743964 709298)",
+    "CIRCULARSTRING (283167 -48388,536492 -197399,-449301 382451)",
+]
+
+
+@pytest.mark.parametrize("wkt", RANDOM_ARCS)
+def test_curve_redetection_exact(wkt):
+    # stroke with the stealth default, then recover the EXACT original
+    # arc (hidden-alpha bits + integer rounding recovery)
+    assert _rt(wkt) == wkt
+
+
+def test_curve_redetection_straight_line():
+    assert _rt("CIRCULARSTRING (1 2,3 4,5 6)") == "LINESTRING (1 2,3 4,5 6)"
+
+
+def test_curve_redetection_large_step():
+    g1 = C.geom_from_wkt("CIRCULARSTRING (0 0,1 1,2 0)")
+    g3 = C.get_curve_geometry(C.geom_to_linear(g1, 15.0))
+    assert g3.kind == C.WKB_CIRCULARSTRING
+    c = g3.coords
+    assert tuple(c[0]) == (0, 0) and tuple(c[2]) == (2, 0)
+    assert abs((c[1, 0] - 1) ** 2 + c[1, 1] ** 2 - 1) < 1e-8
+
+
+def test_curve_redetection_full_circles():
+    # 5-point spelling recovers exactly
+    wkt = "CIRCULARSTRING (0 0,0.5 -0.5,1 0,0.5 0.5,0 0)"
+    assert _rt(wkt) == wkt
+    # 3-point spelling becomes a 5-point circle with on-circle midpoints
+    g3 = C.get_curve_geometry(C.geom_to_linear(
+        C.geom_from_wkt("CIRCULARSTRING (0 0,1 0,0 0)")))
+    c = g3.coords
+    assert g3.kind == C.WKB_CIRCULARSTRING and len(c) == 5
+    assert tuple(c[0]) == (0, 0) and tuple(c[2]) == (1, 0) \
+        and tuple(c[4]) == (0, 0)
+    for k in (1, 3):
+        assert abs((c[k, 0] - 0.5) ** 2 + c[k, 1] ** 2 - 0.25) < 1e-12
+
+
+def test_curve_redetection_curvepolygon_circles():
+    for wkt in ["CURVEPOLYGON (CIRCULARSTRING (0 0,1 0,0 0))",
+                "CURVEPOLYGON (CIRCULARSTRING (0 0,0 1,0 0))",
+                "CURVEPOLYGON (CIRCULARSTRING (0 0,-1 0,0 0))",
+                "CURVEPOLYGON (CIRCULARSTRING (0 0,0 -1,0 0))"]:
+        assert _rt(wkt, 15.0) == wkt or _rt(wkt) == wkt
+
+
+def test_curve_redetection_multi_arc_and_compound():
+    for wkt in [
+        "CIRCULARSTRING (0 0,1 1,2 0,3 -1,4 0)",
+        "CIRCULARSTRING (0 0,1 1,2 0,3 -1,4 0,5 1,6 0)",
+        "COMPOUNDCURVE (CIRCULARSTRING (0 0,1 1,2 0),(2 0,3 0,4 0),"
+        "CIRCULARSTRING (4 0,5 1,6 0))",
+        "COMPOUNDCURVE ((-1 0,-0.5 0.5,0 0),CIRCULARSTRING (0 0,1 1,2 0),"
+        "(2 0,3 0,4 0),CIRCULARSTRING (4 0,5 1,6 0),(6 0,7 0))",
+    ]:
+        assert _rt(wkt) == wkt
+
+
+def test_curve_redetection_random_sweep():
+    # the autotest's randomized sweep, seeded; the reference tolerates
+    # occasional misses, we assert a high recovery rate
+    import random
+    random.seed(12345)
+    diff = total = 0
+    for _ in range(200):
+        v = [random.randint(-1000, 1000) for _ in range(6)]
+        if v[0] == v[4] and v[1] == v[5]:
+            continue
+        wkt = "CIRCULARSTRING (%d %d,%d %d,%d %d)" % tuple(v)
+        lin = C.geom_to_linear(C.geom_from_wkt(wkt))
+        if len(lin.coords) == 3:
+            continue
+        total += 1
+        if C.wkt_from_geom(C.get_curve_geometry(lin)) != wkt:
+            diff += 1
+    assert total > 100 and diff <= total * 0.02
+
+
+def test_curve_redetection_no_false_positives():
+    for wkt in ["LINESTRING (0 0,0 1,0 0)",
+                "POLYGON ((0 0,0 1,1 1,1 0,0 0))",
+                "POLYGON ((0 0 10,0 1 10,1 1 10,1 0 10,0 0 10))"]:
+        g = C.geom_from_wkt(wkt)
+        assert C.wkt_from_geom(C.get_curve_geometry(g)) == wkt

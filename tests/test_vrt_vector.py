@@ -32,13 +32,13 @@ def test_vrt_point_from_columns(spark):                     # ogr_vrt_2
     rows = read_vrt_vector(spark, V, "test2").orderBy("fid").collect()
     assert [r["fid"] for r in rows] == [0, 1]       # FID copied from source
     assert [r["other"] for r in rows] == ["First", "Second"]
-    assert _wkts(rows) == ["POINT (12.5 17)", "POINT (100 200)"]
+    assert _wkts(rows) == ["POINT (12.5 17 1.2)", "POINT (100 200 0)"]
 
 
 def test_vrt_wkt_field_and_fid_column(spark):               # ogr_vrt_3/6
     rows = read_vrt_vector(spark, V, "test3").orderBy("fid").collect()
     assert [r["fid"] for r in rows] == [1, 2]       # FID from the fid field
-    assert _wkts(rows) == ["POINT (12.5 17)", "POINT (100 200)"]
+    assert _wkts(rows) == ["POINT (12.5 17 1.2)", "POINT (100 200 0)"]
     # GetFeature(2) → 'Second'
     assert [r["other"] for r in rows if r["fid"] == 2] == ["Second"]
 
@@ -47,7 +47,7 @@ def test_vrt_src_sql(spark):                                # ogr_vrt_7
     rows = read_vrt_vector(spark, V, "test4").orderBy("fid").collect()
     assert [r["fid"] for r in rows] == [1, 2]
     assert [r["other"] for r in rows] == ["First", "Second"]
-    assert _wkts(rows) == ["POINT (12.5 17)", "POINT (100 200)"]
+    assert _wkts(rows) == ["POINT (12.5 17 1.2)", "POINT (100 200 0)"]
 
 
 def test_vrt_declared_fields_and_fid_rename(spark):         # vrt_test 6/7
@@ -68,7 +68,7 @@ def test_vrt_inline_xml(spark):                             # ogr_vrt_8
            '</OGRVRTLayer></OGRVRTDataSource>')
     rows = read_vector(spark, xml).orderBy("fid").collect()
     assert [r["fid"] for r in rows] == [1, 2]
-    assert _wkts(rows) == ["POINT (12.5 17)", "POINT (100 200)"]
+    assert _wkts(rows) == ["POINT (12.5 17 1.2)", "POINT (100 200 0)"]
 
 
 def test_vrt_report_src_column_and_style(spark, tmp_path):  # ogr_vrt_11
