@@ -3375,3 +3375,226 @@ def read_pds(spark: SparkSession, path: str, raster_id: str = "pds",
     for fr in frames[1:]:
         tiles = tiles.unionByName(fr)
     return tiles, meta, scale, offset
+
+
+# ---------------------------------------------------------------------------
+# JDEM — Japanese DEM (gdal/frmts/jdem/jdemdataset.cpp): 1012-byte ASCII
+# header, per-row records "<6-byte id><3-digit row><5-digit dm values>".
+# ---------------------------------------------------------------------------
+
+def _jdem_angle(field: bytes) -> float:
+    n = int(field[:7])
+    return n // 10000 + (n // 100) % 100 / 60.0 + n % 100 / 3600.0
+
+
+def read_jdem(spark: SparkSession, path: str, raster_id: str = "jdem",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    data = open(path, "rb").read()
+    h = data[:1012]
+    nx = int(h[23:26])
+    ny = int(h[26:29])
+    rec = nx * 5 + 9 + 2
+    arr = np.zeros((ny, nx), np.float32)
+    for y in range(ny):
+        row = data[1011 + rec * y:1011 + rec * (y + 1)]
+        for x in range(nx):
+            arr[y, x] = int(row[9 + 5 * x:14 + 5 * x]) * 0.1
+    ll_lat, ll_lon = _jdem_angle(h[29:36]), _jdem_angle(h[36:43])
+    ur_lat, ur_lon = _jdem_angle(h[43:50]), _jdem_angle(h[50:57])
+    gt = (ll_lon, (ur_lon - ll_lon) / nx, 0.0,
+          ur_lat, 0.0, -(ur_lat - ll_lat) / ny)
+    meta = RasterMeta(raster_id, nx, ny, gt=gt, dtype="float32",
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, arr, meta), meta
+
+
+# ---------------------------------------------------------------------------
+# CTG — USGS LULC Composite Theme Grid (gdal/frmts/ctg/ctgdataset.cpp):
+# 5 80-char header lines, then one 80-char record per populated cell with
+# UTM zone, easting/northing of cell center and 6 int32 theme values.
+# ---------------------------------------------------------------------------
+
+def read_ctg(spark: SparkSession, path: str, raster_id: str = "ctg",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    data = open(path, "rb").read()
+    h = data[:400].decode("latin-1")
+    rows = int(h[0:10])
+    cols = int(h[20:30])
+    cell = int(h[35:40])
+    zone = int(h[50:55])
+    nwe = int(h[3 * 80 + 40:3 * 80 + 50])
+    nwn = int(h[3 * 80 + 50:3 * 80 + 60])
+    cube = np.zeros((6, rows, cols), np.int32)
+    pos = 400
+    while pos + 80 <= len(data):
+        line = data[pos:pos + 80].decode("latin-1")
+        pos += 80
+        if int(line[0:3]) != zone:
+            break
+        cx = (int(line[3:11]) - cell // 2 - nwe) // cell
+        cy = (nwn - (int(line[11:19]) + cell // 2)) // cell
+        if not (0 <= cx < cols and 0 <= cy < rows):
+            break
+        for i in range(6):
+            v = int(line[20 + 10 * i:30 + 10 * i])
+            cube[i, cy, cx] = 0 if v >= 2000000000 else v
+    gt = (float(nwe - cell // 2), float(cell), 0.0,
+          float(nwn + cell // 2), 0.0, float(-cell))
+    meta = RasterMeta(raster_id, cols, rows, gt=gt, dtype="int32",
+                      block=block)
+    from gdal_spark.raster.model import from_array
+    frames = [from_array(spark, cube[b], meta, band=b) for b in range(6)]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta, zone
+
+
+# ---------------------------------------------------------------------------
+# Leveller .ter heightfield (gdal/frmts/leveller/levellerdataset.cpp):
+# "trrn" + version byte, then [len][name][u32 datalen][data] tag records;
+# hf_data is float32 LE (v6+) or 16.16 fixed point (v<6).
+# ---------------------------------------------------------------------------
+
+def _leveller_tags(data: bytes) -> dict:
+    tags, pos = {}, 5
+    while pos < len(data):
+        n = data[pos]
+        if n == 0 or n > 64:
+            break
+        name = data[pos + 1:pos + 1 + n].decode("latin-1")
+        dlen = struct.unpack_from("<I", data, pos + 1 + n)[0]
+        start = pos + 1 + n + 4
+        tags[name] = data[start:start + dlen]
+        pos = start + dlen
+    return tags
+
+
+def read_leveller(spark: SparkSession, path: str, raster_id: str = "ter",
+                  block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    data = open(path, "rb").read()
+    if data[:4] != b"trrn":
+        raise ValueError("not a Leveller heightfield")
+    version = data[4]
+    tags = _leveller_tags(data)
+    nx = struct.unpack("<i", tags["hf_w"])[0]
+    ny = struct.unpack("<i", tags["hf_b"])[0]
+    if version < 6:
+        arr = (np.frombuffer(tags["hf_data"], "<i4", nx * ny)
+               .astype(np.float32) / 65536.0)
+    else:
+        arr = np.frombuffer(tags["hf_data"], "<f4", nx * ny).copy()
+    meta = RasterMeta(raster_id, nx, ny, dtype="float32", block=block)
+    from gdal_spark.raster.model import from_array
+    return from_array(spark, arr.reshape(ny, nx), meta), meta
+
+
+# ---------------------------------------------------------------------------
+# IRIS/Sigmet weather radar products (gdal/frmts/iris/irisdataset.cpp):
+# 640-byte product header (ids 27/26), bottom-up scanlines, per-product
+# value transforms to physical units (dBZ, velocity, rain rate ...).
+# ---------------------------------------------------------------------------
+
+def read_iris(spark: SparkSession, path: str, raster_id: str = "iris",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    data = open(path, "rb").read()
+    if struct.unpack_from("<h", data, 0)[0] != 27 or \
+            struct.unpack_from("<h", data, 12)[0] != 26:
+        raise ValueError("not an IRIS product file")
+    nx = struct.unpack_from("<i", data, 112)[0]
+    ny = struct.unpack_from("<i", data, 116)[0]
+    nbands = struct.unpack_from("<i", data, 120)[0]
+    code = struct.unpack_from("<H", data, 142)[0]
+    dlen = 2 if code in (8, 9, 33, 37) else 1
+    meta = RasterMeta(raster_id, nx, ny, dtype="float32", block=block,
+                      nodata=-9999.0)
+    from gdal_spark.raster.model import from_array
+    frames = []
+    for b in range(nbands):
+        off = 640 + dlen * nx * ny * b
+        if dlen == 1:
+            raw = np.frombuffer(data, np.uint8, nx * ny, off)
+        else:
+            raw = np.frombuffer(data, "<u2", nx * ny, off)
+        raw = raw.reshape(ny, nx)[::-1].astype(np.float32)
+        if code in (1, 2):                       # dBT/dBZ 1-byte
+            v = (raw - 64) / 2.0
+            v[v == 95.5] = -9999
+        elif code in (8, 9):                     # dBT2/dBZ2
+            v = (raw - 32768) / 100.0
+            v[v == 327.67] = -9999
+        elif code == 37:                         # FLIQUID2 exp/mantissa
+            iv = raw.astype(np.int64)
+            exp = iv >> 12
+            man = iv - (exp << 12)
+            v = np.where(exp == 0, man / 1000.0,
+                         ((man + 4096) << np.maximum(exp - 1, 0)) / 1000.0)
+            v = np.where(iv == 65535, -9999, v).astype(np.float32)
+        elif code == 33:                         # VIL2
+            v = np.where(raw == 65535, -9999,
+                         np.where(raw == 0, -1, (raw - 1) / 1000.0))
+        elif code == 32:                         # HEIGHT
+            v = np.where(raw == 255, -9999,
+                         np.where(raw == 0, -1, (raw - 1) / 10.0))
+        elif code == 35:                         # SHEAR
+            v = np.where(raw == 0, -9998,
+                         np.where(raw == 255, -9999, (raw - 128) * 0.2))
+        else:
+            v = raw
+        frames.append(from_array(spark, v.astype(np.float32), meta, band=b))
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# TIL — EarthWatch/DigitalGlobe tiled product (gdal/frmts/til/tildataset.cpp):
+# .TIL key/value tile index + .IMD metadata, tiles are GeoTIFFs composed at
+# the recorded row/col offsets.
+# ---------------------------------------------------------------------------
+
+def read_til(spark: SparkSession, path: str, raster_id: str = "til",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    import os
+    import re
+
+    text = open(path).read()
+
+    def kv(src, key, default=None):
+        m = re.search(rf'{key}\s*=\s*"?([^";\n]+)', src)
+        return m.group(1).strip() if m else default
+
+    imd_path = os.path.splitext(path)[0] + ".IMD"
+    if not os.path.exists(imd_path):
+        imd_path = os.path.splitext(path)[0] + ".imd"
+    imd = open(imd_path).read()
+    rows = int(kv(imd, "numRows"))
+    cols = int(kv(imd, "numColumns"))
+    bpp = int(kv(imd, "bitsPerPixel", "8"))
+    dtype = "uint8" if bpp <= 8 else "uint16"
+
+    full = None
+    n_tiles = int(kv(text, "numTiles"))
+    base = os.path.dirname(path)
+    for i in range(1, n_tiles + 1):
+        name = kv(text, rf"TILE_{i}\.filename")
+        ulx = int(kv(text, rf"TILE_{i}\.ULColOffset"))
+        uly = int(kv(text, rf"TILE_{i}\.ULRowOffset"))
+        blob = open(os.path.join(base, name), "rb").read()
+        bands, _m = parse_geotiff(blob)
+        if full is None:
+            n_bands = len(bands)
+            full = np.zeros((n_bands, rows, cols), bands[0].dtype)
+        for b, arr in enumerate(bands):
+            h, w = arr.shape
+            full[b, uly:uly + h, ulx:ulx + w] = arr
+    meta = RasterMeta(raster_id, cols, rows, dtype=dtype, block=block)
+    from gdal_spark.raster.model import from_array
+    frames = [from_array(spark, full[b].astype(dtype), meta, band=b)
+              for b in range(full.shape[0])]
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
