@@ -183,6 +183,24 @@ def decode_g3(data: bytes, width: int, height: int,
     return out
 
 
+def decode_rle(data: bytes, width: int, height: int) -> np.ndarray:
+    """CCITT RLE ("G1" / TIFF COMPRESSION_CCITTRLE): every line is an
+    independent 1-D MH code starting on a byte boundary."""
+    bits = _Bits(data)
+    out = np.zeros((height, width), np.uint8)
+    for y in range(height):
+        if bits.pos & 7:
+            bits.pos = (bits.pos + 7) & ~7
+        pos, white = 0, True
+        while pos < width:
+            run = _read_run(bits, white)
+            if not white:
+                out[y, pos:pos + run] = 1
+            pos += run
+            white = not white
+    return out
+
+
 def _transitions(row: np.ndarray) -> np.ndarray:
     """Indices where the color changes (first index of each new run),
     terminated by two sentinels at width."""

@@ -3598,3 +3598,82 @@ def read_til(spark: SparkSession, path: str, raster_id: str = "til",
     for fr in frames[1:]:
         tiles = tiles.unionByName(fr)
     return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# PCIDSK .pix database (gdal/frmts/pcidsk/sdk/core/cpcidskfile.cpp
+# InitializeFromHeader): 512-byte-block file, ASCII file header with
+# channel counts / interleaving, 1024-byte channel headers.
+# ---------------------------------------------------------------------------
+
+_PCIDSK_TYPES = {"8U": ("uint8", 1), "16S": ("int16", 2),
+                 "16U": ("uint16", 2), "32R": ("float32", 4),
+                 "C16U": ("uint16", 2), "C16S": ("int16", 2)}
+
+
+def read_pcidsk(spark: SparkSession, path: str, raster_id: str = "pix",
+                block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    data = open(path, "rb").read()
+    fh = data[:512]
+    if fh[:8] != b"PCIDSK  ":
+        raise ValueError("not a PCIDSK file")
+    width = int(fh[384:392])
+    height = int(fh[392:400])
+    nchan = int(fh[376:384])
+    image_start = int(fh[304:320])
+    ih_start = int(fh[336:352])
+    interleave = fh[360:368].decode().strip()
+    if fh[464:468].strip():
+        counts = [int(fh[464 + 4 * i:468 + 4 * i]) for i in range(4)]
+    else:
+        counts = [nchan, 0, 0, 0]
+
+    def chan_type(ch):
+        ih = data[(ih_start - 1) * 512 + ch * 1024:][:1024]
+        name = ih[160:168].decode().strip()
+        if name:
+            return name
+        acc = 0
+        for cnt, nm in zip(counts, ("8U", "16S", "16U", "32R")):
+            acc += cnt
+            if ch < acc:
+                return nm
+        return "32R"
+
+    types = [chan_type(c) for c in range(nchan)]
+    dtype0 = _PCIDSK_TYPES[types[0]][0]
+    meta = RasterMeta(raster_id, width, height, dtype=dtype0, block=block)
+    from gdal_spark.raster.model import from_array
+    frames = []
+    if interleave == "BAND":
+        off = (image_start - 1) * 512
+        for c in range(nchan):
+            dt, sz = _PCIDSK_TYPES[types[c]]
+            arr = np.frombuffer(data, np.dtype(dt), width * height, off) \
+                .reshape(height, width)
+            frames.append(from_array(spark, arr.astype(dtype0), meta,
+                                     band=c))
+            off += sz * width * height
+    elif interleave == "PIXEL":
+        group = sum(_PCIDSK_TYPES[t][1] for t in types)
+        line = group * width
+        if line % 512:
+            line += 512 - line % 512
+        base = (image_start - 1) * 512
+        for c in range(nchan):
+            dt, sz = _PCIDSK_TYPES[types[c]]
+            coff = sum(_PCIDSK_TYPES[t][1] for t in types[:c])
+            arr = np.empty((height, width), np.dtype(dt))
+            for y in range(height):
+                row = np.frombuffer(data, np.uint8, group * width,
+                                    base + y * line)
+                arr[y] = row.reshape(width, group)[:, coff:coff + sz] \
+                    .copy().view(np.dtype(dt))[:, 0]
+            frames.append(from_array(spark, arr.astype(dtype0), meta,
+                                     band=c))
+    else:
+        raise NotImplementedError(f"PCIDSK interleaving {interleave!r}")
+    tiles = frames[0]
+    for fr in frames[1:]:
+        tiles = tiles.unionByName(fr)
+    return tiles, meta
