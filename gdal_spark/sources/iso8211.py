@@ -119,8 +119,12 @@ class DDFField:
         out = []
         pos = 0
         data = self.data
+        # Double-byte (UCS-2 lexical level 2) fields end with a 2-byte
+        # terminator (0x1E/0x1F, 0x00) — ddfsubfielddefn.cpp bug #1526.
+        dbcs = (len(data) >= 2 and data[-1] == 0x00
+                and data[-2] in (UT, FT))
         end = len(data)
-        if end and data[-1] == FT:
+        if not dbcs and end and data[-1] == FT:
             end -= 1
         subs = self.defn.subfields
         if not subs:
@@ -140,18 +144,27 @@ class DDFField:
                     pos += sf.width
                     v = _convert(sf, raw)
                 else:
-                    j = pos
-                    while j < end and data[j] not in (UT, FT):
-                        j += 1
-                    v = _convert(sf, data[pos:j])
-                    pos = j + 1 if j < end and data[j] == UT else j
+                    if dbcs:
+                        j = pos
+                        while j < end and not (
+                                j > pos and data[j] == 0
+                                and data[j - 1] in (UT, FT)):
+                            j += 1
+                        v = data[pos:j - 1].decode("utf-16-le", "replace")
+                        pos = j + 1
+                    else:
+                        j = pos
+                        while j < end and data[j] not in (UT, FT):
+                            j += 1
+                        v = _convert(sf, data[pos:j])
+                        pos = j + 1 if j < end and data[j] == UT else j
                 row[sf.name] = v
             out.append(row)
             if not self.defn.repeating:
                 # consume a trailing UT between fixed groups, if any
                 if pos < end and data[pos] == UT:
                     pos += 1
-                if not self.defn.repeating and len(out) >= 1 and pos >= end:
+                if len(out) >= 1 and pos >= end:
                     break
         return out
 
