@@ -1274,40 +1274,87 @@ def _nearest_color(hexcolor: str) -> int:
     return best
 
 
-def write_dxf(df: DataFrame, path: str) -> None:
-    """Write an entities-only DXF (readable per #3412): POINT entities,
-    LWPOLYLINE for linestrings (closed flag for rings), solid-fill
-    HATCH for polygons (OGRDXFWriterLayer::WritePOLYLINE/WriteHATCH,
-    ogrdxfwriterlayer.cpp:590,864).  2-D geometries only."""
-    out = ["  0", "SECTION", "  2", "ENTITIES"]
+def write_dxf(df: DataFrame, path: str, blocks: dict | None = None) -> None:
+    """Write a DXF (readable per #3412): POINT entities, LWPOLYLINE
+    for linestrings (closed flag for rings), solid-fill HATCH for
+    polygons (OGRDXFWriterLayer::WritePOLYLINE/WriteHATCH,
+    ogrdxfwriterlayer.cpp:590,864).  2-D geometries only.
+
+    Write-parity extensions mirroring the reference writer:
+
+    - ``blocks``: {name: [wkb, ...]} BLOCK definitions; rows with a
+      ``BlockName`` column (+ optional ``BlockAngle`` deg,
+      ``BlockScale`` [sx, sy, sz]) emit INSERT references
+      (WriteINSERT, ogrdxfwriterlayer.cpp:247) instead of raw
+      geometry;
+    - PEN styles with a dash pattern (``p:"5px 5px"``) register LTYPE
+      table records named AutoLineType-N and entities reference them
+      with a code-6 group (PrepareLineTypeDefinition
+      ogrdxfwriterlayer.cpp:519, WriteNewLineTypeRecords
+      ogrdxfwriterds.cpp:673).
+    """
+    import re as _re
+
+    rows = df.collect()
+
+    # ---- collect linetype definitions from PEN dash patterns ----
+    linetypes: dict[str, list[float]] = {}
+    row_ltype: dict[int, str] = {}
+    for ridx, row in enumerate(rows):
+        style = (row["ogr_style"] if "ogr_style" in row.__fields__
+                 else None) or ""
+        m = _re.search(r'PEN\([^)]*p:"([^"]+)"', style)
+        if not m:
+            continue
+        dashes = [float(_re.match(r"[0-9.]+", t).group())
+                  for t in m.group(1).split()
+                  if _re.match(r"[0-9.]+", t)]
+        if not dashes:
+            continue
+        for name, d in linetypes.items():
+            if d == dashes:
+                row_ltype[ridx] = name
+                break
+        else:
+            name = "AutoLineType-%d" % (len(linetypes) + 1)
+            linetypes[name] = dashes
+            row_ltype[ridx] = name
+
+    out = []
 
     def val(code, v):
         out.append("%3d" % code)
         out.append("%.15g" % v if isinstance(v, float) else str(v))
 
-    def core(row):
-        layer = row["Layer"] if "Layer" in row.__fields__ and row["Layer"] \
-            else "0"
-        val(8, layer)
-        style = (row["ogr_style"] if "ogr_style" in row.__fields__
-                 else None) or ""
+    def fld(row, name, default=None):
+        return (row[name] if row is not None and name in row.__fields__
+                and row[name] is not None else default)
+
+    def core(row, ridx=None):
+        if row is None:
+            val(8, "0")
+            return
+        val(8, fld(row, "Layer", "0") or "0")
+        if ridx is not None and ridx in row_ltype:
+            val(6, row_ltype[ridx])
+        style = fld(row, "ogr_style", "") or ""
         for tag in ("PEN(c:", "BRUSH(fc:"):
             i = style.find(tag)
             if i >= 0:
                 val(62, _nearest_color(style[i + len(tag):i + len(tag) + 7]))
                 break
 
-    def emit(row, wkb):
+    def emit(row, wkb, ridx=None):
         kind = G.wkt_from_wkb(wkb).split(" ", 1)[0].split("(", 1)[0]
         if kind in ("MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON",
                     "GEOMETRYCOLLECTION"):
             for part in G.decode_collection(wkb):
-                emit(row, part)
+                emit(row, part, ridx)
             return
         if kind == "POINT":
             x, y = G.decode_point(wkb)
             val(0, "POINT")
-            core(row)
+            core(row, ridx)
             val(100, "AcDbEntity")
             val(100, "AcDbPoint")
             val(10, float(x))
@@ -1315,7 +1362,7 @@ def write_dxf(df: DataFrame, path: str) -> None:
         elif kind == "LINESTRING":
             pts = G.decode_linestring(wkb)
             val(0, "LWPOLYLINE")
-            core(row)
+            core(row, ridx)
             val(100, "AcDbEntity")
             val(100, "AcDbPolyline")
             val(90, len(pts))
@@ -1326,7 +1373,7 @@ def write_dxf(df: DataFrame, path: str) -> None:
         elif kind == "POLYGON":
             rings = G.decode_polygons(wkb)[0]
             val(0, "HATCH")
-            core(row)
+            core(row, ridx)
             val(100, "AcDbEntity")
             val(100, "AcDbHatch")
             val(10, 0.0)
@@ -1352,9 +1399,75 @@ def write_dxf(df: DataFrame, path: str) -> None:
             val(76, 1)
             val(98, 0)
 
-    for row in df.collect():
-        if row["geometry"] is not None:
-            emit(row, bytes(row["geometry"]))
+    # ---- TABLES section: LTYPE records ----
+    if linetypes:
+        out += ["  0", "SECTION", "  2", "TABLES",
+                "  0", "TABLE", "  2", "LTYPE"]
+        val(70, len(linetypes))
+        for name, dashes in linetypes.items():
+            val(0, "LTYPE")
+            val(100, "AcDbSymbolTableRecord")
+            val(100, "AcDbLinetypeTableRecord")
+            val(2, name)
+            val(70, 0)
+            val(3, "")
+            val(72, 65)
+            val(73, len(dashes))
+            val(40, float(sum(dashes)))
+            for i, d in enumerate(dashes):
+                # even entries are pen-down -> negative in DXF
+                val(49, float(-d if i % 2 == 0 else d))
+                val(74, 0)
+        out += ["  0", "ENDTAB", "  0", "ENDSEC"]
+
+    # ---- BLOCKS section ----
+    if blocks:
+        out += ["  0", "SECTION", "  2", "BLOCKS"]
+        for name, wkbs in blocks.items():
+            val(0, "BLOCK")
+            val(8, "0")
+            val(100, "AcDbEntity")
+            val(100, "AcDbBlockBegin")
+            val(2, name)
+            val(70, 0)
+            val(10, 0.0)
+            val(20, 0.0)
+            val(30, 0.0)
+            val(3, name)
+            val(1, "")
+            for wkb in wkbs:
+                emit(None, bytes(wkb))
+            val(0, "ENDBLK")
+            val(8, "0")
+            val(100, "AcDbEntity")
+            val(100, "AcDbBlockEnd")
+        out += ["  0", "ENDSEC"]
+
+    out += ["  0", "SECTION", "  2", "ENTITIES"]
+
+    for ridx, row in enumerate(rows):
+        if row["geometry"] is None:
+            continue
+        block_name = fld(row, "BlockName")
+        if block_name and blocks and block_name in blocks:
+            x, y = G.decode_point(bytes(row["geometry"]))
+            val(0, "INSERT")
+            core(row, ridx)
+            val(100, "AcDbEntity")
+            val(100, "AcDbBlockReference")
+            val(2, block_name)
+            val(10, float(x))
+            val(20, float(y))
+            scale = fld(row, "BlockScale")
+            if scale:
+                val(41, float(scale[0]))
+                val(42, float(scale[1]))
+                val(43, float(scale[2]) if len(scale) > 2 else 1.0)
+            angle = fld(row, "BlockAngle")
+            if angle:
+                val(50, float(angle))
+            continue
+        emit(row, bytes(row["geometry"]), ridx)
     out += ["  0", "ENDSEC", "  0", "EOF", ""]
     with open(path, "w", encoding="latin-1") as f:
         f.write("\n".join(out))

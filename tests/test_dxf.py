@@ -313,3 +313,54 @@ def test_distributed_parse_multirange_alignment(spark, tmp_path):
         .orderBy("fid").collect()
     assert len(a) == 16 * 40
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_write_blocks_and_linetypes_roundtrip(spark):
+    """Write-parity: BLOCK/INSERT definitions and AutoLineType LTYPE
+    records survive a round trip through our own reader
+    (ogr_dxf_14..16 write path semantics)."""
+    import math
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import dxf as DX
+
+    star = G.encode_linestring(np.array(
+        [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]))
+    rows = [
+        # INSERT with rotation + scaling
+        ("0", 'PEN(c:#FF0000)', None, "STAR", 30.0, [2.0, 3.0, 1.0],
+         G.encode_point(5.0, 5.0)),
+        # plain line with a dashed pen -> LTYPE record
+        ("lines", 'PEN(c:#0000FF,w:2pt,p:"5px 5px")', None, None, None,
+         None, G.encode_linestring(np.array([(0.0, 0.0), (10.0, 0.0)]))),
+    ]
+    df = spark.createDataFrame(
+        rows, "Layer string, ogr_style string, Text string, "
+              "BlockName string, BlockAngle double, "
+              "BlockScale array<double>, geometry binary")
+    path = os.path.join(tempfile.mkdtemp(), "blocks.dxf")
+    DX.write_dxf(df, path, blocks={"STAR": [star]})
+
+    out = DX.read_dxf(spark, path).collect()
+    assert len(out) == 2
+
+    # the INSERT inlines the block: scale (2,3), rotate 30deg,
+    # translate (5,5) applied to (0,0),(1,1),(2,0)
+    ang = math.radians(30.0)
+    exp = []
+    for x, y in [(0, 0), (1, 1), (2, 0)]:
+        sx, sy = x * 2.0, y * 3.0
+        exp.append((5 + sx * math.cos(ang) - sy * math.sin(ang),
+                    5 + sx * math.sin(ang) + sy * math.cos(ang)))
+    ins = [r for r in out if r.Layer == "0"][0]
+    got = G.decode_linestring(bytes(ins.geometry))
+    assert np.abs(np.array(got) - np.array(exp)).max() < 1e-9
+
+    # the dashed line carries its linetype name + reconstructed pen
+    dashed = [r for r in out if r.Layer == "lines"][0]
+    assert dashed.Linetype == "AutoLineType-1"
+    assert 'p:"' in (dashed.ogr_style or "")
