@@ -260,7 +260,26 @@ class DDFModule:
 
     def records(self):
         d = self.data
-        while self.pos + 24 <= len(d):
+        reuse = None        # (field_area_size, entries) after an 'R' leader
+        while self.pos < len(d):
+            if reuse is not None:
+                # ISO8211 'R' leader: every further record is a bare
+                # field area sharing the first DR's directory
+                size, entries = reuse
+                if self.pos + size > len(d):
+                    return
+                base_abs = self.pos
+                fields = []
+                for tag, ln, fpos in entries:
+                    raw = d[base_abs + fpos:base_abs + fpos + ln]
+                    defn = self.defns.get(tag) or DDFFieldDefn(
+                        tag, tag, [], [], False)
+                    fields.append((tag, DDFField(defn, raw)))
+                self.pos += size
+                yield DDFRecord(fields)
+                continue
+            if self.pos + 24 > len(d):
+                return
             try:
                 rec_len, base, entries, _ = self._leader(self.pos)
             except (ValueError, IndexError):
@@ -271,5 +290,7 @@ class DDFModule:
                 defn = self.defns.get(tag) or DDFFieldDefn(
                     tag, tag, [], [], False)
                 fields.append((tag, DDFField(defn, raw)))
+            if d[self.pos + 6:self.pos + 7] == b"R":
+                reuse = (rec_len - base, entries)
             self.pos += rec_len
             yield DDFRecord(fields)
