@@ -2773,3 +2773,208 @@ def read_gpx_distributed(spark: SparkSession, path: str,
                     "ele", "name", "cmt", "desc", "src", "link1_href",
                     "link1_text", "link1_type", "link2_href",
                     "link2_text", "link2_type", "time", "geometry"))
+
+
+# ---------------------------------------------------------------------------
+# JML — OpenJUMP JCS GML (gdal/ogr/ogrsf_frmts/jml/ogrjmllayer.cpp):
+# JCSGMLInputTemplate column definitions (anywhere inside the template,
+# ogrjmllayer.cpp:580) drive feature attribute extraction; geometry is
+# inline GML under <geometry>.
+# ---------------------------------------------------------------------------
+
+def _jml_strip(tag: str) -> str:
+    return tag.split("}")[-1]
+
+
+def _jml_norm_datetime(v: str) -> str:
+    """'2014/10/18' -> '2014/10/18 00:00:00';
+    '2014-10-18T21:36:45.000+0200' -> '2014/10/18 21:36:45+02'."""
+    import re
+    v = v.strip()
+    m = re.match(r"(\d{4})[-/](\d{2})[-/](\d{2})"
+                 r"(?:[T ](\d{2}):(\d{2}):(\d{2})(?:\.\d+)?"
+                 r"(?:([+-]\d{2}):?(\d{2})?)?)?$", v)
+    if not m:
+        return v
+    y, mo, d, hh, mm, ss, tzh, tzm = m.groups()
+    out = f"{y}/{mo}/{d} {hh or '00'}:{mm or '00'}:{ss or '00'}"
+    if tzh:
+        out += tzh if not tzm or tzm == "00" else f"{tzh}:{tzm}"
+    return out
+
+
+def parse_jml(path: str):
+    """(field names, [(props, style, wkb)]) for the single JML layer."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    columns = []                    # (name, type, elem, attr, attrval, loc,
+    #                                  locattr)
+    for tmpl in root.iter():
+        if _jml_strip(tmpl.tag) != "JCSGMLInputTemplate":
+            continue
+        for col in tmpl.iter():
+            if _jml_strip(col.tag) != "column":
+                continue
+            name = typ = elem = attr = attrval = locattr = None
+            loc = "body"
+            for c in col:
+                t = _jml_strip(c.tag)
+                if t == "name":
+                    name = c.text
+                elif t == "type":
+                    typ = c.text
+                elif t == "valueElement":
+                    elem = c.get("elementName")
+                    attr = c.get("attributeName")
+                    attrval = c.get("attributeValue")
+                elif t == "valueLocation":
+                    loc = c.get("position", "body")
+                    locattr = c.get("attributeName")
+            if name and elem:
+                columns.append((name, typ or "STRING", elem, attr,
+                                attrval, loc, locattr))
+        break
+
+    feats = []
+    colls = [e for e in root.iter()
+             if _jml_strip(e.tag) == "featureCollection"]
+    scope = colls[0] if colls else root
+    for feat in scope.iter():
+        if _jml_strip(feat.tag) != "feature":
+            continue
+        props = {}
+        style = None
+        wkb = None
+        for el in feat.iter():
+            t = _jml_strip(el.tag)
+            if t == "geometry" and wkb is None:
+                for g in el:
+                    wkb = _gml_geom_wkb(g)
+                    if wkb:
+                        break
+                continue
+            for (name, typ, elem, attr, attrval, loc, locattr) in columns:
+                if t != elem:
+                    continue
+                if attr and attrval is not None and \
+                        el.get(attr) != attrval:
+                    continue
+                if loc == "attribute":
+                    v = el.get(locattr or attr)
+                else:
+                    v = el.text or ""
+                if v == "":
+                    continue                 # empty body = unset field
+                if typ == "INTEGER":
+                    v = int(v)
+                elif typ == "DOUBLE":
+                    v = float(v)
+                elif typ == "DATE":
+                    v = _jml_norm_datetime(v)
+                props[name] = v
+        if "R_G_B" in props and wkb is not None:
+            # polygons brush-fill, other geometries pen-stroke
+            # (ogrjmllayer.cpp style mapping)
+            kind = wkb[1] if wkb[0] == 1 else wkb[4]
+            if kind in (3, 6):
+                style = f"BRUSH(fc:#{props['R_G_B']})"
+            else:
+                style = f"PEN(c:#{props['R_G_B']})"
+        feats.append((props, style, wkb))
+    return [c[0] for c in columns], feats
+
+
+def read_jml(spark: SparkSession, path: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    _, feats = parse_jml(path)
+    rows = []
+    for i, (props, style, wkb) in enumerate(feats):
+        if style:
+            props = {**props, "OGR_STYLE": style}
+        rows.append((_os.path.basename(path), i, _json.dumps(props), wkb))
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Geoconcept Export (.gxt/.txt) — gdal/ogr/ogrsf_frmts/geoconcept/:
+# //$-directive header (DELIMITER, SYSCOORD, FIELDS Class=..;Subclass=..;
+# Kind=..;Fields=tab-joined list) then one record per line.  Private#X/Y
+# anchor the geometry; Private#Graphics carries the vertex tail
+# (Kind 1 point, 2/3 line, 4/5 polygon -> MultiPolygon).
+# ---------------------------------------------------------------------------
+
+def parse_gxt(path: str):
+    """{layer name: (field names, [(props, wkb)])}"""
+    layers = {}
+    delim = "\t"
+    current = None
+    for raw in open(path, encoding="latin-1", errors="replace"):
+        line = raw.rstrip("\r\n")
+        if line.startswith("//$"):
+            body = line[3:]
+            if body.startswith("DELIMITER"):
+                v = body.split('"', 2)[1] if '"' in body else "\t"
+                delim = "\t" if v in ("tab", "\t") else v
+            elif body.startswith("FIELDS"):
+                spec = dict(kv.split("=", 1)
+                            for kv in body[7:].split(";") if "=" in kv)
+                fields = spec.get("Fields", "").split("\t")
+                name = f"{spec.get('Class')}.{spec.get('Subclass')}"
+                current = (name, int(spec.get("Kind", "1")), fields)
+                layers.setdefault(name, (
+                    [f for f in fields if not f.startswith("Private#")],
+                    []))
+            continue
+        if not line.strip() or current is None:
+            continue
+        name, kind, fields = current
+        tok = line.split(delim)
+        props = {}
+        x = y = None
+        graphics = []
+        i = 0
+        for f in fields:
+            if i >= len(tok):
+                break
+            if f == "Private#X":
+                x = float(tok[i])
+            elif f == "Private#Y":
+                y = float(tok[i])
+            elif f == "Private#Graphics":
+                n = int(tok[i])
+                vals = [float(v) for v in tok[i + 1:i + 1 + 2 * n]]
+                graphics = list(zip(vals[0::2], vals[1::2]))
+                i += 2 * n
+            elif not f.startswith("Private#"):
+                props[f] = tok[i]
+            i += 1
+        wkb = None
+        if x is not None and y is not None:
+            if kind in (4, 5) and graphics:
+                ring = [(x, y)] + graphics
+                if ring[0] != ring[-1]:
+                    ring.append(ring[0])
+                wkb = G.encode_multipolygon([[np.array(ring)]])
+            elif kind in (2, 3) and graphics:
+                wkb = G.encode_linestring(np.array([(x, y)] + graphics))
+            else:
+                wkb = G.encode_point(x, y)
+        layers[name][1].append((props, wkb))
+    return layers
+
+
+def read_gxt(spark: SparkSession, path: str,
+             layer: str | None = None) -> DataFrame:
+    import json as _json
+    import os as _os
+    layers = parse_gxt(path)
+    if layer is None:
+        if len(layers) != 1:
+            raise ValueError(f"pick one of {sorted(layers)}")
+        layer = next(iter(layers))
+    _, feats = layers[layer]
+    rows = [(_os.path.basename(path), i, _json.dumps(props), wkb)
+            for i, (props, wkb) in enumerate(feats)]
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
