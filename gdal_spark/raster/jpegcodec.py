@@ -569,6 +569,29 @@ def _decode_scan(W, H, comps, scan_tables, qt, huff_dc, huff_ac,
     return _finish(W, H, comps, store, qt, color_transform, prec)
 
 
+_POST_IDCT_TABLES: dict[int, np.ndarray] = {}
+
+
+def _post_idct_limit(x: np.ndarray, prec: int) -> np.ndarray:
+    """libjpeg's post-IDCT range limit (jdmaster.c
+    prepare_range_limit_table + the `& RANGE_MASK` lookup in
+    jidctint.c): identical to clip(x+center, 0, max) for in-range
+    values, but extreme IDCT outputs WRAP through the table's
+    255/0 segments instead of saturating — bit-exactness on
+    pathological blocks needs the real table."""
+    t = _POST_IDCT_TABLES.get(prec)
+    if t is None:
+        m = (1 << prec) - 1          # MAXJSAMPLE
+        c = 1 << (prec - 1)          # CENTERJSAMPLE
+        t = np.empty(4 * (m + 1), np.int32)
+        t[0:c] = np.arange(c, 2 * c)
+        t[c:2 * (m + 1)] = m
+        t[2 * (m + 1):4 * (m + 1) - c] = 0
+        t[4 * (m + 1) - c:] = np.arange(0, c)
+        _POST_IDCT_TABLES[prec] = t
+    return t[x & (4 * ((1 << prec) - 1) + 3)]
+
+
 def _finish(W, H, comps, store, qt, color_transform, prec) -> np.ndarray:
     """Coefficient store (zigzag order, per component) → samples:
     dequantize, un-zigzag, islow IDCT, fancy upsample, color convert."""
@@ -590,7 +613,7 @@ def _finish(W, H, comps, store, qt, color_transform, prec) -> np.ndarray:
         grid = np.zeros((len(blocks), 64), dtype=np.int64)
         grid[:, _ZZ] = blocks  # zigzag index i lands at raster position
         spatial = idct_islow(grid.reshape(-1, 8, 8))
-        spatial = np.clip(spatial + center, 0, maxv).astype(out_dt)
+        spatial = _post_idct_limit(spatial, prec).astype(out_dt)
         plane = (spatial.reshape(nby, nbx, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
         # crop to the component's true downsampled size (edge replication
