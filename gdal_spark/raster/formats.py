@@ -3677,3 +3677,119 @@ def read_pcidsk(spark: SparkSession, path: str, raster_id: str = "pix",
     for fr in frames[1:]:
         tiles = tiles.unionByName(fr)
     return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# PCRaster CSF 2.0 driver (gdal/frmts/pcraster/, libcsf csf.h structs)
+# ---------------------------------------------------------------------------
+
+_CSF_CR = {0x00: ("uint8", 255), 0x26: ("int32", -2147483648),
+           0x5A: ("float32", None), 0xDB: ("float64", None),
+           0x04: ("uint8", 255), 0x11: ("uint16", None),
+           0x15: ("uint32", None), 0x25: ("int16", None)}
+
+
+def read_pcraster(spark: SparkSession, path: str,
+                  raster_id: str = "pcraster", block: int = 256
+                  ) -> tuple[DataFrame, RasterMeta]:
+    """PCRaster CSF read: 'RUU CROSS SYSTEM MAP FORMAT' signature, main
+    header at 0, raster header at 64 (valueScale/cellRepr u2, min/max
+    8-byte slots, xUL/yUL doubles, nrRows/nrCols u4, cellSize double),
+    cells row-major at 256 (csfimpl.h ADDR_*, csf.h CSF_RASTER_HEADER).
+    VS_* scales all map to the cellRepr dtype; float nodata is the CSF
+    missing value (NaN pattern for reals, type extremes otherwise,
+    csftypes.h MV_*)."""
+    data = open(path, "rb").read()
+    if not data.startswith(b"RUU CROSS SYSTEM MAP FORMAT"):
+        raise ValueError("not a PCRaster CSF file")
+    cr = struct.unpack_from("<H", data, 66)[0]
+    if cr not in _CSF_CR:
+        raise NotImplementedError(f"CSF cell representation {cr:#x}")
+    dtype, nodata = _CSF_CR[cr]
+    xul, yul = struct.unpack_from("<2d", data, 84)
+    rows, cols = struct.unpack_from("<2I", data, 100)
+    (cell,) = struct.unpack_from("<d", data, 108)
+    from gdal_spark.raster.model import from_array
+    arr = np.frombuffer(data, np.dtype(dtype).newbyteorder("<"),
+                        rows * cols, 256).reshape(rows, cols)
+    meta = RasterMeta(raster_id, cols, rows,
+                      gt=(xul, cell, 0.0, yul, 0.0, -cell),
+                      dtype=dtype,
+                      nodata=float(nodata) if nodata is not None
+                      else float(np.nan), block=block)
+    return from_array(spark, np.ascontiguousarray(arr), meta), meta
+
+
+# ---------------------------------------------------------------------------
+# DIMAP driver (gdal/frmts/dimap/dimapdataset.cpp) — metadata wrapper
+# around the Data_Access image file (TIFF or VRT dummy)
+# ---------------------------------------------------------------------------
+
+_DIMAP_MD_XLAT = [
+    ("Production", ""), ("Production/Facility", "FACILITY_"),
+    ("Dataset_Sources/Source_Information/Scene_Source", ""),
+    ("Data_Processing", ""),
+    ("Image_Interpretation/Spectral_Band_Info", "SPECTRAL_"),
+]
+
+
+def open_dimap(path: str) -> dict:
+    """Parse a METADATA.DIM: image path, size, GCPs from Dataset_Frame
+    vertices (pixel/line = FRAME_COL/ROW - 0.5,
+    dimapdataset.cpp:600-640), nodata from the NODATA special value,
+    and the metadata translation table (dimapdataset.cpp:717-724)."""
+    import os
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    if root.find("Metadata_Id/METADATA_FORMAT") is None:
+        raise ValueError("not a DIMAP product")
+    out = {"metadata": {}, "gcps": []}
+    href = root.find(".//Data_Access//DATA_FILE_PATH")
+    if href is None:
+        href = root.find(".//DATA_FILE_PATH")
+    out["image_path"] = os.path.join(os.path.dirname(path),
+                                     href.get("href"))
+    rd = root.find("Raster_Dimensions")
+    if rd is not None:
+        out["ncols"] = int(rd.findtext("NCOLS"))
+        out["nrows"] = int(rd.findtext("NROWS"))
+        out["nbands"] = int(rd.findtext("NBANDS"))
+    for v in root.findall("Dataset_Frame/Vertex"):
+        out["gcps"].append({
+            "pixel": float(v.findtext("FRAME_COL")) - 0.5,
+            "line": float(v.findtext("FRAME_ROW")) - 0.5,
+            "x": float(v.findtext("FRAME_LON")),
+            "y": float(v.findtext("FRAME_LAT")), "z": 0.0})
+    out["gcp_srs"] = 'GEOGCS["WGS 84",DATUM["WGS_1984",' \
+        'SPHEROID["WGS 84",6378137,298.257223563]],' \
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+    for xpath, prefix in _DIMAP_MD_XLAT:
+        for el in root.findall(xpath):
+            for leaf in el:
+                if leaf.text and leaf.text.strip() and len(leaf) == 0:
+                    out["metadata"][prefix + leaf.tag] = leaf.text
+    for sv in root.findall(".//Image_Display//Special_Value"):
+        if sv.findtext("SPECIAL_VALUE_TEXT") == "NODATA":
+            out["nodata"] = float(sv.findtext("SPECIAL_VALUE_INDEX"))
+    return out
+
+
+def read_dimap(spark: SparkSession, path: str, block: int = 256
+               ) -> tuple[DataFrame, RasterMeta, dict]:
+    """DIMAP read: pixels come from the referenced image file (TIFF, or
+    a VRT as in the reference's own test data — GDAL sniffs content,
+    not extension); returns (tiles, meta, product-info)."""
+    info = open_dimap(path)
+    img = info["image_path"]
+    head = open(img, "rb").read(16)
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        tiles, meta = read_geotiff(spark, img, raster_id="dimap",
+                                   block=block)
+    elif head.lstrip().startswith(b"<VRT"):
+        from gdal_spark.raster.vrt import read_vrt
+        tiles, meta = read_vrt(spark, img, block=block)
+    else:
+        raise NotImplementedError("unsupported DIMAP imagery container")
+    if info.get("nodata") is not None:
+        meta = replace(meta, nodata=info["nodata"])
+    return tiles, meta, info
