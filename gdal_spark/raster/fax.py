@@ -183,6 +183,21 @@ def decode_g3(data: bytes, width: int, height: int,
     return out
 
 
+def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a T.6 (CCITT Group 4) stream: pure 2-D MR coding against
+    the previous line (imaginary all-white first reference), no EOLs
+    until the trailing EOFB."""
+    bits = _Bits(data)
+    out = np.zeros((height, width), np.uint8)
+    ref = np.zeros(width, np.uint8)
+    for y in range(height):
+        cur = np.zeros(width, np.uint8)
+        _decode_2d_line(bits, ref, cur, width)
+        out[y] = cur
+        ref = cur
+    return out
+
+
 def decode_rle(data: bytes, width: int, height: int) -> np.ndarray:
     """CCITT RLE ("G1" / TIFF COMPRESSION_CCITTRLE): every line is an
     independent 1-D MH code starting on a byte boundary."""
@@ -202,10 +217,14 @@ def decode_rle(data: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _transitions(row: np.ndarray) -> np.ndarray:
-    """Indices where the color changes (first index of each new run),
-    terminated by two sentinels at width."""
+    """Changing elements (first index of each new run), including
+    position 0 when the line starts black (the imaginary white element
+    preceding the line, T.4 §4.2.1.1), terminated by two sentinels at
+    width."""
     w = len(row)
-    ch = np.flatnonzero(np.diff(row.astype(np.int8))) + 1
+    r = row.astype(np.int8)
+    prev = np.concatenate([[0], r[:-1]])
+    ch = np.flatnonzero(r != prev)
     return np.concatenate([ch, [w, w]])
 
 
@@ -226,7 +245,7 @@ def _decode_2d_line(bits: _Bits, ref: np.ndarray, cur: np.ndarray,
     def get_b1():
         for i in range(n_tr):
             t = int(trans[i])
-            if t > a0 and ((i + 1) % 2) != color:
+            if t > a0 and (t >= width or int(ref[t]) != color):
                 return min(t, width), i
         return width, n_tr
 
