@@ -3793,3 +3793,343 @@ def read_dimap(spark: SparkSession, path: str, block: int = 256
     if info.get("nodata") is not None:
         meta = replace(meta, nodata=info["nodata"])
     return tiles, meta, info
+
+
+# ---------------------------------------------------------------------------
+# EOSAT FAST Format driver (gdal/frmts/raw/fastdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def _fast_value(header: str, name: str, size: int) -> str | None:
+    i = header.find(name)
+    if i < 0:
+        return None
+    i += len(name)
+    while i < len(header) and header[i] == " ":
+        i += 1
+    while i < len(header) and header[i] == "=":
+        i += 1
+    return header[i:i + size].strip()
+
+
+def open_fast(path: str) -> dict:
+    """Parse a FAST admin header (fastdataset.cpp:595-1100): metadata
+    fields, band files (FILENAME entries, Landsat .b0N fallback, or the
+    Euromap IRS PAN/LISS3/WIFS last-letter conventions
+    :363-487), per-band GAIN/BIAS pairs in header order, corner
+    easting/northing 28 chars after each corner tag, and the
+    geotransform as the least-squares affine fit of the four
+    center-of-corner-pixel GCPs (GDALGCPsToGeoTransform)."""
+    import os
+    raw = open(path, "rb").read(5000)
+    header = raw.decode("latin-1")
+    if header[52:70] != "ACQUISITION DATE =" and \
+            header[36:54] != "ACQUISITION DATE =":
+        raise ValueError("not a FAST dataset")
+    md = {}
+    for key, name, size in (("ACQUISITION_DATE", "ACQUISITION DATE", 8),
+                            ("SATELLITE", "SATELLITE", 10),
+                            ("SENSOR", "SENSOR", 10)):
+        md[key] = _fast_value(header, name, size) or ""
+    out = {"metadata": md, "path": path}
+    dirname = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    stem, ext = os.path.splitext(base)
+    bands: list[str | None] = []
+
+    def try_open(name):
+        p = os.path.join(dirname, name)
+        if os.path.exists(p):
+            bands.append(p)
+            return True
+        # case-insensitive match
+        low = name.lower()
+        for f in os.listdir(dirname):
+            if f.lower() == low:
+                bands.append(os.path.join(dirname, f))
+                return True
+        return False
+
+    sensor = md["SENSOR"]
+    if "FILENAME" not in header and "GENERATING AGENCY =EUROMAP" in header:
+        last = base[-1].lower()
+        if sensor == "PAN":
+            if "a" <= last <= "j":
+                try_open(base[:-1] + chr(ord(last) - ord("a") + ord("0")))
+            elif "k" <= last <= "m":
+                try_open(base[:-1] + chr(ord(last) - ord("k") + ord("n")))
+        elif sensor == "LISS3":
+            rows = ["02345", "6789a", "bcdef", "ghijk", "lmnop",
+                    "qrstu", "vwxyz"]
+            for r in rows:
+                if last == r[0]:
+                    for c in r[1:]:
+                        if not try_open(base[:-1] + c):
+                            bands.append(None)
+                    break
+        elif sensor == "WIFS" and last == "0":
+            for c in "12":
+                if not try_open(base[:-1] + c):
+                    bands.append(None)
+    if not [b for b in bands if b]:
+        bands = []
+        pos = 0
+        for k in range(7):
+            pos = header.find("FILENAME", pos)
+            name = None
+            if pos >= 0:
+                pos += len("FILENAME")
+                while pos < len(header) and header[pos] == " ":
+                    pos += 1
+                while pos < len(header) and header[pos] == "=":
+                    pos += 1
+                name = header[pos:pos + 29].strip()
+            if name and try_open(name):
+                continue
+            if try_open(f"{stem}.b{k + 1:02d}"):
+                continue
+            if name is not None or pos < 0:
+                break
+    out["bands"] = bands
+    out["width"] = int(_fast_value(header, "PIXELS PER LINE", 5) or 0)
+    out["height"] = int(_fast_value(header, "LINES PER BAND", 5) or
+                        _fast_value(header, "LINES PER IMAGE", 5) or 0)
+    out["bits"] = int(_fast_value(header, "OUTPUT BITS PER PIXEL", 2)
+                      or 8)
+    # GAIN/BIAS pairs: order depends on which word comes first
+    gi, bi = header.find("GAINS"), header.find("BIASES")
+    first, second = ("GAIN", "BIAS") if bi > gi else ("BIAS", "GAIN")
+    pos = bi if bi >= 0 else gi
+    if pos >= 0:
+        tail = header[pos:]
+        nums = re.findall(r"[-+.0-9]+", tail)
+        for i in range(len(bands)):
+            if 2 * i < len(nums):
+                md[f"{first}{i + 1}"] = nums[2 * i]
+            if 2 * i + 1 < len(nums):
+                md[f"{second}{i + 1}"] = nums[2 * i + 1]
+    # corners (easting/northing follow 28 chars of DMS text)
+    zone = int(_fast_value(header, "USGS MAP ZONE", 6) or 0)
+    out["zone"] = zone
+    out["projection"] = _fast_value(header, "MAP PROJECTION", 4) or "UTM"
+    geom = header[header.find("PROJECTION"):]
+    corners = {}
+    for tag in ("UL ", "UR ", "LL ", "LR "):
+        i = geom.find(tag)
+        if i < 0:
+            continue
+        i += len(tag) + 28
+        x = float(geom[i:i + 13])
+        y = float(geom[i + 14:i + 27])
+        if x >= 1000000.0:
+            x -= zone * 1000000.0
+        corners[tag.strip()] = (x, y)
+    out["corners"] = corners
+    W, H = out["width"], out["height"]
+    if len(corners) == 4 and all(v != (0.0, 0.0) for v in corners.values()):
+        pts = [("UL", 0.5, 0.5), ("UR", W - 0.5, 0.5),
+               ("LR", W - 0.5, H - 0.5), ("LL", 0.5, H - 0.5)]
+        A = np.array([[1.0, p, l] for _t, p, l in pts])
+        xs = np.array([corners[t][0] for t, _p, _l in pts])
+        ys = np.array([corners[t][1] for t, _p, _l in pts])
+        cx, *_ = np.linalg.lstsq(A, xs, rcond=None)
+        cy, *_ = np.linalg.lstsq(A, ys, rcond=None)
+        out["gt"] = (cx[0], cx[1], cx[2], cy[0], cy[1], cy[2])
+    else:
+        out["gt"] = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    return out
+
+
+def read_fast(spark: SparkSession, path: str, raster_id: str = "fast",
+              block: int = 512) -> tuple[DataFrame, RasterMeta, dict]:
+    """FAST read: raw band files (uint8/uint16 big-endian per the spec),
+    short/placeholder band files zero-fill like the reference's
+    RawRasterBand beyond-EOF behavior. Returns (tiles, meta, info)."""
+    from gdal_spark.raster.model import from_array
+    info = open_fast(path)
+    W, H = info["width"], info["height"]
+    dtype = "uint8" if info["bits"] <= 8 else ">u2"
+    item = 1 if info["bits"] <= 8 else 2
+    meta = RasterMeta(raster_id, W, H, gt=info["gt"],
+                      dtype="uint8" if item == 1 else "uint16",
+                      block=block)
+    tiles = None
+    for bi, bpath in enumerate(info["bands"]):
+        arr = np.zeros((H, W), np.dtype(dtype).newbyteorder(">")
+                       if item == 2 else np.uint8)
+        if bpath is not None:
+            data = np.fromfile(bpath, np.uint8)
+            n = min(len(data) // item, W * H)
+            flat = arr.reshape(-1)
+            flat[:n] = np.frombuffer(data.tobytes(), dtype, n)
+        t = from_array(spark, arr.astype(meta.dtype), meta, band=bi)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta, info
+
+
+# ---------------------------------------------------------------------------
+# ISIS2 cube driver (gdal/frmts/pds/isis2dataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_isis2(spark: SparkSession, path: str, raster_id: str = "isis2",
+               block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """ISIS2 QUBE: ^QUBE record pointer * RECORD_BYTES, CORE_ITEMS =
+    (samples, lines, bands), CORE_ITEM_TYPE/BYTES typing (SUN_* big
+    endian, PC_* little, isis2dataset.cpp:340-400). Truncated payloads
+    zero-fill."""
+    from gdal_spark.raster.model import from_array
+    kv = _pds_label(path)
+    if "QUBE.CORE_ITEMS" not in kv:
+        raise ValueError("not an ISIS2 cube")
+    rb = int(_pds_value(kv.get("RECORD_BYTES", "512")))
+    ptr = kv.get("^QUBE", "1").strip()
+    offset = (int(ptr) - 1) * rb if ptr.isdigit() else 0
+    items = _pds_value(kv["QUBE.CORE_ITEMS"]).strip("()").split(",")
+    w, h, nbands = (int(x) for x in items)
+    nbytes = int(_pds_value(kv.get("QUBE.CORE_ITEM_BYTES", "1")))
+    ctype = _pds_value(kv.get("QUBE.CORE_ITEM_TYPE", "SUN_INTEGER"))
+    endian = "<" if ctype.startswith("PC_") else ">"
+    if "REAL" in ctype:
+        base = {4: "f4", 8: "f8"}[nbytes]
+    elif "UNSIGNED" in ctype or nbytes == 1:
+        base = {1: "u1", 2: "u2", 4: "u4"}[nbytes]
+    else:
+        base = {1: "u1", 2: "i2", 4: "i4"}[nbytes]
+    dt = np.dtype(endian + base)
+    data = open(path, "rb").read()
+    meta = RasterMeta(raster_id, w, h, dtype=str(dt.newbyteorder("=")),
+                      block=block)
+    tiles = None
+    for b in range(nbands):
+        arr = np.zeros(w * h, dt)
+        start = offset + b * w * h * nbytes
+        avail = max(0, min(len(data) - start, w * h * nbytes)) // nbytes
+        if avail > 0:
+            arr[:avail] = np.frombuffer(data, dt, avail, start)
+        t = from_array(spark, arr.reshape(h, w).astype(meta.dtype),
+                       meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# PCI .aux raw driver (gdal/frmts/raw/pauxdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_paux(spark: SparkSession, path: str, raster_id: str = "paux",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """PAux: AuxilaryTarget raw file + RawDefinition 'pixels lines
+    channels' + ChanDefinition-N 'type offset pixeloff lineoff
+    [Swapped]'; geotransform from UpLeftX/Y + LoRightX/Y edges."""
+    import os
+    from gdal_spark.raster.model import from_array
+    lines = open(path).read().splitlines()
+    kv = {}
+    for ln in lines:
+        if ":" in ln:
+            k, v = ln.split(":", 1)
+            kv[k.strip()] = v.strip()
+    if "AuxilaryTarget" not in kv or "RawDefinition" not in kv:
+        raise ValueError("not a PAux header")
+    target = os.path.join(os.path.dirname(path) or ".",
+                          kv["AuxilaryTarget"])
+    w, h, nchan = (int(x) for x in kv["RawDefinition"].split())
+    data = open(target, "rb").read()
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    if "UpLeftX" in kv:
+        ulx, uly = float(kv["UpLeftX"]), float(kv["UpLeftY"])
+        lrx, lry = float(kv["LoRightX"]), float(kv["LoRightY"])
+        gt = (ulx, (lrx - ulx) / w, 0.0, uly, 0.0, (lry - uly) / h)
+    types = {"8U": "u1", "16U": "u2", "16S": "i2", "32R": "f4"}
+    tiles = None
+    meta = None
+    for c in range(nchan):
+        parts = kv[f"ChanDefinition-{c + 1}"].split()
+        t, off, pixoff, lineoff = parts[0], int(parts[1]), \
+            int(parts[2]), int(parts[3])
+        # PCI convention: "Swapped" = swapped relative to big-endian,
+        # i.e. little-endian data (pauxdataset.cpp:820-824)
+        swapped = len(parts) > 4 and parts[4].lower() == "swapped"
+        dt = np.dtype(("<" if swapped else ">") + types[t])
+        if meta is None:
+            meta = RasterMeta(raster_id, w, h, gt=gt,
+                              dtype=str(np.dtype(types[t])), block=block)
+        arr = np.zeros((h, w), dt)
+        for y in range(h):
+            s = off + y * lineoff
+            row = np.frombuffer(data, dt, min(w, (len(data) - s) // dt.itemsize), s)
+            arr[y, :len(row)] = row if pixoff == dt.itemsize else \
+                row[::pixoff // dt.itemsize]
+        t_ = from_array(spark, arr.astype(meta.dtype), meta, band=c)
+        tiles = t_ if tiles is None else tiles.unionByName(t_)
+    return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# DIPEx driver (gdal/frmts/raw/dipxdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_dipex(spark: SparkSession, path: str, raster_id: str = "dipex",
+               block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """DIPEx: 1024-byte LE header (NBIH, NBPR, IL, LL, IE, LE, NC,
+    4322 magic, IH19 type flags); band b line y at 1024 + b*NBPR +
+    y*NBPR*NC."""
+    from gdal_spark.raster.model import from_array
+    data = open(path, "rb").read()
+    nbih, nbpr, il, ll, ie, le, nc, magic = \
+        struct.unpack_from("<8i", data)
+    if magic != 4322:
+        raise ValueError("not a DIPEx file")
+    h = ll - il + 1
+    w = le - ie + 1
+    ih19 = data[72:76]
+    dclass = (ih19[1] & 0x7E) >> 2
+    nbps = ih19[0]
+    if dclass in (0, 1) and nbps == 1:
+        dt = np.uint8
+    elif dclass == 16 and nbps == 4:
+        dt = np.dtype("<f4")
+    elif dclass == 17 and nbps == 8:
+        dt = np.dtype("<f8")
+    else:
+        raise NotImplementedError(f"DIPEx type {dclass}/{nbps}")
+    meta = RasterMeta(raster_id, w, h,
+                      dtype=str(np.dtype(dt).newbyteorder("=")),
+                      block=block)
+    tiles = None
+    for b in range(nc):
+        arr = np.zeros((h, w), dt)
+        for y in range(h):
+            s = 1024 + b * nbpr + y * nbpr * nc
+            n = min(w, max(0, (len(data) - s) // np.dtype(dt).itemsize))
+            arr[y, :n] = np.frombuffer(data, dt, n, s)
+        t = from_array(spark, arr.astype(meta.dtype), meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# GSC Geogrid driver (gdal/frmts/raw/gscdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def read_gsc(spark: SparkSession, path: str, raster_id: str = "gsc",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """GSC Geogrid: Fortran-style records (recordlen = pixels*4 + 8
+    markers); gt floats in record 2; float32 data from record 3
+    (gscdataset.cpp:Open)."""
+    from gdal_spark.raster.model import from_array
+    data = open(path, "rb").read()
+    reclen, w, h = struct.unpack_from("<3i", data)
+    if data[12:16] != b"\x02\x00\x00\x00" or reclen != w * 4:
+        raise ValueError("not a GSC Geogrid file")
+    reclen += 8
+    hdr = np.frombuffer(data, "<f4", 8, reclen + 12)
+    gt = (float(hdr[2]), float(hdr[0]), 0.0,
+          float(hdr[5]), 0.0, -float(hdr[1]))
+    meta = RasterMeta(raster_id, w, h, gt=gt, dtype="float32",
+                      nodata=-1.0000000150474662199e+30, block=block)
+    arr = np.zeros((h, w), "<f4")
+    for y in range(h):
+        s = reclen * 2 + 4 + y * reclen
+        n = min(w, max(0, (len(data) - s) // 4))
+        arr[y, :n] = np.frombuffer(data, "<f4", n, s)
+    return from_array(spark, arr.astype("float32"), meta), meta
