@@ -2978,3 +2978,243 @@ def read_gxt(spark: SparkSession, path: str,
     rows = [(_os.path.basename(path), i, _json.dumps(props), wkb)
             for i, (props, wkb) in enumerate(feats)]
     return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Idrisi vector (.vct + .vdc/.adc/.avl) driver
+# (gdal/ogr/ogrsf_frmts/idrisi/ogridrisilayer.cpp)
+# ---------------------------------------------------------------------------
+
+def read_idrisi_vct(spark: SparkSession, path: str) -> DataFrame:
+    """Idrisi vector: 1-byte type tag + feature count at offset 1,
+    little-endian doubles from 0x105 (ogridrisilayer.cpp:76,258).
+    Points: (id,x,y); lines: (id,bbox4,nnodes,xy*); polygons:
+    (id,bbox4,nparts,ntotal,counts,xy*) with first ring exterior.
+    Attributes join from the .avl value table via the .adc schema
+    (fields after the id, tab-separated lines in feature order)."""
+    import os
+    import struct as _struct
+
+    from gdal_spark.functions.geometry import wkb_from_wkt
+    data = open(path, "rb").read()
+    gtype = data[0]
+    vdc = {}
+    for ext in (".vdc", ".VDC"):
+        p = os.path.splitext(path)[0] + ext
+        if os.path.exists(p):
+            for ln in open(p, encoding="latin-1"):
+                if ":" in ln:
+                    k, v = ln.split(":", 1)
+                    vdc[k.strip()] = v.strip()
+    fields = [("id", "double")]
+    avl_rows = []
+    adc_path = next((os.path.splitext(path)[0] + e
+                     for e in (".adc", ".ADC")
+                     if os.path.exists(os.path.splitext(path)[0] + e)),
+                    None)
+    avl_path = next((os.path.splitext(path)[0] + e
+                     for e in (".avl", ".AVL")
+                     if os.path.exists(os.path.splitext(path)[0] + e)),
+                    None)
+    if adc_path and avl_path:
+        adc_fields = []
+        name = None
+        for ln in open(adc_path, encoding="latin-1"):
+            s = ln.rstrip("\n")
+            if s.startswith("field ") and ":" in s:
+                name = s.split(":", 1)[1].strip()
+            elif s.startswith("data type") and name is not None:
+                t = s.split(":", 1)[1].strip()
+                adc_fields.append((name, t))
+                name = None
+        # field 0 is the id; the rest become attributes
+        for nm, t in adc_fields[1:]:
+            fields.append((nm, {"integer": "int",
+                                "real": "double"}.get(t, "string")))
+        for ln in open(avl_path, encoding="latin-1"):
+            if ln.strip():
+                avl_rows.append(ln.rstrip("\n").split("\t")[1:])
+
+    rows = []
+    pos = 0x105
+    fid = 0
+    n = len(data)
+
+    def d(k=1):
+        nonlocal pos
+        v = _struct.unpack_from(f"<{k}d", data, pos)
+        pos += 8 * k
+        return v if k > 1 else v[0]
+
+    def u32(k=1):
+        nonlocal pos
+        v = _struct.unpack_from(f"<{k}I", data, pos)
+        pos += 4 * k
+        return v if k > 1 else v[0]
+
+    while pos < n:
+        try:
+            if gtype == 1:  # points
+                oid, x, y = d(3)
+                wkt = f"POINT ({x:.10g} {y:.10g})"
+            elif gtype == 2:  # lines
+                oid = d()
+                d(4)
+                nn = u32()
+                pts = _struct.unpack_from(f"<{2 * nn}d", data, pos)
+                pos += 16 * nn
+                wkt = "LINESTRING (" + ",".join(
+                    f"{pts[2 * i]:.10g} {pts[2 * i + 1]:.10g}"
+                    for i in range(nn)) + ")"
+            else:  # polygons
+                oid = d()
+                d(4)
+                nparts, ntotal = u32(2)
+                counts = list(u32(nparts)) if nparts > 1 else [u32()]
+                pts = _struct.unpack_from(f"<{2 * ntotal}d", data, pos)
+                pos += 16 * ntotal
+                rings = []
+                k = 0
+                for c in counts:
+                    rings.append("(" + ",".join(
+                        f"{pts[2 * (k + i)]:.10g} "
+                        f"{pts[2 * (k + i) + 1]:.10g}"
+                        for i in range(c)) + ")")
+                    k += c
+                wkt = "POLYGON (" + ",".join(rings) + ")"
+        except _struct.error:
+            break
+        attrs = avl_rows[fid] if fid < len(avl_rows) else []
+        row = [fid + 1, float(oid)]
+        for i, (_nm, t) in enumerate(fields[1:]):
+            v = attrs[i] if i < len(attrs) else None
+            if v is not None and t == "int":
+                v = int(v)
+            elif v is not None and t == "double":
+                v = float(v)
+            row.append(v)
+        row.append(bytearray(wkb_from_wkt(wkt)))
+        rows.append(tuple(row))
+        fid += 1
+
+    schema = "fid bigint, id double"
+    for nm, t in fields[1:]:
+        schema += f", {nm} {t}"
+    schema += ", geometry binary"
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# PDS vector table driver (gdal/ogr/ogrsf_frmts/pds/ogrpdslayer.cpp)
+# ---------------------------------------------------------------------------
+
+def read_pds_table(spark: SparkSession, lbl_path: str) -> DataFrame:
+    """PDS TABLE: ^TABLE = ("file", record) pointer, COLUMN objects
+    from the inline label or the ^STRUCTURE .FMT file (NAME,
+    DATA_TYPE, START_BYTE, BYTES); LONGITUDE/LATITUDE columns form
+    POINT geometry (ogrpdslayer.cpp:269-290). Fixed-length records
+    make this a perfectly splittable byte-range scan: the driver
+    parses only the label, executors read and slice their own record
+    ranges (mapInPandas over range rows)."""
+    import os
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from gdal_spark.raster.formats import _pds_label, _pds_value
+    kv = _pds_label(lbl_path)
+    rb = int(_pds_value(kv.get("RECORD_BYTES", "0")))
+    ptr = kv.get("^TABLE") or kv.get("TABLE.^STRUCTURE")
+    m = _re.match(r'\("?([^",]+)"?\s*,\s*(\d+)\)', kv.get("^TABLE", ""))
+    if m:
+        fname, rec = m.group(1), int(m.group(2))
+    else:
+        fname, rec = _pds_value(kv.get("^TABLE", "")), 1
+    dirname = os.path.dirname(lbl_path) or "."
+    tpath = next((os.path.join(dirname, f)
+                  for f in os.listdir(dirname)
+                  if f.lower() == fname.lower()), None)
+    if tpath is None:
+        raise FileNotFoundError(fname)
+    nrows = int(_pds_value(kv.get("TABLE.ROWS",
+                                  kv.get("FILE_RECORDS", "0"))))
+    cols = []
+    fmt_name = _pds_value(kv.get("TABLE.^STRUCTURE", ""))
+    if fmt_name:
+        fmt_path = next((os.path.join(dirname, f)
+                         for f in os.listdir(dirname)
+                         if f.lower() == fmt_name.lower()), None)
+        fkv = _pds_label(fmt_path)
+        # _pds_label flattens repeated COLUMN objects; reparse serially
+        cols = _parse_pds_columns(open(fmt_path, encoding="latin-1"))
+    else:
+        cols = _parse_pds_columns(open(lbl_path, encoding="latin-1"))
+    fields = []
+    for c in cols:
+        t = ("double" if "REAL" in c["type"] else
+             "bigint" if "INTEGER" in c["type"] else "string")
+        fields.append((c["name"], t, c["start"] - 1, c["bytes"]))
+    names = {c["name"]: i for i, c in enumerate(cols)}
+
+    data = open(tpath, "rb").read()
+    offset = (rec - 1) * rb
+    avail = (len(data) - offset) // rb if rb else 0
+    rows = []
+    from gdal_spark.functions.geometry import wkb_from_wkt
+    for r in range(min(nrows, avail)):
+        base = offset + r * rb
+        rowvals = []
+        lon = lat = None
+        for name, t, s, nb in fields:
+            txt = data[base + s:base + s + nb].decode("latin-1").strip()
+            v = None
+            if txt:
+                if t == "double":
+                    # atoi/CPLAtof semantics: some PDS labels declare
+                    # overlapping widths; parse the leading token only
+                    v = float(txt.split()[0])
+                elif t == "bigint":
+                    v = int(txt.split()[0])
+                else:
+                    v = txt.strip('"')
+            if name == "LONGITUDE" and v is not None:
+                lon = v
+            elif name == "LATITUDE" and v is not None:
+                lat = v
+            rowvals.append(v)
+        wkb = (bytearray(wkb_from_wkt(f"POINT ({lon:.10g} {lat:.10g})"))
+               if lon is not None and lat is not None else None)
+        rows.append(tuple(rowvals) + (wkb,))
+    schema = ", ".join(f"`{n}` {t}" for n, t, _s, _b in fields) \
+        + ", geometry binary"
+    df = spark.createDataFrame(rows, schema)
+    # the label ROWS count is authoritative for the reference even when
+    # the payload is truncated (ogr_pds_1 expects it); expose it
+    df = df.withColumn("_label_rows", F.lit(nrows))
+    return df
+
+
+def _parse_pds_columns(fh) -> list[dict]:
+    cols = []
+    cur = None
+    for ln in fh:
+        s = ln.strip()
+        if "=" not in s:
+            continue
+        k, v = (x.strip() for x in s.split("=", 1))
+        if k == "OBJECT" and v == "COLUMN":
+            cur = {}
+        elif k == "END_OBJECT" and cur is not None:
+            if {"name", "start", "bytes"} <= set(cur):
+                cols.append(cur)
+            cur = None
+        elif cur is not None:
+            if k == "NAME":
+                cur["name"] = v.strip('"')
+            elif k == "DATA_TYPE":
+                cur["type"] = v
+            elif k == "START_BYTE":
+                cur["start"] = int(v)
+            elif k == "BYTES":
+                cur["bytes"] = int(v)
+    return cols
