@@ -3218,3 +3218,64 @@ def _parse_pds_columns(fh) -> list[dict]:
             elif k == "BYTES":
                 cur["bytes"] = int(v)
     return cols
+
+
+# ---------------------------------------------------------------------------
+# EPIInfo .rec driver (gdal/ogr/ogrsf_frmts/rec/ogrreclayer.cpp)
+# ---------------------------------------------------------------------------
+
+def read_rec(spark: SparkSession, path: str) -> DataFrame:
+    """EPIInfo REC: first line = field count; per-field header lines
+    (name at cols 2-11, type code at 33-36, width at 37-40;
+    ogrreclayer.cpp:44-130); data records assembled from lines ending
+    '!' or '^' ('?' marks deleted) and sliced at cumulative field
+    offsets (:162-250)."""
+    lines = open(path, encoding="latin-1").read().splitlines()
+    nfields = int(lines[0].strip())
+    fields = []
+    for ln in lines[1:1 + nfields]:
+        name = ln[1:11].strip()
+        tcode = int(ln[32:36].strip() or 0)
+        width = int(ln[36:40].strip() or 0)
+        if width == 0:
+            continue
+        if tcode == 12:
+            t = "int"
+        elif (100 < tcode < 120) or \
+                (tcode in (0, 6, 102) and width >= 3):
+            t = "double"
+        elif tcode in (0, 6):
+            t = "int"
+        else:
+            t = "string"
+        fields.append((name, t, width))
+    reclen = sum(w for _n, _t, w in fields)
+    rows = []
+    buf = ""
+    for ln in lines[1 + nfields:]:
+        if not ln or ln[0] == chr(26):
+            break
+        if ln.endswith("?"):
+            buf = ""
+            continue
+        if not (ln.endswith("!") or ln.endswith("^")):
+            break
+        buf += ln[:-1]
+        if len(buf) >= reclen:
+            off = 0
+            vals = []
+            for name, t, w in fields:
+                txt = buf[off:off + w].strip()
+                off += w
+                if not txt:
+                    vals.append(None)
+                elif t == "int":
+                    vals.append(int(txt))
+                elif t == "double":
+                    vals.append(float(txt))
+                else:
+                    vals.append(txt)
+            rows.append(tuple(vals))
+            buf = ""
+    schema = ", ".join(f"`{n}` {t}" for n, t, _w in fields)
+    return spark.createDataFrame(rows, schema)

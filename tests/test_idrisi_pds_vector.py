@@ -53,3 +53,11 @@ def test_pds_table(spark):
     assert rows[1]["MARS_RADIUS"] == 3385310.2
     assert wkt_from_wkb(bytes(rows[0]["geometry"])) == \
         "POINT (146.1325 -55.648)"
+
+
+def test_rec(spark):
+    # autotest/ogr/ogr_rec.py walks data/test.rec via test_ogrsf
+    from gdal_spark.sources.formats import read_rec
+    df = read_rec(spark, f"{DATA}/test.rec")
+    assert df.columns == ["A", "B"]
+    assert [(r["A"], r["B"]) for r in df.collect()] == [(1, 2), (3, 4)]
