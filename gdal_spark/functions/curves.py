@@ -85,6 +85,11 @@ def parse_wkb_type(raw: int) -> tuple[int, bool]:
     25D bit and ISO +1000 codes (wkbHasZ, gdal/ogr/ogr_core.h:393)."""
     has_z = bool(raw & WKB_25D_BIT)
     base = raw & 0x0FFFFFFF
+    if base & 0x8000:
+        # legacy 'Z flag in the 2nd byte' encoding the reference
+        # tolerates (ogrutils.cpp OGRReadWKBGeometryType)
+        base &= 0xFF
+        has_z = True
     if 1000 <= base < 2000:
         base -= 1000
         has_z = True
@@ -127,7 +132,9 @@ def _read_coords(buf, endian, off, n, dim):
 
 def _decode_body(buf: memoryview, off: int) -> tuple[Geom, int]:
     byte_order = buf[off]
-    endian = "<" if byte_order == 1 else ">"
+    # 0x30/0x31 are DB2 V7.2 ASCII byte-order markers
+    # (ogr_p.h DB2_V72_FIX_BYTE_ORDER)
+    endian = "<" if byte_order in (1, 0x31) else ">"
     (raw,) = struct.unpack_from(endian + "I", buf, off + 1)
     kind, has_z = parse_wkb_type(raw)
     off += 5

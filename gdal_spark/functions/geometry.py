@@ -75,26 +75,39 @@ def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
 # ---------------------------------------------------------------------------
 
 def _parse_wkb_type(raw: int) -> tuple[int, bool]:
-    """(base type, has_z) — accepts the 99-402 wkb25DBit spelling and the
-    ISO +1000 Z codes (gdal/ogr/ogr_core.h:309-369 / wkbHasZ)."""
+    """(base type, has_z) — accepts the 99-402 wkb25DBit spelling, the
+    ISO +1000 Z codes (gdal/ogr/ogr_core.h:309-369 / wkbHasZ), and the
+    'Z flag in the 2nd byte' legacy encoding the reference tolerates
+    (ogrutils.cpp OGRReadWKBGeometryType: iRawType & 0x8000)."""
     has_z = bool(raw & 0x80000000)
     base = raw & 0x0FFFFFFF
+    if base & 0x8000:
+        base &= 0xFF
+        has_z = True
     if 1000 <= base < 2000:
         base -= 1000
         has_z = True
     return base, has_z
 
 
+def _wkb_endian(byte_order: int) -> str:
+    # 0/1 standard; 0x30/0x31 ('0'/'1') are DB2 V7.2 ASCII markers
+    # (ogr_p.h DB2_V72_FIX_BYTE_ORDER)
+    if byte_order in (1, 0x31):
+        return "<"
+    if byte_order in (0, 0x30):
+        return ">"
+    raise ValueError(f"corrupt WKB byte order {byte_order}")
+
+
 def _read_header(buf: memoryview, off: int) -> tuple[int, str, int]:
-    byte_order = buf[off]
-    endian = "<" if byte_order == 1 else ">"
+    endian = _wkb_endian(buf[off])
     (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
     return _parse_wkb_type(gtype)[0], endian, off + 5
 
 
 def _read_header_ex(buf: memoryview, off: int) -> tuple[int, bool, str, int]:
-    byte_order = buf[off]
-    endian = "<" if byte_order == 1 else ">"
+    endian = _wkb_endian(buf[off])
     (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
     base, has_z = _parse_wkb_type(gtype)
     return base, has_z, endian, off + 5
@@ -344,6 +357,10 @@ def wkb_from_wkt(wkt: str) -> bytes:
     head, _, rest = s.partition("(")
     kind = head.strip().upper()
     body = rest.rsplit(")", 1)[0] if rest else ""
+    # tolerate unbalanced trailing parens, as the reference's token
+    # scanner does (autotest wkb_wkt/8.wkt ends 'POINT (...))')
+    while body.endswith(")") and body.count(")") > body.count("("):
+        body = body[:-1].rstrip()
     base_kind = kind.split()[0] if kind else ""
     first = body.split(",", 1)[0] if body else ""
     needs_ext = (
@@ -355,9 +372,14 @@ def wkb_from_wkt(wkt: str) -> bytes:
         # Z / ISO-curve WKT lives in the dimension-aware codec
         from . import curves as _curves
         return _curves.encode_geom(_curves.geom_from_wkt(wkt))
-    if s.upper().endswith("EMPTY"):
+    is_empty = s.upper().endswith("EMPTY")
+    if is_empty:
         body = ""
         kind = s.upper().replace("EMPTY", "").strip()
+    elif not body.strip():
+        # bare 'POINT' / 'POINT(' etc. are parse errors in the
+        # reference (ogr_wkbwkt_test_broken_geom)
+        raise ValueError(f"corrupt WKT {wkt!r}")
     if kind == "POINT":
         if not body:
             # OGR encodes POINT EMPTY as a point with NaN coords
