@@ -4133,3 +4133,292 @@ def read_gsc(spark: SparkSession, path: str, raster_id: str = "gsc",
         n = min(w, max(0, (len(data) - s) // 4))
         arr[y, :n] = np.frombuffer(data, "<f4", n, s)
     return from_array(spark, arr.astype("float32"), meta), meta
+
+
+# ---------------------------------------------------------------------------
+# Six small header-driven raw drivers (gdal/frmts/raw/{mffdataset,
+# doq1dataset, eirdataset, cpgdataset, snodasdataset}.cpp and
+# gdal/frmts/pds/vicardataset.cpp)
+# ---------------------------------------------------------------------------
+
+_MFF_EXT_TYPES = {"b": "uint8", "i": "uint16", "r": "float32"}
+_MFF_REFINED = {"I*1": "uint8", "I*2": "int16", "I*4": "int32",
+                "U*2": "uint16", "U*4": "uint32", "R*4": "float32",
+                "R*8": "float64"}
+
+
+def read_mff(spark: SparkSession, path: str, raster_id: str = "mff",
+             block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    """Vexcel MFF: key=value .hdr (IMAGE_LINES/LINE_SAMPLES or
+    no_rows/no_columns + tile_size_*), band files <stem>.<t><NN> with
+    the extension letter encoding the type (mffdataset.cpp:835-940);
+    tiled files store tile_size x tile_size tiles row-major."""
+    import os
+    from gdal_spark.raster.model import from_array
+    kv = {}
+    for ln in open(path, encoding="latin-1"):
+        if "=" in ln:
+            k, v = ln.split("=", 1)
+            kv[k.strip()] = v.strip()
+    if kv.get("IMAGE_FILE_FORMAT", "").upper() != "MFF":
+        raise ValueError("not an MFF header")
+    h = int(kv.get("IMAGE_LINES", kv.get("no_rows", "0")))
+    w = int(kv.get("LINE_SAMPLES", kv.get("no_columns", "0")))
+    if not h:
+        h = int(kv.get("no_rows", "0"))
+    if not w:
+        w = int(kv.get("no_columns", h and str(h) or "0") or h)
+    tw = int(kv.get("tile_size_columns", "0"))
+    th = int(kv.get("tile_size_rows", "0"))
+    refined = kv.get("type")
+    bo = "<" if kv.get("BYTE_ORDER", "LSB").upper() == "LSB" else ">"
+    stem = os.path.splitext(path)[0]
+    dirname = os.path.dirname(path) or "."
+    base = os.path.basename(stem)
+    bands = []
+    for f in sorted(os.listdir(dirname)):
+        fstem, ext = os.path.splitext(f)
+        if fstem.lower() != base.lower() or len(ext) < 2:
+            continue
+        letter = ext[1].lower()
+        if letter in _MFF_EXT_TYPES and \
+                (len(ext) == 2 or ext[2:].isdigit()):
+            dt = (_MFF_REFINED.get(refined) if refined
+                  else _MFF_EXT_TYPES[letter])
+            bands.append((os.path.join(dirname, f), dt))
+    if not bands:
+        raise ValueError("no MFF band files found")
+    meta = RasterMeta(raster_id, w, h, dtype=bands[0][1], block=block)
+    tiles = None
+    for bi, (bpath, dts) in enumerate(bands):
+        dt = np.dtype(dts).newbyteorder(bo)
+        data = np.fromfile(bpath, np.uint8)
+        arr = np.zeros((h, w), dt)
+        if th and tw:
+            ntx = -(-w // tw)
+            tilebytes = tw * th * dt.itemsize
+            for idx in range(ntx * (-(-h // th))):
+                ty, tx = divmod(idx, ntx)
+                s = idx * tilebytes
+                chunk = np.zeros(tw * th, dt)
+                navail = min(tilebytes, max(0, len(data) - s)) \
+                    // dt.itemsize
+                chunk[:navail] = np.frombuffer(
+                    data.tobytes(), dt, navail, s)
+                tile = chunk.reshape(th, tw)
+                hh = min(th, h - ty * th)
+                ww = min(tw, w - tx * tw)
+                arr[ty * th:ty * th + hh,
+                    tx * tw:tx * tw + ww] = tile[:hh, :ww]
+        else:
+            n = min(w * h, len(data) // dt.itemsize)
+            arr.reshape(-1)[:n] = np.frombuffer(data.tobytes(), dt, n)
+        t = from_array(spark, arr.astype(dts), meta, band=bi)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta
+
+
+def read_doq1(spark: SparkSession, path: str, raster_id: str = "doq1",
+              block: int = 512) -> tuple[DataFrame, RasterMeta]:
+    """USGS DOQ (old style): height/width ASCII at header bytes
+    144/150, band config at 156, data after 4 header records
+    (doq1dataset.cpp:141-232); short files zero-fill."""
+    data = open(path, "rb").read()
+
+    def field(off, n):
+        txt = data[off:off + n].decode("latin-1") \
+            .replace("D", "E").replace("d", "E") \
+            .replace("\x00", " ").strip()
+        return float(txt or "0")
+
+    h = int(field(144, 6))
+    w = int(field(150, 6))
+    btypes = int(field(156, 3))
+    if not (500 <= w <= 25000 and 500 <= h <= 25000 and
+            1 <= btypes <= 5):
+        raise ValueError("not a DOQ1 file")
+    nbands = 3 if btypes == 5 else 1
+    skip = 4 * nbands * w
+    from gdal_spark.raster.model import from_array
+    meta = RasterMeta(raster_id, w, h, dtype="uint8", block=block)
+    tiles = None
+    for b in range(nbands):
+        arr = np.zeros(w * h, np.uint8)
+        src = np.frombuffer(data, np.uint8, max(0, len(data) - skip),
+                            skip)[b::nbands]
+        arr[:len(src[:w * h])] = src[:w * h]
+        t = from_array(spark, arr.reshape(h, w), meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta
+
+
+def read_eir(spark: SparkSession, path: str, raster_id: str = "eir",
+             block: int = 512) -> tuple[DataFrame, RasterMeta]:
+    """Erdas Imagine Raw: keyword header (WIDTH/HEIGHT/NUM_LAYERS/
+    PIXEL_FILES/FORMAT/DATATYPE/DATA_OFFSET, eirdataset.cpp)."""
+    import os
+    kv = {}
+    for ln in open(path, encoding="latin-1"):
+        toks = ln.split(None, 1)
+        if len(toks) == 2:
+            kv[toks[0]] = toks[1].strip()
+        elif len(toks) == 1:
+            kv[toks[0]] = ""
+    if "IMAGINE_RAW_FILE" not in kv:
+        raise ValueError("not an EIR header")
+    w, h = int(kv["WIDTH"]), int(kv["HEIGHT"])
+    nl = int(kv.get("NUM_LAYERS", "1"))
+    off = int(kv.get("DATA_OFFSET", "0"))
+    dtype = {"U8": "uint8", "U16": "uint16", "S16": "int16",
+             "F32": "float32"}.get(kv.get("DATATYPE", "U8"), "uint8")
+    img = os.path.join(os.path.dirname(path) or ".", kv["PIXEL_FILES"])
+    data = open(img, "rb").read()
+    dt = np.dtype(dtype)
+    from gdal_spark.raster.model import from_array
+    meta = RasterMeta(raster_id, w, h, dtype=dtype, block=block)
+    tiles = None
+    for b in range(nl):
+        arr = np.zeros(w * h, dt)
+        s = off + b * w * h * dt.itemsize  # BSQ fallback; BIL per line
+        n = min(w * h, max(0, (len(data) - s) // dt.itemsize))
+        arr[:n] = np.frombuffer(data, dt, n, s)
+        t = from_array(spark, arr.reshape(h, w), meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta
+
+
+def read_snodas(spark: SparkSession, path: str,
+                raster_id: str = "snodas", block: int = 512
+                ) -> tuple[DataFrame, RasterMeta, dict]:
+    """NOHRSC SNODAS: 'key: value' header + int16 big-endian payload;
+    geotransform from the min/max axis coordinates
+    (snodasdataset.cpp); returns (tiles, meta, header-info)."""
+    import os
+    kv = {}
+    for ln in open(path, encoding="latin-1"):
+        if ":" in ln:
+            k, v = ln.split(":", 1)
+            kv[k.strip()] = v.strip()
+    if not kv.get("Format version", "").startswith("NOHRSC"):
+        raise ValueError("not a SNODAS header")
+    w = int(kv["Number of columns"])
+    h = int(kv["Number of rows"])
+    minx = float(kv["Minimum x-axis coordinate"])
+    maxx = float(kv["Maximum x-axis coordinate"])
+    miny = float(kv["Minimum y-axis coordinate"])
+    maxy = float(kv["Maximum y-axis coordinate"])
+    gt = (minx, (maxx - minx) / w, 0.0, maxy, 0.0, -(maxy - miny) / h)
+    nodata = float(kv.get("No data value", "nan"))
+    datf = os.path.join(os.path.dirname(path) or ".",
+                        os.path.basename(kv["Data file pathname"]))
+    data = open(datf, "rb").read() if os.path.exists(datf) else b""
+    arr = np.zeros(w * h, ">i2")
+    n = min(w * h, len(data) // 2)
+    arr[:n] = np.frombuffer(data, ">i2", n)
+    from gdal_spark.raster.model import from_array
+    meta = RasterMeta(raster_id, w, h, gt=gt, dtype="int16",
+                      nodata=nodata, block=block)
+    info = {"min": float(kv.get("Minimum data value", "nan")),
+            "max": float(kv.get("Maximum data value", "nan")),
+            "units": kv.get("Data units", "")}
+    return from_array(spark, arr.astype("int16").reshape(h, w),
+                      meta), meta, info
+
+
+_VICAR_TYPES = {"BYTE": "uint8", "HALF": "int16", "FULL": "uint32",
+                "REAL": "float32", "DOUB": "float64"}
+
+
+def read_vicar(spark: SparkSession, path: str, raster_id: str = "vicar",
+               block: int = 512) -> tuple[DataFrame, RasterMeta, dict]:
+    """VICAR: KEY=VALUE label of LBLSIZE bytes (values quoted or
+    parenthesized; PROPERTY= groups prefix following keys); NL x NS x
+    NB payload after the label (+NLB header records), dtype from
+    FORMAT/INTFMT; geotransform from the MAP property exactly as
+    vicardataset.cpp:320-365 (center-offset shifts -0.5, sample mult
+    -1, dfYDim = -MAP_SCALE*1000). Truncated payloads zero-fill."""
+    head = open(path, "rb").read(64).decode("latin-1", "replace")
+    if "LBLSIZE" not in head:
+        raise ValueError("not a VICAR file")
+    lblsize = int(re.search(r"LBLSIZE\s*=\s*(\d+)", head).group(1))
+    label = open(path, "rb").read(lblsize).decode("latin-1", "replace")
+    kv = {}
+    prop = None
+    for m in re.finditer(r"(\w+)=('(?:[^']*)'|\([^)]*\)|[^\s]+)", label):
+        k, v = m.group(1), m.group(2).strip("'")
+        if k == "PROPERTY":
+            prop = v.split("_")[-1]
+            continue
+        if k == "TASK":
+            prop = None
+            continue
+        kv[k] = v
+        if prop:
+            kv[f"{prop}.{k}"] = v
+    nl = int(kv["NL"])
+    ns = int(kv["NS"])
+    nb = int(kv.get("NB", "1"))
+    nlb = int(kv.get("NLB", "0"))
+    recsize = int(kv.get("RECSIZE", "0"))
+    dts = _VICAR_TYPES.get(kv.get("FORMAT", "BYTE"), "uint8")
+    bo = "<" if kv.get("INTFMT", "LOW") == "LOW" else ">"
+    dt = np.dtype(dts).newbyteorder(bo)
+    data = open(path, "rb").read()
+    start = lblsize + nlb * recsize
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    if "MAP.MAP_SCALE" in kv:
+        xdim = float(kv["MAP.MAP_SCALE"]) * 1000.0
+        ydim = -xdim
+        ulx = (float(kv.get("MAP.SAMPLE_PROJECTION_OFFSET", "0"))
+               - 0.5) * xdim * -1.0
+        uly = (float(kv.get("MAP.LINE_PROJECTION_OFFSET", "0"))
+               - 0.5) * -ydim * 1.0
+        gt = (ulx, xdim, 0.0, uly, 0.0, ydim)
+    from gdal_spark.raster.model import from_array
+    meta = RasterMeta(raster_id, ns, nl, gt=gt, dtype=dts, block=block)
+    tiles = None
+    for b in range(nb):
+        arr = np.zeros(ns * nl, dt)
+        s = start + b * ns * nl * dt.itemsize
+        n = min(ns * nl, max(0, (len(data) - s) // dt.itemsize))
+        if n > 0:
+            arr[:n] = np.frombuffer(data, dt, n, s)
+        t = from_array(spark, arr.astype(dts).reshape(nl, ns), meta,
+                       band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    info = {k: v for k, v in kv.items() if "." in k}
+    return tiles, meta, info
+
+
+def read_cpg_sirc(spark: SparkSession, path: str,
+                  raster_id: str = "sirc", block: int = 256
+                  ) -> tuple[DataFrame, RasterMeta]:
+    """Convair PolGASP SIRC variant: <stem>SIRC.hdr + .img of 10-byte
+    compressed scattering groups -> 4 CFloat32 bands (HH, HV, VH, VV),
+    decoded per cpgdataset.cpp SIRC_QSLCRasterBand::IReadBlock
+    (power-of-two scale byte + signed 7-bit re/im)."""
+    import os
+    kv = {}
+    for ln in open(path, encoding="latin-1"):
+        toks = ln.split(None, 1)
+        if len(toks) == 2:
+            kv[toks[0]] = toks[1].strip()
+    h = int(kv["number_lines"])
+    w = int(kv["number_samples"])
+    img = os.path.splitext(path)[0] + ".img"
+    raw = np.zeros(w * h * 10, np.int8)
+    data = np.fromfile(img, np.int8)
+    raw[:min(len(data), len(raw))] = data[:len(raw)]
+    g = raw.reshape(-1, 10)
+    scale = np.sqrt((g[:, 1].astype(np.float64) / 254 + 1.5) *
+                    np.power(2.0, g[:, 0].astype(np.float64)))
+    from gdal_spark.raster.model import from_array
+    meta = RasterMeta(raster_id, w, h, dtype="complex64", block=block)
+    tiles = None
+    for b in range(4):
+        re_ = g[:, 2 + 2 * b].astype(np.float64) * scale / 127.0
+        im = g[:, 3 + 2 * b].astype(np.float64) * scale / 127.0
+        arr = (re_ + 1j * im).astype(np.complex64).reshape(h, w)
+        t = from_array(spark, arr, meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta
