@@ -539,3 +539,47 @@ def read_netcdf(spark, path: str, var: str | None = None,
                                columns=[f.name for f in TILE_SCHEMA])
 
     return spec.mapInPandas(run, schema=TILE_SCHEMA), meta
+
+
+def read_gmt(spark, path: str, raster_id: str = "gmt", block: int = 256):
+    """GMT v1 grid (CDF-1 with x_range/y_range/spacing/dimension/z
+    variables): z is a flat xysize vector, row 0 = north; gt per
+    gdal/frmts/netcdf/gmtdataset.cpp:292-345 (node_offset 1 = pixel
+    registration, 0 = gridline with half-pixel shift)."""
+    import struct as _struct
+
+    from gdal_spark.raster.model import RasterMeta, from_array
+    data = open(path, "rb").read()
+    f = parse_cdf(data)
+    need = {"x_range", "y_range", "dimension", "z"}
+    if not need <= set(f.variables):
+        raise ValueError("not a GMT v1 grid")
+
+    def dvals(name, n, dt):
+        v = f.variables[name]
+        return np.frombuffer(data, dt, n, v.begin)
+
+    x_range = dvals("x_range", 2, ">f8")
+    y_range = dvals("y_range", 2, ">f8")
+    nx, ny = (int(x) for x in dvals("dimension", 2, ">i4"))
+    zvar = f.variables["z"]
+    ztype = {3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8", 1: "u1"}[zvar.nc_type]
+    z = np.frombuffer(data, ztype, nx * ny, zvar.begin).reshape(ny, nx)
+    scale = float(zvar.atts.get("scale_factor", 1.0))
+    offset = float(zvar.atts.get("add_offset", 0.0))
+    node_offset = int(zvar.atts.get("node_offset", 1))
+    if scale != 1.0 or offset != 0.0:
+        z = z * scale + offset
+    if node_offset == 1:
+        px = (x_range[1] - x_range[0]) / nx
+        py = (y_range[0] - y_range[1]) / ny
+        gt = (x_range[0], px, 0.0, y_range[1], 0.0, py)
+    else:
+        px = (x_range[1] - x_range[0]) / (nx - 1)
+        py = (y_range[0] - y_range[1]) / (ny - 1)
+        gt = (x_range[0] - px * 0.5, px, 0.0,
+              y_range[1] - py * 0.5, 0.0, py)
+    dts = str(z.dtype.newbyteorder("="))
+    meta = RasterMeta(raster_id, nx, ny, gt=gt, dtype=dts, block=block)
+    return from_array(spark, np.ascontiguousarray(z).astype(dts),
+                      meta), meta

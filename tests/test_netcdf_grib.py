@@ -230,3 +230,18 @@ def test_hdf4_spark_read(spark):
     from gdal_spark.raster.model import to_array
     arr = to_array(t, m)
     assert arr.ravel().tolist() == [120, 80, 0, 100, 0, 50]
+
+
+def test_gmt_grid(spark):
+    # autotest/gdrivers/gmt.py gmt_1: checksum 34762
+    import os
+    from gdal_spark.raster.checksum import py_checksum
+    from gdal_spark.raster.model import to_array
+    from gdal_spark.raster.netcdf import read_gmt
+    path = "/root/reference/autotest/gdrivers/data/gmt_1.grd"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference autotest data not present")
+    df, meta = read_gmt(spark, path)
+    assert (meta.width, meta.height) == (50, 50)
+    assert py_checksum(to_array(df, meta)) == 34762
