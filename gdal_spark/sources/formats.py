@@ -1448,7 +1448,10 @@ def gml_features(path: str) -> tuple[list[dict], list[str]]:
     root = ET.parse(path).getroot()
     feats, order = [], []
     for fm in root.iter():
-        if _strip_ns(fm.tag) not in ("featureMember", "member"):
+        # GML 2 featureMember (one child each), WFS 1.1
+        # gml:featureMembers (all children), WFS 2 member
+        if _strip_ns(fm.tag) not in ("featureMember", "featureMembers",
+                                     "member"):
             continue
         for feat_el in fm:
             row = {"gml_id": feat_el.get("fid") or feat_el.get(

@@ -743,3 +743,22 @@ def test_shapefile_z_synthetic_roundtrip(spark):
     assert G.wkt_from_wkb(g1) == "LINESTRING (0 0 5,1 1 6)"
     assert G.wkt_from_wkb(g2) == \
         "POLYGON ((0 0 9,0 2 9,2 2 9,2 0 9,0 0 9))"
+
+
+def test_gml_wfs11_feature_members(spark):
+    # WFS 1.1 gml:featureMembers (plural) + gml:pos points
+    # (autotest/ogr/data/archsites.gml)
+    import os
+    path = "/root/reference/autotest/ogr/data/archsites.gml"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference autotest data not present")
+    from gdal_spark.functions.geometry import wkt_from_wkb
+    df = FMT.read_gml(spark, path)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["gml_id"] == "archsites.3951"
+    assert rows[0]["cat"] == 1
+    assert rows[0]["str1"] == "Signature Rock"
+    assert wkt_from_wkb(bytes(rows[0]["geometry"])) == \
+        "POINT (593493 4914730)"
