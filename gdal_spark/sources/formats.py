@@ -349,15 +349,45 @@ def _rings_to_wkb(rings: list[np.ndarray]) -> bytes:
     return G.encode_multipolygon([[rings[i] for i in g] for g in groups])
 
 
-def parse_shp(data: bytes) -> list[bytes | None]:
-    """.shp payload → list of WKB geometries (record order = FID order)."""
+def parse_shp(data: bytes, shx: bytes | None = None
+              ) -> list[bytes | None]:
+    """.shp payload → list of WKB geometries (record order = FID
+    order). When the .shx is provided its (offset, size) entries are
+    authoritative, exactly as shapelib's SHPReadObject — a record the
+    index declares too small decodes to a null geometry with a
+    quieted error (autotest buggy* fixtures)."""
     n = len(data)
     geoms: list[bytes | None] = []
+    if shx is not None and len(shx) >= 100:
+        entries = np.frombuffer(shx, ">i4", (len(shx) - 100) // 4, 100)
+        for k in range(0, len(entries) - 1, 2):
+            off = int(entries[k]) * 2 + 8
+            size = int(entries[k + 1]) * 2
+            try:
+                geoms.append(_shp_record(data[:off + size], off))
+            except (ValueError, struct.error, IndexError):
+                geoms.append(None)
+        return geoms
     off = 100  # fixed main-file header
     while off + 8 <= n:
         (_recno, clen) = struct.unpack_from(">ii", data, off)
         off += 8
         end = off + 2 * clen
+        try:
+            geoms.append(_shp_record(data, off))
+        except (ValueError, struct.error, IndexError):
+            # corrupt record (the reference's shape reader raises a
+            # per-feature error and serves a null geometry)
+            geoms.append(None)
+        off = end
+    return geoms
+
+
+def _shp_record(data: bytes, off: int) -> bytes | None:
+    """Decode one .shp record at `off` -> WKB or None."""
+    n = len(data)
+    geoms: list[bytes | None] = []
+    if True:
         (stype,) = struct.unpack_from("<i", data, off)
         if stype == _SHP_NULL:
             geoms.append(None)
@@ -447,8 +477,7 @@ def parse_shp(data: bytes) -> list[bytes | None]:
                                for s in segs])))
         else:
             raise ValueError(f"unsupported shape type {stype}")
-        off = end
-    return geoms
+    return geoms[0] if geoms else None
 
 
 def parse_dbf(data: bytes) -> pd.DataFrame:
@@ -640,16 +669,18 @@ def read_shapefile(spark: SparkSession, path_glob: str) -> DataFrame:
     files = (spark.read.format("binaryFile").load(path_glob)
              .select("path", "content")
              .withColumn("stem", F.regexp_replace("path", r"\.(shp|dbf|shx)$", ""))
-             .filter(F.col("path").rlike(r"\.(shp|dbf)$")))
+             .filter(F.col("path").rlike(r"\.(shp|dbf|shx)$")))
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        shp = dbf = None
+        shp = dbf = shx = None
         for p, c in zip(pdf["path"], pdf["content"]):
             if p.endswith(".shp"):
                 shp = bytes(c)
             elif p.endswith(".dbf"):
                 dbf = bytes(c)
-        geoms = parse_shp(shp) if shp is not None else []
+            elif p.endswith(".shx"):
+                shx = bytes(c)
+        geoms = parse_shp(shp, shx) if shp is not None else []
         attrs = parse_dbf(dbf) if dbf is not None else pd.DataFrame(
             index=range(len(geoms)))
         n = max(len(geoms), len(attrs))
