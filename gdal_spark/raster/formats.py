@@ -4422,3 +4422,61 @@ def read_cpg_sirc(spark: SparkSession, path: str,
         t = from_array(spark, arr, meta, band=b)
         tiles = t if tiles is None else tiles.unionByName(t)
     return tiles, meta
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF GeoKey directory -> CRS (gdal/frmts/gtiff/gt_wkt_srs.cpp
+# GTIFGetOGISDefn; key ids per the GeoTIFF 1.1 spec)
+# ---------------------------------------------------------------------------
+
+def geotiff_geokeys(data: bytes, ifd: int = 0) -> dict:
+    """Raw GeoKey dictionary: id -> short value / double(s) / ascii."""
+    tags, en = _read_ifd(data, ifd)
+    if 34735 not in tags:
+        return {}
+    shorts = np.asarray(tags[34735], np.int64)
+    doubles = np.asarray(tags.get(34736, ()), np.float64)
+    ascii_ = tags.get(34737, b"")
+    if isinstance(ascii_, tuple):
+        ascii_ = "".join(x.decode("latin-1")
+                         if isinstance(x, (bytes, bytearray)) else str(x)
+                         for x in ascii_)
+    if isinstance(ascii_, (bytes, bytearray)):
+        ascii_ = ascii_.decode("latin-1")
+    out = {}
+    nkeys = int(shorts[3])
+    for k in range(nkeys):
+        kid, loc, cnt, val = (int(x) for x in shorts[4 + 4 * k:8 + 4 * k])
+        if loc == 0:
+            out[kid] = val
+        elif loc == 34736:
+            out[kid] = (float(doubles[val]) if cnt == 1 else
+                        [float(x) for x in doubles[val:val + cnt]])
+        elif loc == 34737:
+            out[kid] = ascii_[val:val + cnt].rstrip("|\x00")
+    return out
+
+
+def geotiff_srs(data: bytes, ifd: int = 0) -> dict:
+    """CRS info from the GeoKeys: model type, the EPSG code the
+    reference would report (ProjectedCSTypeGeoKey 3072 /
+    GeographicTypeGeoKey 2048), the bundled-registry CRS object when
+    buildable, and the citation strings."""
+    keys = geotiff_geokeys(data, ifd)
+    if not keys:
+        return {}
+    out = {"model_type": {1: "projected", 2: "geographic",
+                          3: "geocentric"}.get(keys.get(1024), "unknown"),
+           "citation": keys.get(1026) or keys.get(2049) or
+           keys.get(3073)}
+    code = keys.get(3072) if keys.get(3072, 32767) != 32767 else None
+    if code is None:
+        code = keys.get(2048) if keys.get(2048, 32767) != 32767 else None
+    out["epsg"] = code
+    if code:
+        try:
+            from gdal_spark.functions.epsg import from_epsg
+            out["crs"] = from_epsg(int(code))
+        except Exception:
+            out["crs"] = None
+    return out

@@ -841,3 +841,33 @@ def test_pds_goldens(spark, fn, cs, gt, nodata):
     assert meta.nodata == nodata
     if fn.startswith("fl73n003_truncated"):
         assert scale == 0.2 and offset == -20.2
+
+
+def test_geotiff_geokey_srs():
+    # GeoKey directory -> EPSG -> registry CRS (gt_wkt_srs.cpp
+    # GTIFGetOGISDefn); byte.tif is NAD27 / UTM 11N (EPSG:26711)
+    import os
+
+    import pytest
+    from gdal_spark.raster.formats import geotiff_srs
+    path = "/root/reference/autotest/gcore/data/byte.tif"
+    if not os.path.exists(path):
+        pytest.skip("reference autotest data not present")
+    s = geotiff_srs(open(path, "rb").read())
+    assert s["model_type"] == "projected"
+    assert s["epsg"] == 26711
+    assert s["citation"] == "NAD27 / UTM zone 11N"
+    crs = s["crs"]
+    assert abs(crs.k0 - 0.9996) < 1e-12
+    assert abs(crs.lon0 - -117.0) < 1e-9
+    assert abs(crs.a - 6378206.4) < 1e-6
+    # forward/inverse round trip near the raster origin
+    x, y = 440720.0, 3751320.0
+    lon, lat = crs.inverse(x, y)
+    assert abs(lon - -117.641) < 0.01 and abs(lat - 33.9) < 0.01
+    x2, y2 = crs.forward(lon, lat)
+    assert abs(x2 - x) < 1e-4 and abs(y2 - y) < 1e-4
+
+    s2 = geotiff_srs(open(
+        "/root/reference/autotest/gcore/data/rgbsmall.tif", "rb").read())
+    assert s2["model_type"] == "geographic" and s2["epsg"] == 4326
