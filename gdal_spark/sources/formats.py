@@ -258,8 +258,31 @@ def read_csv_features(spark: SparkSession, path: str, wkt_col: str = "WKT",
     numeric X/Y columns (point geometry built from doubles). Splitting,
     header handling and type inference are Spark's CSV source — fully
     distributed."""
+    import os as _os
     opts = {"header": "true", "inferSchema": "true", **csv_opts}
-    df = spark.read.options(**opts).csv(path)
+    # .csvt sidecar declares the column types
+    # (ogrcsvlayer.cpp:400-480): Integer/Real/String/Date/Time/
+    # DateTime[(width[.precision])]
+    csvt = _os.path.splitext(path)[0] + ".csvt"
+    if _os.path.exists(csvt):
+        kinds = [t.strip().strip('"').split("(")[0].strip().lower()
+                 for t in open(csvt).readline().split(",")]
+        m = {"integer": "bigint", "real": "double",
+             "integer64": "bigint"}
+        hdr = spark.read.options(header="true").csv(path).columns
+        schema = ", ".join(
+            f"`{n}` {m.get(k, 'string')}"
+            for n, k in zip(hdr, kinds + ["string"] * len(hdr)))
+        opts.pop("inferSchema", None)
+        df = spark.read.options(**{k: v for k, v in opts.items()
+                                   if k != "inferSchema"}) \
+            .schema(schema).csv(path)
+    else:
+        df = spark.read.options(**opts).csv(path)
+    if wkt_col is None and x_col is None:
+        # aspatial table (the reference's CSV layers are geometry-less
+        # unless a WKT/X-Y convention is present)
+        return df
     if x_col is not None and y_col is not None:
         xi = df.schema.fieldNames().index(x_col)
         yi = df.schema.fieldNames().index(y_col)

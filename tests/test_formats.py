@@ -777,3 +777,23 @@ def test_shapefile_corrupt_records_null_geometry(spark):
         rows = FMT.read_shapefile(spark, f"{D}/{name}.shp").collect()
         assert len(rows) == 1, name
         assert rows[0]["geometry"] is None, name
+
+
+def test_csv_csvt_and_aspatial(spark):
+    # .csvt sidecar typing (ogr_csv testcsvt.csv) + aspatial tables +
+    # UTF-8 BOM headers
+    import os
+    D = "/root/reference/autotest/ogr/data"
+    if not os.path.exists(f"{D}/testcsvt.csv"):
+        import pytest
+        pytest.skip("reference autotest data not present")
+    df = FMT.read_csv_features(spark, f"{D}/testcsvt.csv", wkt_col=None)
+    assert dict(df.dtypes)["INTCOL"] == "bigint"
+    assert dict(df.dtypes)["REALCOL"] == "double"
+    r = df.collect()[0]
+    assert r["INTCOL"] == 12 and r["REALCOL"] == 5.7
+    assert r["STRINGCOL"] == "foo"
+    bom = FMT.read_csv_features(spark, f"{D}/csv_with_utf8_bom.csv",
+                                wkt_col=None)
+    assert bom.columns[0] == "id"
+    assert bom.count() == 2
