@@ -3336,3 +3336,81 @@ def read_rec(spark: SparkSession, path: str) -> DataFrame:
             buf = ""
     schema = ", ".join(f"`{n}` {t}" for n, t, _w in fields)
     return spark.createDataFrame(rows, schema)
+
+
+def read_kml_distributed(spark: SparkSession, path: str,
+                         n_ranges: int = 32) -> DataFrame:
+    """Executor-side KML Placemark parse, same output as
+    ``read_kml(layer=None)``: the file splits into byte ranges, each
+    task regex-extracts complete ``<Placemark>`` elements whose start
+    offset falls in its range (Placemarks never nest inside each
+    other), and file-order fids are rebased from per-range counts —
+    the same pattern as ``read_gpx_distributed``. This removes the
+    driver-parse caveat for multi-GB flat KML exports; Folder-scoped
+    layer reads keep the driver parse (their membership depends on
+    document structure)."""
+    import os
+    import re
+    import xml.etree.ElementTree as ET
+
+    fsize = os.path.getsize(path)
+    n = max(1, min(n_ranges, fsize // (64 << 10) + 1))
+    bounds = [fsize * k // n for k in range(n)] + [fsize]
+    spec = spark.createDataFrame(
+        [(k, bounds[k], bounds[k + 1]) for k in range(n)],
+        "rid int, start long, end long")
+    pat = re.compile(rb"<(?:\w+:)?Placemark[\s>]")
+    closepat = re.compile(rb"</(?:\w+:)?Placemark\s*>")
+    tail = 8 << 20
+
+    schema = "rid int, seq long, Name string, description string, " \
+             "geometry binary"
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, s, e0 in zip(pdf["rid"], pdf["start"], pdf["end"]):
+                s, e0 = int(s), int(e0)
+                with open(path, "rb") as fh:
+                    fh.seek(s)
+                    raw = fh.read(min(e0 + tail, fsize) - s)
+                seq = 0
+                for m in pat.finditer(raw):
+                    if s + m.start() >= e0:
+                        break
+                    cm = closepat.search(raw, m.end())
+                    if cm is None:
+                        raise RuntimeError(
+                            "unterminated Placemark in range")
+                    frag = raw[m.start():cm.end()]
+                    el = ET.fromstring(frag)
+                    name = desc = None
+                    wkb = None
+                    for c in el:
+                        t = _strip_ns(c.tag)
+                        if t == "name":
+                            name = c.text
+                        elif t == "description":
+                            desc = c.text
+                        elif t in ("Point", "LineString", "Polygon",
+                                   "MultiGeometry"):
+                            wkb = _kml_geom_wkb(c)
+                    rows.append((int(rid), seq, name, desc,
+                                 bytearray(wkb) if wkb else None))
+                    seq += 1
+            yield pd.DataFrame(rows, columns=[
+                "rid", "seq", "Name", "description", "geometry"])
+
+    feats = spec.repartition(n, "rid").mapInPandas(run, schema).cache()
+    counts = {r["rid"]: r["n"] for r in
+              feats.groupBy("rid").agg(F.count("*").alias("n"))
+              .collect()}
+    offsets, acc = {}, 0
+    for k in range(n):
+        offsets[k] = acc
+        acc += counts.get(k, 0)
+    odf = spark.createDataFrame([(k, v) for k, v in offsets.items()],
+                                "rid int, off long")
+    return (feats.join(F.broadcast(odf), "rid")
+            .select((F.col("off") + F.col("seq")).alias("fid"),
+                    "Name", "description", "geometry"))

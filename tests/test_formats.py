@@ -797,3 +797,17 @@ def test_csv_csvt_and_aspatial(spark):
                                 wkt_col=None)
     assert bom.columns[0] == "id"
     assert bom.count() == 2
+
+
+def test_kml_distributed_matches_driver(spark):
+    # executor-side Placemark parse == the driver parse, byte for byte
+    a = FMT.read_kml(spark, KML).orderBy("fid").collect()
+    b = FMT.read_kml_distributed(spark, KML, n_ranges=4) \
+        .orderBy("fid").collect()
+    assert len(a) == len(b) == 20
+    for x, y in zip(a, b):
+        assert x["Name"] == y["Name"]
+        assert x["description"] == y["description"]
+        gx = bytes(x["geometry"]) if x["geometry"] else None
+        gy = bytes(y["geometry"]) if y["geometry"] else None
+        assert gx == gy
