@@ -48,7 +48,7 @@ def _vector_ext(path: str) -> str:
     base = path.rstrip("/").lower()
     for ext in (".geojsonl", ".geojsons", ".geojson", ".json", ".csv",
                 ".shp", ".gpkg", ".parquet", ".kml", ".gpx", ".mif", ".gml",
-                ".dxf", ".dbf", ".vrt", ".gmt", ".dgn"):
+                ".dxf", ".dbf", ".vrt", ".gmt", ".dgn", ".sqlite", ".db"):
         if base.endswith(ext):
             return ext
     return ""
@@ -91,6 +91,9 @@ def read_vector(spark: SparkSession, src, layer: str | None = None,
     if ext == ".dgn":
         from gdal_spark.sources.dgn import read_dgn
         return read_dgn(spark, src)
+    if ext in (".sqlite", ".db"):
+        from gdal_spark.sources.spatialite import read_sqlite
+        return read_sqlite(spark, src, layer)
     if ext == ".vrt" or (isinstance(src, str)
                          and src.lstrip().startswith("<OGRVRTDataSource")):
         from gdal_spark.sources.vrt_vector import read_vrt_vector
