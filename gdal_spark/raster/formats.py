@@ -4480,3 +4480,241 @@ def geotiff_srs(data: bytes, ifd: int = 0) -> dict:
         except Exception:
             out["crs"] = None
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generic Binary (.bil + colon-keyword .hdr) driver
+# (gdal/frmts/raw/genbindataset.cpp)
+# ---------------------------------------------------------------------------
+
+_GENBIN_DTYPES = {"U8": "uint8", "U16": "uint16", "S16": "int16",
+                  "F32": "float32", "F64": "float64",
+                  "U1": "uint8", "U2": "uint8", "U4": "uint8"}
+
+
+def open_genbin(path: str) -> dict:
+    """Parse the colon-keyword .hdr (genbindataset.cpp:600-780):
+    BANDS/ROWS/COLS/DATATYPE/BYTE_ORDER/INTERLEAVING plus the UL/LR
+    map coordinates; UL_X/Y name the CENTER of the upper-left pixel."""
+    import os
+    stem = os.path.splitext(path)[0]
+    kv, last = {}, None
+    for ln in open(stem + ".hdr").read().splitlines():
+        if ":" in ln and not ln.startswith(("\t", " ")):
+            k, _, v = ln.partition(":")
+            kv[k.strip().upper()] = v.strip()
+            last = k.strip().upper()
+        elif last is not None:
+            kv[last] = kv[last] + " " + ln.strip()
+    w, h = int(kv["COLS"]), int(kv["ROWS"])
+    # pixel size from the UL->LR CENTER span over N-1 pixels, NOT the
+    # PIXEL_WIDTH keyword (genbindataset.cpp:849)
+    if "UL_X_COORDINATE" in kv and "LR_X_COORDINATE" in kv:
+        ulx, uly = float(kv["UL_X_COORDINATE"]), float(kv["UL_Y_COORDINATE"])
+        px = (float(kv["LR_X_COORDINATE"]) - ulx) / (w - 1)
+        py = (float(kv["LR_Y_COORDINATE"]) - uly) / (h - 1)
+        gt = (ulx - px * 0.5, px, 0.0, uly - py * 0.5, 0.0, py)
+    else:
+        gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    return {"width": w, "height": h, "bands": int(kv.get("BANDS", "1")),
+            "dtype": _GENBIN_DTYPES[kv.get("DATATYPE", "U8").upper()],
+            "bits": kv.get("DATATYPE", "U8").upper(),
+            "order": ">" if kv.get("BYTE_ORDER", "NA").upper()
+            .startswith("M") else "<",
+            "interleave": kv.get("INTERLEAVING", "BIL").upper(),
+            "gt": gt, "metadata": kv}
+
+
+def read_genbin(spark: SparkSession, path: str, raster_id: str = "genbin",
+                block: int = 256, bands: list[int] | None = None,
+                window: tuple[int, int, int, int] | None = None
+                ) -> tuple[DataFrame, RasterMeta, dict]:
+    """GenBin read; U1/U2/U4 unpack MSB-first within each byte
+    (genbindataset.cpp GenBinBitRasterBand). Short payloads zero-fill
+    (RawRasterBand beyond-EOF semantics); ``window`` limits the
+    materialized region like a RasterIO windowed read."""
+    from gdal_spark.raster.model import from_array
+    info = open_genbin(path)
+    W, H, nb = info["width"], info["height"], info["bands"]
+    dt = np.dtype(info["dtype"]).newbyteorder(info["order"])
+    xoff, yoff, xs, ys = window or (0, 0, W, H)
+    meta = RasterMeta(raster_id, xs, ys,
+                      gt=(info["gt"][0] + xoff * info["gt"][1], info["gt"][1],
+                          0.0, info["gt"][3] + yoff * info["gt"][5], 0.0,
+                          info["gt"][5]),
+                      dtype=info["dtype"], block=block)
+    raw = np.fromfile(path, np.uint8)
+    if info["bits"] in ("U1", "U2", "U4"):
+        nbits = int(info["bits"][1])
+        per_byte = 8 // nbits
+        full = np.zeros(((W * H + per_byte - 1) // per_byte,), np.uint8)
+        full[:len(raw)] = raw[:len(full)]
+        shifts = np.arange(per_byte - 1, -1, -1) * nbits
+        vals = ((full[:, None] >> shifts[None, :]) & ((1 << nbits) - 1))
+        plane = vals.reshape(-1)[:W * H].reshape(H, W)
+        tiles = from_array(spark, plane[yoff:yoff + ys, xoff:xoff + xs],
+                           meta, band=0)
+        return tiles, meta, info
+    item = dt.itemsize
+    cube = np.zeros((nb, H, W), dt)
+    n = min(len(raw) // item, nb * H * W)
+    vals = np.frombuffer(raw.tobytes(), dt, n)
+    il = info["interleave"]
+    flat = (cube.reshape(-1) if il == "BSQ"
+            else cube.transpose(1, 0, 2).reshape(-1) if il == "BIL"
+            else cube.transpose(1, 2, 0).reshape(-1))
+    flat[:n] = vals
+    if il == "BIL":
+        cube = flat.reshape(H, nb, W).transpose(1, 0, 2)
+    elif il == "BIP":
+        cube = flat.reshape(H, W, nb).transpose(2, 0, 1)
+    else:
+        cube = flat.reshape(nb, H, W)
+    tiles = None
+    for b in (bands if bands is not None else range(nb)):
+        sub = np.ascontiguousarray(
+            cube[b, yoff:yoff + ys, xoff:xoff + xs]).astype(info["dtype"])
+        t = from_array(spark, sub, meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta, info
+
+
+# ---------------------------------------------------------------------------
+# NDF (NLAPS data format, .H1/.H2/.H3 text header + band files)
+# (gdal/frmts/raw/ndfdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def open_ndf(path: str) -> dict:
+    """Parse the KEY=VALUE; header. The UPPER_LEFT_CORNER's 3rd/4th
+    items are the easting/northing of the UL pixel CENTER
+    (ndfdataset.cpp:270: gt = corner - half pixel)."""
+    import os
+    kv = {}
+    for ln in open(path, "rb").read().decode("latin-1").splitlines():
+        ln = ln.strip()
+        if "=" in ln:
+            k, _, v = ln.partition("=")
+            kv[k.strip()] = v.rstrip(";").strip()
+    w = int(kv["PIXELS_PER_LINE"])
+    h = int(kv["LINES_PER_DATA_FILE"])
+    psx, psy = [float(x) for x in kv["PIXEL_SPACING"].split(",")[:2]]
+    ul = kv["UPPER_LEFT_CORNER"].split(",")
+    ulx, uly = float(ul[2]), float(ul[3])
+    gt = (ulx - psx / 2.0, psx, 0.0, uly + psy / 2.0, 0.0, -psy)
+    d = os.path.dirname(path)
+    bands = []
+    i = 1
+    while f"BAND{i}_FILENAME" in kv:
+        bands.append(os.path.join(d, kv[f"BAND{i}_FILENAME"]))
+        i += 1
+    bits = int(kv.get("BITS_PER_PIXEL", "8"))
+    return {"width": w, "height": h, "gt": gt, "bands": bands,
+            "dtype": "uint8" if bits <= 8 else "uint16",
+            "metadata": kv}
+
+
+def read_ndf(spark: SparkSession, path: str, raster_id: str = "ndf",
+             block: int = 256,
+             window: tuple[int, int, int, int] | None = None
+             ) -> tuple[DataFrame, RasterMeta, dict]:
+    """NDF read: one raw file per band, zero-filled when truncated."""
+    from gdal_spark.raster.model import from_array
+    info = open_ndf(path)
+    W, H = info["width"], info["height"]
+    xoff, yoff, xs, ys = window or (0, 0, W, H)
+    g = info["gt"]
+    meta = RasterMeta(raster_id, xs, ys,
+                      gt=(g[0] + xoff * g[1], g[1], 0.0,
+                          g[3] + yoff * g[5], 0.0, g[5]),
+                      dtype=info["dtype"], block=block)
+    item = np.dtype(info["dtype"]).itemsize
+    tiles = None
+    for bi, bpath in enumerate(info["bands"]):
+        arr = np.zeros((ys, xs), info["dtype"])
+        raw = np.fromfile(bpath, np.uint8)
+        vals = np.frombuffer(raw.tobytes(),
+                             np.dtype(info["dtype"]).newbyteorder(">"),
+                             len(raw) // item)
+        # fill row by row from the file's row-major layout
+        for r in range(ys):
+            srow = yoff + r
+            lo = srow * W + xoff
+            hi = min(lo + xs, len(vals))
+            if lo < len(vals):
+                arr[r, :hi - lo] = vals[lo:hi]
+        t = from_array(spark, arr, meta, band=bi)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta, info
+
+
+# ---------------------------------------------------------------------------
+# MFF2/HKV (directory with 'attrib' + 'image_data' [+ 'georef'])
+# (gdal/frmts/raw/hkvdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def _hkv_kv(path: str) -> dict:
+    kv = {}
+    for ln in open(path).read().splitlines():
+        if "=" in ln:
+            k, _, v = ln.partition("=")
+            v = v.strip()
+            if v.startswith("{"):
+                # { a *b c } — the starred member is the active choice
+                toks = v.strip("{} ").split()
+                starred = [t[1:] for t in toks if t.startswith("*")]
+                v = starred[0] if starred else (toks[0] if toks else "")
+            kv[k.strip()] = v
+    return kv
+
+
+def read_mff2(spark: SparkSession, path: str, raster_id: str = "mff2",
+              block: int = 256) -> tuple[DataFrame, RasterMeta, dict]:
+    """MFF2/HKV read: ``path`` is the dataset DIRECTORY. attrib keys
+    (hkvdataset.cpp:1100-1260): channel.enumeration band count,
+    channel.interleave {pixel|line|sequential}, extent.cols/rows,
+    pixel.encoding {unsigned|twos-complement|ieee-754}, pixel.size in
+    bits, pixel.field {real|complex}, pixel.order {lsbf|msbf}."""
+    import os
+    from gdal_spark.raster.model import from_array
+    kv = _hkv_kv(os.path.join(path, "attrib"))
+    W = int(kv["extent.cols"])
+    H = int(kv["extent.rows"])
+    nb = int(kv.get("channel.enumeration", "1"))
+    bits = int(kv["pixel.size"])
+    enc = kv.get("pixel.encoding", "unsigned")
+    field = kv.get("pixel.field", "real")
+    order = "<" if kv.get("pixel.order", "lsbf") == "lsbf" else ">"
+    if field == "complex":
+        base = "complex64" if bits <= 64 else "complex128"
+    elif enc.startswith("ieee"):
+        base = "float32" if bits <= 32 else "float64"
+    elif enc.startswith("twos"):
+        base = {8: "int8", 16: "int16", 32: "int32"}[bits]
+    else:
+        base = {8: "uint8", 16: "uint16", 32: "uint32"}[bits]
+    dt = np.dtype(base).newbyteorder(order)
+    raw = np.fromfile(os.path.join(path, "image_data"), np.uint8)
+    cube = np.zeros((nb, H, W), dt)
+    n = min(len(raw) // dt.itemsize, nb * H * W)
+    vals = np.frombuffer(raw.tobytes(), dt, n)
+    il = kv.get("channel.interleave", "pixel")
+    if il == "pixel":
+        flat = cube.transpose(1, 2, 0).reshape(-1)
+        flat[:n] = vals
+        cube = flat.reshape(H, W, nb).transpose(2, 0, 1)
+    elif il == "line":
+        flat = cube.transpose(1, 0, 2).reshape(-1)
+        flat[:n] = vals
+        cube = flat.reshape(H, nb, W).transpose(1, 0, 2)
+    else:
+        cube.reshape(-1)[:n] = vals
+    georef = os.path.join(path, "georef")
+    info = {"attrib": kv,
+            "georef": _hkv_kv(georef) if os.path.exists(georef) else {}}
+    meta = RasterMeta(raster_id, W, H, dtype=base, block=block)
+    tiles = None
+    for b in range(nb):
+        t = from_array(spark, np.ascontiguousarray(cube[b]).astype(base),
+                       meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta, info
