@@ -4718,3 +4718,212 @@ def read_mff2(spark: SparkSession, path: str, raster_id: str = "mff2",
                        meta, band=b)
         tiles = t if tiles is None else tiles.unionByName(t)
     return tiles, meta, info
+
+
+# ---------------------------------------------------------------------------
+# R object file (.rda/.rdb workspace rasters)
+# (gdal/frmts/r/rdataset.cpp + rcreatecopy.cpp)
+# ---------------------------------------------------------------------------
+
+_R_LISTSXP, _R_CHARSXP, _R_INTSXP, _R_REALSXP, _R_STRSXP = 2, 9, 13, 14, 16
+
+
+class _RTokens:
+    """Sequential token reader over either flavor: XDR binary (all
+    big-endian) or the ASCII 'RDA2\\nA\\n' line-per-value form."""
+
+    def __init__(self, data: bytes, ascii_: bool):
+        self.ascii = ascii_
+        if ascii_:
+            self.lines = data.decode("latin-1").split("\n")
+            self.i = 2  # past RDA2 / A header lines
+        else:
+            self.buf = memoryview(data)
+            self.off = 7
+
+    def integer(self) -> int:
+        if self.ascii:
+            v = self.lines[self.i]
+            self.i += 1
+            try:
+                return int(v.strip())
+            except ValueError:
+                return -1
+        if self.off + 4 > len(self.buf):
+            return -1
+        (v,) = struct.unpack_from(">i", self.buf, self.off)
+        self.off += 4
+        return v
+
+    def floats(self, n: int) -> np.ndarray:
+        if self.ascii:
+            vals = np.array([float(self.lines[self.i + k])
+                             for k in range(n)])
+            self.i += n
+            return vals
+        vals = np.frombuffer(self.buf, ">f8", n, self.off).astype("float64")
+        self.off += 8 * n
+        return vals
+
+    def string(self) -> str:
+        if self.integer() % 256 != _R_CHARSXP:
+            return ""
+        n = self.integer()
+        if self.ascii:
+            s = self.lines[self.i][:n]
+            self.i += 1
+            return s
+        s = bytes(self.buf[self.off:self.off + n]).decode("latin-1")
+        self.off += n
+        return s
+
+
+def read_r(spark: SparkSession, path: str, raster_id: str = "r",
+           block: int = 256) -> tuple[DataFrame, RasterMeta, dict]:
+    """R raster read: version-2 workspace holding one numeric array with
+    a dim attribute of 2 (X,Y) or 3 (X,Y,bands); data is Float64, band-
+    sequential, X-fastest (rdataset.cpp:472-540). .rda gzip containers
+    unwrap first (Identify's /vsigzip/ routing)."""
+    import gzip
+    from gdal_spark.raster.model import from_array
+    data = open(path, "rb").read()
+    if data[:3] == b"\x1f\x8b\x08":
+        data = gzip.decompress(data)
+    if data[:7] == b"RDA2\nA\n":
+        tk = _RTokens(data, True)
+    elif data[:7] == b"RDX2\nX\n":
+        tk = _RTokens(data, False)
+    else:
+        raise ValueError("not an R version-2 object file")
+    if tk.integer() != _R_LISTSXP:
+        raise ValueError("not a version 2 R object file")
+    tk.integer(), tk.integer()          # version values
+    # primary pairlist entry: the matrix object
+    code = tk.integer()
+    if code % 256 != _R_LISTSXP or tk.integer() != 1:
+        raise ValueError("expected object pairlist")
+    obj_name = tk.string()
+    if tk.integer() % 256 != _R_REALSXP:
+        raise ValueError("expected numeric vector object")
+    n_values = tk.integer()
+    values = tk.floats(n_values)
+    X = Y = nb = 0
+    while True:
+        code = tk.integer()
+        if code == 254 or code < 0:
+            break
+        if code % 256 != _R_LISTSXP or tk.integer() != 1:
+            break
+        name = tk.string()
+        code = tk.integer()
+        if name == "dim" and code % 256 == _R_INTSXP:
+            cnt = tk.integer()
+            dims = [tk.integer() for _ in range(cnt)]
+            if cnt == 2:
+                X, Y, nb = dims[0], dims[1], 1
+            elif cnt == 3:
+                X, Y, nb = dims
+        elif code % 256 == _R_REALSXP:
+            tk.floats(tk.integer())
+        elif code % 256 == _R_INTSXP:
+            cnt = tk.integer()
+            for _ in range(cnt):
+                tk.integer()
+        elif code % 256 == _R_STRSXP:
+            cnt = tk.integer()
+            for _ in range(cnt):
+                tk.string()
+        elif code % 256 == _R_CHARSXP:
+            tk.string()
+    if X == 0 or n_values < X * Y * nb:
+        raise ValueError("R dim attribute missing or short data")
+    meta = RasterMeta(raster_id, X, Y, dtype="float64", block=block)
+    tiles = None
+    for b in range(nb):
+        plane = values[b * X * Y:(b + 1) * X * Y].reshape(Y, X)
+        t = from_array(spark, plane, meta, band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta, {"object_name": obj_name, "bands": nb}
+
+
+def write_r(tiles: DataFrame, meta: RasterMeta, path: str,
+            ascii_: bool = False, compress: bool | None = None,
+            bands: int = 1) -> None:
+    """R raster write, matching rcreatecopy.cpp: object 'gg', data as
+    Float64 then a dim attribute; binary output gzips by default."""
+    import gzip
+    from io import BytesIO
+    from gdal_spark.raster.model import to_array
+    if compress is None:
+        compress = not ascii_
+    out = BytesIO()
+
+    def w_int(v: int) -> None:
+        out.write(f"{v}\n".encode() if ascii_ else struct.pack(">i", v))
+
+    def w_str(s: str) -> None:
+        w_int(4105)
+        w_int(len(s))
+        out.write((s + "\n").encode() if ascii_ else s.encode())
+
+    out.write(b"RDA2\nA\n" if ascii_ else b"RDX2\nX\n")
+    w_int(2), w_int(133377), w_int(131840)
+    w_int(1026), w_int(1)
+    w_str("gg")
+    w_int(526)
+    w_int(meta.width * meta.height * bands)
+    for b in range(bands):
+        arr = to_array(tiles, meta, band=b).astype("float64")
+        if ascii_:
+            out.write("".join(f"{v:.16g}\n"
+                              for v in arr.reshape(-1)).encode())
+        else:
+            out.write(arr.astype(">f8").tobytes())
+    w_int(1026), w_int(1)
+    w_str("dim")
+    w_int(13), w_int(3)
+    w_int(meta.width), w_int(meta.height), w_int(bands)
+    w_int(254)
+    payload = out.getvalue()
+    with open(path, "wb") as f:
+        f.write(gzip.compress(payload) if compress else payload)
+
+
+# ---------------------------------------------------------------------------
+# ACE2 (filename-georeferenced raw altimetry tiles)
+# (gdal/frmts/raw/ace2dataset.cpp)
+# ---------------------------------------------------------------------------
+
+def open_ace2(path: str) -> dict:
+    """Geometry from the FILENAME alone (ace2dataset.cpp Open):
+    '45N015E_5M.ACE2' = SW corner lat/lon, resolution token before the
+    extension (30S=1/3600 deg ... 5M=1/12 deg); tile spans 15 deg
+    (x18 for 30S/9S/3S) and the file is Float32 (or Int16 for the
+    _quality/_source sets by extension)."""
+    import os
+    base = os.path.basename(path)
+    stem = base.split(".")[0]
+    name, _, res = stem.rpartition("_")
+    lat = int(name[0:2]) * (1 if name[2] == "N" else -1)
+    lon = int(name[3:6]) * (1 if name[6] == "E" else -1)
+    steps = {"30S": 3600, "9S": 1200, "3S": 400, "5M": 12}
+    per_deg = steps[res.upper()]
+    span = 15
+    n = span * per_deg
+    gt = (lon, 1.0 / per_deg, 0.0, lat + span, 0.0, -1.0 / per_deg)
+    return {"width": n, "height": n, "gt": gt}
+
+
+def read_ace2(spark: SparkSession, path: str, raster_id: str = "ace2",
+              block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    from gdal_spark.raster.model import from_array
+    info = open_ace2(path)
+    W, H = info["width"], info["height"]
+    raw = np.fromfile(path, np.uint8)
+    arr = np.zeros((H, W), "<f4")
+    flat = arr.reshape(-1)
+    n = min(len(raw) // 4, W * H)
+    flat[:n] = np.frombuffer(raw.tobytes(), "<f4", n)
+    meta = RasterMeta(raster_id, W, H, gt=info["gt"], dtype="float32",
+                      block=block)
+    return from_array(spark, arr.astype("float32"), meta), meta
