@@ -47,6 +47,8 @@ class H5Dataset:
     btree_addr: int = 0
     filters: list = field(default_factory=list)
     compact: bytes = b""
+    header_addr: int = 0
+    fill: bytes = b""
 
 
 class H5File:
@@ -189,8 +191,11 @@ class H5File:
                     kind = "i" if signed else "u"
                 elif cls == 1:     # float
                     kind = "f"
+                elif cls == 3:     # string dataset (e.g. BAG metadata XML)
+                    dtype = np.dtype(f"S{size}")
+                    continue
                 else:
-                    return  # strings/compound etc: not a raster
+                    return  # compound etc: not a raster
                 dtype = np.dtype((">" if be else "<") + kind + str(size))
             elif mtype == 0x0008:  # data layout
                 ver = d[body]
@@ -228,6 +233,18 @@ class H5File:
                         info["btree"] = info.pop("addr")
                         info["chunk"] = tuple(
                             dsz + [_u(d, p + 4 * rank, 4)])
+            elif mtype == 0x0005:  # fill value (new-style)
+                ver = d[body]
+                if ver in (1, 2):
+                    defined = d[body + 3]
+                    if defined:
+                        fsz = _u(d, body + 4, 4)
+                        info["fill"] = bytes(d[body + 8:body + 8 + fsz])
+                elif ver == 3:
+                    flags = d[body + 1]
+                    if flags & 0x20:       # fill value defined
+                        fsz = _u(d, body + 2, 4)
+                        info["fill"] = bytes(d[body + 6:body + 6 + fsz])
             elif mtype == 0x000B:  # filter pipeline
                 nf = d[body + 1]
                 p = body + 8
@@ -247,7 +264,9 @@ class H5File:
                        chunk_dims=tuple(info.get("chunk", ())),
                        btree_addr=info.get("btree", 0),
                        filters=filters,
-                       compact=info.get("compact", b""))
+                       compact=info.get("compact", b""),
+                       header_addr=header_addr,
+                       fill=info.get("fill", b""))
         self.datasets[path] = ds
 
     # ------ reads ------------------------------------------------------
@@ -257,13 +276,19 @@ class H5File:
         if ds.layout == "compact":
             return np.frombuffer(ds.compact, dtype=ds.dtype,
                                  count=n).reshape(ds.dims)
+        def filled() -> np.ndarray:
+            out = np.zeros(ds.dims, dtype=ds.dtype)
+            if ds.fill and len(ds.fill) == ds.dtype.itemsize:
+                out[...] = np.frombuffer(ds.fill, ds.dtype)[0]
+            return out
+
         if ds.layout == "contiguous":
             if ds.data_addr == UNDEF:
-                return np.zeros(ds.dims, dtype=ds.dtype)
+                return filled()   # unallocated storage reads as fill value
             return np.frombuffer(self.d, dtype=ds.dtype, count=n,
                                  offset=ds.data_addr).reshape(ds.dims)
-        # chunked: walk the v1 raw-data B-tree
-        out = np.zeros(ds.dims, dtype=ds.dtype)
+        # chunked: walk the v1 raw-data B-tree (missing chunks = fill)
+        out = filled()
         cdims = ds.chunk_dims[:-1]  # last = element size
         rank = len(cdims)
         for nbytes, mask, offsets, addr in self._chunks(ds.btree_addr,
@@ -287,6 +312,61 @@ class H5File:
                        for o, c, dim in zip(offsets, cdims, ds.dims))
             trim = tuple(slice(0, s.stop - s.start) for s in sl)
             out[sl] = chunk[trim]
+        return out
+
+    def attributes(self, path: str) -> dict:
+        """Attribute messages (type 0x000C) on a dataset's object
+        header: scalar/1-element numerics -> float, strings -> str
+        (HDF5 spec IV.A.2.m; used for BAG's min/max band attributes)."""
+        ds = self.datasets[path]
+        d = self.d
+        out = {}
+        for mtype, body, msize in self._messages(ds.header_addr):
+            if mtype != 0x000C:
+                continue
+            ver = d[body]
+            if ver == 1:
+                name_sz = _u(d, body + 2, 2)
+                dt_sz = _u(d, body + 4, 2)
+                ds_sz = _u(d, body + 6, 2)
+                p = body + 8
+                name = d[p:p + name_sz].split(b"\x00")[0].decode("utf-8")
+                p += (name_sz + 7) // 8 * 8
+                dt_off = p
+                p += (dt_sz + 7) // 8 * 8
+                sp_off = p
+                p += (ds_sz + 7) // 8 * 8
+            elif ver in (2, 3):
+                name_sz = _u(d, body + 2, 2)
+                dt_sz = _u(d, body + 4, 2)
+                ds_sz = _u(d, body + 6, 2)
+                p = body + (9 if ver == 3 else 8)
+                name = d[p:p + name_sz].split(b"\x00")[0].decode("utf-8")
+                p += name_sz
+                dt_off = p
+                p += dt_sz
+                sp_off = p
+                p += ds_sz
+            else:
+                continue
+            cls = d[dt_off] & 0x0F
+            bits0 = d[dt_off + 1]
+            size = _u(d, dt_off + 4, 4)
+            rank = d[sp_off + 1]
+            sp_ver = d[sp_off]
+            dims_p = sp_off + (8 if sp_ver == 1 else 4)
+            n = 1
+            for i in range(rank):
+                n *= _u(d, dims_p + 8 * i, 8)
+            if cls == 3:
+                out[name] = d[p:p + size * n].split(b"\x00")[0] \
+                    .decode("utf-8", "replace")
+            elif cls in (0, 1):
+                be = ">" if bits0 & 1 else "<"
+                kind = "f" if cls == 1 else \
+                    ("i" if bits0 & 0x08 else "u")
+                vals = np.frombuffer(d, be + kind + str(size), n, p)
+                out[name] = float(vals[0]) if n == 1 else vals.tolist()
         return out
 
     def _chunks(self, addr, rank):
