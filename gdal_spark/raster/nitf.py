@@ -116,8 +116,10 @@ class NITFImage:
             off += 1
             if nluts == 0:
                 self.luts.append(None)
+                self.lut_entries = 0
                 continue
             nelut = _fi(d, h0 + off, 5)
+            self.lut_entries = nelut        # NELUT of the last LUT band
             off += 5
             lut = np.zeros(768, np.uint8)
             take = min(nluts, 3)
