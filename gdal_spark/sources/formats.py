@@ -3414,3 +3414,89 @@ def read_kml_distributed(spark: SparkSession, path: str,
     return (feats.join(F.broadcast(odf), "rid")
             .select((F.col("off") + F.col("seq")).alias("fid"),
                     "Name", "description", "geometry"))
+
+
+# ---------------------------------------------------------------------------
+# SVG driver (Cloudmade vector stream)
+# (gdal/ogr/ogrsf_frmts/svg/ogrsvglayer.cpp)
+# ---------------------------------------------------------------------------
+
+def _svg_parse_d(d_attr: str) -> np.ndarray:
+    """Path 'd' -> vertices; y values negate (the Cloudmade flip,
+    ogrsvglayer.cpp:276), 'l' linetos are relative, Z closes."""
+    pts: list[tuple[float, float]] = []
+    relative = False
+    x = y = 0.0
+    num: list[str] = []
+    buf = ""
+    close = False
+    for ch in d_attr + " ":
+        if ch in "Mm":
+            continue
+        if ch == "L":
+            relative = False
+        elif ch == "l":
+            relative = True
+        elif ch in "zZ":
+            close = True
+        elif ch in "+-.0123456789":
+            buf += ch
+        elif ch == " ":
+            if buf:
+                num.append(buf)
+                buf = ""
+            if len(num) == 2:
+                px, py = float(num[0]), -float(num[1])
+                if relative and pts:
+                    x += px
+                    y += py
+                else:
+                    x, y = px, py
+                pts.append((x, y))
+                num = []
+    if close and pts and pts[0] != pts[-1]:
+        pts.append(pts[0])
+    return np.array(pts)
+
+
+def read_svg(spark: SparkSession, path: str, layer: str = "points"
+             ) -> DataFrame:
+    """Cloudmade SVG read: three layers — 'points' (circle.point),
+    'lines' (path.line), 'polygons' (path.polygon); attributes from the
+    cm:* child elements. One small document = one driver parse (as in
+    the reference's expat stream)."""
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    rows = []
+    fid = 0
+
+    def props_of(el) -> str:
+        p = {}
+        for child in el:
+            tag = child.tag.rsplit("}", 1)[-1]
+            if child.tag.startswith("{http://cloudmade.com/"):
+                p[tag] = (child.text or "").strip()
+        return json.dumps(p, sort_keys=True)
+
+    for el in root.iter():
+        tag = el.tag.rsplit("}", 1)[-1]
+        cls = el.get("class", "")
+        if layer == "points" and tag == "circle" and cls == "point":
+            x = float(el.get("cx", "0"))
+            y = -float(el.get("cy", "0"))
+            rows.append((path, fid, props_of(el),
+                         bytearray(G.encode_point(x, y))))
+            fid += 1
+        elif layer == "lines" and tag == "path" and cls == "line":
+            pts = _svg_parse_d(el.get("d", ""))
+            if len(pts):
+                rows.append((path, fid, props_of(el),
+                             bytearray(G.encode_linestring(pts))))
+                fid += 1
+        elif layer == "polygons" and tag == "path" and cls == "polygon":
+            pts = _svg_parse_d(el.get("d", ""))
+            if len(pts):
+                rows.append((path, fid, props_of(el),
+                             bytearray(G.encode_polygon([pts]))))
+                fid += 1
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
