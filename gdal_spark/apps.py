@@ -46,7 +46,7 @@ from gdal_spark.sources import formats as FMT
 
 def _vector_ext(path: str) -> str:
     base = path.rstrip("/").lower()
-    for ext in (".geojsonl", ".geojsons", ".geojson", ".json", ".csv",
+    for ext in (".geojsonl", ".geojsons", ".topojson", ".geojson", ".json", ".csv",
                 ".shp", ".gpkg", ".parquet", ".kml", ".gpx", ".mif", ".gml",
                 ".dxf", ".dbf", ".vrt", ".gmt", ".dgn", ".sqlite", ".db"):
         if base.endswith(ext):
@@ -63,7 +63,17 @@ def read_vector(spark: SparkSession, src, layer: str | None = None,
     ext = _vector_ext(src)
     if ext in (".geojsonl", ".geojsons"):
         return FMT.read_geojson_seq(spark, src)
-    if ext in (".geojson", ".json"):
+    if ext in (".geojson", ".json", ".topojson"):
+        # content sniff (ogrgeojsondriver.cpp GeoJSONGetSourceType):
+        # TopoJSON and ESRI FeatureService JSON route to their readers
+        head = open(src, "rb").read(4096).decode("utf-8", "replace") \
+            if isinstance(src, str) and os.path.exists(src) else ""
+        if '"Topology"' in head or ext == ".topojson":
+            from gdal_spark.sources.jsonvariants import read_topojson
+            return read_topojson(spark, src, layer or "TopoJSON")
+        if '"esriGeometry' in head or '"objectIdFieldName"' in head:
+            from gdal_spark.sources.jsonvariants import read_esrijson
+            return read_esrijson(spark, src)
         return FMT.read_geojson(spark, src)
     if ext == ".csv":
         return FMT.read_csv_features(spark, src, **opts)
