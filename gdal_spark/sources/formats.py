@@ -69,12 +69,17 @@ FEATURE_SCHEMA = T.StructType([
 # ---------------------------------------------------------------------------
 
 def wkb_from_geojson_geom(geom: dict) -> bytes | None:
-    """GeoJSON geometry object → WKB. GeometryCollection and null
-    geometries map to None (OGR reads a missing/null geometry member as a
-    NULL geometry; collections are outside the engine's six stored types)."""
+    """GeoJSON geometry object → WKB. Null geometries map to None (OGR
+    reads a missing/null geometry member as a NULL geometry);
+    GeometryCollection recurses into its members."""
     if geom is None:
         return None
     kind = geom.get("type")
+    if kind == "GeometryCollection":
+        parts = [wkb_from_geojson_geom(g)
+                 for g in geom.get("geometries") or []]
+        parts = [p for p in parts if p is not None]
+        return G.encode_geometrycollection(parts) if parts else None
     c = geom.get("coordinates")
     if kind == "Point":
         return G.encode_point(float(c[0]), float(c[1]))
@@ -169,10 +174,15 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for src, content in zip(pdf["path"], pdf["content"]):
                 obj = json.loads(bytes(content).decode("utf-8"))
-                for fid, feat in enumerate(_iter_features(obj)):
+                for seq, feat in enumerate(_iter_features(obj)):
                     wkb = wkb_from_geojson_geom(feat.get("geometry"))
                     props = json.dumps(feat.get("properties") or {},
                                        sort_keys=True)
+                    # an integral "id" member is the FID (the driver's
+                    # OGRGeoJSONReadFeature id handling, incl 64-bit)
+                    fid = feat.get("id")
+                    if not isinstance(fid, int) or isinstance(fid, bool):
+                        fid = seq
                     rows.append((src, fid, props,
                                  bytearray(wkb) if wkb else None))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
