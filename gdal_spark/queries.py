@@ -4267,6 +4267,118 @@ QUERIES["proj_omerc_cells"] = (q_proj_omerc_cells, _oracle_proj_omerc())
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021 §A1.1, public paper):
+# per-document rule flags + overall pass — pure column math, and the
+# whole rule set re-expressed in ANSI SQL for the value oracle.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ["the", "a", "data", "key", "join"]
+
+
+def q_gopher_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    n_spaces = ((F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit("")))) / 1).cast("int")
+    mean_wl = F.round((F.length("text") - n_spaces) / n_words, 6)
+    stop_hits = None
+    for s in _GOPHER_STOPS:
+        hit = F.when(F.array_contains(toks, s), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    ok_words = (n_words >= 50) & (n_words <= 100000)
+    ok_wl = (mean_wl >= 3) & (mean_wl <= 10)
+    ok_stops = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.cast("int").alias("stop_hits"),
+        ok_words.cast("int").alias("ok_word_count"),
+        ok_wl.cast("int").alias("ok_word_len"),
+        ok_stops.cast("int").alias("ok_stops"),
+        (ok_words & ok_wl & ok_stops).cast("int").alias("gopher_pass"))
+
+
+def _oracle_gopher() -> str:
+    nw = "len(string_split(text, ' '))"
+    nsp = "CAST((length(text) - length(replace(text, ' ', ''))) AS INTEGER)"
+    mwl = f"round((length(text) - {nsp}) / {nw}, 6)"
+    hits = " + ".join(
+        f"(CASE WHEN list_contains(string_split(text, ' '), '{s}') "
+        f"THEN 1 ELSE 0 END)" for s in _GOPHER_STOPS)
+    okw = f"CASE WHEN {nw} >= 50 AND {nw} <= 100000 THEN 1 ELSE 0 END"
+    okl = f"CASE WHEN {mwl} >= 3 AND {mwl} <= 10 THEN 1 ELSE 0 END"
+    oks = f"CASE WHEN ({hits}) >= 2 THEN 1 ELSE 0 END"
+    return f"""
+SELECT doc_id, {nw} AS n_words, {mwl} AS mean_word_len,
+       CAST(({hits}) AS INTEGER) AS stop_hits,
+       {okw} AS ok_word_count, {okl} AS ok_word_len, {oks} AS ok_stops,
+       CASE WHEN {okw} = 1 AND {okl} = 1 AND {oks} = 1 THEN 1 ELSE 0 END
+           AS gopher_pass
+FROM documents
+"""
+
+
+QUERIES["gopher_quality"] = (q_gopher_quality, _oracle_gopher())
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span statistics (the C4/RefinedWeb "repeated n-gram span"
+# dedup signal): per-document count and fraction of 5-gram spans that
+# occur in at least one OTHER document. Shape at 100 TB: one explode +
+# one shuffle keyed by span hash with map-side combine; no all-pairs.
+# ---------------------------------------------------------------------------
+
+def q_span_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.size(toks) - F.lit(4), F.lit(0)))
+    spans = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
+        ).alias("span"))
+    span_docs = (spans.distinct()
+                 .groupBy("span")
+                 .agg(F.count(F.lit(1)).alias("n_docs_with_span")))
+    per_doc = (spans.join(span_docs, "span")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.sum(F.when(F.col("n_docs_with_span") > 1, 1)
+                          .otherwise(0)).alias("n_shared_spans")))
+    return per_doc.select(
+        "doc_id", "n_spans", "n_shared_spans",
+        F.round(F.col("n_shared_spans") / F.col("n_spans"), 6)
+        .alias("shared_frac"))
+
+
+ORACLE_SPAN_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), spans AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS span
+  FROM toks, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+), span_docs AS (
+  SELECT span, count(*) AS n_docs_with_span
+  FROM (SELECT DISTINCT doc_id, span FROM spans) GROUP BY span
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d.n_docs_with_span > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared_spans,
+       round(sum(CASE WHEN d.n_docs_with_span > 1 THEN 1 ELSE 0 END)
+             / count(*), 6) AS shared_frac
+FROM spans s JOIN span_docs d USING (span)
+GROUP BY s.doc_id
+"""
+
+QUERIES["span_dedup"] = (q_span_dedup, ORACLE_SPAN_DEDUP)
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate ordering (round 4): the driver snapshots the FIRST 50
 # registry entries, so lead with the 50 queries that span the widest
 # operator surface (one per operator family; redundant SQL variants and
