@@ -271,20 +271,32 @@ def wkt_from_wkb(wkb: bytes) -> str:
         return _curves.wkt_from_geom(_curves.decode_geom(wkb))
     if gtype == WKB_POINT:
         x, y = decode_point(wkb)
+        if math.isnan(x) and math.isnan(y):
+            return "POINT EMPTY"        # OGR's empty-point encoding
         return f"POINT ({_fmt(x)} {_fmt(y)})"
     if gtype == WKB_LINESTRING:
-        return f"LINESTRING ({_wkt_coords(decode_linestring(wkb))})"
+        coords = decode_linestring(wkb)
+        if len(coords) == 0:
+            return "LINESTRING EMPTY"
+        return f"LINESTRING ({_wkt_coords(coords)})"
     if gtype == WKB_POLYGON:
-        rings = decode_polygons(wkb)[0]
+        polys = decode_polygons(wkb)
+        rings = polys[0] if polys else []
+        if not len(rings):
+            return "POLYGON EMPTY"
         return "POLYGON (" + ",".join(f"({_wkt_coords(r)})" for r in rings) + ")"
     if gtype == WKB_MULTIPOLYGON:
         polys = decode_polygons(wkb)
+        if not polys:
+            return "MULTIPOLYGON EMPTY"
         parts = ["(" + ",".join(f"({_wkt_coords(r)})" for r in rings) + ")"
                  for rings in polys]
         return "MULTIPOLYGON (" + ",".join(parts) + ")"
     if gtype == WKB_MULTIPOINT:
         (n,) = struct.unpack_from(endian + "I", buf, off)
         off += 4
+        if n == 0:
+            return "MULTIPOINT EMPTY"
         pts = []
         for _ in range(n):
             _gt, e2, body = _read_header(buf, off)
@@ -295,6 +307,8 @@ def wkt_from_wkb(wkb: bytes) -> str:
     if gtype == WKB_MULTILINESTRING:
         (n,) = struct.unpack_from(endian + "I", buf, off)
         off += 4
+        if n == 0:
+            return "MULTILINESTRING EMPTY"
         parts = []
         for _ in range(n):
             _gt, e2, body = _read_header(buf, off)
@@ -372,10 +386,13 @@ def wkb_from_wkt(wkt: str) -> bytes:
         # Z / ISO-curve WKT lives in the dimension-aware codec
         from . import curves as _curves
         return _curves.encode_geom(_curves.geom_from_wkt(wkt))
-    is_empty = s.upper().endswith("EMPTY")
+    # 'TYPE EMPTY' and the 'TYPE (EMPTY)' spelling both normalize to
+    # the empty geometry (ogr_wktempty.py's two input families)
+    is_empty = s.upper().endswith("EMPTY") or \
+        body.strip().upper() == "EMPTY"
     if is_empty:
         body = ""
-        kind = s.upper().replace("EMPTY", "").strip()
+        kind = kind.replace("EMPTY", "").strip()
     elif not body.strip():
         # bare 'POINT' / 'POINT(' etc. are parse errors in the
         # reference (ogr_wkbwkt_test_broken_geom)
