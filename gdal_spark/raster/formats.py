@@ -4927,3 +4927,63 @@ def read_ace2(spark: SparkSession, path: str, raster_id: str = "ace2",
     meta = RasterMeta(raster_id, W, H, gt=info["gt"], dtype="float32",
                       block=block)
     return from_array(spark, arr.astype("float32"), meta), meta
+
+
+# ---------------------------------------------------------------------------
+# NADCON LOS/LAS datum-shift grids (gdal/frmts/raw/loslasdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def open_loslas(path: str) -> dict:
+    """Header: 'NADGRD' magic at 56; X/Y int32 at 64/68, min_lon/
+    delta_lon/min_lat/delta_lat float32 at 76..91; records of X*4+4
+    bytes, southernmost row FIRST (read bottom-up), 4-byte prefix per
+    record; gt = (min_lon - dlon/2, dlon, 0,
+    min_lat + (Y-0.5)*dlat, 0, -dlat)."""
+    d = open(path, "rb").read()
+    if d[56:62] != b"NADGRD":
+        raise ValueError(f"{path} is not a LOS/LAS grid")
+    W, H = struct.unpack_from("<2i", d, 64)
+    min_lon, dlon, min_lat, dlat = struct.unpack_from("<4f", d, 76)
+    gt = (min_lon - dlon * 0.5, dlon, 0.0,
+          min_lat + (H - 0.5) * dlat, 0.0, -dlat)
+    return {"width": W, "height": H, "gt": gt, "data": d}
+
+
+def read_loslas(spark: SparkSession, path: str, raster_id: str = "loslas",
+                block: int = 256) -> tuple[DataFrame, RasterMeta]:
+    from gdal_spark.raster.model import from_array
+    info = open_loslas(path)
+    W, H = info["width"], info["height"]
+    rec = W * 4 + 4
+    arr = np.zeros((H, W), "<f4")
+    d = info["data"]
+    for r in range(H):
+        off = (H - r) * rec + 4
+        arr[r] = np.frombuffer(d, "<f4", W, off)
+    meta = RasterMeta(raster_id, W, H, gt=info["gt"], dtype="float32",
+                      block=block)
+    return from_array(spark, arr.astype("float32"), meta), meta
+
+
+def write_loslas(arr: np.ndarray, gt: tuple, path: str,
+                 ident: str = "NADCON EXTRACTED REGION") -> None:
+    """LOS/LAS write for round-trip tests: header record + south-first
+    data records."""
+    H, W = arr.shape
+    rec = W * 4 + 4
+    dlon, dlat = gt[1], -gt[5]
+    min_lon = gt[0] + dlon * 0.5
+    min_lat = gt[3] - (H - 0.5) * dlat
+    if rec < 92:
+        raise ValueError("LOS/LAS grids need width >= 22 (one header "
+                         "record holds the 92-byte header)")
+    with open(path, "wb") as f:
+        hdr = bytearray(rec)
+        hdr[0:56] = ident.encode("ascii").ljust(56)[:56]
+        hdr[56:64] = b"NADGRD  "
+        struct.pack_into("<2i", hdr, 64, W, H)
+        struct.pack_into("<4f", hdr, 76, min_lon, dlon, min_lat, dlat)
+        f.write(bytes(hdr[:rec]).ljust(rec, b"\x00"))
+        for r in range(H - 1, -1, -1):
+            f.write(b"\x00" * 4)
+            f.write(np.ascontiguousarray(arr[r]).astype("<f4").tobytes())
