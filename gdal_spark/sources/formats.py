@@ -76,25 +76,63 @@ def wkb_from_geojson_geom(geom: dict) -> bytes | None:
         return None
     kind = geom.get("type")
     if kind == "GeometryCollection":
-        parts = [wkb_from_geojson_geom(g)
-                 for g in geom.get("geometries") or []]
-        parts = [p for p in parts if p is not None]
+        parts = []
+        for g in geom.get("geometries") or []:
+            if isinstance(g, dict):
+                p = wkb_from_geojson_geom(g)
+                if p is not None:
+                    parts.append(p)
         return G.encode_geometrycollection(parts) if parts else None
     c = geom.get("coordinates")
+
+    def _pos(p) -> bool:
+        return (isinstance(p, (list, tuple)) and len(p) >= 2
+                and all(isinstance(v, (int, float)) for v in p[:2]))
+
+    def _arr(line) -> np.ndarray | None:
+        # degenerate members null out the whole geometry, as the
+        # reference's OGRGeoJSONReadGeometry error path does
+        if not isinstance(line, (list, tuple)) or \
+                not all(_pos(p) for p in line):
+            return None
+        return np.asarray([[p[0], p[1]] for p in line], dtype=np.float64)
+
     if kind == "Point":
+        if not _pos(c):
+            return None
         return G.encode_point(float(c[0]), float(c[1]))
     if kind == "LineString":
-        return G.encode_linestring(np.asarray(c, dtype=np.float64))
+        a = _arr(c)
+        return G.encode_linestring(a) if a is not None else None
     if kind == "Polygon":
-        return G.encode_polygon([np.asarray(r, dtype=np.float64) for r in c])
+        if not isinstance(c, (list, tuple)):
+            return None
+        rings = [_arr(r) for r in c]
+        if any(r is None for r in rings):
+            return None
+        return G.encode_polygon(rings)
     if kind == "MultiPoint":
-        return G.encode_multipoint(np.asarray(c, dtype=np.float64))
+        a = _arr(c)
+        return G.encode_multipoint(a) if a is not None else None
     if kind == "MultiLineString":
-        return G.encode_multilinestring(
-            [np.asarray(ln, dtype=np.float64) for ln in c])
+        if not isinstance(c, (list, tuple)):
+            return None
+        lines = [_arr(ln) for ln in c]
+        if any(l is None for l in lines):
+            return None
+        return G.encode_multilinestring(lines)
     if kind == "MultiPolygon":
-        return G.encode_multipolygon(
-            [[np.asarray(r, dtype=np.float64) for r in rings] for rings in c])
+        if not isinstance(c, (list, tuple)):
+            return None
+        polys = []
+        for rings in c:
+            if not isinstance(rings, (list, tuple)):
+                return None
+            rr = [_arr(r) for r in rings]
+            if any(r is None for r in rr):
+                return None
+            polys.append(rr)
+        return G.encode_multipolygon(polys)
     return None
 
 
@@ -173,7 +211,7 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for src, content in zip(pdf["path"], pdf["content"]):
-                obj = json.loads(bytes(content).decode("utf-8"))
+                obj = json.loads(bytes(content).decode("utf-8-sig"))
                 for seq, feat in enumerate(_iter_features(obj)):
                     wkb = wkb_from_geojson_geom(feat.get("geometry"))
                     props = json.dumps(feat.get("properties") or {},

@@ -48,14 +48,25 @@ def _esri_geom_to_wkb(gtype: str, geom: dict) -> bytes | None:
     if gtype == "esriGeometryPoint":
         if "x" not in geom or not isinstance(geom.get("x"), (int, float)):
             return None
+        if isinstance(geom.get("z"), (int, float)):
+            # 25D point (OGRESRIJSONReadPoint's z member)
+            import struct as _s
+            return (_s.pack("<BI", 1, 0x80000001)
+                    + _s.pack("<3d", float(geom["x"]), float(geom["y"]),
+                              float(geom["z"])))
         return G.encode_point(float(geom["x"]), float(geom["y"]))
     if gtype == "esriGeometryMultipoint":
         pts = [(p[0], p[1]) for p in geom.get("points") or []
-               if isinstance(p, list) and len(p) >= 2]
+               if isinstance(p, list) and len(p) >= 2
+               and all(isinstance(v, (int, float)) for v in p[:2])]
+        if not pts:
+            return None
         return G.encode_multipoint(np.array(pts).reshape(-1, 2))
     if gtype == "esriGeometryPolyline":
         paths = [np.array([(p[0], p[1]) for p in path])
                  for path in geom.get("paths") or [] if path]
+        if not paths:
+            return None
         if len(paths) == 1:
             return G.encode_linestring(paths[0])
         return G.encode_multilinestring(paths)

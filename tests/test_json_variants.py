@@ -107,3 +107,29 @@ def test_topojson2_object_layer(spark):
     wkts = [wkt_from_wkb(bytes(r["geometry"])) for r in rows
             if r["geometry"] is not None]
     assert "LINESTRING (100 1000,110 1000,110 1100)" in wkts
+
+
+def test_esri_z_point(spark):
+    # ogr_geojson_20 family: z member -> 25D point
+    rows = read_esrijson(spark, f"{DATA}/esrizpoint.json").collect()
+    assert len(rows) == 1
+    wkt = wkt_from_wkb(bytes(rows[0]["geometry"]))
+    assert wkt.startswith("POINT (") and wkt.count(" ") >= 3  # has z
+
+
+def test_open_sweep_no_crash(spark):
+    # ogr_geojson_20: every json/geojson fixture parses without raising
+    import glob
+    for gj in sorted(glob.glob(f"{DATA}/*.json")
+                     + glob.glob(f"{DATA}/*.geojson")):
+        head = open(gj, "rb").read(4096).decode("utf-8", "replace")
+        try:
+            if '"Topology"' in head:
+                read_topojson(spark, gj).collect()
+            elif '"esriGeometry' in head or '"objectIdFieldName"' in head:
+                read_esrijson(spark, gj).collect()
+            else:
+                from gdal_spark.sources.formats import read_geojson
+                read_geojson(spark, gj).collect()
+        except Exception as e:          # noqa: BLE001
+            raise AssertionError(f"{gj}: {e}") from e
