@@ -108,16 +108,17 @@ def write_pgdump(df: DataFrame, path: str, layer: str,
     as a PGDump SQL file.  ``fields`` is [(name, sqltype)] in emission
     order; defaults to the union of property keys as VARCHAR."""
     eol = "\r\n" if crlf else "\n"
-    rows = df.collect() if properties_col in df.columns else []
     if fields is None:
-        keys = []
-        for r in rows:
-            for k in json.loads(r[properties_col] or "{}"):
-                if k not in keys:
-                    keys.append(k)
+        # discover the field union distributedly, then stream rows
+        from pyspark.sql import functions as F
+        keys = [r[0] for r in
+                (df.select(F.explode(F.map_keys(
+                    F.from_json(properties_col, "map<string,string>")))
+                    .alias("k")).distinct().orderBy("k").collect())]
         fields = [(k, "VARCHAR") for k in keys]
     lfields = [(_launder(n), t) for n, t in fields]
 
+    n_rows = 0
     out = []
     out.append(f'DROP TABLE IF EXISTS "{schema}"."{layer}" CASCADE;')
     out.append(f"DELETE FROM geometry_columns WHERE f_table_name = "
@@ -137,7 +138,8 @@ def write_pgdump(df: DataFrame, path: str, layer: str,
         cols = ", ".join([f'"{geom_name}"']
                          + [f'"{n}"' for n, _t in lfields])
         out.append(f'COPY "{schema}"."{layer}" ({cols}) FROM STDIN;')
-        for r in rows:
+        for r in df.toLocalIterator():
+            n_rows += 1
             props = json.loads(r[properties_col] or "{}")
             vals = []
             g = r[geometry_col]
@@ -154,7 +156,8 @@ def write_pgdump(df: DataFrame, path: str, layer: str,
             out.append("\t".join(vals))
         out.append("\\.")
     else:
-        for r in rows:
+        for r in df.toLocalIterator():
+            n_rows += 1
             props = json.loads(r[properties_col] or "{}")
             names, vals = [], []
             g = r[geometry_col]
@@ -173,4 +176,4 @@ def write_pgdump(df: DataFrame, path: str, layer: str,
     out.append("COMMIT;")
     with open(path, "w", newline="") as f:
         f.write(eol.join(out) + eol)
-    return len(rows)
+    return n_rows
