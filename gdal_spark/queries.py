@@ -4389,10 +4389,12 @@ _DRIVER_GATE_50 = [
     # geo core / spatial join / tiling
     "pip_tile_flagship", "tile_assign_z10", "pip_admin_grid",
     "pip_shuffle_left", "knn_k3", "tile_pyramid",
-    # OGR SQL semantics
-    "extent", "summary_agg", "orderby_topk", "left_join_first",
-    "substr_cast", "union_all", "poly_special_fields",
+    # OGR SQL semantics ("union_all"/"orderby_topk" rotated to pytest
+    # in favor of the round-4 webtext additions)
+    "extent", "summary_agg", "left_join_first",
+    "substr_cast", "poly_special_fields",
     # webtext / training-data ops
+    "gopher_quality", "span_dedup",
     "dedup_exact", "token_stats", "lang_quality", "minhash_lsh_jaccard",
     "simhash_bands", "multimodal_bytes", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding", "ngram_jaccard",
