@@ -4987,3 +4987,89 @@ def write_loslas(arr: np.ndarray, gt: tuple, path: str,
         for r in range(H - 1, -1, -1):
             f.write(b"\x00" * 4)
             f.write(np.ascontiguousarray(arr[r]).astype("<f4").tobytes())
+
+
+# ---------------------------------------------------------------------------
+# USGS DOQ2 (new-style keyword-header DOQ) driver
+# (gdal/frmts/raw/doq2dataset.cpp)
+# ---------------------------------------------------------------------------
+
+def open_doq2(path: str) -> dict:
+    """Parse the BEGIN_USGS_DOQ_HEADER keyword lines
+    (doq2dataset.cpp:150-290): SAMPLES_AND_LINES, BYTE_COUNT (data
+    offset), XY_ORIGIN (upper-left corner), HORIZONTAL_RESOLUTION,
+    BAND_ORGANIZATION (BIP = pixel-interleaved), BAND_CONTENT count,
+    BITS_PER_PIXEL."""
+    lines = open(path, "rb").read(8192).decode("latin-1").splitlines()
+    if not lines or not lines[0].startswith("BEGIN_USGS_DOQ_HEADER"):
+        raise ValueError(f"{path} is not a DOQ2 file")
+    info = {"width": 0, "height": 0, "skip": 0, "ulx": 0.0, "uly": 0.0,
+            "res": 1.0, "interleave": "BIP", "bands": 0, "bits": 8,
+            "metadata": {}}
+    for ln in lines[1:]:
+        toks = ln.split("*")[0].split()
+        if len(toks) < 2:
+            if ln.startswith("END_USGS_DOQ_HEADER"):
+                break
+            continue
+        key = toks[0]
+        if key == "SAMPLES_AND_LINES" and len(toks) >= 3:
+            info["width"], info["height"] = int(toks[1]), int(toks[2])
+        elif key == "BYTE_COUNT":
+            info["skip"] = int(toks[1])
+        elif key == "XY_ORIGIN" and len(toks) >= 3:
+            info["ulx"], info["uly"] = float(toks[1]), float(toks[2])
+        elif key == "HORIZONTAL_RESOLUTION":
+            info["res"] = float(toks[1])
+        elif key == "BAND_ORGANIZATION":
+            info["interleave"] = "BIP" if toks[1] == "BIP" else "BSQ"
+        elif key == "BAND_CONTENT":
+            info["bands"] += 1
+        elif key == "BITS_PER_PIXEL":
+            info["bits"] = int(toks[1])
+        elif key in ("QUADRANGLE_NAME", "HORIZONTAL_DATUM",
+                     "HORIZONTAL_COORDINATE_SYSTEM", "COORDINATE_ZONE",
+                     "NATION", "STATE", "PRODUCTION_DATE"):
+            info["metadata"][key] = " ".join(toks[1:]).strip('"')
+    info["gt"] = (info["ulx"], info["res"], 0.0,
+                  info["uly"], 0.0, -info["res"])
+    return info
+
+
+def read_doq2(spark: SparkSession, path: str, raster_id: str = "doq2",
+              block: int = 256,
+              window: tuple[int, int, int, int] | None = None
+              ) -> tuple[DataFrame, RasterMeta, dict]:
+    """DOQ2 read: raw payload after BYTE_COUNT, BIP interleave,
+    truncated files zero-fill (RawRasterBand beyond-EOF)."""
+    from gdal_spark.raster.model import from_array
+    info = open_doq2(path)
+    W, H, nb = info["width"], info["height"], max(info["bands"], 1)
+    xoff, yoff, xs, ys = window or (0, 0, W, H)
+    g = info["gt"]
+    meta = RasterMeta(raster_id, xs, ys,
+                      gt=(g[0] + xoff * g[1], g[1], 0.0,
+                          g[3] + yoff * g[5], 0.0, g[5]),
+                      dtype="uint8", block=block)
+    raw = np.fromfile(path, np.uint8)[info["skip"]:]
+    cube = np.zeros((ys, xs, nb), np.uint8)
+    if info["interleave"] == "BIP":
+        for r in range(ys):
+            lo = ((yoff + r) * W + xoff) * nb
+            hi = min(lo + xs * nb, len(raw))
+            if lo < len(raw):
+                row = raw[lo:hi]
+                cube[r].reshape(-1)[:len(row)] = row
+    else:  # BSQ
+        for b in range(nb):
+            for r in range(ys):
+                lo = (b * H + yoff + r) * W + xoff
+                hi = min(lo + xs, len(raw))
+                if lo < len(raw):
+                    cube[r, :hi - lo, b] = raw[lo:hi]
+    tiles = None
+    for b in range(nb):
+        t = from_array(spark, np.ascontiguousarray(cube[:, :, b]), meta,
+                       band=b)
+        tiles = t if tiles is None else tiles.unionByName(t)
+    return tiles, meta, info
