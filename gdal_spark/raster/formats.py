@@ -5030,7 +5030,13 @@ def open_doq2(path: str) -> dict:
         elif key in ("QUADRANGLE_NAME", "HORIZONTAL_DATUM",
                      "HORIZONTAL_COORDINATE_SYSTEM", "COORDINATE_ZONE",
                      "NATION", "STATE", "PRODUCTION_DATE"):
-            info["metadata"][key] = " ".join(toks[1:]).strip('"')
+            # quoted values keep all words; bare values are one token
+            # (the right-hand column text is a format comment)
+            if toks[1].startswith('"'):
+                q = ln.split('"')
+                info["metadata"][key] = q[1] if len(q) >= 2 else toks[1]
+            else:
+                info["metadata"][key] = toks[1]
     info["gt"] = (info["ulx"], info["res"], 0.0,
                   info["uly"], 0.0, -info["res"])
     return info
