@@ -4333,8 +4333,12 @@ QUERIES["gopher_quality"] = (q_gopher_quality, _oracle_gopher())
 def q_span_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1),
-                     F.greatest(F.size(toks) - F.lit(4), F.lit(0)))
+    # guard docs with <5 tokens: sequence(1, 0) would DESCEND ([1, 0])
+    # and slice(toks, 0, 5) throws; emit no spans instead (matches the
+    # oracle's range(1, greatest(len-4, 0) + 1) which is empty there)
+    idx = F.when(F.size(toks) >= 5,
+                 F.sequence(F.lit(1), F.size(toks) - F.lit(4))
+                 ).otherwise(F.array().cast("array<int>"))
     spans = docs.select(
         "doc_id",
         F.explode(F.transform(

@@ -111,9 +111,19 @@ class L1B:
             self.n_bands = sum(1 for c in chans if c in (1, ord("Y")))
             if not 1 <= self.n_bands <= 5:
                 self.n_bands = 5
-            w = d[512 + 117:512 + 119]
-            self.data_format = {b"10": PACKED10BIT, b"16": UNPACKED16BIT,
-                                b"08": UNPACKED8BIT}.get(w, PACKED10BIT)
+            # word size lives in the 512-byte ARS header at offset 117
+            # (l1bdataset.cpp L1B_NOAA15_HDR_WORD_OFF, abyARSHeader) —
+            # the same header the channel map above is read from.
+            w = d[117:119]
+            try:
+                self.data_format = {b"10": PACKED10BIT,
+                                    b"16": UNPACKED16BIT,
+                                    b"08": UNPACKED8BIT}[w]
+            except KeyError:
+                # reference fails on an unknown word size rather than
+                # defaulting (l1bdataset.cpp:1592-1598 returns CE_Failure)
+                raise ValueError(
+                    f"L1B: unknown NOAA-15 data word size {w!r}")
         else:
             self.n_bands = 5
             self.data_format = PACKED10BIT

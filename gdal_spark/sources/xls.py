@@ -323,6 +323,9 @@ def _xls_rows(path: str, sheet: str | None = None):
                                               off + 4 + 6 * k)
                 base, v = _rk_value(rk)
                 cells[(r, c0 + k)] = kind_of(ixfe, base, v)
+                max_r = max(max_r, r)
+                max_c = max(max_c, c0 + k)
+            continue                          # extent updated per cell
         elif rid == 0x204:                    # LABEL (inline)
             r, c, ixfe, cch = struct.unpack_from("<HHHH", stream, off)
             grbit = stream[off + 8]
