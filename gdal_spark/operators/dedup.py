@@ -65,13 +65,21 @@ def minhash_signatures(df: DataFrame, text: str = "text", id_col: str = "doc_id"
     shingles: h = first 60 bits of md5(shingle), sig_j = min((a_j*h+b_j)
     mod 2^31-1). One md5 per distinct shingle total; the n_hashes
     signatures are integer column math over the shared hash array (the
-    intermediate ``_hs`` projection is a separate select so Catalyst does
-    not inline the expensive transform n_hashes times).
+    intermediate ``_toks``/``_sh``/``_hs`` projections are separate
+    selects so the tokenizer/shingler is never inlined into a
+    per-element lambda — see text.shingle_array — and Catalyst does not
+    inline the expensive transform n_hashes times).
     Docs with no shingles (shorter than shingle_n words) get null sigs."""
-    sh = F.array_distinct(word_shingles(F.col(text), shingle_n))
+    from gdal_spark.functions.text import shingle_array, tokens
+    tk = df.select(F.col(id_col), tokens(F.col(text)).alias("_toks"))
+    shd = tk.select(
+        F.col(id_col),
+        F.array_distinct(shingle_array(F.col("_toks"), shingle_n))
+        .alias("_sh"))
     hs = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
-    base = df.select(F.col(id_col), hs.alias("_hs"))
+        F.col("_sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    base = shd.select(F.col(id_col), hs.alias("_hs"))
     p = F.lit(MINHASH_P)
 
     def sig(j):
@@ -139,12 +147,15 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text: str = "text",
     # prune to candidate docs BEFORE shingling (the id semi-join reaches
     # the scan, so only candidates are hashed). Callers should materialize
     # `pairs` (cache/localCheckpoint) — it is referenced three times.
+    from gdal_spark.functions.text import shingle_array, tokens
     ha = F.transform(
-        F.array_distinct(word_shingles(F.col("_t"), shingle_n)),
+        F.array_distinct(shingle_array(F.col("_toks"), shingle_n)),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
-    # cached: referenced by both pair sides — hash each candidate once
+    # cached: referenced by both pair sides — hash each candidate once.
+    # tokens materialized in their own select (see text.shingle_array)
     cand = (df.select(F.col(id_col).alias("_id"), F.col(text).alias("_t"))
             .join(ids, on="_id")
+            .select("_id", tokens(F.col("_t")).alias("_toks"))
             .select("_id", ha.alias("_ha")).cache())
     out = (pairs
            .join(cand.select(F.col("_id").alias("id_a"), F.col("_ha").alias("_haa")),
@@ -168,9 +179,12 @@ def winnow_fingerprints(df: DataFrame, text: str = "text",
     math (md5 → 60-bit int via conv), so oracles reproduce it exactly.
     Output: (id, fp) exploded fingerprint rows."""
     from pyspark.sql import Window as W
+    from gdal_spark.functions.text import shingle_array, tokens
     grams = df.select(
+        F.col(id_col), tokens(F.col(text)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.posexplode(word_shingles(F.col(text), k)).alias("_i", "_g"))
+        F.posexplode(shingle_array(F.col("_toks"), k)).alias("_i", "_g"))
     h = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
     grams = grams.withColumn("_h", h)
     part = W.partitionBy(id_col)
@@ -190,9 +204,13 @@ def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     parses as UBIGINT). The Arrow pass only folds the bit votes, vectorized
     across the WHOLE batch (flatten → ``np.add.reduceat`` segment sums) —
     no hashlib, no per-row hashing loop."""
-    sh = F.array_distinct(word_shingles(F.col(text), shingle_n))
+    from gdal_spark.functions.text import shingle_array, tokens
     half = lambda m, p: F.conv(F.substring(m, p, 8), 16, 10).cast("long")
-    base = (df.select(F.col(id_col), F.transform(sh, F.md5).alias("_md"))
+    base = (df.select(F.col(id_col), tokens(F.col(text)).alias("_toks"))
+            .select(F.col(id_col),
+                    F.array_distinct(shingle_array(F.col("_toks"), shingle_n))
+                    .alias("_sh"))
+            .select(F.col(id_col), F.transform("_sh", F.md5).alias("_md"))
             .select(F.col(id_col),
                     F.transform(F.col("_md"), lambda m: half(m, 1)).alias("_hi"),
                     F.transform(F.col("_md"), lambda m: half(m, 9)).alias("_lo")))

@@ -4332,21 +4332,28 @@ QUERIES["gopher_quality"] = (q_gopher_quality, _oracle_gopher())
 
 def q_span_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # tokens materialized in their own select: inlining split() into the
+    # slice lambda re-tokenizes the doc per span, O(n_words²) (see
+    # functions/text.py shingle_array — measured 8× wall at 50 k docs)
+    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     # guard docs with <5 tokens: sequence(1, 0) would DESCEND ([1, 0])
     # and slice(toks, 0, 5) throws; emit no spans instead (matches the
     # oracle's range(1, greatest(len-4, 0) + 1) which is empty there)
-    idx = F.when(F.size(toks) >= 5,
-                 F.sequence(F.lit(1), F.size(toks) - F.lit(4))
+    idx = F.when(F.size("toks") >= 5,
+                 F.sequence(F.lit(1), F.size("toks") - F.lit(4))
                  ).otherwise(F.array().cast("array<int>"))
-    spans = docs.select(
+    spans = tok.select(
         "doc_id",
         F.explode(F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
+            idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 5)))
         ).alias("span"))
-    span_docs = (spans.distinct()
-                 .groupBy("span")
-                 .agg(F.count(F.lit(1)).alias("n_docs_with_span")))
+    # referenced by both the span-count side and the join-back side —
+    # pin once (same rationale as the LSH candidate cache above)
+    spans = spans.cache()
+    # countDistinct = partial per-partition distinct + one shuffle, vs
+    # the old distinct().groupBy() two-shuffle chain
+    span_docs = (spans.groupBy("span")
+                 .agg(F.countDistinct("doc_id").alias("n_docs_with_span")))
     per_doc = (spans.join(span_docs, "span")
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_spans"),
@@ -4380,6 +4387,84 @@ GROUP BY s.doc_id
 """
 
 QUERIES["span_dedup"] = (q_span_dedup, ORACLE_SPAN_DEDUP)
+
+
+# ---------------------------------------------------------------------------
+# TIGER/Line (sources/tiger.py, round 5): write a deterministic module
+# (40 complete chains, RT1 + RT2 shape points, formula-generated), read
+# the CompleteChain layer back distributed, and emit per-chain
+# attributes plus the assembled vertex count decoded from the WKB. The
+# oracle regenerates the same values by pure arithmetic — the two sides
+# share only the generating formula, not the parse path.
+# ---------------------------------------------------------------------------
+
+_TIGERQ_N = 40
+
+
+def _tigerq_fixture() -> str:
+    import os as _os
+    d = "/tmp/gdal_spark_tigerq"
+    rt1p, rt2p = f"{d}/TGRQ.RT1", f"{d}/TGRQ.RT2"
+    if _os.path.exists(rt1p) and _os.path.exists(rt2p):
+        return d
+    _os.makedirs(d, exist_ok=True)
+
+    def rec(rectype, reclen, fields):
+        buf = [" "] * reclen
+        buf[0] = rectype
+        buf[1:5] = "1006"
+        for (beg, end), val in fields.items():
+            w = end - beg + 1
+            buf[beg - 1:beg - 1 + w] = str(val).rjust(w)[:w]
+        return "".join(buf)
+
+    r1, r2 = [], []
+    for i in range(_TIGERQ_N):
+        sx, sy = -86400000 - 137 * i, 32500000 + 91 * i
+        ex, ey = sx - 777, sy - 555
+        f1 = {(6, 15): 1000 + i, (56, 58): "A41",
+              (107, 111): 35000 + i % 100,        # ZIPL
+              (183, 186): 2000 + i % 7,           # BLOCKL
+              (191, 200): sx, (201, 209): sy,
+              (210, 219): ex, (220, 228): ey}
+        r1.append(rec("1", 228, f1))
+        k = i % 4
+        if k:
+            f2 = {(6, 15): 1000 + i, (16, 18): 1}
+            for j in range(k):
+                f2[(19 + 19 * j, 28 + 19 * j)] = sx - 100 * (j + 1)
+                f2[(29 + 19 * j, 37 + 19 * j)] = sy - 50 * (j + 1)
+            r2.append(rec("2", 208, f2))
+    with open(rt1p, "w") as f:
+        f.write("\n".join(r1) + "\n")
+    with open(rt2p, "w") as f:
+        f.write("\n".join(r2) + "\n")
+    return d
+
+
+def q_tiger_layer(spark, sf_dir):
+    from gdal_spark.sources.tiger import read_tiger
+    d = _tigerq_fixture()
+    df = read_tiger(spark, d, "CompleteChain")
+    return df.select(
+        F.col("TLID").cast("long").alias("tlid"),
+        F.col("BLOCKL").cast("long").alias("blockl"),
+        F.col("ZIPL").cast("long").alias("zipl"),
+        F.col("CFCC").alias("cfcc"),
+        # WKB LINESTRING: 1 byte order + 4 type + 4 count + 16/vertex
+        ((F.length("geometry") - 9) / 16).cast("long").alias("n_pts"))
+
+
+ORACLE_TIGER = f"""
+SELECT 1000 + i AS tlid,
+       2000 + i % 7 AS blockl,
+       35000 + i % 100 AS zipl,
+       'A41' AS cfcc,
+       2 + i % 4 AS n_pts
+FROM (SELECT unnest(generate_series(0, {_TIGERQ_N - 1})) AS i)
+"""
+
+QUERIES["tiger_layer"] = (q_tiger_layer, ORACLE_TIGER)
 
 
 # ---------------------------------------------------------------------------

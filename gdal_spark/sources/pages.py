@@ -90,10 +90,12 @@ def pages(spark: SparkSession, n_rows: int, n_hosts: int | None = None,
     return df.select("url", "warc_ts", "html", "text", "lang")
 
 
-def extract_points(pages_df: DataFrame) -> DataFrame:
+def extract_points(pages_df: DataFrame, extra=()) -> DataFrame:
     """Derive the point layer (url, lon, lat) from ``text`` — the engine-side
     extraction. Pure column regexp, no UDF. lon/lat are exact: integer
     microdegrees / 1e6 computed identically to the generator.
+    ``extra``: additional columns to carry in the same projection (e.g. a
+    text hash for a downstream dedup stage — avoids a second scan/join).
 
     One regex pass extracts the "lon,lat" payload, a split finishes the
     parse — halves the per-row string scanning vs two regexp_extract calls
@@ -104,6 +106,7 @@ def extract_points(pages_df: DataFrame) -> DataFrame:
         "url",
         (parts.getItem(0).cast("long") / 1e6).alias("lon"),
         (parts.getItem(1).cast("long") / 1e6).alias("lat"),
+        *extra,
     )
 
 
