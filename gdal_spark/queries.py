@@ -1789,10 +1789,44 @@ def q_warp_lcc(spark, sf_dir):
     return RM.nonzero_pixels(out, LCC_DST)
 
 
+def _indep_lcc_sql(lon: str, lat: str) -> tuple[str, str]:
+    """Lambert Conformal Conic 2SP forward, hand-written from Snyder
+    (1987) eqs 15-1..15-11 / EPSG 9802 with constants derived here from
+    the raw parameters (lat1=33, lat2=45, lat0=23, lon0=-96, WGS84) —
+    independent of srs.sql_lcc_forward and the LambertConformalConic
+    class, so the oracle catches generator or constant-derivation bugs."""
+    a, invf = 6378137.0, 298.257223563
+    fl = 1.0 / invf
+    e2 = fl * (2.0 - fl)
+    e = math.sqrt(e2)
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+    def tf(phi):
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi))
+        ) ** (e / 2.0)
+
+    p1, p2, p0 = map(math.radians, (33.0, 45.0, 23.0))
+    lam0 = math.radians(-96.0)
+    n = (math.log(m(p1)) - math.log(m(p2))) / (
+        math.log(tf(p1)) - math.log(tf(p2)))
+    Fc = m(p1) / (n * tf(p1) ** n)
+    rho0 = a * Fc * tf(p0) ** n
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    t = (f"(tan(pi()/4.0 - {phi}/2.0) / "
+         f"pow((1.0 - {e!r}*{s}) / (1.0 + {e!r}*{s}), {e / 2.0!r}))")
+    rho = f"({a * Fc!r} * pow({t}, {n!r}))"
+    th = f"({n!r} * (radians({lon}) - {lam0!r}))"
+    return f"({rho} * sin({th}))", f"({rho0!r} - {rho} * cos({th}))"
+
+
 def _oracle_warp_lcc() -> str:
-    xs, ys = SRS.sql_lcc_forward(LCC_CONUS, "lon", "lat")
+    xs, ys = _indep_lcc_sql("lon", "lat")
     # dst pixel centers -> lon/lat -> LCC forward -> source pixel (nearest)
-    cx, cy = SRS.sql_lcc_forward(LCC_CONUS, "lon_c", "lat_c")
+    cx, cy = _indep_lcc_sql("lon_c", "lat_c")
     x0, y1 = repr(_LCC_X0), repr(_LCC_Y1)
     return f"""
 WITH pts AS ({POINTS_SQL}),
@@ -1939,8 +1973,15 @@ def q_proj_modis_tiles(spark, sf_dir):
 
 
 def _oracle_proj_modis() -> str:
-    sx, sy = SRS.sql_sinu_forward(SRS.MODIS_SINU, "lon", "lat")
-    t = f"({_MODIS_T!r}::DOUBLE)"
+    # spherical sinusoidal hand-written from Snyder eqs 30-1/30-2
+    # (exact sphere case): x = R lam cos(phi), y = R phi — independent
+    # of srs.sql_sinu_forward (which goes through the ellipsoidal
+    # meridian-arc series with f=0). Tile size re-derived inline:
+    # 10 degrees of equator arc = R*pi/18.
+    R = 6371007.181
+    sx = f"({R!r} * radians(lon) * cos(radians(lat)))"
+    sy = f"({R!r} * radians(lat))"
+    t = f"({R * math.pi / 18.0!r}::DOUBLE)"
     return f"""
 WITH pts AS ({POINTS_SQL}),
 cells AS (SELECT doc_id,
@@ -4251,8 +4292,93 @@ def q_proj_omerc_cells(spark, sf_dir):
             .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc")))
 
 
+def _indep_omerc_consts() -> dict:
+    """Hotine Oblique Mercator (variant A) constants for EPSG 3376,
+    derived INDEPENDENTLY of functions/srs.py: raw parameter values are
+    re-read from the bundled EPSG CSV with a local parser (including
+    the 9110 sexagesimal-DMS decode), and the projection constants
+    follow EPSG Guidance Note 7-2 §1.3.6 re-derived from scratch. The
+    Spark side uses crs_from_epsg + sql_omerc_forward — the two share
+    only the published formulas and the EPSG data file, so a bug in
+    either parameter plumbing or SQL generation breaks the gate."""
+    import csv
+    import gzip
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "data", "epsg")
+    with gzip.open(os.path.join(d, "pcs.csv.gz"), "rt") as f:
+        row = next(r for r in csv.DictReader(f)
+                   if r["COORD_REF_SYS_CODE"] == "3376")
+    assert row["COORD_OP_METHOD_CODE"] == "9812"
+    prm = {}
+    for i in range(1, 8):
+        code = row.get(f"PARAMETER_CODE_{i}")
+        if not code:
+            continue
+        v = float(row[f"PARAMETER_VALUE_{i}"])
+        if row[f"PARAMETER_UOM_{i}"] == "9110":   # DDD.MMSSsss
+            sign = -1.0 if v < 0 else 1.0
+            v = abs(v)
+            deg = math.floor(v)
+            mins = math.floor((v - deg) * 100.0 + 1e-9)
+            secs = (v - deg - mins / 100.0) * 10000.0
+            v = sign * (deg + mins / 60.0 + secs / 3600.0)
+        prm[code] = v
+    # GDM2000 -> GRS80 (geog CRS 4742)
+    a, invf = 6378137.0, 298.257222101
+    fl = 1.0 / invf
+    e2 = fl * (2.0 - fl)
+    e = math.sqrt(e2)
+    latc = math.radians(prm["8811"])
+    lonc = math.radians(prm["8812"])
+    alphac = math.radians(prm["8813"])
+    gammac = math.radians(prm["8814"])
+    k0 = prm["8815"]
+    B = math.sqrt(1.0 + e2 * math.cos(latc) ** 4 / (1.0 - e2))
+    A = a * B * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(latc) ** 2)
+    t0 = math.tan(math.pi / 4.0 - latc / 2.0) / (
+        (1.0 - e * math.sin(latc)) / (1.0 + e * math.sin(latc))) ** (e / 2.0)
+    D = B * math.sqrt(1.0 - e2) / (
+        math.cos(latc) * math.sqrt(1.0 - e2 * math.sin(latc) ** 2))
+    D2 = max(D * D, 1.0)
+    Fc = D + math.sqrt(D2 - 1.0) * (1.0 if latc >= 0 else -1.0)
+    H = Fc * t0 ** B
+    G = (Fc - 1.0 / Fc) / 2.0
+    gamma0 = math.asin(math.sin(alphac) / D)
+    lam0 = lonc - math.asin(G * math.tan(gamma0)) / B
+    return {"e": e, "A": A, "B": B, "H": H, "gamma0": gamma0,
+            "lam0": lam0, "gammac": gammac,
+            "fe": prm["8806"], "fn": prm["8807"]}
+
+
+def _indep_omerc_sql(lon: str, lat: str) -> tuple[str, str]:
+    """Hand-written GN7-2 variant-A forward SQL over the independent
+    constants (NOT srs.sql_omerc_forward)."""
+    c = _indep_omerc_consts()
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    t = (f"(tan(pi()/4.0 - {phi}/2.0) / "
+         f"pow((1.0 - {c['e']!r}*{s}) / (1.0 + {c['e']!r}*{s}), "
+         f"{c['e'] / 2.0!r}))")
+    Q = f"({c['H']!r} / pow({t}, {c['B']!r}))"
+    S = f"(({Q} - 1.0/{Q}) / 2.0)"
+    T = f"(({Q} + 1.0/{Q}) / 2.0)"
+    dl = f"(radians({lon}) - {c['lam0']!r})"
+    V = f"sin({c['B']!r} * {dl})"
+    cg0, sg0 = repr(math.cos(c["gamma0"])), repr(math.sin(c["gamma0"]))
+    U = f"((-{V}*{cg0} + {S}*{sg0}) / {T})"
+    v = f"({c['A']!r} * ln((1.0 - {U}) / (1.0 + {U})) / {2.0 * c['B']!r})"
+    u = (f"({c['A']!r} * atan2({S}*{cg0} + {V}*{sg0}, "
+         f"cos({c['B']!r} * {dl})) / {c['B']!r})")
+    cg, sg = repr(math.cos(c["gammac"])), repr(math.sin(c["gammac"]))
+    x = f"({c['fe']!r} + {v}*{cg} + {u}*{sg})"
+    y = f"({c['fn']!r} + {u}*{cg} - {v}*{sg})"
+    return x, y
+
+
 def _oracle_proj_omerc() -> str:
-    px, py = SRS.sql_omerc_forward(OMERC_BORNEO, "lon", "lat")
+    px, py = _indep_omerc_sql("lon", "lat")
     return f"""
 WITH pts AS (SELECT doc_id, {_BORNEO_LON} AS lon, {_BORNEO_LAT} AS lat
              FROM documents),
