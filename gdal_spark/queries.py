@@ -4594,7 +4594,74 @@ QUERIES["tiger_layer"] = (q_tiger_layer, ORACLE_TIGER)
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate ordering (round 4): the driver snapshots the FIRST 50
+# SQLite-dialect SQL-string surface (sqlite_sql.py, round 5): build a
+# square polygon per doc point (integer micro-degree coordinates, so
+# shoelace area/centroid are EXACT in doubles), run a dialect TEXT
+# query through SQLiteDialectEngine (ST_Area / ST_Centroid / ST_X/Y /
+# ST_Intersects / ST_GeomFromText / ROWID / GEOMETRY rewrites), and
+# verify against pure integer arithmetic in DuckDB.
+# ---------------------------------------------------------------------------
+
+def q_sqlite_dialect_sql(spark, sf_dir):
+    import pandas as pd
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sqlite_sql import SQLiteDialectEngine
+
+    eng = SQLiteDialectEngine(spark)
+    pts = doc_points(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("lon") * 1e6).cast("long").alias("cx"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("cy"),
+        ((F.col("doc_id") % 7 + 1) * 5).cast("long").alias("h"))
+
+    def _square(cx, cy, h):
+        import numpy as np
+        out = []
+        for x, y, hh in zip(cx, cy, h):
+            x, y, hh = float(x), float(y), float(hh)
+            ring = np.array([[x - hh, y - hh], [x + hh, y - hh],
+                             [x + hh, y + hh], [x - hh, y + hh],
+                             [x - hh, y - hh]])
+            out.append(G.encode_polygon([ring]))
+        return pd.Series(out, dtype=object)
+
+    square = F.pandas_udf(_square, "binary")
+
+    eng.layers["docsq"] = pts.select(
+        F.col("doc_id").alias("rowid"), "doc_id",
+        square("cx", "cy", "h").alias("geometry"),
+        F.lit(None).cast("string").alias("ogr_style"))
+    # the fixed probe window (integer micro-degrees, NYC cluster)
+    win = ("POLYGON ((-74230000 40950000,-74180000 40950000,"
+           "-74180000 41000000,-74230000 41000000,-74230000 40950000))")
+    return eng.execute(f"""
+        SELECT doc_id,
+               CAST(ST_Area(GEOMETRY) AS BIGINT) AS area,
+               CAST(ST_X(ST_Centroid(GEOMETRY)) AS BIGINT) AS ctr_x,
+               CAST(ST_Y(ST_Centroid(GEOMETRY)) AS BIGINT) AS ctr_y,
+               CAST(CASE WHEN ST_Intersects(GEOMETRY,
+                    ST_GeomFromText('{win}')) THEN 1 ELSE 0 END
+                    AS BIGINT) AS in_win
+        FROM docsq WHERE ROWID % 3 = 0""")
+
+
+ORACLE_SQLITE_DIALECT = f"""
+WITH pts AS ({POINTS_SQL}),
+s AS (SELECT doc_id,
+             CAST(round(lon * 1000000) AS BIGINT) AS cx,
+             CAST(round(lat * 1000000) AS BIGINT) AS cy,
+             (doc_id % 7 + 1) * 5 AS h
+      FROM pts)
+SELECT doc_id, 4 * h * h AS area, cx AS ctr_x, cy AS ctr_y,
+       CAST(CASE WHEN cx + h >= -74230000 AND cx - h <= -74180000
+                  AND cy + h >= 40950000 AND cy - h <= 41000000
+            THEN 1 ELSE 0 END AS BIGINT) AS in_win
+FROM s WHERE doc_id % 3 = 0
+"""
+
+QUERIES["sqlite_dialect_sql"] = (q_sqlite_dialect_sql,
+                                 ORACLE_SQLITE_DIALECT)
 # registry entries, so lead with the 50 queries that span the widest
 # operator surface (one per operator family; redundant SQL variants and
 # same-family duplicates follow for local/judge verification).
