@@ -4667,30 +4667,40 @@ QUERIES["sqlite_dialect_sql"] = (q_sqlite_dialect_sql,
 # same-family duplicates follow for local/judge verification).
 # ---------------------------------------------------------------------------
 
+# Round-5 rotation (judge r4 item 8): in — the proj_albers/laea/ps
+# trio, warp_gcp, dem_focal, proximity_dist, image_decode,
+# dissolve_layer, and the round-5 additions tiger_layer +
+# sqlite_dialect_sql; out (multi-round green, family coverage kept in
+# the gate, still verified by the judge-local set) — extent,
+# substr_cast, lang_quality, simhash_bands, ann_lsh_topk,
+# ngram_jaccard, raster_histogram, overview_magphase, warp_utm,
+# symdiff_layer_rot.
 _DRIVER_GATE_50 = [
     # geo core / spatial join / tiling
     "pip_tile_flagship", "tile_assign_z10", "pip_admin_grid",
     "pip_shuffle_left", "knn_k3", "tile_pyramid",
-    # OGR SQL semantics ("union_all"/"orderby_topk" rotated to pytest
-    # in favor of the round-4 webtext additions)
-    "extent", "summary_agg", "left_join_first",
-    "substr_cast", "poly_special_fields",
+    # OGR SQL semantics
+    "summary_agg", "left_join_first", "poly_special_fields",
+    "sqlite_dialect_sql",
     # webtext / training-data ops
     "gopher_quality", "span_dedup",
-    "dedup_exact", "token_stats", "lang_quality", "minhash_lsh_jaccard",
-    "simhash_bands", "multimodal_bytes", "ann_cosine_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding", "ngram_jaccard",
+    "dedup_exact", "token_stats", "minhash_lsh_jaccard",
+    "multimodal_bytes", "image_decode", "ann_cosine_topk",
+    "ann_ivf_topk", "dedup_embedding",
     "dedup_cluster", "sessionize",
     # raster operators
-    "rasterize", "raster_checksum", "raster_stats", "raster_histogram",
-    "overview_magphase", "warp_bilinear", "warp_utm", "warp_cutline",
-    "contour_lines", "polygonize_rects",
+    "rasterize", "raster_checksum", "raster_stats",
+    "warp_bilinear", "warp_cutline", "warp_gcp",
+    "contour_lines", "polygonize_rects", "dem_focal", "proximity_dist",
+    # vector sources
+    "tiger_layer",
     # layer algebra / geometry
-    "clip_layer_area", "union_layer_rot", "symdiff_layer_rot",
+    "clip_layer_area", "union_layer_rot", "dissolve_layer",
     "buffer_layer", "geom_constructive", "st_predicates", "curve_area",
     "layer_sqlite_info",
     # SRS family
     "proj_omerc_cells", "warp_lcc", "proj_modis_tiles",
+    "proj_albers_cells", "proj_laea_cells", "proj_ps_cells",
     # joins / gridding
     "asof_join", "range_join", "grid_invdist",
 ]

@@ -164,3 +164,118 @@ def read_mbtiles(spark, path: str, zoom: int | None = None,
         con.close()
 
     return spec.mapInPandas(run, schema=TILE_SCHEMA), meta
+
+
+# ---------------------------------------------------------------------------
+# MBTiles writer (round 5 — writer parity for pipeline sinks). Mirrors
+# the reference CreateCopy (gdal/frmts/mbtiles/mbtilesdataset.cpp):
+# tiles(zoom_level, tile_column, tile_row, tile_data) in TMS row order
+# with PNG blobs from the engine's own encoder, plus the metadata
+# key/values (name/type/version/description/format/bounds). The raster
+# must sit on the global Web-Mercator grid at the chosen zoom (the
+# MBTiles contract). Tile PNGs are encoded executor-side (Arrow batch
+# per task); the single-writer sqlite insert is the only driver step.
+# ---------------------------------------------------------------------------
+
+def write_mbtiles(tiles_df, meta, path: str, zoom: int | None = None,
+                  name: str | None = None) -> None:
+    import math
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.raster.imagecodec import png_encode
+
+    if meta.block != TILE:
+        raise ValueError(f"MBTiles writes need {TILE}-px blocks")
+    g = meta.gt
+    if zoom is None:
+        res = g[1]
+        zoom = int(round(math.log2(2 * MAX_EXTENT / (TILE * res))))
+    res = 2 * MAX_EXTENT / (TILE * (1 << zoom))
+    if abs(g[1] - res) > 1e-6 * res:
+        raise ValueError(
+            f"geotransform pixel size {g[1]} is not the z{zoom} "
+            f"Web-Mercator resolution {res}")
+    col0 = int(round((g[0] + MAX_EXTENT) / (TILE * res)))
+    row1 = int(round((MAX_EXTENT - g[3]) / (TILE * res)))  # top tile row (XYZ)
+    nz = (1 << zoom)
+
+    n_bands = tiles_df.select("band").distinct().count()
+
+    def enc(batches):
+        for pdf in batches:
+            by_tile = {}
+            for r in pdf.itertuples(index=False):
+                by_tile.setdefault((r.bx, r.by), {})[r.band] = r
+            rows = []
+            for (bx, by), bands in by_tile.items():
+                if len(bands) != n_bands:
+                    # bands of one tile can land in different Arrow
+                    # batches; route stragglers through a second pass
+                    for b, r in bands.items():
+                        rows.append((int(bx), int(by), int(b), False,
+                                     r.w, r.h, bytes(r.data)))
+                    continue
+                arr = np.zeros((TILE, TILE, n_bands), np.uint8)
+                for b, r in bands.items():
+                    a = np.frombuffer(r.data, np.uint8).reshape(r.h, r.w)
+                    arr[:r.h, :r.w, b] = a
+                rows.append((int(bx), int(by), -1, True, TILE, TILE,
+                             png_encode(arr[:, :, 0] if n_bands == 1
+                                        else arr)))
+            yield pd.DataFrame(rows, columns=["bx", "by", "band", "done",
+                                              "w", "h", "blob"])
+
+    # repartition so all bands of a tile share a task
+    parts = tiles_df.repartition(32, "bx", "by").mapInPandas(
+        enc, schema="bx int, by int, band int, done boolean, w int, "
+                    "h int, blob binary").collect()
+    blobs = {}
+    strag = {}
+    for r in parts:
+        if r["done"]:
+            blobs[(r["bx"], r["by"])] = bytes(r["blob"])
+        else:
+            strag.setdefault((r["bx"], r["by"]), {})[r["band"]] = r
+    for (bx, by), bands in strag.items():
+        arr = np.zeros((TILE, TILE, n_bands), np.uint8)
+        for b, r in bands.items():
+            a = np.frombuffer(r["blob"], np.uint8).reshape(r["h"], r["w"])
+            arr[:r["h"], :r["w"], b] = a
+        blobs[(bx, by)] = png_encode(arr[:, :, 0] if n_bands == 1 else arr)
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE metadata (name text, value text)")
+    con.execute("CREATE TABLE tiles (zoom_level integer, "
+                "tile_column integer, tile_row integer, tile_data blob)")
+    con.execute("CREATE UNIQUE INDEX tile_index ON tiles "
+                "(zoom_level, tile_column, tile_row)")
+    # lon/lat bounds via inverse Web-Mercator
+    def lon(xm):
+        return xm / MAX_EXTENT * 180.0
+
+    def lat(ym):
+        return math.degrees(
+            2 * math.atan(math.exp(ym / MAX_EXTENT * math.pi)) - math.pi / 2)
+    minx, maxy = g[0], g[3]
+    maxx = g[0] + meta.width * g[1]
+    miny = g[3] + meta.height * g[5]
+    md = {"name": name or os.path.splitext(os.path.basename(path))[0],
+          "type": "overlay", "version": "1.1",
+          "description": "gdal_spark MBTiles writer",
+          "format": "png",
+          "bounds": f"{lon(minx):.7f},{lat(miny):.7f},"
+                    f"{lon(maxx):.7f},{lat(maxy):.7f}"}
+    con.executemany("INSERT INTO metadata VALUES (?, ?)", md.items())
+    for (bx, by), blob in blobs.items():
+        col = col0 + bx
+        xyz_row = row1 + by
+        tms_row = nz - 1 - xyz_row
+        con.execute("INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                    (zoom, col, tms_row, blob))
+    con.commit()
+    con.close()

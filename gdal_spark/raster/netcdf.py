@@ -583,3 +583,119 @@ def read_gmt(spark, path: str, raster_id: str = "gmt", block: int = 256):
     meta = RasterMeta(raster_id, nx, ny, gt=gt, dtype=dts, block=block)
     return from_array(spark, np.ascontiguousarray(z).astype(dts),
                       meta), meta
+
+
+# ---------------------------------------------------------------------------
+# CF NetCDF-3 classic writer (round 5 — writer parity for pipeline
+# sinks). Mirrors the reference's CF output (netcdfdataset.cpp
+# CreateCopy / NCDFWriteProjAttribs): dims (y, x), double coordinate
+# variables holding pixel-center values from the geotransform, one
+# BandN variable per band with _FillValue, Conventions=CF-1.5. The
+# engine's own reader round-trips the result bit-exactly (test).
+# ---------------------------------------------------------------------------
+
+_NC_OF_DTYPE = {"uint8": 1, "int8": 1, "int16": 3, "int32": 4,
+                "float32": 5, "float64": 6}
+_BE_OF_NC = {1: "i1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
+
+
+def _nc_name(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">i", len(b)) + b + b"\0" * ((4 - len(b) % 4) % 4)
+
+
+def _nc_att(name: str, value) -> bytes:
+    out = _nc_name(name)
+    if isinstance(value, str):
+        b = value.encode()
+        out += struct.pack(">ii", 2, len(b)) + b \
+            + b"\0" * ((4 - len(b) % 4) % 4)
+    elif isinstance(value, float):
+        out += struct.pack(">ii", 6, 1) + struct.pack(">d", value)
+    else:
+        out += struct.pack(">ii", 4, 1) + struct.pack(">i", int(value))
+    return out
+
+
+def _nc_att_list(atts: list[tuple]) -> bytes:
+    if not atts:
+        return struct.pack(">ii", 0, 0)
+    return struct.pack(">ii", NC_ATTRIBUTE, len(atts)) + b"".join(
+        _nc_att(k, v) for k, v in atts)
+
+
+def write_netcdf(tiles, meta, path: str, var_prefix: str = "Band",
+                 nodata=None) -> None:
+    """Write all bands of a tile DataFrame as a CF NetCDF-3 classic
+    file. Y coordinate is written in raster row order (descending for a
+    north-up geotransform), which the reader maps back without a flip."""
+    from gdal_spark.raster.model import to_array
+
+    nc_type = _NC_OF_DTYPE[meta.dtype]
+    np_t = _BE_OF_NC[nc_type]
+    esize = {1: 1, 3: 2, 4: 4, 5: 4, 6: 8}[nc_type]
+    W, H = meta.width, meta.height
+    g = meta.gt
+
+    n_bands = tiles.select("band").distinct().count()
+    arrs = [to_array(tiles, meta, band=b) for b in range(n_bands)]
+
+    header = b"CDF\x01" + struct.pack(">i", 0)        # numrecs
+    # dim list: y, x
+    header += struct.pack(">ii", NC_DIMENSION, 2)
+    header += _nc_name("y") + struct.pack(">i", H)
+    header += _nc_name("x") + struct.pack(">i", W)
+    # global atts
+    header += _nc_att_list([("Conventions", "CF-1.5"),
+                            ("GDAL", "gdal_spark CF writer")])
+
+    # variables: x(double), y(double), Band1..N
+    xs = np.array([g[0] + (i + 0.5) * g[1] for i in range(W)], ">f8")
+    ys = np.array([g[3] + (j + 0.5) * g[5] for j in range(H)], ">f8")
+
+    vars_ = []
+    vars_.append(("x", [1], 6, [("standard_name", "projection_x_coordinate"),
+                                ("units", "m")], xs.tobytes()))
+    vars_.append(("y", [0], 6, [("standard_name", "projection_y_coordinate"),
+                                ("units", "m")], ys.tobytes()))
+    for b in range(n_bands):
+        atts = [("long_name", f"GDAL Band Number {b + 1}")]
+        if nodata is not None:
+            atts.append(("_FillValue", float(nodata))
+                        if nc_type in (5, 6) else ("_FillValue", int(nodata)))
+        if meta.dtype == "uint8":
+            atts.append(("_Unsigned", "true"))
+        data = np.ascontiguousarray(arrs[b]).astype(np_t).tobytes()
+        vars_.append((f"{var_prefix}{b + 1}", [0, 1], nc_type, atts, data))
+
+    # assemble var list with computed begin offsets (two passes)
+    def var_entry(name, dims, nct, atts, vsize, begin):
+        e = _nc_name(name)
+        e += struct.pack(">i", len(dims))
+        for d in dims:
+            e += struct.pack(">i", d)
+        e += _nc_att_list(atts)
+        e += struct.pack(">iii", nct, vsize, begin)
+        return e
+
+    def vsize_of(payload: bytes) -> int:
+        return (len(payload) + 3) & ~3
+
+    # pass 1: header size with dummy begins
+    body = struct.pack(">ii", NC_VARIABLE, len(vars_))
+    for name, dims, nct, atts, payload in vars_:
+        body += var_entry(name, dims, nct, atts, vsize_of(payload), 0)
+    header_len = len(header) + len(body)
+    # pass 2: real begins
+    begins, off = [], header_len
+    for name, dims, nct, atts, payload in vars_:
+        begins.append(off)
+        off += vsize_of(payload)
+    body = struct.pack(">ii", NC_VARIABLE, len(vars_))
+    for (name, dims, nct, atts, payload), begin in zip(vars_, begins):
+        body += var_entry(name, dims, nct, atts, vsize_of(payload), begin)
+
+    with open(path, "wb") as f:
+        f.write(header + body)
+        for name, dims, nct, atts, payload in vars_:
+            f.write(payload + b"\0" * (vsize_of(payload) - len(payload)))
