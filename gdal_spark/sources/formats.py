@@ -2201,6 +2201,57 @@ def _attr_name(key: str) -> str:
     return _local(key)
 
 
+def _georss_item_fields(item, is_atom: bool):
+    """One RSS item / Atom entry -> (field order, {name: value}, wkb)
+    — the ogrgeorsslayer.cpp field-building rules (repeated-element
+    2/3.. suffixes, <field>_<attr> attributes, Atom author/contributor
+    flattening, re-serialized content payload)."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+
+    order: list[str] = []
+    fields: dict[str, str] = {}
+    counts: dict[str, int] = {}
+    wkb = None
+
+    def put(name, value):
+        if name not in order:
+            order.append(name)
+        fields[name] = value
+
+    for el in item:
+        tag = _local(el.tag)
+        ns = el.tag[1:el.tag.index("}")] if el.tag[0] == "{" else ""
+        if "georss" in ns:
+            if tag == "where":
+                wkb = _georss_where_geom(el)
+            else:
+                wkb = _georss_latlon_geom(tag, el.text or "")
+            continue
+        counts[tag] = counts.get(tag, 0) + 1
+        base = tag if counts[tag] == 1 else f"{tag}{counts[tag]}"
+        if tag in ("author", "contributor") and is_atom:
+            for sub in el:
+                put(f"{base}_{_local(sub.tag)}", (sub.text or "").strip())
+            continue
+        if tag == "content" and is_atom:
+            for k, v in el.attrib.items():
+                put(f"{base}_{_attr_name(k)}", v)
+            inner = "".join(
+                ET.tostring(c, encoding="unicode") for c in el)
+            inner = _re.sub(r"\sxmlns:(\w+)=", " xmlns=", inner)
+            inner = _re.sub(r"<(/?)\w+:", r"<\1", inner).strip()
+            put(base, inner)
+            continue
+        for k, v in el.attrib.items():
+            put(f"{base}_{_attr_name(k)}", v)
+        text = (el.text or "").strip()
+        if tag in ("pubDate", "updated", "published") and text:
+            text = _georss_datetime(text)
+        put(base, text)
+    return order, fields, wkb
+
+
 def read_georss(spark: SparkSession, path: str) -> DataFrame:
     """RSS 2.0 (channel/item) or Atom (feed/entry) with GeoRSS simple
     or GML geometries.  Repeated elements get 2/3... suffixes and
@@ -2220,46 +2271,10 @@ def read_georss(spark: SparkSession, path: str) -> DataFrame:
     feats = []
     order: list[str] = []
     for item in items:
-        fields: dict[str, str] = {}
-        counts: dict[str, int] = {}
-        wkb = None
-
-        def put(name, value):
+        item_order, fields, wkb = _georss_item_fields(item, is_atom)
+        for name in item_order:
             if name not in order:
                 order.append(name)
-            fields[name] = value
-
-        for el in item:
-            tag = _local(el.tag)
-            ns = el.tag[1:el.tag.index("}")] if el.tag[0] == "{" else ""
-            if "georss" in ns:
-                if tag == "where":
-                    wkb = _georss_where_geom(el)
-                else:
-                    wkb = _georss_latlon_geom(tag, el.text or "")
-                continue
-            counts[tag] = counts.get(tag, 0) + 1
-            base = tag if counts[tag] == 1 else f"{tag}{counts[tag]}"
-            if tag in ("author", "contributor") and is_atom:
-                for sub in el:
-                    put(f"{base}_{_local(sub.tag)}",
-                        (sub.text or "").strip())
-                continue
-            if tag == "content" and is_atom:
-                for k, v in el.attrib.items():
-                    put(f"{base}_{_attr_name(k)}", v)
-                inner = "".join(
-                    ET.tostring(c, encoding="unicode") for c in el)
-                inner = _re.sub(r"\sxmlns:(\w+)=", " xmlns=", inner)
-                inner = _re.sub(r"<(/?)\w+:", r"<\1", inner).strip()
-                put(base, inner)
-                continue
-            for k, v in el.attrib.items():
-                put(f"{base}_{_attr_name(k)}", v)
-            text = (el.text or "").strip()
-            if tag in ("pubDate", "updated", "published") and text:
-                text = _georss_datetime(text)
-            put(base, text)
         feats.append((fields, wkb))
 
     rows = [tuple([fid] + [f.get(n) for n in order]
@@ -2268,6 +2283,103 @@ def read_georss(spark: SparkSession, path: str) -> DataFrame:
     schema = "fid long" + "".join(f", `{n}` string" for n in order) \
              + ", geometry binary"
     return spark.createDataFrame(rows, schema)
+
+
+def read_georss_distributed(spark: SparkSession, path: str,
+                            n_ranges: int = 32) -> DataFrame:
+    """Executor-side GeoRSS parse, same output as :func:`read_georss`:
+    the file splits into byte ranges, each task regex-extracts the
+    complete ``<item>``/``<entry>`` elements whose start offset falls
+    in its range (items are flat — they never nest), wraps fragments in
+    a root that re-declares the document's namespace prefixes, and
+    applies the shared per-item field rules. The data-dependent column
+    order is discovered in the same pass (one schema row per range) and
+    merged on the driver — metadata only; no feature content is
+    driver-parsed. Same pattern as ``read_gpx_distributed``."""
+    import json as _json
+    import os
+    import re as _re
+    import xml.etree.ElementTree as ET
+
+    head = open(path, "rb").read(16 << 10).decode("utf-8", "replace")
+    mroot = _re.search(r"<(feed|rss)\b([^>]*)>", head)
+    if mroot is None:
+        raise ValueError(f"{path}: not a GeoRSS/Atom document")
+    is_atom = mroot.group(1) == "feed"
+    decls = " ".join(_re.findall(r'xmlns(?::\w+)?="[^"]*"',
+                                 mroot.group(2)))
+    if "georss" not in decls:
+        decls += ' xmlns:georss="http://www.georss.org/georss"'
+    tag = "entry" if is_atom else "item"
+
+    fsize = os.path.getsize(path)
+    n = max(1, min(n_ranges, fsize // (64 << 10) + 1))
+    bounds = [fsize * k // n for k in range(n)] + [fsize]
+    spec = spark.createDataFrame(
+        [(k, bounds[k], bounds[k + 1]) for k in range(n)],
+        "rid int, start long, end long")
+    pat = _re.compile(rf"<(?:\w+:)?{tag}[\s>]".encode())
+    closepat = _re.compile(rf"</(?:\w+:)?{tag}\s*>".encode())
+    tail = 8 << 20
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, s, e0 in zip(pdf["rid"], pdf["start"], pdf["end"]):
+                s, e0 = int(s), int(e0)
+                with open(path, "rb") as fh:
+                    fh.seek(s)
+                    raw = fh.read(min(e0 + tail, fsize) - s)
+                seq = 0
+                range_order: list[str] = []
+                for m in pat.finditer(raw):
+                    if s + m.start() >= e0:
+                        break
+                    cm = closepat.search(raw, m.end())
+                    if cm is None:
+                        raise RuntimeError(
+                            f"unterminated <{tag}> in range")
+                    frag = (f"<r {decls}>".encode()
+                            + raw[m.start():cm.end()] + b"</r>")
+                    el = ET.fromstring(frag)[0]
+                    order, fields, wkb = _georss_item_fields(el, is_atom)
+                    for nm in order:
+                        if nm not in range_order:
+                            range_order.append(nm)
+                    rows.append((int(rid), seq, _json.dumps(fields),
+                                 bytearray(wkb) if wkb else None))
+                    seq += 1
+                rows.append((int(rid), -1, _json.dumps(range_order),
+                             None))
+            yield pd.DataFrame(rows, columns=["rid", "seq", "payload",
+                                              "geometry"])
+
+    feats = spec.repartition(n, "rid").mapInPandas(
+        run, "rid int, seq long, payload string, geometry binary").cache()
+    order: list[str] = []
+    counts: dict[int, int] = {}
+    for r in feats.filter(F.col("seq") == -1) \
+                  .select("rid", "payload").collect():
+        for nm in _json.loads(r["payload"]):
+            if nm not in order:
+                order.append(nm)
+    for r in (feats.filter(F.col("seq") >= 0).groupBy("rid")
+              .agg(F.count("*").alias("n")).collect()):
+        counts[r["rid"]] = r["n"]
+    offsets, acc = {}, 0
+    for k in range(n):
+        offsets[k] = acc
+        acc += counts.get(k, 0)
+    odf = spark.createDataFrame([(k, v) for k, v in offsets.items()],
+                                "rid int, off long")
+    fmap = F.from_json("payload", "map<string,string>")
+    return (feats.filter(F.col("seq") >= 0)
+            .join(F.broadcast(odf), "rid")
+            .select((F.col("off") + F.col("seq")).alias("fid"),
+                    fmap.alias("_m"), "geometry")
+            .select("fid",
+                    *[F.element_at("_m", nm).alias(nm) for nm in order],
+                    "geometry"))
 
 
 def write_georss(df: DataFrame, path: str, use_atom: bool = False,
@@ -2948,46 +3060,52 @@ def parse_jml(path: str):
     for feat in scope.iter():
         if _jml_strip(feat.tag) != "feature":
             continue
-        props = {}
-        style = None
-        wkb = None
-        for el in feat.iter():
-            t = _jml_strip(el.tag)
-            if t == "geometry" and wkb is None:
-                for g in el:
-                    wkb = _gml_geom_wkb(g)
-                    if wkb:
-                        break
-                continue
-            for (name, typ, elem, attr, attrval, loc, locattr) in columns:
-                if t != elem:
-                    continue
-                if attr and attrval is not None and \
-                        el.get(attr) != attrval:
-                    continue
-                if loc == "attribute":
-                    v = el.get(locattr or attr)
-                else:
-                    v = el.text or ""
-                if v == "":
-                    continue                 # empty body = unset field
-                if typ == "INTEGER":
-                    v = int(v)
-                elif typ == "DOUBLE":
-                    v = float(v)
-                elif typ == "DATE":
-                    v = _jml_norm_datetime(v)
-                props[name] = v
-        if "R_G_B" in props and wkb is not None:
-            # polygons brush-fill, other geometries pen-stroke
-            # (ogrjmllayer.cpp style mapping)
-            kind = wkb[1] if wkb[0] == 1 else wkb[4]
-            if kind in (3, 6):
-                style = f"BRUSH(fc:#{props['R_G_B']})"
-            else:
-                style = f"PEN(c:#{props['R_G_B']})"
-        feats.append((props, style, wkb))
+        feats.append(_jml_feature(feat, columns))
     return [c[0] for c in columns], feats
+
+
+def _jml_feature(feat, columns):
+    """One <feature> element -> (props, style, wkb) per the template
+    columns (shared by the driver and executor-side parses)."""
+    props = {}
+    style = None
+    wkb = None
+    for el in feat.iter():
+        t = _jml_strip(el.tag)
+        if t == "geometry" and wkb is None:
+            for g in el:
+                wkb = _gml_geom_wkb(g)
+                if wkb:
+                    break
+            continue
+        for (name, typ, elem, attr, attrval, loc, locattr) in columns:
+            if t != elem:
+                continue
+            if attr and attrval is not None and \
+                    el.get(attr) != attrval:
+                continue
+            if loc == "attribute":
+                v = el.get(locattr or attr)
+            else:
+                v = el.text or ""
+            if v == "":
+                continue                 # empty body = unset field
+            if typ == "INTEGER":
+                v = int(v)
+            elif typ == "DOUBLE":
+                v = float(v)
+            elif typ == "DATE":
+                v = _jml_norm_datetime(v)
+            props[name] = v
+    if "R_G_B" in props and wkb is not None:
+        # polygons brush-fill, other geometries pen-stroke
+        # (ogrjmllayer.cpp style mapping)
+        kind = wkb[1] if wkb[0] == 1 else wkb[4]
+        if kind in (3, 6):
+            style = f"BRUSH(fc:#{props['R_G_B']})"
+        else:
+            style = f"PEN(c:#{props['R_G_B']})"
+    return props, style, wkb
 
 
 def read_jml(spark: SparkSession, path: str) -> DataFrame:
@@ -3000,6 +3118,117 @@ def read_jml(spark: SparkSession, path: str) -> DataFrame:
             props = {**props, "OGR_STYLE": style}
         rows.append((_os.path.basename(path), i, _json.dumps(props), wkb))
     return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+def read_jml_distributed(spark: SparkSession, path: str,
+                         n_ranges: int = 32) -> DataFrame:
+    """Executor-side JML feature parse, same output as
+    :func:`read_jml`: the driver parses only the JCSGMLInputTemplate
+    header (metadata-scale schema), executors regex-extract complete
+    <feature> elements by byte range (flat, never nested) and apply the
+    shared per-feature rules; file-order fids rebase from per-range
+    counts (the read_gpx_distributed pattern)."""
+    import json as _json
+    import os as _os
+    import re as _re
+    import xml.etree.ElementTree as ET
+
+    # header: template columns (stop at the first <feature>)
+    head = b""
+    with open(path, "rb") as fh:
+        while b"</JCSGMLInputTemplate>" not in head:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            head += chunk
+    mt = _re.search(rb"<JCSGMLInputTemplate>.*?</JCSGMLInputTemplate>",
+                    head, _re.S)
+    columns = []
+    if mt is not None:
+        tmpl = ET.fromstring(mt.group(0))
+        # reuse the template-column rules from parse_jml
+        for col in tmpl.iter():
+            if _jml_strip(col.tag) != "column":
+                continue
+            name = typ = elem = attr = attrval = locattr = None
+            loc = "body"
+            for c in col:
+                t = _jml_strip(c.tag)
+                if t == "name":
+                    name = c.text
+                elif t == "type":
+                    typ = c.text
+                elif t == "valueElement":
+                    elem = c.get("elementName")
+                    attr = c.get("attributeName")
+                    attrval = c.get("attributeValue")
+                elif t == "valueLocation":
+                    loc = c.get("position", "body")
+                    locattr = c.get("attributeName")
+            if name and elem:
+                columns.append((name, typ or "STRING", elem, attr,
+                                attrval, loc, locattr))
+
+    fsize = _os.path.getsize(path)
+    n = max(1, min(n_ranges, fsize // (64 << 10) + 1))
+    bounds = [fsize * k // n for k in range(n)] + [fsize]
+    spec = spark.createDataFrame(
+        [(k, bounds[k], bounds[k + 1]) for k in range(n)],
+        "rid int, start long, end long")
+    pat = _re.compile(rb"<(?:\w+:)?feature[\s>]")
+    closepat = _re.compile(rb"</(?:\w+:)?feature\s*>")
+    tail = 8 << 20
+    base = _os.path.basename(path)
+    # namespace prefixes (gml:) are declared on the document root —
+    # re-declare them on a wrapper so fragments parse standalone
+    mroot = _re.search(rb"<JCSDataFile\b([^>]*)>", head)
+    decls = b" ".join(_re.findall(rb'xmlns(?::\w+)?="[^"]*"',
+                                  mroot.group(1) if mroot else b""))
+    if b"gml" not in decls:
+        decls += b' xmlns:gml="http://www.opengis.net/gml"'
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, s, e0 in zip(pdf["rid"], pdf["start"], pdf["end"]):
+                s, e0 = int(s), int(e0)
+                with open(path, "rb") as fh:
+                    fh.seek(s)
+                    raw = fh.read(min(e0 + tail, fsize) - s)
+                seq = 0
+                for m in pat.finditer(raw):
+                    if s + m.start() >= e0:
+                        break
+                    cm = closepat.search(raw, m.end())
+                    if cm is None:
+                        raise RuntimeError("unterminated <feature>")
+                    frag = (b"<r " + decls + b">"
+                            + raw[m.start():cm.end()] + b"</r>")
+                    el = ET.fromstring(frag)[0]
+                    props, style, wkb = _jml_feature(el, columns)
+                    if style:
+                        props = {**props, "OGR_STYLE": style}
+                    rows.append((int(rid), seq, _json.dumps(props),
+                                 bytearray(wkb) if wkb else None))
+                    seq += 1
+            yield pd.DataFrame(rows, columns=["rid", "seq", "properties",
+                                              "geometry"])
+
+    feats = spec.repartition(n, "rid").mapInPandas(
+        run, "rid int, seq long, properties string, geometry binary"
+    ).cache()
+    counts = {r["rid"]: r["n"] for r in
+              feats.groupBy("rid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for k in range(n):
+        offsets[k] = acc
+        acc += counts.get(k, 0)
+    odf = spark.createDataFrame([(k, v) for k, v in offsets.items()],
+                                "rid int, off long")
+    return (feats.join(F.broadcast(odf), "rid")
+            .select(F.lit(base).alias("source"),
+                    (F.col("off") + F.col("seq")).alias("fid"),
+                    "properties", "geometry"))
 
 
 # ---------------------------------------------------------------------------
