@@ -147,21 +147,49 @@ _CB_G = (-_fix16(0.34414)) * (np.arange(256) - 128) + _ONE_HALF
 
 
 class _Huff:
-    """Canonical Huffman table → (maxlen, {(length, code): symbol})."""
+    """Canonical Huffman table, table-driven (the libjpeg jdhuff.c
+    shape): an 8-bit lookahead LUT resolves every code of length <= 8
+    in one indexed read; longer codes fall back to the
+    mincode/maxcode/valptr arrays (T.81 F.2.2.3 DECODE). For canonical
+    codes the first-l-bits value is <= maxcode[l] iff the code length
+    is <= l, so the slow path probes l = 9..16 with plain peeks."""
+
+    __slots__ = ("symbols", "mincode", "maxcode", "valptr",
+                 "look_n", "look_sym")
 
     def __init__(self, counts: bytes, symbols: bytes) -> None:
-        self.map: dict[tuple[int, int], int] = {}
+        self.symbols = symbols
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
         code, k = 0, 0
         for ln in range(1, 17):
+            if counts[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        self.look_n = [0] * 256
+        self.look_sym = [0] * 256
+        code, k = 0, 0
+        for ln in range(1, 9):
             for _ in range(counts[ln - 1]):
-                self.map[(ln, code)] = symbols[k]
+                base = code << (8 - ln)
+                for x in range(1 << (8 - ln)):
+                    self.look_n[base | x] = ln
+                    self.look_sym[base | x] = symbols[k]
                 code += 1
                 k += 1
             code <<= 1
 
 
 class _Bits:
-    """MSB-first bit reader over a destuffed entropy-coded segment."""
+    """MSB-first bit reader over a destuffed entropy-coded segment.
+    Keeps a multi-byte accumulator so k-bit reads and 8-bit Huffman
+    lookaheads are single shift/mask operations instead of per-bit
+    loops (the round-4 per-bit reader dominated JPEG decode wall)."""
 
     __slots__ = ("d", "p", "acc", "n")
 
@@ -171,30 +199,46 @@ class _Bits:
         self.acc = 0
         self.n = 0
 
+    def _ensure(self, k: int) -> None:
+        # pad past the end with zero bytes per T.81 F.2.2.5
+        d, p, acc, n = self.d, self.p, self.acc, self.n
+        ln = len(d)
+        while n < k:
+            acc = ((acc & ((1 << n) - 1)) << 8) | \
+                (d[p] if p < ln else 0)
+            p += 1
+            n += 8
+        self.p, self.acc, self.n = p, acc, n
+
     def bit(self) -> int:
-        if self.n == 0:
-            if self.p >= len(self.d):
-                return 0  # pad past the end per T.81 F.2.2.5
-            self.acc = self.d[self.p]
-            self.p += 1
-            self.n = 8
+        if self.n < 1:
+            self._ensure(1)
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._ensure(k)
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def huff(self, table: _Huff) -> int:
-        code, ln = 0, 0
-        for _ in range(16):
-            code = (code << 1) | self.bit()
-            ln += 1
-            sym = table.map.get((ln, code))
-            if sym is not None:
-                return sym
+        if self.n < 16:
+            self._ensure(16)
+        v = (self.acc >> (self.n - 8)) & 0xFF
+        ln = table.look_n[v]
+        if ln:
+            self.n -= ln
+            return table.look_sym[v]
+        maxcode = table.maxcode
+        for ln in range(9, 17):
+            code = (self.acc >> (self.n - ln)) & ((1 << ln) - 1)
+            if code <= maxcode[ln]:
+                self.n -= ln
+                return table.symbols[
+                    table.valptr[ln] + code - table.mincode[ln]]
         raise ValueError("invalid JPEG Huffman code")
 
 
