@@ -637,6 +637,16 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
                 if first.upper().startswith("ENVI"):
                     return RFMT.read_envi(spark, src, block=block)
                 return RFMT.read_ehdr(spark, src, block=block)
+    # round-5 SAR family: subdataset prefixes and name rules first
+    if low.startswith("radarsat_2_calib:") or low.endswith("product.xml"):
+        from gdal_spark.raster import rs2 as RS2D
+        t, m, _info = RS2D.read_rs2(spark, src, block=block)
+        return t, m
+    from gdal_spark.raster.tsx import identify_tsx
+    if _ospath_exists(src) and identify_tsx(src):
+        from gdal_spark.raster import tsx as TSXD
+        t, m, _info = TSXD.read_tsx(spark, src, block=block)
+        return t, m
     # content sniff (GDALIdentify order): GRIB and netCDF carry magics,
     # including NDFD '****'-framed GRIB (.bin)
     import os as _os2
@@ -649,7 +659,21 @@ def open_raster(spark: SparkSession, src, meta: RasterMeta | None = None,
         if b"GRIB" in head[:256]:
             from gdal_spark.raster import grib as GRB
             return GRB.read_grib(spark, src, block=block)
+        if head[:8].startswith(b"PRODUCT="):           # Envisat MPH
+            from gdal_spark.raster import envisat as ENVD
+            t, m, _env = ENVD.read_envisat(spark, src, block=block)
+            return t, m
+        if len(head) >= 8 and (
+                head[4:8] == b"\x3f\xc0\x12\x12"):      # CEOS image FDR
+            from gdal_spark.raster import ceos as CEOSD
+            t, m, _img = CEOSD.read_ceos(spark, src, block=block)
+            return t, m
     raise ValueError(f"unrecognized raster source {src!r}")
+
+
+def _ospath_exists(p) -> bool:
+    import os as _os3
+    return isinstance(p, str) and _os3.path.exists(p)
 
 
 def write_raster(tiles: DataFrame, meta: RasterMeta, dst: str) -> None:
@@ -661,6 +685,12 @@ def write_raster(tiles: DataFrame, meta: RasterMeta, dst: str) -> None:
         RFMT.write_geotiff(tiles, meta, dst)
     elif low.endswith(".asc"):
         RFMT.write_aaigrid(to_array(tiles, meta), meta, dst)
+    elif low.endswith(".nc"):
+        from gdal_spark.raster import netcdf as NCDF
+        NCDF.write_netcdf(tiles, meta, dst, nodata=meta.nodata)
+    elif low.endswith(".mbtiles"):
+        from gdal_spark.raster import mbtiles as MBT
+        MBT.write_mbtiles(tiles, meta, dst)
     elif low.endswith(".parquet"):
         tiles.write.mode("overwrite").parquet(dst)
     else:
