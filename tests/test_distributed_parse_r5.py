@@ -43,3 +43,12 @@ def test_georss_distributed_many_ranges(spark):
     for n in (2, 7, 64):
         assert FMT.read_georss_distributed(spark, fn, n_ranges=n) \
             .count() == a
+
+
+def test_gtm_distributed_equivalence(spark):
+    from gdal_spark.sources import formats as FMT
+    p = DATA + "samplemap.gtm"
+    a = FMT.read_gtm(spark, p, "waypoints").orderBy("fid").collect()
+    b = FMT.read_gtm_distributed(spark, p).orderBy("fid").collect()
+    assert len(a) == len(b) > 0
+    assert all(tuple(x) == tuple(y) for x, y in zip(a, b))
