@@ -27,8 +27,15 @@ def main() -> int:
         os.path.abspath(__file__))), "PLANS")
     os.makedirs(out_dir, exist_ok=True)
 
+    # round 5: the pipeline-family and new-surface queries are audited
+    # for plan shape too (span_dedup after the shingle-materialization
+    # fix, the rotated-in gate members)
+    extra = ["span_dedup", "gopher_quality", "dedup_cluster",
+             "ann_ivf_topk", "tiger_layer", "sqlite_dialect_sql"]
+    names = [a for a in sys.argv[2:]] or (HEADLINE + extra)
+
     spark = get_spark("capture_plans", cores=8)
-    for name in HEADLINE:
+    for name in names:
         fn = Q.QUERIES[name][0]
         df = fn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
