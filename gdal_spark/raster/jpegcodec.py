@@ -18,12 +18,15 @@ algorithms — outputs are BIT-IDENTICAL to libjpeg's default decode path
 other decoder families (e.g. javax.imageio) may still differ by ±1 per
 sample, which those goldens assert as a tolerance.
 
-Execution shape: Huffman entropy decode is a per-symbol Python loop (the
-format is inherently bit-serial), everything after it — dequantize,
-un-zigzag, IDCT, upsample, color convert — is batched numpy across ALL
-blocks of a component at once. Runs per blob inside Arrow batches on
-executors; fine for crawl-pipeline thumbnails/sampling, not tuned for
-megapixel throughput.
+Execution shape: Huffman entropy decode is a per-symbol Python loop
+(the format is inherently bit-serial) but table-driven since round 5 —
+an 8-bit lookahead LUT plus a multi-byte bit accumulator, the libjpeg
+jdhuff shape — so each symbol is a couple of shift/mask ops rather
+than a per-bit tree walk. Everything after it — dequantize, un-zigzag,
+IDCT, upsample, color convert — is batched numpy across ALL blocks of
+a component at once. Runs per blob inside Arrow batches on executors;
+fine for crawl-pipeline thumbnails/sampling, not tuned for megapixel
+throughput.
 """
 
 from __future__ import annotations
